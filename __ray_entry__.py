@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline; ``queries()`` exposes every
+implemented operator/pipeline keyed by name; ``oracle_sql()`` gives DuckDB
+equivalents where the semantics are SQL-expressible (same column names as the
+Ray result). Ray is initialised by the driver before this module is imported —
+nothing here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +12,27 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Feature modules self-register into the queryset registry at import time.
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset as _queryset
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import extraction_queries as _eq  # noqa: F401
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at the smoke scale; returns the extracted Dataset."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import transcripts_for_sf
+
+    path = transcripts_for_sf(_SMOKE_SF_DIR)
+    return extract_transcripts(path, order=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline (SURVEY.md §2 + extensions)."""
+    return dict(_queryset.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every SQL-expressible query (same column names)."""
+    return dict(_queryset.ORACLE_SQL)

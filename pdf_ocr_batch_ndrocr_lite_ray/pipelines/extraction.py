@@ -1,0 +1,111 @@
+"""The flagship extraction pipeline: read → sniff → extract → order → write.
+
+Ray-Data-first shape (SURVEY.md §7):
+
+    ray.data.read_parquet(paths, columns=[...])      # prune at the read
+      .map_batches(sniff_batch,  batch_format="pyarrow")   # stateless task
+      .map_batches(TurnExtractor, batch_format="pyarrow",  # actor pool
+                   batch_size=B, concurrency=(m, n), zero_copy_batch=True)
+      .sort(["conv_id", "turn_idx"])                  # order restoration
+      .write_parquet(out)                             # streaming sink
+
+Scale notes (100 TB design):
+
+- per-turn extraction is embarrassingly parallel: NO shuffle is needed until
+  order restoration. The only all-to-all exchange in the whole pipeline is
+  the optional final sort, and equality under the conformance contract is
+  defined *after* canonical ordering — consumers that don't need physical
+  order skip it (``order=False``) and pay zero shuffles.
+- batches stay zero-copy Arrow end to end; the extractor materializes only
+  the ``text`` column of its own batch.
+- hot conversations need no salting for extraction itself (rows are
+  independent); conversation-level aggregates use the salted partial
+  aggregation in ``pipelines/analytics.py``.
+- wide rows: ``batch_size`` bounds rows per batch; Ray's dynamic block
+  splitting bounds block bytes via ``DataContext.target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import ray
+import ray.data
+
+from ..stages.extract import TurnExtractor
+from ..stages.sniffer import sniff_batch
+
+DEFAULT_BATCH_SIZE = 512
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster's CPUs."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(1, cpus))
+
+
+def package_runtime_env() -> dict:
+    """Runtime env ensuring workers can import this package.
+
+    Ray workers inherit the driver's cwd but NOT its ``sys.path``; a driver
+    that imported this package from a non-cwd location (e.g. via
+    ``sys.path.insert``) would otherwise strand the actor pool in an
+    unpicklable-import restart loop. Shipping the package parent dir on
+    ``PYTHONPATH`` makes pipelines location-independent.
+    """
+    pkg_parent = str(Path(__file__).resolve().parents[2])
+    existing = os.environ.get("PYTHONPATH", "")
+    pythonpath = pkg_parent if not existing else f"{pkg_parent}{os.pathsep}{existing}"
+    return {"env_vars": {"PYTHONPATH": pythonpath}}
+
+
+def build_extraction(
+    ds: "ray.data.Dataset",
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Union[int, tuple[int, int], None] = None,
+    order: bool = False,
+) -> "ray.data.Dataset":
+    """Attach the sniff + extract stages (and optional order restore) to ``ds``."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    runtime_env = package_runtime_env()
+    ds = ds.map_batches(sniff_batch, batch_format="pyarrow", runtime_env=runtime_env)
+    ds = ds.map_batches(
+        TurnExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+        runtime_env=runtime_env,
+    )
+    if order:
+        ds = ds.sort(["conv_id", "turn_idx"])
+    return ds
+
+
+def extract_transcripts(
+    paths: Union[str, Sequence[str]],
+    *,
+    columns: Optional[Sequence[str]] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Union[int, tuple[int, int], None] = None,
+    order: bool = False,
+    override_num_blocks: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Read transcript parquet and run the extraction pipeline (lazy)."""
+    ds = ray.data.read_parquet(
+        paths,
+        columns=list(columns) if columns else INPUT_COLUMNS,
+        override_num_blocks=override_num_blocks,
+    )
+    return build_extraction(
+        ds, batch_size=batch_size, concurrency=concurrency, order=order
+    )

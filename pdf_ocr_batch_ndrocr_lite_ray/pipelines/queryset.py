@@ -1,0 +1,52 @@
+"""Registry of driver-checkable queries.
+
+Each query is ``name -> callable(sf_dir) -> Dataset | pandas | pyarrow.Table``;
+where the semantics are ANSI-SQL-expressible the matching DuckDB oracle SQL is
+registered too (same column names — the driver hashes values under sorted
+column names). Query modules call ``register`` at import time;
+``__ray_entry__`` imports this module and the feature modules.
+
+Transcript-shaped inputs (the engine's primary table) don't exist under
+``/root/testdata``, so extraction queries synthesize a deterministic
+transcript table per scale factor (cached under /tmp) — same seed, same
+table, every run.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+_CACHE_DIR = Path("/tmp/graft_cache")
+
+# conversations per scale factor for the synthesized transcript table
+_SF_CONVS = {"sf0.001": 40, "sf0.01": 160, "sf0.1": 640}
+_SYNTH_SEED = 42
+
+
+def register(name: str, fn: Callable[[str], Any], sql: Optional[str] = None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+def transcripts_for_sf(sf_dir: str) -> str:
+    """Deterministic transcript parquet for a given testdata scale dir."""
+    from ..sources.transcripts import write_transcripts
+
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    path = _CACHE_DIR / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}.parquet"
+    if not path.exists():
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.parquet")
+        write_transcripts(tmp, n_convs=n_convs, seed=_SYNTH_SEED)
+        tmp.replace(path)
+    return str(path)
+
+
+def table_path(sf_dir: str, table: str) -> str:
+    return str(Path(sf_dir) / f"{table}.parquet")

@@ -1,0 +1,169 @@
+"""The central per-turn extractor: route by content kind, extract, isolate errors.
+
+This is the engine's analog of the reference's per-file pipeline
+(``BatchProcessor.process_one`` → parse → postprocess, app.py:2790-2859 +
+1651-1736), collapsed to a per-turn routine:
+
+- routing mirrors the parse **priority order** (structured first, plain-text
+  fallback last; "fill only empty pages", app.py:1663-1687) — here each turn
+  has exactly one payload, so routing is by the sniffer's ``content_kind``;
+- every extracted string passes the normalization kernel exactly as the
+  reference normalizes on insertion + postprocess (app.py:1709-1735);
+- **per-item error isolation**: a failing turn becomes an
+  ``action="error"`` row and never aborts the batch (app.py:2845-2854);
+- **idempotent re-run skip**: a plain turn whose payload is already fully
+  normalized is marked ``action="skipped_clean"`` — the transcript analog of
+  the reference's skip-by-existing-text-layer rule (app.py:1155-1278,
+  1306-1323).
+
+``extract_turn`` is pure and shared verbatim by the single-process oracle;
+``TurnExtractor`` is the stateful ``map_batches`` actor class (regex tables
+and parser state are built once per worker at import/``__init__`` — the
+reference's load-once pattern, app.py:2054-2095).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.layout import assemble_layout_text, dedup_blocks, dedup_boxes
+from ..functions.textnorm import normalize_text
+from .domstrip import extract_html_main_content
+from .payload import parse_pdfish_payload
+from .sniffer import (
+    KIND_EMPTY,
+    KIND_HTML,
+    KIND_PDFISH,
+    KIND_PLAIN,
+    classify_text_array,
+)
+
+ACTION_EXTRACTED = "extracted"
+ACTION_SKIPPED_CLEAN = "skipped_clean"
+ACTION_EMPTY = "empty"
+ACTION_ERROR = "error"
+
+SPANS_TYPE = pa.list_(
+    pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
+)
+
+_FORM_FEED_RE = re.compile(r"\f+")
+
+Span = tuple[int, int, str]
+
+
+def _segments_to_text(segments: list[str], kind: str) -> tuple[str, list[Span]]:
+    parts: list[str] = []
+    spans: list[Span] = []
+    pos = 0
+    for seg in segments:
+        if parts:
+            pos += 1
+        start = pos
+        parts.append(seg)
+        pos += len(seg)
+        spans.append((start, pos, kind))
+    return "\n".join(parts), spans
+
+
+def extract_plain(text: str) -> tuple[str, list[Span]]:
+    """Plain path: CRLF-normalize, split on form feeds, normalize, dedup.
+
+    Mirrors ``_merge_text_file`` segmenting (app.py:1798-1810) followed by the
+    postprocess block dedup (app.py:1726-1735).
+    """
+    cleaned = (text or "").replace("\r\n", "\n").strip()
+    if not cleaned:
+        return "", []
+    segments = [s.strip() for s in _FORM_FEED_RE.split(cleaned) if s.strip()]
+    segments = dedup_blocks(segments)
+    return _segments_to_text(segments, "block")
+
+
+def extract_html(text: str) -> tuple[str, list[Span]]:
+    """HTML path: DOM strip at one granularity, then order-preserving dedup."""
+    paragraphs, used_fallback = extract_html_main_content(text)
+    paragraphs = dedup_blocks(paragraphs)
+    kind = "block" if used_fallback else "paragraph"
+    return _segments_to_text(paragraphs, kind)
+
+
+def extract_pdfish(text: str) -> tuple[str, list[Span]]:
+    """PDF-ish path: parse positioned boxes, dedup, cluster, reading-order join."""
+    boxes, blocks = parse_pdfish_payload(text)
+    boxes = dedup_boxes(boxes)
+    blocks = dedup_blocks(blocks)
+    return assemble_layout_text(boxes, blocks)
+
+
+def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str]:
+    """Extract one turn. Returns (extracted_text, spans, action, error).
+
+    Never raises: failures become ``action="error"`` rows.
+    """
+    try:
+        if kind == KIND_EMPTY:
+            return "", [], ACTION_EMPTY, ""
+        raw = text or ""
+        if kind == KIND_PDFISH:
+            extracted, spans = extract_pdfish(raw)
+        elif kind == KIND_HTML:
+            extracted, spans = extract_html(raw)
+        elif kind == KIND_PLAIN:
+            extracted, spans = extract_plain(raw)
+        else:
+            return "", [], ACTION_ERROR, f"unknown content kind: {kind!r}"
+        if not extracted:
+            return "", [], ACTION_EMPTY, ""
+        if kind == KIND_PLAIN and extracted == raw:
+            return extracted, spans, ACTION_SKIPPED_CLEAN, ""
+        return extracted, spans, ACTION_EXTRACTED, ""
+    except Exception as exc:  # per-item isolation: row-scoped failure
+        return "", [], ACTION_ERROR, f"{type(exc).__name__}: {exc}"
+
+
+class TurnExtractor:
+    """Stateful ``map_batches`` callable: extraction over zero-copy Arrow batches.
+
+    Use as::
+
+        ds.map_batches(TurnExtractor, batch_format="pyarrow",
+                       batch_size=B, concurrency=(m, n), zero_copy_batch=True)
+
+    All heavy state (compiled regex tables, parser machinery) lives at module
+    scope, loaded once per worker process; ``__call__`` does per-row routing
+    with per-item error isolation.
+    """
+
+    def __init__(self, text_column: str = "text") -> None:
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "content_kind" in batch.column_names:
+            kinds_arr = batch["content_kind"]
+        else:
+            kinds_arr = classify_text_array(batch[self.text_column])
+            batch = batch.append_column("content_kind", kinds_arr)
+
+        texts = batch[self.text_column].to_pylist()
+        kinds = kinds_arr.to_pylist()
+
+        extracted: list[str] = []
+        spans_col: list[list[dict]] = []
+        actions: list[str] = []
+        errors: list[str] = []
+        for text, kind in zip(texts, kinds):
+            ext, spans, action, error = extract_turn(text, kind)
+            extracted.append(ext)
+            spans_col.append([{"start": s, "end": e, "kind": k} for s, e, k in spans])
+            actions.append(action)
+            errors.append(error)
+
+        return (
+            batch.append_column("extracted_text", pa.array(extracted, type=pa.string()))
+            .append_column("spans", pa.array(spans_col, type=SPANS_TYPE))
+            .append_column("action", pa.array(actions, type=pa.string()))
+            .append_column("error", pa.array(errors, type=pa.string()))
+        )

@@ -1,0 +1,186 @@
+"""Resumable extraction runs: per-partition lineage manifests.
+
+The reference's resume story is *name-based skipping*: a re-run skips inputs
+whose output already exists by the ``_ocr`` naming rule and inputs that
+already carry a text layer (app.py:86-87, 1306-1323, 2519-2529). The
+Ray-native analog here:
+
+- **partition unit = input fragment (one parquet file)**; its id is a pure
+  function of the input path (``md5(path)[:12]``), NOT of worker count or
+  scheduling — so the partition layout is identical at any parallelism,
+  which is what makes the N vs 4N scaling runs byte-comparable and resume
+  deterministic.
+- output rows are written with ``write_parquet(partition_cols=["part_id"])``
+  → one directory per input fragment (``part_id=<hex>/``), never one giant
+  file.
+- after the streaming write completes, a manifest
+  ``_ckpt/<part_id>.json`` is committed per fragment recording lineage
+  (input path, row count), output row count, and per-action counters —
+  the manifest is the commit marker, written strictly AFTER the data.
+- **resume**: fragments with a manifest are filtered out of the read (the
+  skip happens at the *file list*, so completed partitions cost zero I/O);
+  partition dirs without a manifest are torn down and rewritten
+  (idempotent overwrite-by-name, the reference's conflict=overwrite mode).
+
+Counters are recovered from the written output (a footer + single-column
+scan of ``action``), not from a driver-side accumulation, so they stay
+correct across retries and partial failures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+from collections import Counter
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..pipelines.extraction import (
+    DEFAULT_BATCH_SIZE,
+    build_extraction,
+    package_runtime_env,
+)
+
+DATA_SUBDIR = "data"
+CKPT_SUBDIR = "_ckpt"
+
+
+def part_id_for_path(path: Union[str, Path]) -> str:
+    """Deterministic partition id: pure function of the input path."""
+    return hashlib.md5(str(path).encode("utf-8")).hexdigest()[:12]
+
+
+def _manifest_path(out_dir: Path, part_id: str) -> Path:
+    return out_dir / CKPT_SUBDIR / f"{part_id}.json"
+
+
+def _partition_dir(out_dir: Path, part_id: str) -> Path:
+    return out_dir / DATA_SUBDIR / f"part_id={part_id}"
+
+
+def completed_partitions(out_dir: Union[str, Path]) -> dict[str, dict]:
+    """part_id → manifest for every committed partition."""
+    ckpt_dir = Path(out_dir) / CKPT_SUBDIR
+    if not ckpt_dir.is_dir():
+        return {}
+    out = {}
+    for mf in sorted(ckpt_dir.glob("*.json")):
+        try:
+            out[mf.stem] = json.loads(mf.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue  # unreadable manifest = not committed
+    return out
+
+
+def _add_part_id_column(batch: pa.Table) -> pa.Table:
+    """Derive part_id from the ``path`` column added by ``include_paths``."""
+    paths = batch["path"]
+    ids = {p: part_id_for_path(p) for p in set(paths.to_pylist())}
+    part_ids = pa.array([ids[p] for p in paths.to_pylist()], type=pa.string())
+    batch = batch.drop_columns(["path"])
+    return batch.append_column("part_id", part_ids)
+
+
+def run_resumable_extraction(
+    input_paths: Sequence[Union[str, Path]],
+    out_dir: Union[str, Path],
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Union[int, tuple[int, int], None] = None,
+    max_partitions: Optional[int] = None,
+) -> dict:
+    """Run (or resume) a checkpointed extraction job.
+
+    ``max_partitions`` bounds how many incomplete fragments to process this
+    call — used by tests to simulate a kill after k partitions.
+
+    Returns a job report: counters summed over ALL committed partitions
+    (previous runs included), plus how many were skipped as already done.
+    """
+    out_dir = Path(out_dir)
+    (out_dir / CKPT_SUBDIR).mkdir(parents=True, exist_ok=True)
+    (out_dir / DATA_SUBDIR).mkdir(parents=True, exist_ok=True)
+
+    inputs = sorted(str(p) for p in input_paths)
+    done = completed_partitions(out_dir)
+    plan = [(part_id_for_path(p), p) for p in inputs]
+    remaining = [(pid, p) for pid, p in plan if pid not in done]
+    skipped = len(plan) - len(remaining)
+    if max_partitions is not None:
+        remaining = remaining[:max_partitions]
+
+    # tear down data dirs from a previous attempt that never committed
+    for pid, _ in remaining:
+        pdir = _partition_dir(out_dir, pid)
+        if pdir.exists():
+            shutil.rmtree(pdir)
+
+    if remaining:
+        ds = ray.data.read_parquet([p for _, p in remaining], include_paths=True)
+        ds = ds.map_batches(
+            _add_part_id_column,
+            batch_format="pyarrow",
+            runtime_env=package_runtime_env(),
+        )
+        ds = build_extraction(ds, batch_size=batch_size, concurrency=concurrency)
+        ds.write_parquet(str(out_dir / DATA_SUBDIR), partition_cols=["part_id"])
+
+        # commit: manifest written AFTER the partition's data is durable
+        for pid, path in remaining:
+            actions = _count_actions(_partition_dir(out_dir, pid))
+            manifest = {
+                "part_id": pid,
+                "input_path": path,
+                "input_rows": pq.read_metadata(path).num_rows,
+                "output_rows": sum(actions.values()),
+                "actions": dict(actions),
+            }
+            tmp = _manifest_path(out_dir, pid).with_suffix(".tmp")
+            tmp.write_text(json.dumps(manifest, sort_keys=True))
+            tmp.replace(_manifest_path(out_dir, pid))
+
+    done = completed_partitions(out_dir)
+    totals: Counter = Counter()
+    for manifest in done.values():
+        totals.update(manifest.get("actions", {}))
+    return {
+        "partitions_total": len(plan),
+        "partitions_committed": len(done),
+        "partitions_skipped_resume": skipped,
+        "rows": sum(m.get("output_rows", 0) for m in done.values()),
+        "actions": dict(totals),
+    }
+
+
+def _count_actions(partition_dir: Path) -> Counter:
+    if not partition_dir.exists():
+        return Counter()
+    dataset = pads.dataset(str(partition_dir), format="parquet")
+    counts: Counter = Counter()
+    for batch in dataset.to_batches(columns=["action"]):
+        for value, n in zip(*_value_counts(batch.column(0))):
+            counts[value] += n
+    return counts
+
+
+def _value_counts(arr: pa.Array) -> tuple[list[str], list[int]]:
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(arr)
+    return (
+        [v.as_py() for v in vc.field("values")],
+        [c.as_py() for c in vc.field("counts")],
+    )
+
+
+def read_extracted(out_dir: Union[str, Path]) -> "ray.data.Dataset":
+    """Read a completed run's output as a Dataset (unordered; sort to canon)."""
+    return ray.data.read_parquet(str(Path(out_dir) / DATA_SUBDIR))

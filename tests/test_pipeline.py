@@ -1,0 +1,135 @@
+"""End-to-end golden tests: Ray pipeline output ≡ single-process oracle,
+plus checkpoint/resume equivalence and parallelism-invariance of results."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_ocr_batch_ndrocr_lite_ray.oracle import GOLDEN_COLUMNS, oracle_extract_parquet
+
+
+def _canon(table: pa.Table) -> pa.Table:
+    cols = [c for c in GOLDEN_COLUMNS if c in table.column_names]
+    return (
+        table.select(cols)
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        .combine_chunks()
+    )
+
+
+def _assert_tables_equal(ours: pa.Table, golden: pa.Table):
+    ours, golden = _canon(ours), _canon(golden)
+    assert ours.num_rows == golden.num_rows
+    assert ours.column_names == golden.column_names
+    for name in ours.column_names:
+        a, b = ours[name].to_pylist(), golden[name].to_pylist()
+        if a != b:
+            for i, (x, y) in enumerate(zip(a, b)):
+                assert x == y, f"column {name} row {i}: {x!r} != {y!r}"
+    assert ours.equals(golden) or ours.to_pylist() == golden.to_pylist()
+
+
+class TestGoldenPipeline:
+    def test_pipeline_matches_oracle(self, ray_session, tiny_transcripts):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+
+        golden = oracle_extract_parquet(tiny_transcripts)
+        ours = extract_transcripts(
+            str(tiny_transcripts), concurrency=2, batch_size=32, order=True
+        ).to_arrow_refs()
+        import ray
+
+        ours = pa.concat_tables([ray.get(r) for r in ours])
+        _assert_tables_equal(ours, golden)
+
+    def test_all_actions_present(self, tiny_transcripts):
+        golden = oracle_extract_parquet(tiny_transcripts)
+        actions = set(golden["action"].to_pylist())
+        # the fixture mix must exercise every action family
+        assert {"extracted", "empty", "error"} <= actions
+        kinds = set(golden["content_kind"].to_pylist())
+        assert {"plain", "html", "pdfish", "empty"} <= kinds
+
+    def test_batch_size_invariance(self, ray_session, tiny_transcripts):
+        """Results must not depend on batching (block boundaries)."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+
+        a = extract_transcripts(str(tiny_transcripts), concurrency=1, batch_size=7).take_all()
+        b = extract_transcripts(str(tiny_transcripts), concurrency=2, batch_size=512).take_all()
+        key = lambda r: (r["conv_id"], r["turn_idx"])
+        a, b = sorted(a, key=key), sorted(b, key=key)
+        assert [r["extracted_text"] for r in a] == [r["extracted_text"] for r in b]
+        assert [r["spans"] for r in a] == [r["spans"] for r in b]
+
+
+class TestResume:
+    def _write_shards(self, tmp_path, n_shards=4, convs_per_shard=6, seed=11):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import write_transcripts
+
+        paths = []
+        for i in range(n_shards):
+            p = tmp_path / f"shard-{i:03d}.parquet"
+            write_transcripts(p, n_convs=convs_per_shard, seed=seed + i, first_conv=i * convs_per_shard)
+            paths.append(str(p))
+        return paths
+
+    def test_kill_and_resume_equals_uninterrupted(self, ray_session, tmp_path):
+        import ray
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
+            read_extracted,
+            run_resumable_extraction,
+        )
+
+        paths = self._write_shards(tmp_path)
+
+        # uninterrupted run
+        full_dir = tmp_path / "full"
+        report_full = run_resumable_extraction(paths, full_dir, concurrency=2)
+        assert report_full["partitions_committed"] == 4
+
+        # killed after 2 partitions, then resumed
+        resume_dir = tmp_path / "resumed"
+        report_k = run_resumable_extraction(paths, resume_dir, concurrency=2, max_partitions=2)
+        assert report_k["partitions_committed"] == 2
+        report_r = run_resumable_extraction(paths, resume_dir, concurrency=2)
+        assert report_r["partitions_committed"] == 4
+        assert report_r["partitions_skipped_resume"] == 2
+
+        full = pa.concat_tables(
+            [ray.get(r) for r in read_extracted(full_dir).to_arrow_refs()]
+        )
+        resumed = pa.concat_tables(
+            [ray.get(r) for r in read_extracted(resume_dir).to_arrow_refs()]
+        )
+        _assert_tables_equal(full, resumed)
+        assert report_full["rows"] == report_r["rows"]
+        assert report_full["actions"] == report_r["actions"]
+
+    def test_rerun_is_noop(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import run_resumable_extraction
+
+        paths = self._write_shards(tmp_path, n_shards=2)
+        out = tmp_path / "out"
+        run_resumable_extraction(paths, out, concurrency=2)
+        report = run_resumable_extraction(paths, out, concurrency=2)
+        assert report["partitions_skipped_resume"] == 2
+        assert report["partitions_committed"] == 2
+
+    def test_resumed_output_matches_oracle(self, ray_session, tmp_path):
+        import ray
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
+            read_extracted,
+            run_resumable_extraction,
+        )
+
+        paths = self._write_shards(tmp_path, n_shards=3)
+        out = tmp_path / "out"
+        run_resumable_extraction(paths, out, concurrency=2, max_partitions=1)
+        run_resumable_extraction(paths, out, concurrency=2)
+
+        golden = pa.concat_tables([oracle_extract_parquet(p) for p in paths])
+        ours = pa.concat_tables(
+            [ray.get(r) for r in read_extracted(out).to_arrow_refs()]
+        )
+        _assert_tables_equal(ours, golden)
