@@ -34,21 +34,31 @@ from typing import Optional, Sequence, Union
 import ray
 import ray.data
 
-from ..stages.extract import TurnExtractor
+from ..stages.extract import TurnExtractor, extract_batch
 from ..stages.sniffer import sniff_batch
 
-DEFAULT_BATCH_SIZE = 512
+DEFAULT_BATCH_SIZE = 128
 
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster's CPUs."""
+    """Autoscaling actor-pool bounds sized to the cluster's CPUs.
+
+    The max is capped BELOW the CPU total: a fixed pool equal to the CPU
+    count starves the upstream read/task operators and deadlocks the
+    streaming executor (observed: concurrency=32 on a 32-CPU node hangs).
+    The min is high enough that short jobs don't crawl through autoscaling
+    rampup one actor at a time.
+    """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(1, cpus))
+    headroom = max(2, cpus // 4)
+    hi = max(1, cpus - headroom)
+    lo = max(1, min(hi, cpus // 4))
+    return (lo, hi)
 
 
 def package_runtime_env() -> dict:
@@ -69,35 +79,56 @@ def package_runtime_env() -> dict:
 def build_extraction(
     ds: "ray.data.Dataset",
     *,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: Union[int, None] = None,
     concurrency: Union[int, tuple[int, int], None] = None,
     order: bool = False,
+    use_actors: bool = False,
 ) -> "ray.data.Dataset":
-    """Attach the sniff + extract stages (and optional order restore) to ``ds``."""
-    if concurrency is None:
-        concurrency = _default_concurrency()
+    """Attach the sniff + extract stages (and optional order restore) to ``ds``.
+
+    Default path is a **task pool** over whole blocks: extraction state is
+    module-level (compiled once per worker process) and task workers are
+    reused across datasets, so there is no per-pipeline actor spin-up and
+    the stage scales to every free CPU. ``use_actors=True`` switches to the
+    ``TurnExtractor`` actor-pool form — the right shape when per-worker
+    state is expensive to build (models, big indexes); its pool is capped
+    below the CPU count so upstream reads never starve (a full-size fixed
+    pool deadlocks the streaming executor).
+    """
     runtime_env = package_runtime_env()
-    ds = ds.map_batches(sniff_batch, batch_format="pyarrow", runtime_env=runtime_env)
-    ds = ds.map_batches(
-        TurnExtractor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        zero_copy_batch=True,
-        runtime_env=runtime_env,
-    )
+    if use_actors:
+        if concurrency is None:
+            concurrency = _default_concurrency()
+        ds = ds.map_batches(sniff_batch, batch_format="pyarrow", runtime_env=runtime_env)
+        return_ds = ds.map_batches(
+            TurnExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size or DEFAULT_BATCH_SIZE,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+            runtime_env=runtime_env,
+        )
+    else:
+        return_ds = ds.map_batches(
+            extract_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            runtime_env=runtime_env,
+        )
     if order:
-        ds = ds.sort(["conv_id", "turn_idx"])
-    return ds
+        return_ds = return_ds.sort(["conv_id", "turn_idx"])
+    return return_ds
 
 
 def extract_transcripts(
     paths: Union[str, Sequence[str]],
     *,
     columns: Optional[Sequence[str]] = None,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: Union[int, None] = None,
     concurrency: Union[int, tuple[int, int], None] = None,
     order: bool = False,
+    use_actors: bool = False,
     override_num_blocks: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Read transcript parquet and run the extraction pipeline (lazy)."""
@@ -107,5 +138,9 @@ def extract_transcripts(
         override_num_blocks=override_num_blocks,
     )
     return build_extraction(
-        ds, batch_size=batch_size, concurrency=concurrency, order=order
+        ds,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        order=order,
+        use_actors=use_actors,
     )

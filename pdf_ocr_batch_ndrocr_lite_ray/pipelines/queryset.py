@@ -50,3 +50,23 @@ def transcripts_for_sf(sf_dir: str) -> str:
 
 def table_path(sf_dir: str, table: str) -> str:
     return str(Path(sf_dir) / f"{table}.parquet")
+
+
+# bench-scale transcript tables: sharded (parallel read + per-fragment
+# checkpointing) and big enough that per-turn compute dominates actor startup
+_BENCH_CONVS = {"sf0.001": 256, "sf0.01": 1024, "sf0.1": 8192}
+_BENCH_SHARDS = 32
+
+
+def bench_transcripts_dir(sf_dir: str) -> str:
+    """Deterministic sharded transcript dir for benchmarking a scale factor."""
+    from ..sources.transcripts import write_transcript_shards
+
+    name = Path(sf_dir).name or "sf0.1"
+    n_convs = _BENCH_CONVS.get(name, 1024)
+    d = _CACHE_DIR / f"transcripts-bench-{name}-c{n_convs}-s{_SYNTH_SEED}-n{_BENCH_SHARDS}"
+    marker = d / "_DONE"
+    if not marker.exists():
+        write_transcript_shards(d, n_convs=n_convs, seed=_SYNTH_SEED, n_shards=_BENCH_SHARDS)
+        marker.write_text("ok")
+    return str(d)

@@ -248,10 +248,63 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
 
 
-def write_transcripts(path: str | Path, n_convs: int, seed: int, first_conv: int = 0) -> int:
-    """Write one deterministic transcript parquet shard; returns row count."""
+def write_transcripts(
+    path: str | Path,
+    n_convs: int,
+    seed: int,
+    first_conv: int = 0,
+    row_group_size: int = 4096,
+) -> int:
+    """Write one deterministic transcript parquet shard; returns row count.
+
+    Small row groups (default 4096 rows) let Ray Data split a single file
+    into multiple read blocks — a one-row-group file serializes the read.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     table = rows_to_table(generate_rows(n_convs, seed, first_conv))
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return table.num_rows
+
+
+def write_transcript_shards(
+    dir_path: str | Path,
+    *,
+    n_convs: int,
+    seed: int,
+    n_shards: int,
+) -> list[str]:
+    """Write ``n_shards`` deterministic transcript shards under ``dir_path``.
+
+    Shard i covers conversations ``[i*convs_per_shard, ...)`` with seed
+    ``seed + i`` — the content depends only on (seed, n_convs, n_shards),
+    never on parallelism. Generation fans out as Ray tasks when a Ray
+    session exists (the driver-side loop would otherwise dominate bench
+    setup); falls back to a sequential loop otherwise.
+    """
+    import ray
+
+    dir_path = Path(dir_path)
+    dir_path.mkdir(parents=True, exist_ok=True)
+    per_shard = (n_convs + n_shards - 1) // n_shards
+    jobs = []
+    for i in range(n_shards):
+        first = i * per_shard
+        count = min(per_shard, n_convs - first)
+        if count <= 0:
+            break
+        jobs.append((i, first, count))
+    paths = [str(dir_path / f"shard-{i:05d}.parquet") for i, _, _ in jobs]
+
+    def _one(i: int, first: int, count: int) -> None:
+        tmp = dir_path / f".shard-{i:05d}.tmp.parquet"
+        write_transcripts(tmp, n_convs=count, seed=seed + i, first_conv=first)
+        tmp.replace(dir_path / f"shard-{i:05d}.parquet")
+
+    if ray.is_initialized():
+        task = ray.remote(num_cpus=1)(_one)
+        ray.get([task.remote(i, first, count) for i, first, count in jobs])
+    else:
+        for i, first, count in jobs:
+            _one(i, first, count)
+    return paths

@@ -124,6 +124,27 @@ def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str
         return "", [], ACTION_ERROR, f"{type(exc).__name__}: {exc}"
 
 
+_TASK_EXTRACTORS: dict[str, "TurnExtractor"] = {}
+
+
+def extract_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Task-pool form of the extractor: sniff + route + extract in one pass.
+
+    Stateless from Ray's perspective, so it runs on the shared task worker
+    pool (warm processes reused across datasets/stages — no per-dataset
+    actor startup). The heavy state (compiled regex tables, parser
+    machinery) is module-level, loaded once per worker process: the same
+    load-once-per-worker guarantee as the actor path (reference pattern
+    app.py:2054-2095), without paying actor spin-up on every pipeline.
+    Use the ``TurnExtractor`` actor-pool path instead when per-worker state
+    is genuinely expensive (models, large indexes).
+    """
+    ext = _TASK_EXTRACTORS.get(text_column)
+    if ext is None:
+        ext = _TASK_EXTRACTORS.setdefault(text_column, TurnExtractor(text_column))
+    return ext(batch)
+
+
 class TurnExtractor:
     """Stateful ``map_batches`` callable: extraction over zero-copy Arrow batches.
 

@@ -43,11 +43,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..pipelines.extraction import (
-    DEFAULT_BATCH_SIZE,
-    build_extraction,
-    package_runtime_env,
-)
+from ..pipelines.extraction import build_extraction, package_runtime_env
 
 DATA_SUBDIR = "data"
 CKPT_SUBDIR = "_ckpt"
@@ -93,7 +89,7 @@ def run_resumable_extraction(
     input_paths: Sequence[Union[str, Path]],
     out_dir: Union[str, Path],
     *,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
     concurrency: Union[int, tuple[int, int], None] = None,
     max_partitions: Optional[int] = None,
 ) -> dict:
