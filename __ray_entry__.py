@@ -15,6 +15,10 @@ from typing import Any
 # Feature modules self-register into the queryset registry at import time.
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset as _queryset
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import extraction_queries as _eq  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import text_analysis as _ta  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup as _dd  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import similarity as _sim  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import multimodal_queries as _mm  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,597 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the training-data-pipeline extensions.
+
+All run over a deterministic **near-duplicate corpus** derived from the
+``documents`` table inside the pipeline itself (originals + a tail-truncated
+copy of every 5th doc + an exact copy of every 7th doc), so duplicate
+structure is planted and both the Ray pipelines and the DuckDB oracles see
+the identical input.
+
+Scale shapes (100 TB):
+
+- exact dedup: fingerprint inside ``map_batches`` (no text leaves the
+  block), then a ``groupby(fingerprint)`` whose exchange carries only
+  (hash, doc_id) — the canonical hash-partition + per-group-first.
+- n-gram Jaccard is EXACT pair similarity: shingle explode → groupby
+  (shingle) → pair counts → ``Dataset.join`` against per-doc shingle
+  counts. Pair fan-out is bounded by shingle document-frequency; at corpus
+  scale you put the MinHash/LSH variant in front and use this only to
+  verify candidates.
+- MinHash+LSH / SimHash / embedding-LSH: signature inside ``map_batches``
+  (vectorized numpy), candidates from band-bucket groupbys (only
+  signatures shuffle, never text), pairwise work bounded per bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from .queryset import register, table_path
+
+
+def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    """Rename via an Arrow projection; ``Dataset.rename_columns`` breaks on
+    pandas-format blocks (map_groups output)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- planted near-duplicate corpus (same construction in SQL below) --------
+
+NEAR_DUP_OFFSET = 100_000  # every 5th doc, first 10 chars dropped
+EXACT_DUP_OFFSET = 200_000  # every 7th doc, identical text
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 11) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _mod_mask(ids: pa.ChunkedArray | pa.Array, mod: int) -> pa.Array:
+    vals = np.asarray(ids.to_pylist(), dtype=np.int64)
+    return pa.array(vals % mod == 0)
+
+
+def _corpus_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"]
+    text = batch["text"]
+    near_mask = _mod_mask(ids, 5)
+    exact_mask = _mod_mask(ids, 7)
+    near = pa.table(
+        {
+            "doc_id": pc.add(ids.filter(near_mask), NEAR_DUP_OFFSET),
+            "text": pc.utf8_slice_codeunits(text.filter(near_mask), start=10),
+        }
+    )
+    exact = pa.table(
+        {
+            "doc_id": pc.add(ids.filter(exact_mask), EXACT_DUP_OFFSET),
+            "text": text.filter(exact_mask),
+        }
+    )
+    base = pa.table({"doc_id": ids, "text": text})
+    return pa.concat_tables([base, near, exact])
+
+
+def corpus(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(_corpus_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(batch["text"], pattern=r"\s+", replacement=" ")
+    )
+    fp = pa.array(
+        [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()],
+        type=pa.string(),
+    )
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": fp})
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Duplicate groups by content hash: (fingerprint, keep_doc_id, n_dups).
+
+    ``keep = min(doc_id)`` is the reference's first-wins dedup rule
+    (app.py:1709-1725: first occurrence in deterministic order survives)
+    lifted to corpus scope via hash-partitioned groupby.
+    """
+    ds = corpus(sf_dir).map_batches(
+        _fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("fingerprint").aggregate(Min("doc_id"), Count())
+    renames = {}
+    for name in out.schema().names:
+        if name.startswith("min("):
+            renames[name] = "keep_doc_id"
+        elif name.startswith("count"):
+            renames[name] = "n_dups"
+    return _rename(out, renames)
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {CORPUS_SQL}
+SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM corpus GROUP BY 1
+"""
+
+
+# --- shingles (shared by Jaccard + MinHash) --------------------------------
+
+SHINGLE_WORDS = 3  # word trigrams
+
+
+def _doc_shingles(text: str) -> set[str]:
+    words = text.split()
+    if len(words) < SHINGLE_WORDS:
+        return {" ".join(words)} if words else set()
+    return {
+        " ".join(words[i : i + SHINGLE_WORDS])
+        for i in range(len(words) - SHINGLE_WORDS + 1)
+    }
+
+
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    doc_ids: list[int] = []
+    shingles: list[str] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for sh in _doc_shingles(text or ""):
+            doc_ids.append(doc_id)
+            shingles.append(sh)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.int64()), "sh": pa.array(shingles)}
+    )
+
+
+def _pairs_from_group(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(group["doc_id"].tolist())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")})
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the session: each partition pins an
+    aggregator actor, so a count above the CPU budget deadlocks small
+    clusters (observed: 16 partitions on a 4-CPU session hangs)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+
+def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
+    """EXACT word-trigram Jaccard pairs ≥ tau: (doc_a, doc_b, jaccard).
+
+    shingle explode → groupby(shingle) pair emission → pair-count groupby →
+    two hash joins against per-doc shingle counts. Everything after the
+    explode carries only ids and counts.
+    """
+    sh = corpus(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    # per-doc distinct shingle counts (shingles are emitted distinct per doc)
+    doc_counts = sh.groupby("doc_id").aggregate(Count())
+    cnt_col = [c for c in doc_counts.schema().names if c.startswith("count")][0]
+    doc_counts = _rename(doc_counts, {cnt_col: "n_sh"})
+
+    pairs = sh.groupby("sh").map_groups(_pairs_from_group, batch_format="pandas")
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+    icol = [c for c in inter.schema().names if c.startswith("count")][0]
+    inter = _rename(inter, {icol: "m"})
+
+    nparts = _join_partitions()
+    joined = inter.join(
+        doc_counts, join_type="inner", num_partitions=nparts,
+        on=("doc_a",), right_on=("doc_id",), right_suffix="_a",
+    )
+    joined = _rename(joined, {"n_sh": "n_a"})  # join drops the right key
+    joined = joined.join(
+        doc_counts, join_type="inner", num_partitions=nparts,
+        on=("doc_b",), right_on=("doc_id",), right_suffix="_b",
+    )
+    joined = _rename(joined, {"n_sh": "n_b"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.cast(batch["m"], pa.float64())
+        union = pc.subtract(
+            pc.cast(pc.add(batch["n_a"], batch["n_b"]), pa.float64()), m
+        )
+        j = pc.round(pc.divide(m, union), ndigits=6)
+        out = pa.table(
+            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"], "jaccard": j}
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], tau))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {CORPUS_SQL},
+w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM corpus),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+),
+d AS (SELECT DISTINCT doc_id, sh FROM s),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(m::DOUBLE / (ca.n_sh + cb.n_sh - m), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE round(m::DOUBLE / (ca.n_sh + cb.n_sh - m), 6) >= 0.5
+"""
+
+
+# --- MinHash + LSH (rows-only: not SQL-expressible) ------------------------
+
+N_PERMS = 64
+N_BANDS = 16  # 16 bands x 4 rows → catches jaccard ≳ 0.5
+ROWS_PER_BAND = N_PERMS // N_BANDS
+_MERSENNE = np.uint64((1 << 31) - 1)  # 31-bit prime: products wrap, perms mix
+_MAX_BUCKET = 256  # pairwise cap per LSH bucket (skew guard; logged via count)
+
+
+def _perm_tables(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=N_PERMS, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=N_PERMS, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_tables()
+
+
+def _base_hashes(shingles: set[str]) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big")
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+def minhash_signature(shingles: set[str]) -> np.ndarray:
+    """64-perm MinHash signature; empty shingle set → all-max sentinel."""
+    if not shingles:
+        return np.full(N_PERMS, _MERSENNE, dtype=np.uint64)
+    h = _base_hashes(shingles) % _MERSENNE  # (S,) values in [0, p)
+    # (P,1)*(1,S): a,h < 2^31 → products < 2^62, safe in uint64; the mod
+    # wraps many times, which is what makes each row an independent perm
+    prod = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def _minhash_band_rows(batch: pa.Table) -> pa.Table:
+    doc_ids, band_keys, sigs = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sig = minhash_signature(_doc_shingles(text or ""))
+        sig_list = sig.tolist()
+        for band in range(N_BANDS):
+            chunk = sig_list[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+            key = hashlib.blake2b(
+                (str(band) + ":" + ",".join(map(str, chunk))).encode(), digest_size=8
+            ).hexdigest()
+            doc_ids.append(doc_id)
+            band_keys.append(key)
+            sigs.append(sig_list)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "band_key": pa.array(band_keys),
+            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    rows = sorted(
+        zip(group["doc_id"].tolist(), group["sig"].tolist()), key=lambda r: r[0]
+    )[:_MAX_BUCKET]
+    a, b, est = [], [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][0] == rows[j][0]:
+                continue
+            sim = float(np.mean(np.asarray(rows[i][1]) == np.asarray(rows[j][1])))
+            a.append(rows[i][0])
+            b.append(rows[j][0])
+            est.append(round(sim, 6))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(a, dtype="int64"),
+            "doc_b": pd.Series(b, dtype="int64"),
+            "est_jaccard": pd.Series(est, dtype="float64"),
+        }
+    )
+
+
+def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
+    """Near-dup candidate pairs via MinHash banding: (doc_a, doc_b, est_jaccard).
+
+    est_jaccard is the signature agreement fraction — candidates never pull
+    raw text across the exchange. Dedup of multi-band collisions via a
+    (doc_a, doc_b) groupby-max.
+    """
+    ds = corpus(sf_dir).map_batches(_minhash_band_rows, batch_format="pyarrow")
+    pairs = ds.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    best = pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard"))
+    mcol = [c for c in best.schema().names if c.startswith("max(")][0]
+    best = _rename(best, {mcol: "est_jaccard"})
+    return best.filter(expr=f"est_jaccard >= {tau}")
+
+
+# --- SimHash (rows-only) ---------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands → catches hamming ≤ 3
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over distinct whitespace words (unweighted votes)."""
+    votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for w in set(text.split()):
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
+        )
+        bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+        votes += np.where(bits.astype(bool), 1, -1)
+    return int(
+        sum(1 << i for i in range(SIMHASH_BITS) if votes[i] > 0)
+    )
+
+
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    doc_ids, band_keys, hashes = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        h = simhash64(text or "")
+        for band in range(SIMHASH_BANDS):
+            chunk = (h >> (band * 16)) & 0xFFFF
+            doc_ids.append(doc_id)
+            band_keys.append(f"{band}:{chunk:04x}")
+            hashes.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "band_key": pa.array(band_keys),
+            "simhash": pa.array(hashes, type=pa.uint64()),
+        }
+    )
+
+
+def _simhash_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    rows = sorted(
+        set(zip(group["doc_id"].tolist(), group["simhash"].tolist()))
+    )[:_MAX_BUCKET]
+    a, b, d = [], [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][0] == rows[j][0]:
+                continue
+            ham = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
+            if ham <= SIMHASH_MAX_HAMMING:
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                d.append(ham)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(a, dtype="int64"),
+            "doc_b": pd.Series(b, dtype="int64"),
+            "hamming": pd.Series(d, dtype="int64"),
+        }
+    )
+
+
+def simhash_duplicate_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """SimHash near-dup pairs (hamming ≤ 3): (doc_a, doc_b, hamming)."""
+    ds = corpus(sf_dir).map_batches(_simhash_band_rows, batch_format="pyarrow")
+    pairs = ds.groupby("band_key").map_groups(
+        _simhash_bucket_pairs, batch_format="pandas"
+    )
+    best = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+    mcol = [c for c in best.schema().names if c.startswith("min(")][0]
+    return _rename(best, {mcol: "hamming"})
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+EMB_DUP_OFFSET = 100_000
+EMB_TAU = 0.95
+
+
+def _emb_corpus_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["vec_id"]
+    mask = _mod_mask(ids, 5)
+    dup = pa.table(
+        {
+            "vec_id": pc.add(ids.filter(mask), EMB_DUP_OFFSET),
+            "embedding": batch["embedding"].filter(mask),
+        }
+    )
+    return pa.concat_tables(
+        [pa.table({"vec_id": ids, "embedding": batch["embedding"]}), dup]
+    )
+
+
+def emb_corpus(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(_emb_corpus_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _normalized_matrix(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit-norm matrix) of a small embedding dataset (driver-side)."""
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
+def embedding_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data.Dataset":
+    """Cosine near-dup pairs ≥ tau: (vec_a, vec_b, cosine).
+
+    The comparison side is broadcast ONCE via ``ray.put`` (a lookup read by
+    every task), never re-shipped per batch; each batch does one float64
+    matmul against it. This is the brute-force N×N baseline — correct at
+    test scale and the verification stage at corpus scale, where the
+    LSH-bucketed variant (``embedding_lsh_near_dup_pairs``) generates
+    candidates first.
+    """
+    import ray as ray_core
+
+    ids, mat = _normalized_matrix(emb_corpus(sf_dir))
+    ref = ray_core.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray_core.get(ref)
+        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        b_mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (b_mat / norms) @ all_mat.T  # (B, N)
+        va, vb, cs = [], [], []
+        for i in range(sims.shape[0]):
+            hits = np.where(np.round(sims[i], 6) >= tau)[0]
+            for j in hits:
+                if b_ids[i] < all_ids[j]:
+                    va.append(b_ids[i])
+                    vb.append(all_ids[j])
+                    cs.append(round(float(sims[i, j]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(va, type=pa.int64()),
+                "vec_b": pa.array(vb, type=pa.int64()),
+                "cosine": pa.array(cs, type=pa.float64()),
+            }
+        )
+
+    return emb_corpus(sf_dir).map_batches(batch_pairs, batch_format="pyarrow")
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {EMB_TAU}
+"""
+
+
+# --- embedding LSH (rows-only scale path) ----------------------------------
+
+LSH_PLANES = 12
+_LSH_SEED = 4242
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((LSH_PLANES, dim))
+
+
+def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data.Dataset":
+    """Random-hyperplane LSH bucketing, exact cosine within buckets.
+
+    Approximate (bucket collisions required), so rows-only: recall vs the
+    brute-force baseline is asserted in tests, not against a SQL oracle.
+    """
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        planes = _lsh_planes(mat.shape[1])
+        bits = (mat @ planes.T) > 0  # (B, PLANES)
+        keys = [
+            "".join("1" if b else "0" for b in bits[i]) for i in range(bits.shape[0])
+        ]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(keys),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order][:_MAX_BUCKET]
+        mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)[order][:_MAX_BUCKET]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        a, b, cs = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j] and round(float(sims[i, j]), 6) >= tau:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    cs.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(a, dtype="int64"),
+                "vec_b": pd.Series(b, dtype="int64"),
+                "cosine": pd.Series(cs, dtype="float64"),
+            }
+        )
+
+    ds = emb_corpus(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
+    pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    best = pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine"))
+    mcol = [c for c in best.schema().names if c.startswith("max(")][0]
+    return _rename(best, {mcol: "cosine"})
+
+
+# --- registration ----------------------------------------------------------
+
+register("dedup_exact", dedup_exact, sql=DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, sql=DEDUP_NGRAM_JACCARD_SQL)
+register("dedup_minhash", minhash_duplicate_pairs)  # rows-only: signature estimate
+register("dedup_simhash", simhash_duplicate_pairs)  # rows-only
+register("dedup_embedding", embedding_near_dup_pairs, sql=EMB_NEAR_DUP_SQL)
+register("dedup_embedding_lsh", embedding_lsh_near_dup_pairs)  # rows-only (approx)

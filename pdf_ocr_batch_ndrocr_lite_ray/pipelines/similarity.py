@@ -1,0 +1,186 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``brute_force_topk``: exact cosine top-k — the baseline and the
+  SQL-oracled conformance query. The query matrix is broadcast ONCE with
+  ``ray.put``; each batch does one float64 matmul against it and emits only
+  its local top-k candidates, so the final per-query reduce sees
+  ≤ k × n_blocks rows, not N.
+- ``ivf_topk``: IVF-style bucketed ANN — the scale path. Vectors are
+  assigned to their nearest centroid inside ``map_batches``; a query probes
+  only the ``IVF_NPROBE`` nearest centroid buckets. Approximate → rows-only
+  (recall vs brute force is asserted in tests).
+
+At 100 TB the same shapes hold: the broadcast is a fixed small query set /
+centroid table, candidate generation stays embarrassingly parallel, and the
+only exchange is the tiny per-query candidate groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .queryset import register, table_path
+
+TOPK_K = 10
+N_QUERIES = 8  # queries = the embeddings with vec_id < N_QUERIES
+IVF_CENTROIDS = 16  # centroids = the embeddings with vec_id < IVF_CENTROIDS
+IVF_NPROBE = 4
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _small_matrix(sf_dir: str, max_vec_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit rows) for vec_id < max_vec_id — a driver-side small lookup."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    tbl = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    tbl = tbl.filter(pc.less(tbl["vec_id"], max_vec_id))
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _unit(np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64))
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _topk_per_query(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+    return g[["query_id", "vec_id", "score"]].reset_index(drop=True)
+
+
+def brute_force_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
+    """Exact cosine top-k: (query_id, vec_id, score), k rows per query."""
+    q_ids, q_mat = _small_matrix(sf_dir, N_QUERIES)
+    ref = ray.put((q_ids, q_mat))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(ref)
+        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        b_mat = _unit(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = mat_q @ b_mat.T  # (Q, B)
+        qcol, vcol, scol = [], [], []
+        for qi in range(len(ids_q)):
+            row = sims[qi]
+            mask = b_ids != ids_q[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # local top-k: full sort not needed, argpartition then order
+            take = idx[np.argpartition(-row[idx], min(k, len(idx)) - 1)[:k]]
+            take = take[np.lexsort((b_ids[take], -row[take]))]
+            for j in take:
+                qcol.append(int(ids_q[qi]))
+                vcol.append(int(b_ids[j]))
+                scol.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(qcol, type=pa.int64()),
+                "vec_id": pa.array(vcol, type=pa.int64()),
+                "score": pa.array(scol, type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = ds.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pandas"
+    )
+
+    def round_score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("score"),
+            "score",
+            pc.round(t["score"], ndigits=6),
+        )
+
+    return out.map_batches(round_score, batch_format="pyarrow")
+
+
+BRUTE_FORCE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+)
+SELECT query_id, e.vec_id,
+       round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
+FROM q, embeddings e
+WHERE e.vec_id != q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+) <= {TOPK_K}
+"""
+
+
+def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
+    """IVF-bucketed approximate top-k: (query_id, vec_id, score).
+
+    Centroids are a fixed deterministic subset (vec_id < IVF_CENTROIDS) —
+    at corpus scale they'd come from a sampled k-means pass, but bucket
+    mechanics (assign in map, probe nprobe buckets, exact math inside
+    buckets) are identical.
+    """
+    c_ids, c_mat = _small_matrix(sf_dir, IVF_CENTROIDS)
+    q_ids, q_mat = _small_matrix(sf_dir, N_QUERIES)
+    # per-query probed buckets (driver-side: Q × C is tiny)
+    probes = {
+        int(q_ids[i]): set(
+            int(c) for c in np.argsort(-(q_mat[i] @ c_mat.T))[:IVF_NPROBE]
+        )
+        for i in range(len(q_ids))
+    }
+    ref = ray.put((q_ids, q_mat, c_mat, probes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, cent, probe_map = ray.get(ref)
+        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        b_mat = _unit(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        assign = np.argmax(b_mat @ cent.T, axis=1)  # nearest centroid per vector
+        sims = mat_q @ b_mat.T
+        qcol, vcol, scol = [], [], []
+        for qi in range(len(ids_q)):
+            qid = int(ids_q[qi])
+            mask = np.array(
+                [int(assign[j]) in probe_map[qid] and b_ids[j] != qid for j in range(len(b_ids))]
+            )
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            row = sims[qi]
+            take = idx[np.argpartition(-row[idx], min(k, len(idx)) - 1)[:k]]
+            for j in take:
+                qcol.append(qid)
+                vcol.append(int(b_ids[j]))
+                scol.append(round(float(row[j]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(qcol, type=pa.int64()),
+                "vec_id": pa.array(vcol, type=pa.int64()),
+                "score": pa.array(scol, type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pandas"
+    )
+
+
+register("ann_brute_force_topk", brute_force_topk, sql=BRUTE_FORCE_TOPK_SQL)
+register("ann_ivf_topk", ivf_topk)  # rows-only (approximate)

@@ -1,0 +1,211 @@
+"""Tests for the training-data extensions: text stats, dedup family,
+similarity search, multimodal plumbing.
+
+SQL-oracled queries are checked value-exact against DuckDB at sf0.001;
+approximate operators (MinHash, SimHash, embedding-LSH, IVF) are checked
+for planted-duplicate recall against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    rows = sorted(df.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def _check_against_oracle(name: str, oracle_con) -> pd.DataFrame:
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+    ours = queryset.QUERIES[name](SF).to_pandas()
+    gold = oracle_con.execute(queryset.ORACLE_SQL[name]).df()
+    assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
+    assert sorted(ours.columns) == sorted(gold.columns)
+    assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
+    return ours
+
+
+class TestTextAnalysis:
+    def test_textstats_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
+
+        df = _check_against_oracle("docs_textstats", oracle_con)
+        assert set(df.lang.unique()) <= {"ja", "en", "other", "unknown"}
+        assert ((df.quality_score >= 0) & (df.quality_score <= 1)).all()
+
+    def test_lang_counts_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
+
+        _check_against_oracle("docs_lang_counts", oracle_con)
+
+
+class TestDedup:
+    def test_exact_dedup_matches_oracle_and_finds_planted(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup  # noqa: F401
+
+        df = _check_against_oracle("dedup_exact", oracle_con)
+        # every 7th doc has an exact planted copy → groups with n_dups >= 2
+        assert (df.n_dups >= 2).any()
+        dup_groups = df[df.n_dups >= 2]
+        # first-wins: keeper is always the original (small) id
+        assert (dup_groups.keep_doc_id < dedup.EXACT_DUP_OFFSET).all()
+
+    def test_ngram_jaccard_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup  # noqa: F401
+
+        df = _check_against_oracle("dedup_ngram_jaccard", oracle_con)
+        pairs = set(zip(df.doc_a, df.doc_b))
+        # tail-truncated copies are high-jaccard near dups of their source
+        planted = [
+            (a, b) for (a, b) in pairs if b - a == dedup.NEAR_DUP_OFFSET
+        ]
+        assert len(planted) > 0
+
+    def test_minhash_recall_vs_exact(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup, queryset
+
+        exact = oracle_con.execute(queryset.ORACLE_SQL["dedup_ngram_jaccard"]).df()
+        mh = queryset.QUERIES["dedup_minhash"](SF).to_pandas()
+        exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+        mh_pairs = set(zip(mh.doc_a, mh.doc_b))
+        recall = len(exact_pairs & mh_pairs) / max(len(exact_pairs), 1)
+        assert recall >= 0.8, f"minhash recall {recall}"
+        assert ((mh.est_jaccard >= 0) & (mh.est_jaccard <= 1)).all()
+
+    def test_minhash_signature_estimates_jaccard(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import (
+            _doc_shingles,
+            minhash_signature,
+        )
+
+        a = _doc_shingles("the quick brown fox jumps over the lazy dog " * 5)
+        b = _doc_shingles("the quick brown fox jumps over the lazy cat " * 5)
+        true_j = len(a & b) / len(a | b)
+        est = float(np.mean(minhash_signature(a) == minhash_signature(b)))
+        assert abs(est - true_j) < 0.25
+        # identical sets → identical signatures
+        assert (minhash_signature(a) == minhash_signature(set(a))).all()
+
+    def test_simhash_finds_planted_copies(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup, queryset
+
+        df = queryset.QUERIES["dedup_simhash"](SF).to_pandas()
+        # exact copies share the simhash → hamming 0 pairs at offset 200000
+        exact_copy_pairs = df[
+            (df.doc_b - df.doc_a == dedup.EXACT_DUP_OFFSET) & (df.hamming == 0)
+        ]
+        assert len(exact_copy_pairs) > 0
+        assert (df.hamming <= dedup.SIMHASH_MAX_HAMMING).all()
+
+    def test_embedding_near_dup_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup  # noqa: F401
+
+        df = _check_against_oracle("dedup_embedding", oracle_con)
+        # planted identical embeddings → cosine 1.0 pairs
+        assert (df.cosine >= dedup.EMB_TAU).all()
+        assert ((df.vec_b - df.vec_a) == dedup.EMB_DUP_OFFSET).any()
+
+    def test_embedding_lsh_recall(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        bf = queryset.QUERIES["dedup_embedding"](SF).to_pandas()
+        lsh = queryset.QUERIES["dedup_embedding_lsh"](SF).to_pandas()
+        bf_pairs = set(zip(bf.vec_a, bf.vec_b))
+        lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
+        assert lsh_pairs <= bf_pairs  # no false positives (exact check in-bucket)
+        recall = len(bf_pairs & lsh_pairs) / max(len(bf_pairs), 1)
+        assert recall >= 0.9, f"embedding LSH recall {recall}"
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import similarity  # noqa: F401
+
+        df = _check_against_oracle("ann_brute_force_topk", oracle_con)
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.similarity import N_QUERIES, TOPK_K
+
+        counts = df.groupby("query_id").size()
+        assert len(counts) == N_QUERIES
+        assert (counts == TOPK_K).all()
+
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        bf = queryset.QUERIES["ann_brute_force_topk"](SF).to_pandas()
+        ivf = queryset.QUERIES["ann_ivf_topk"](SF).to_pandas()
+        bf_pairs = set(zip(bf.query_id, bf.vec_id))
+        ivf_pairs = set(zip(ivf.query_id, ivf.vec_id))
+        recall = len(bf_pairs & ivf_pairs) / max(len(bf_pairs), 1)
+        assert recall >= 0.5, f"IVF recall {recall} (nprobe-bounded)"
+
+
+class TestMultimodal:
+    def test_header_roundtrip(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.media import pack_header, parse_header
+
+        h = pack_header("video", 16, 12, 3, 0, 7)
+        meta = parse_header(h + b"\x00" * 10)
+        assert meta == {
+            "kind": "video", "width": 16, "height": 12,
+            "channels": 3, "sample_rate": 0, "n_frames": 7,
+        }
+
+    def test_parse_rejects_garbage(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.media import parse_header
+
+        with pytest.raises(ValueError):
+            parse_header(b"shrt")
+        with pytest.raises(ValueError):
+            parse_header(b"NOPE" + b"\x00" * 32)
+
+    def test_decode_stub_is_explicit(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.multimodal import decode_image_pixels
+
+        with pytest.raises(NotImplementedError):
+            decode_image_pixels(b"anything")
+
+    def test_frame_sampling(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.multimodal import sample_frame_offsets
+
+        assert sample_frame_offsets(7, 2) == [0, 2, 4, 6]
+        assert sample_frame_offsets(0, 2) == []
+        assert sample_frame_offsets(3, 0) == [0, 1, 2]  # stride clamped to 1
+
+    def test_media_features_pipeline(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.multimodal_queries  # noqa: F401
+
+        df = queryset.QUERIES["media_features"](SF).to_pandas()
+        assert len(df) > 0
+        decoded = df[df.action == "decoded"]
+        errors = df[df.action == "error"]
+        assert len(decoded) > 0 and len(errors) > 0  # corrupt rows isolated
+        assert (decoded.kind.isin(["image", "audio", "video"])).all()
+        # histogram sums to body length for decoded rows
+        row = decoded.iloc[0]
+        assert sum(row.byte_histogram) == row.body_bytes
+        # deterministic: same input → same checksums across runs
+        df2 = queryset.QUERIES["media_features"](SF).to_pandas()
+        assert sorted(df.checksum.dropna()) == sorted(df2.checksum.dropna())
