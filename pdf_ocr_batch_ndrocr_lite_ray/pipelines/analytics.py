@@ -1,0 +1,227 @@
+"""Relational analytics pipelines: partial aggregation, broadcast join, top-k.
+
+The reference's only aggregation is global run counters incremented one file
+at a time (``ProcessResult``, app.py:183-189, 2675-2678) — these pipelines
+are its scale-correct generalization over the driver test tables, each built
+the way a 100 TB job must be:
+
+- **partial (combiner) aggregation**: counts/sums are reduced inside
+  ``map_batches`` first, so the groupby exchange moves ≤ #groups × #blocks
+  tiny rows instead of every input row. A hot key (skewed group) is
+  therefore pre-collapsed per block — the salting story for aggregates.
+- **broadcast join**: the small side is ``ray.put`` ONCE and read inside
+  each task (never re-shipped per batch, never shuffled) — the reference's
+  in-memory lookup pattern (app.py:1652's page map) done cluster-wide.
+- **top-k**: per-block partial top-k, then a final k-row reduce — no global
+  sort of the full table.
+
+Every query has a DuckDB oracle with identical column names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .queryset import register, table_path
+
+
+def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- partial aggregation: events by type -----------------------------------
+
+def events_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, n_events, total_value): combiner-then-reduce aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block combine: the exchange sees #types rows per block, not
+        # #events — this is what keeps a skewed event_type harmless
+        g = batch.group_by("event_type").aggregate(
+            [("event_id", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_events", "total_value"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("event_type").aggregate(Sum("n_events"), Sum("total_value"))
+    ren = {}
+    for name in out.schema().names:
+        if name.startswith("sum(n_events"):
+            ren[name] = "n_events"
+        elif name.startswith("sum(total_value"):
+            ren[name] = "total_value"
+    out = _rename(out, ren)
+
+    def to_scaled_int(t: pa.Table) -> pa.Table:
+        # scaled-integer output: float sums differ across summation orders
+        # by ~1 ulp, which breaks string-level value comparison; an integer
+        # in 1e-4 units is stable on both engines
+        i = t.schema.get_field_index("total_value")
+        scaled = pc.cast(
+            pc.round(pc.multiply(t["total_value"], 10000.0), ndigits=0), pa.int64()
+        )
+        return t.set_column(i, "total_value_e4", scaled)
+
+    return out.map_batches(to_scaled_int, batch_format="pyarrow")
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(event_id) AS n_events,
+       CAST(round(sum(value) * 10000, 0) AS BIGINT) AS total_value_e4
+FROM events GROUP BY event_type
+"""
+
+
+# --- broadcast join: orders enriched with customer nation ------------------
+
+def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """(c_nationkey, n_orders, total_price): broadcast-hash-join + aggregate.
+
+    ``customer`` (the small side) is put in the object store once; every
+    task reads the same immutable copy. No shuffle of ``orders`` happens at
+    all — the join is a map, the aggregate is combined per block.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    lookup = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        nations = pa.array([lk.get(k, -1) for k in keys], type=pa.int32())
+        joined = pa.table(
+            {
+                "c_nationkey": nations,
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+        g = joined.group_by("c_nationkey").aggregate(
+            [("o_orderkey", "count"), ("o_totalprice", "sum")]
+        )
+        return g.rename_columns(["c_nationkey", "n_orders", "total_price"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("c_nationkey").aggregate(Sum("n_orders"), Sum("total_price"))
+    ren = {}
+    for name in out.schema().names:
+        if name.startswith("sum(n_orders"):
+            ren[name] = "n_orders"
+        elif name.startswith("sum(total_price"):
+            ren[name] = "total_price"
+    out = _rename(out, ren)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("total_price")
+        cents = pc.cast(
+            pc.round(pc.multiply(t["total_price"], 100.0), ndigits=0), pa.int64()
+        )
+        return t.set_column(i, "total_price_cents", cents)
+
+    return out.map_batches(to_cents, batch_format="pyarrow")
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT c.c_nationkey, count(o.o_orderkey) AS n_orders,
+       CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS total_price_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+# --- top-k without a global sort -------------------------------------------
+
+TOP_PARTS_K = 25
+
+
+def lineitem_top_parts(sf_dir: str, k: int = TOP_PARTS_K) -> "ray.data.Dataset":
+    """Top-k parts by revenue: per-block partial sums → groupby → final top-k.
+
+    The full lineitem table never sorts: blocks emit per-part partial
+    revenue, the exchange carries #parts rows, and only the final ≤ #parts
+    aggregate is sorted and limited (driver-sized, not data-sized).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-ROW integer cents, then exact integer sums: float sums depend
+        # on summation order and can land a half-cent either side of the
+        # rounding boundary (observed: one-cent oracle mismatch at sf0.001)
+        # round_mode matches DuckDB's round() (half away from zero);
+        # pyarrow's default half-to-even diverges on the exact-.5 cents
+        # these price×discount products frequently produce
+        revenue = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"l_partkey": batch["l_partkey"], "revenue_cents": revenue})
+        g = t.group_by("l_partkey").aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["l_partkey", "revenue_cents"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("l_partkey").aggregate(Sum("revenue_cents"))
+    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
+    out = _rename(out, {scol: "revenue_cents"})
+
+    def final_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(
+            ["revenue_cents", "l_partkey"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["rank", "l_partkey", "revenue_cents"]]
+
+    # the aggregate result is #parts rows — a single-block driver-side reduce
+    return out.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
+
+
+LINEITEM_TOP_PARTS_SQL = f"""
+WITH agg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT row_number() OVER (ORDER BY rev DESC, l_partkey) AS rank,
+       l_partkey, rev AS revenue_cents
+FROM agg ORDER BY rev DESC, l_partkey LIMIT {TOP_PARTS_K}
+"""
+
+
+register("events_by_type", events_by_type, sql=EVENTS_BY_TYPE_SQL)
+register("orders_by_nation", orders_by_nation, sql=ORDERS_BY_NATION_SQL)
+register("lineitem_top_parts", lineitem_top_parts, sql=LINEITEM_TOP_PARTS_SQL)

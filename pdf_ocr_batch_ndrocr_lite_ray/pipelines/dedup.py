@@ -47,6 +47,38 @@ def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Datase
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_GROUP_PARTITIONS = 64
+
+
+def _hash_partitioned(
+    ds: "ray.data.Dataset", key: str, per_partition, num_partitions: int = _GROUP_PARTITIONS
+) -> "ray.data.Dataset":
+    """Apply ``per_partition(df)`` once per hash partition of ``key``.
+
+    ``groupby(key).map_groups`` pays per-group task/DataFrame overhead —
+    ruinous when groups are tiny and numerous (LSH buckets: ~16×n_docs
+    groups, almost all singletons). Partitioning by ``hash(key)`` first
+    gives every group to exactly one partition, and ``per_partition``
+    iterates groups in-process with plain pandas. Same exchange volume,
+    ~1000× fewer task invocations.
+    """
+    import zlib
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_pylist()
+        pid = pa.array(
+            [zlib.crc32(str(k).encode()) % num_partitions for k in keys],
+            type=pa.int32(),
+        )
+        return batch.append_column("_pid", pid)
+
+    return (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
 # --- planted near-duplicate corpus (same construction in SQL below) --------
 
 NEAR_DUP_OFFSET = 100_000  # every 5th doc, first 10 chars dropped
@@ -165,14 +197,21 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_from_group(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].tolist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")})
+def _shingle_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    # prune singleton shingles (they cannot contribute to an intersection)
+    vc = df["sh"].map(df["sh"].value_counts())
+    df = df[vc > 1]
+    a: list[int] = []
+    b: list[int] = []
+    for _, group in df.groupby("sh", sort=True):
+        ids = sorted(group["doc_id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+    return pd.DataFrame(
+        {"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")}
+    )
 
 
 def _join_partitions() -> int:
@@ -199,7 +238,7 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
     cnt_col = [c for c in doc_counts.schema().names if c.startswith("count")][0]
     doc_counts = _rename(doc_counts, {cnt_col: "n_sh"})
 
-    pairs = sh.groupby("sh").map_groups(_pairs_from_group, batch_format="pandas")
+    pairs = _hash_partitioned(sh, "sh", _shingle_partition_pairs)
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
     icol = [c for c in inter.schema().names if c.startswith("count")][0]
     inter = _rename(inter, {icol: "m"})
@@ -298,10 +337,11 @@ def minhash_signature(shingles: set[str]) -> np.ndarray:
 
 
 def _minhash_band_rows(batch: pa.Table) -> pa.Table:
-    doc_ids, band_keys, sigs = [], [], []
+    """(doc_id, band_key) rows — signatures deliberately NOT carried: the
+    exchange ships 2 small columns instead of 16 copies of a 64-int list."""
+    doc_ids, band_keys = [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sig = minhash_signature(_doc_shingles(text or ""))
-        sig_list = sig.tolist()
+        sig_list = minhash_signature(_doc_shingles(text or "")).tolist()
         for band in range(N_BANDS):
             chunk = sig_list[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
             key = hashlib.blake2b(
@@ -309,34 +349,43 @@ def _minhash_band_rows(batch: pa.Table) -> pa.Table:
             ).hexdigest()
             doc_ids.append(doc_id)
             band_keys.append(key)
-            sigs.append(sig_list)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "band_key": pa.array(band_keys),
+        }
+    )
+
+
+def _minhash_sig_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, sig) — one signature row per doc, for the verify lookup."""
+    doc_ids = batch["doc_id"].to_pylist()
+    sigs = [
+        minhash_signature(_doc_shingles(t or "")).tolist()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
             "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
         }
     )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    rows = sorted(
-        zip(group["doc_id"].tolist(), group["sig"].tolist()), key=lambda r: r[0]
-    )[:_MAX_BUCKET]
-    a, b, est = [], [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            if rows[i][0] == rows[j][0]:
-                continue
-            sim = float(np.mean(np.asarray(rows[i][1]) == np.asarray(rows[j][1])))
-            a.append(rows[i][0])
-            b.append(rows[j][0])
-            est.append(round(sim, 6))
+def _minhash_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    vc = df["band_key"].map(df["band_key"].value_counts())
+    df = df[vc > 1]  # singleton buckets cannot emit candidates
+    pairs: set[tuple[int, int]] = set()
+    for _, group in df.groupby("band_key", sort=True):
+        ids = sorted(set(group["doc_id"].tolist()))[:_MAX_BUCKET]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = sorted(pairs)
     return pd.DataFrame(
         {
-            "doc_a": pd.Series(a, dtype="int64"),
-            "doc_b": pd.Series(b, dtype="int64"),
-            "est_jaccard": pd.Series(est, dtype="float64"),
+            "doc_a": pd.Series([p[0] for p in out], dtype="int64"),
+            "doc_b": pd.Series([p[1] for p in out], dtype="int64"),
         }
     )
 
@@ -348,12 +397,40 @@ def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset"
     raw text across the exchange. Dedup of multi-band collisions via a
     (doc_a, doc_b) groupby-max.
     """
+    import ray as _ray
+
     ds = corpus(sf_dir).map_batches(_minhash_band_rows, batch_format="pyarrow")
-    pairs = ds.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
-    best = pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard"))
-    mcol = [c for c in best.schema().names if c.startswith("max(")][0]
-    best = _rename(best, {mcol: "est_jaccard"})
-    return best.filter(expr=f"est_jaccard >= {tau}")
+    pairs = _hash_partitioned(ds, "band_key", _minhash_partition_pairs)
+    # distinct candidate pairs (a pair can collide in several bands)
+    pairs = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+    pairs = pairs.drop_columns([c for c in pairs.schema().names if c.startswith("count")])
+
+    # estimate stage: signatures are looked up from a broadcast table
+    # (candidates ≪ corpus; at extreme corpus scale this lookup becomes a
+    # shuffle join on doc_id instead of a broadcast)
+    sig_tbl = pa.concat_tables(
+        corpus(sf_dir)
+        .map_batches(_minhash_sig_rows, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    sig_map = {
+        d: np.asarray(g, dtype=np.uint64)
+        for d, g in zip(sig_tbl["doc_id"].to_pylist(), sig_tbl["sig"].to_pylist())
+    }
+    sig_ref = _ray.put(sig_map)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sm = _ray.get(sig_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        est = [
+            round(float(np.mean(sm[x] == sm[y])), 6) if x in sm and y in sm else 0.0
+            for x, y in zip(a, b)
+        ]
+        t = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
+        return t.filter(pc.greater_equal(t["est_jaccard"], tau))
+
+    return pairs.map_batches(estimate, batch_format="pyarrow")
 
 
 # --- SimHash (rows-only) ---------------------------------------------------
@@ -395,20 +472,23 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _simhash_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    rows = sorted(
-        set(zip(group["doc_id"].tolist(), group["simhash"].tolist()))
-    )[:_MAX_BUCKET]
+def _simhash_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    vc = df["band_key"].map(df["band_key"].value_counts())
+    df = df[vc > 1]
     a, b, d = [], [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            if rows[i][0] == rows[j][0]:
-                continue
-            ham = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
-            if ham <= SIMHASH_MAX_HAMMING:
-                a.append(rows[i][0])
-                b.append(rows[j][0])
-                d.append(ham)
+    for _, group in df.groupby("band_key", sort=True):
+        rows = sorted(
+            set(zip(group["doc_id"].tolist(), group["simhash"].tolist()))
+        )[:_MAX_BUCKET]
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] == rows[j][0]:
+                    continue
+                ham = int(bin(int(rows[i][1]) ^ int(rows[j][1])).count("1"))
+                if ham <= SIMHASH_MAX_HAMMING:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    d.append(ham)
     return pd.DataFrame(
         {
             "doc_a": pd.Series(a, dtype="int64"),
@@ -421,9 +501,7 @@ def _simhash_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
 def simhash_duplicate_pairs(sf_dir: str) -> "ray.data.Dataset":
     """SimHash near-dup pairs (hamming ≤ 3): (doc_a, doc_b, hamming)."""
     ds = corpus(sf_dir).map_batches(_simhash_band_rows, batch_format="pyarrow")
-    pairs = ds.groupby("band_key").map_groups(
-        _simhash_bucket_pairs, batch_format="pandas"
-    )
+    pairs = _hash_partitioned(ds, "band_key", _simhash_partition_pairs)
     best = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
     mcol = [c for c in best.schema().names if c.startswith("min(")][0]
     return _rename(best, {mcol: "hamming"})
@@ -556,22 +634,25 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order][:_MAX_BUCKET]
-        mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)[order][:_MAX_BUCKET]
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        unit = mat / norms
-        sims = unit @ unit.T
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["bucket"].map(df["bucket"].value_counts())
+        df = df[vc > 1]
         a, b, cs = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j] and round(float(sims[i, j]), 6) >= tau:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    cs.append(round(float(sims[i, j]), 6))
+        for _, group in df.groupby("bucket", sort=True):
+            ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order][:_MAX_BUCKET]
+            mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)[order][:_MAX_BUCKET]
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            unit = mat / norms
+            sims = unit @ unit.T
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] != ids[j] and round(float(sims[i, j]), 6) >= tau:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        cs.append(round(float(sims[i, j]), 6))
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(a, dtype="int64"),
@@ -581,7 +662,7 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
         )
 
     ds = emb_corpus(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
-    pairs = ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _hash_partitioned(ds, "bucket", partition_pairs)
     best = pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine"))
     mcol = [c for c in best.schema().names if c.startswith("max(")][0]
     return _rename(best, {mcol: "cosine"})

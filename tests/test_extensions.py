@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events", "orders", "customer", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -159,6 +159,29 @@ class TestSimilarity:
         ivf_pairs = set(zip(ivf.query_id, ivf.vec_id))
         recall = len(bf_pairs & ivf_pairs) / max(len(bf_pairs), 1)
         assert recall >= 0.5, f"IVF recall {recall} (nprobe-bounded)"
+
+
+class TestAnalytics:
+    def test_events_by_type_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+
+        df = _check_against_oracle("events_by_type", oracle_con)
+        assert len(df) > 0
+
+    def test_orders_by_nation_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+
+        _check_against_oracle("orders_by_nation", oracle_con)
+
+    def test_lineitem_top_parts_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+
+        df = _check_against_oracle("lineitem_top_parts", oracle_con)
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import TOP_PARTS_K
+
+        assert len(df) == TOP_PARTS_K
+        # rank 1 has the max revenue
+        assert df.loc[df["rank"].idxmin(), "revenue_cents"] == df.revenue_cents.max()
 
 
 class TestMultimodal:
