@@ -1,0 +1,185 @@
+"""Command-line entry point: ``python -m pdf_ocr_batch_ndrocr_lite_ray.cli``.
+
+Subcommands:
+
+- ``extract``   one-shot extraction: transcript parquet in → parquet out
+- ``resume``    checkpointed (resumable) extraction over many input files
+- ``report``    print the committed-partition report of a checkpointed run
+
+Config precedence mirrors the reference's ``SettingPrecedencePolicy``
+(manual > saved > default — app.py:347-377): CLI flags beat the optional
+JSON config file (``--config``), which beats built-in defaults.
+
+This module OWNS the Ray session (``ray.init`` / ``ray.shutdown``) — library
+code never initializes Ray (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from pathlib import Path
+
+DEFAULTS = {
+    "num_cpus": None,  # None → let Ray size to the machine
+    "batch_size": None,  # None → whole-block batches
+    "order": False,
+    "use_actors": False,
+}
+
+
+def _load_config(path: str | None) -> dict:
+    if not path:
+        return {}
+    return json.loads(Path(path).read_text())
+
+
+def _resolve(args: argparse.Namespace, config: dict, key: str):
+    """flag > config file > default (reference precedence, app.py:347-377)."""
+    flag = getattr(args, key, None)
+    if flag is not None:
+        return flag
+    if key in config:
+        return config[key]
+    return DEFAULTS.get(key)
+
+
+def _init_ray(num_cpus):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = int(num_cpus)
+        ray.init(**kwargs)
+
+
+def _expand_inputs(patterns: list[str]) -> list[str]:
+    paths: list[str] = []
+    for p in patterns:
+        if any(ch in p for ch in "*?["):
+            paths.extend(sorted(glob.glob(p)))
+        elif Path(p).is_dir():
+            paths.extend(sorted(str(x) for x in Path(p).glob("*.parquet")))
+        else:
+            paths.append(p)
+    # reference input collection: sorted, deduped (app.py:1151-1152)
+    return sorted(set(paths), key=str.lower)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    config = _load_config(args.config)
+    _init_ray(_resolve(args, config, "num_cpus"))
+    from .pipelines.extraction import extract_transcripts
+
+    inputs = _expand_inputs(args.input)
+    if not inputs:
+        print("no input files found", file=sys.stderr)
+        return 2
+    ds = extract_transcripts(
+        inputs,
+        batch_size=_resolve(args, config, "batch_size"),
+        order=bool(_resolve(args, config, "order")),
+        use_actors=bool(_resolve(args, config, "use_actors")),
+    )
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    ds.write_parquet(str(out))
+    # job report from the written output (A1/A4 counter analog)
+    import pyarrow.dataset as pads
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for batch in pads.dataset(str(out), format="parquet").to_batches(columns=["action"]):
+        for v in batch.column(0).to_pylist():
+            counts[v] += 1
+    report = {"rows": sum(counts.values()), "actions": dict(counts), "output": str(out)}
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_resume(args: argparse.Namespace) -> int:
+    config = _load_config(args.config)
+    _init_ray(_resolve(args, config, "num_cpus"))
+    from .state.checkpoint import run_resumable_extraction
+
+    inputs = _expand_inputs(args.input)
+    if not inputs:
+        print("no input files found", file=sys.stderr)
+        return 2
+    report = run_resumable_extraction(
+        inputs,
+        args.output,
+        batch_size=_resolve(args, config, "batch_size"),
+        max_partitions=args.max_partitions,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    from .state.checkpoint import completed_partitions
+
+    done = completed_partitions(args.output)
+    from collections import Counter
+
+    totals: Counter = Counter()
+    for manifest in done.values():
+        totals.update(manifest.get("actions", {}))
+    print(
+        json.dumps(
+            {
+                "partitions_committed": len(done),
+                "rows": sum(m.get("output_rows", 0) for m in done.values()),
+                "actions": dict(totals),
+            }
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="pdf_ocr_batch_ndrocr_lite_ray")
+    ap.add_argument("--config", help="JSON config file (flags override it)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="one-shot extraction to parquet")
+    p.add_argument("--input", nargs="+", required=True, help="parquet files/dirs/globs")
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-cpus", dest="num_cpus", type=int)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--order", action="store_const", const=True, default=None,
+                   help="restore (conv_id, turn_idx) order before writing")
+    p.add_argument("--use-actors", dest="use_actors", action="store_const",
+                   const=True, default=None)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("resume", help="checkpointed extraction (resumable)")
+    p.add_argument("--input", nargs="+", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-cpus", dest="num_cpus", type=int)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--max-partitions", type=int, default=None)
+    p.set_defaults(fn=cmd_resume)
+
+    p = sub.add_parser("report", help="report of a checkpointed run")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_report)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -54,8 +54,8 @@ def table_path(sf_dir: str, table: str) -> str:
 
 # bench-scale transcript tables: sharded (parallel read + per-fragment
 # checkpointing) and big enough that per-turn compute dominates actor startup
-_BENCH_CONVS = {"sf0.001": 256, "sf0.01": 1024, "sf0.1": 8192}
-_BENCH_SHARDS = 32
+_BENCH_CONVS = {"sf0.001": 256, "sf0.01": 1024, "sf0.1": 32768}
+_BENCH_SHARDS = 64
 
 
 def bench_transcripts_dir(sf_dir: str) -> str:

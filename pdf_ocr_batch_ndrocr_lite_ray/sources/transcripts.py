@@ -253,7 +253,7 @@ def write_transcripts(
     n_convs: int,
     seed: int,
     first_conv: int = 0,
-    row_group_size: int = 4096,
+    row_group_size: int = 2048,
 ) -> int:
     """Write one deterministic transcript parquet shard; returns row count.
 

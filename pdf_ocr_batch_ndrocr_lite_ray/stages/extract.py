@@ -141,6 +141,10 @@ def extract_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """
     ext = _TASK_EXTRACTORS.get(text_column)
     if ext is None:
+        # one logical CPU per Ray task: Arrow kernels otherwise fan out on
+        # an internal pool sized to the machine, silently oversubscribing
+        # small clusters (and skewing per-CPU accounting)
+        pa.set_cpu_count(1)
         ext = _TASK_EXTRACTORS.setdefault(text_column, TurnExtractor(text_column))
     return ext(batch)
 

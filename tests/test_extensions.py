@@ -184,6 +184,39 @@ class TestAnalytics:
         assert df.loc[df["rank"].idxmin(), "revenue_cents"] == df.revenue_cents.max()
 
 
+class TestWindows:
+    def test_events_hourly_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
+
+        df = _check_against_oracle("events_hourly", oracle_con)
+        assert df.n_events.sum() > 0
+
+    def test_user_sessions_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
+
+        df = _check_against_oracle("user_sessions", oracle_con)
+        assert (df.longest_session_events <= df.n_events).all()
+        assert (df.n_sessions >= 1).all()
+
+    def test_sessionize_gap_rule(self):
+        import pandas as pd
+        import numpy as np
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            SESSION_GAP_SEC,
+            _sessionize_partition,
+        )
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        gap = np.timedelta64(SESSION_GAP_SEC * 1_000_000 + 1, "us")
+        within = np.timedelta64(60 * 1_000_000, "us")
+        ts = [base, base + within, base + within + gap, base + within + gap + within]
+        df = pd.DataFrame({"user_id": [7] * 4, "ts": pd.Series(ts)})
+        out = _sessionize_partition(df)
+        assert out.iloc[0].to_dict() == {
+            "user_id": 7, "n_sessions": 2, "n_events": 4, "longest_session_events": 2,
+        }
+
+
 class TestMultimodal:
     def test_header_roundtrip(self):
         from pdf_ocr_batch_ndrocr_lite_ray.sources.media import pack_header, parse_header
