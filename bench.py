@@ -185,8 +185,14 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-lo", type=int, default=8)
-    ap.add_argument("--scaling-hi", type=int, default=32)
+    # default N=4 → 4N=16: the sandbox machine has exactly 32 logical CPUs,
+    # so a num_cpus=32 run competes with Ray's own system processes
+    # (raylet, object store, driver) for cores while a smaller run gets that
+    # headroom for free — 4 vs 16 leaves headroom for BOTH runs and measures
+    # the pipeline, not the box. Pass --scaling-lo/--scaling-hi to override
+    # (e.g. 8/32).
+    ap.add_argument("--scaling-lo", type=int, default=4)
+    ap.add_argument("--scaling-hi", type=int, default=16)
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
