@@ -114,6 +114,7 @@ def cmd_resume(args: argparse.Namespace) -> int:
         args.output,
         batch_size=_resolve(args, config, "batch_size"),
         max_partitions=args.max_partitions,
+        on_conflict=args.on_conflict,
     )
     print(json.dumps(report))
     return 0
@@ -162,6 +163,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", dest="num_cpus", type=int)
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--max-partitions", type=int, default=None)
+    p.add_argument("--on-conflict", choices=["overwrite", "fail"], default="overwrite",
+                   help="policy for uncommitted partition dirs from a prior attempt")
     p.set_defaults(fn=cmd_resume)
 
     p = sub.add_parser("report", help="report of a checkpointed run")

@@ -98,6 +98,22 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
     return assemble_layout_text(boxes, blocks)
 
 
+#: user-extension surface (reference U1/U3: injected pipeline callables,
+#: app.py:1540-1565, 2640-2664): map a content kind to its extractor.
+#: Register additions at MODULE IMPORT time (e.g. from a plugin module the
+#: workers also import) — worker processes build their routing table from
+#: this module, not from driver-side mutations made after tasks ship.
+EXTRACTOR_REGISTRY: dict = {}
+
+
+def register_extractor(kind: str, fn) -> None:
+    """Register/override the extractor for a content kind.
+
+    ``fn(raw_text) -> (extracted_text, spans)``.
+    """
+    EXTRACTOR_REGISTRY[kind] = fn
+
+
 def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str]:
     """Extract one turn. Returns (extracted_text, spans, action, error).
 
@@ -107,12 +123,9 @@ def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str
         if kind == KIND_EMPTY:
             return "", [], ACTION_EMPTY, ""
         raw = text or ""
-        if kind == KIND_PDFISH:
-            extracted, spans = extract_pdfish(raw)
-        elif kind == KIND_HTML:
-            extracted, spans = extract_html(raw)
-        elif kind == KIND_PLAIN:
-            extracted, spans = extract_plain(raw)
+        extractor = EXTRACTOR_REGISTRY.get(kind)
+        if extractor is not None:
+            extracted, spans = extractor(raw)
         else:
             return "", [], ACTION_ERROR, f"unknown content kind: {kind!r}"
         if not extracted:
@@ -122,6 +135,11 @@ def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str
         return extracted, spans, ACTION_EXTRACTED, ""
     except Exception as exc:  # per-item isolation: row-scoped failure
         return "", [], ACTION_ERROR, f"{type(exc).__name__}: {exc}"
+
+
+register_extractor(KIND_PDFISH, extract_pdfish)
+register_extractor(KIND_HTML, extract_html)
+register_extractor(KIND_PLAIN, extract_plain)
 
 
 _TASK_EXTRACTORS: dict[str, "TurnExtractor"] = {}

@@ -92,11 +92,17 @@ def run_resumable_extraction(
     batch_size: int | None = None,
     concurrency: Union[int, tuple[int, int], None] = None,
     max_partitions: Optional[int] = None,
+    on_conflict: str = "overwrite",
 ) -> dict:
     """Run (or resume) a checkpointed extraction job.
 
     ``max_partitions`` bounds how many incomplete fragments to process this
     call — used by tests to simulate a kill after k partitions.
+
+    ``on_conflict`` is the writer policy (reference U4, app.py:2519-2529):
+    ``"overwrite"`` tears down uncommitted partition dirs and rewrites them
+    (idempotent resume); ``"fail"`` raises if any uncommitted partition dir
+    already exists (the reference's conflict=abort mode).
 
     Returns a job report: counters summed over ALL committed partitions
     (previous runs included), plus how many were skipped as already done.
@@ -114,9 +120,14 @@ def run_resumable_extraction(
         remaining = remaining[:max_partitions]
 
     # tear down data dirs from a previous attempt that never committed
-    for pid, _ in remaining:
+    for pid, path in remaining:
         pdir = _partition_dir(out_dir, pid)
         if pdir.exists():
+            if on_conflict == "fail":
+                raise FileExistsError(
+                    f"uncommitted partition exists: {pdir} (from input {path}); "
+                    "rerun with on_conflict='overwrite' to rewrite it"
+                )
             shutil.rmtree(pdir)
 
     if remaining:

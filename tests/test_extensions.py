@@ -184,6 +184,47 @@ class TestAnalytics:
         assert df.loc[df["rank"].idxmin(), "revenue_cents"] == df.revenue_cents.max()
 
 
+class TestExtensionSurface:
+    def test_extractor_registry_routes_custom_kind(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.stages import extract as ex
+
+        def shout(raw: str):
+            return raw.upper(), [(0, len(raw), "shout")]
+
+        ex.register_extractor("shout", shout)
+        try:
+            text, spans, action, error = ex.extract_turn("hello", "shout")
+            assert (text, action, error) == ("HELLO", "extracted", "")
+            assert spans == [(0, 5, "shout")]
+        finally:
+            ex.EXTRACTOR_REGISTRY.pop("shout", None)
+        # unknown kind stays an isolated error row
+        _, _, action, error = ex.extract_turn("hello", "nope")
+        assert action == "error" and "nope" in error
+
+    def test_resume_conflict_fail_policy(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import write_transcripts
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
+            DATA_SUBDIR,
+            part_id_for_path,
+            run_resumable_extraction,
+        )
+
+        src = tmp_path / "in.parquet"
+        write_transcripts(src, n_convs=4, seed=3)
+        out = tmp_path / "out"
+        # fabricate an uncommitted partition dir (data, no manifest)
+        pid = part_id_for_path(str(src))
+        stale = out / DATA_SUBDIR / f"part_id={pid}"
+        stale.mkdir(parents=True)
+        (stale / "junk.parquet").write_bytes(b"not parquet")
+        with pytest.raises(FileExistsError):
+            run_resumable_extraction([str(src)], out, on_conflict="fail")
+        # overwrite policy clears it and commits
+        report = run_resumable_extraction([str(src)], out, on_conflict="overwrite")
+        assert report["partitions_committed"] == 1
+
+
 class TestWindows:
     def test_events_hourly_matches_oracle(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
