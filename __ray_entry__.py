@@ -21,6 +21,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import similarity as _sim  # noqa: 
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import multimodal_queries as _mm  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import analytics as _an  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import windows as _win  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import conversations as _conv  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,125 @@
+"""Conversation-level operators: salted reassembly of per-turn extractions.
+
+This is the operator that actually NEEDS key co-location (unlike per-turn
+extraction): concatenating a conversation's extracted turns in turn order.
+A hot conversation (the fixtures plant ~1-in-25 conversations at 50× the
+median turn count; at 10^12-turn scale a single conversation can exceed a
+worker's memory) would make a naive ``groupby(conv_id)`` straggle on one
+reducer — so the exchange is **salted**:
+
+1. level 1 groups by ``(conv_id, turn_idx // SALT_BLOCK)`` — a hot
+   conversation splits across many salt segments, each assembled
+   independently (sorted by ``turn_idx`` inside the segment);
+2. level 2 merges each conversation's few segments in salt order — rows
+   into this exchange are already reduced to one per segment, so the
+   hottest conversation contributes ``ceil(n_turns / SALT_BLOCK)`` tiny
+   rows instead of ``n_turns`` full ones.
+
+The salted result is provably identical to the unsalted single-level
+groupby (asserted in tests), which is the general recipe the reference's
+ordering contract demands under skew (SURVEY.md §4 "Skew").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dedup import _hash_partitioned
+from .extraction import extract_transcripts
+from .queryset import register, transcripts_for_sf
+
+SALT_BLOCK = 64  # turns per salt segment
+TURN_SEP = "\n\n"
+
+
+def _add_salt_key(batch: pa.Table, salt_block: int) -> pa.Table:
+    salt = pc.divide(batch["turn_idx"], salt_block)
+    key = pc.binary_join_element_wise(
+        batch["conv_id"],
+        pc.utf8_lpad(pc.cast(salt, pa.string()), 8, padding="0"),
+        "#",
+    )
+    return batch.append_column("seg_key", key).append_column(
+        "salt", pc.cast(salt, pa.int32())
+    )
+
+
+def _assemble_segment(df: pd.DataFrame) -> pd.DataFrame:
+    conv_ids, salts, texts, counts = [], [], [], []
+    for (conv_id, salt), g in df.groupby(["conv_id", "salt"], sort=True):
+        g = g.sort_values("turn_idx")
+        conv_ids.append(conv_id)
+        salts.append(int(salt))
+        texts.append(TURN_SEP.join(t for t in g["extracted_text"].tolist() if t))
+        counts.append(len(g))
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series(conv_ids, dtype="object"),
+            "salt": pd.Series(salts, dtype="int32"),
+            "seg_text": pd.Series(texts, dtype="object"),
+            "n_turns": pd.Series(counts, dtype="int64"),
+        }
+    )
+
+
+def _merge_segments(df: pd.DataFrame) -> pd.DataFrame:
+    conv_ids, texts, counts = [], [], []
+    for conv_id, g in df.groupby("conv_id", sort=True):
+        g = g.sort_values("salt")
+        conv_ids.append(conv_id)
+        texts.append(TURN_SEP.join(t for t in g["seg_text"].tolist() if t))
+        counts.append(int(g["n_turns"].sum()))
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series(conv_ids, dtype="object"),
+            "full_text": pd.Series(texts, dtype="object"),
+            "n_turns": pd.Series(counts, dtype="int64"),
+        }
+    )
+
+
+def reassemble_conversations(
+    extracted: "ray.data.Dataset", salt_block: int = SALT_BLOCK
+) -> "ray.data.Dataset":
+    """(conv_id, full_text, n_turns) from an extracted-turn Dataset."""
+    ds = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
+    ds = ds.map_batches(
+        lambda b: _add_salt_key(b, salt_block), batch_format="pyarrow"
+    )
+    segments = _hash_partitioned(ds, "seg_key", _assemble_segment)
+    return _hash_partitioned(segments, "conv_id", _merge_segments)
+
+
+def reassemble_unsalted(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Single-level reference implementation (correct, but a hot conversation
+    lands on one reducer) — used by tests to prove salted == unsalted."""
+    ds = extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        conv_ids, texts, counts = [], [], []
+        for conv_id, g in df.groupby("conv_id", sort=True):
+            g = g.sort_values("turn_idx")
+            conv_ids.append(conv_id)
+            texts.append(TURN_SEP.join(t for t in g["extracted_text"].tolist() if t))
+            counts.append(len(g))
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(conv_ids, dtype="object"),
+                "full_text": pd.Series(texts, dtype="object"),
+                "n_turns": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return _hash_partitioned(ds, "conv_id", assemble)
+
+
+def q_conversation_texts(sf_dir: str) -> "ray.data.Dataset":
+    path = transcripts_for_sf(sf_dir)
+    return reassemble_conversations(extract_transcripts(path))
+
+
+register("conversation_texts", q_conversation_texts)  # rows-only: needs extraction

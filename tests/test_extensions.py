@@ -225,6 +225,46 @@ class TestExtensionSurface:
         assert report["partitions_committed"] == 1
 
 
+class TestConversationReassembly:
+    def test_salted_equals_unsalted_and_oracle(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.oracle import oracle_extract_parquet
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+            TURN_SEP,
+            reassemble_conversations,
+            reassemble_unsalted,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            extract_transcripts,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import transcripts_for_sf
+
+        path = transcripts_for_sf(SF)
+        salted = (
+            reassemble_conversations(extract_transcripts(path), salt_block=16)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        unsalted = (
+            reassemble_unsalted(extract_transcripts(path))
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        assert salted.equals(unsalted)
+
+        # single-process oracle reassembly
+        golden = oracle_extract_parquet(path).to_pandas()
+        golden = golden.sort_values(["conv_id", "turn_idx"])
+        expect = (
+            golden.groupby("conv_id")["extracted_text"]
+            .apply(lambda s: TURN_SEP.join(t for t in s.tolist() if t))
+            .reset_index()
+            .rename(columns={"extracted_text": "full_text"})
+            .sort_values("conv_id").reset_index(drop=True)
+        )
+        assert (salted["conv_id"] == expect["conv_id"]).all()
+        assert (salted["full_text"] == expect["full_text"]).all()
+        # hot conversations (50x median) came through intact
+        assert salted.n_turns.max() >= 400
+
+
 class TestWindows:
     def test_events_hourly_matches_oracle(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
