@@ -23,6 +23,7 @@ The fixpoint loops guarantee idempotence: ``f(f(x)) == f(x)`` (property-tested).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Any, Optional
 
 _WS_RE = re.compile(r"\s+")
@@ -69,17 +70,28 @@ def normalize_space(text: Optional[str]) -> str:
     return _WS_RE.sub(" ", text or "").strip()
 
 
-def normalize_text(text: Optional[str]) -> str:
-    """Whitespace-collapse, then run the space-removal rules to a fixpoint."""
-    s = normalize_space(text)
-    if not s:
-        return ""
+@lru_cache(maxsize=65536)
+def _normalize_text_cached(s: str) -> str:
     prev = None
     while s != prev:
         prev = s
         for pat, rep in _NORMALIZE_RULES:
             s = pat.sub(rep, s)
     return s.strip()
+
+
+def normalize_text(text: Optional[str]) -> str:
+    """Whitespace-collapse, then run the space-removal rules to a fixpoint.
+
+    Memoized on the collapsed string: token texts repeat massively inside a
+    corpus (layout tokens are words), and the fixpoint regex cascade is the
+    single hottest kernel in the pdfish path. Pure function → cache-safe;
+    each worker process keeps its own LRU.
+    """
+    s = normalize_space(text)
+    if not s:
+        return ""
+    return _normalize_text_cached(s)
 
 
 def contains_japanese(text: Optional[str]) -> bool:
