@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
 import shutil
 from collections import Counter
 from pathlib import Path
@@ -69,6 +70,9 @@ def completed_partitions(out_dir: Union[str, Path]) -> dict[str, dict]:
         return {}
     out = {}
     for mf in sorted(ckpt_dir.glob("*.json")):
+        # partition manifests are 12-hex stems; skip the job-level manifest
+        if len(mf.stem) != 12 or any(c not in "0123456789abcdef" for c in mf.stem):
+            continue
         try:
             out[mf.stem] = json.loads(mf.read_text())
         except (OSError, json.JSONDecodeError):
@@ -131,6 +135,7 @@ def run_resumable_extraction(
             shutil.rmtree(pdir)
 
     if remaining:
+        run_started = time.monotonic()
         ds = ray.data.read_parquet([p for _, p in remaining], include_paths=True)
         ds = ds.map_batches(
             _add_part_id_column,
@@ -139,10 +144,13 @@ def run_resumable_extraction(
         )
         ds = build_extraction(ds, batch_size=batch_size, concurrency=concurrency)
         ds.write_parquet(str(out_dir / DATA_SUBDIR), partition_cols=["part_id"])
+        run_seconds = time.monotonic() - run_started
+        run_rows = 0
 
         # commit: manifest written AFTER the partition's data is durable
         for pid, path in remaining:
             actions = _count_actions(_partition_dir(out_dir, pid))
+            run_rows += sum(actions.values())
             manifest = {
                 "part_id": pid,
                 "input_path": path,
@@ -153,18 +161,32 @@ def run_resumable_extraction(
             tmp = _manifest_path(out_dir, pid).with_suffix(".tmp")
             tmp.write_text(json.dumps(manifest, sort_keys=True))
             tmp.replace(_manifest_path(out_dir, pid))
+    else:
+        run_seconds, run_rows = 0.0, 0
 
     done = completed_partitions(out_dir)
     totals: Counter = Counter()
     for manifest in done.values():
         totals.update(manifest.get("actions", {}))
-    return {
+    report = {
         "partitions_total": len(plan),
         "partitions_committed": len(done),
         "partitions_skipped_resume": skipped,
         "rows": sum(m.get("output_rows", 0) for m in done.values()),
         "actions": dict(totals),
+        "this_run": {
+            "partitions": len(remaining),
+            "rows": run_rows,
+            "seconds": round(run_seconds, 3),
+            "rows_per_sec": round(run_rows / run_seconds, 1) if run_seconds > 0 else 0.0,
+        },
     }
+    # job-level manifest (reference's CSV summary header, app.py:1115-1142):
+    # throughput metrics ride with the checkpoint so `report` works offline
+    tmp = (out_dir / CKPT_SUBDIR / "job.json").with_suffix(".tmp")
+    tmp.write_text(json.dumps(report, sort_keys=True))
+    tmp.replace(out_dir / CKPT_SUBDIR / "job.json")
+    return report
 
 
 def _count_actions(partition_dir: Path) -> Counter:

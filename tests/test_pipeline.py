@@ -51,6 +51,26 @@ class TestGoldenPipeline:
         kinds = set(golden["content_kind"].to_pylist())
         assert {"plain", "html", "pdfish", "empty"} <= kinds
 
+    def test_parallelism_invariance(self, ray_session, tiny_transcripts):
+        """Result is a function of the input, not of block count — the
+        property that makes the N vs 4N cluster runs byte-comparable."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            extract_transcripts,
+        )
+
+        lo = extract_transcripts(
+            tiny_transcripts, override_num_blocks=2, order=True
+        ).to_arrow_refs()
+        import ray as _ray
+        import pyarrow as _pa
+
+        lo_tbl = _pa.concat_tables(_ray.get(lo))
+        hi = extract_transcripts(
+            tiny_transcripts, override_num_blocks=16, order=True
+        ).to_arrow_refs()
+        hi_tbl = _pa.concat_tables(_ray.get(hi))
+        assert _canon(lo_tbl).to_pylist() == _canon(hi_tbl).to_pylist()
+
     def test_batch_size_invariance(self, ray_session, tiny_transcripts):
         """Results must not depend on batching (block boundaries)."""
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
