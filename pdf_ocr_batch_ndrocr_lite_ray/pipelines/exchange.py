@@ -1,0 +1,48 @@
+"""Shared exchange helpers for grouped work over Ray Datasets."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+_GROUP_PARTITIONS = 64
+
+
+def rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
+    """Rename via an Arrow projection; ``Dataset.rename_columns`` breaks on
+    pandas-format blocks (map_groups output)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_partitioned(
+    ds: "ray.data.Dataset", key: str, per_partition, num_partitions: int = _GROUP_PARTITIONS
+) -> "ray.data.Dataset":
+    """Apply ``per_partition(df)`` once per hash partition of ``key``.
+
+    ``groupby(key).map_groups`` pays per-group task/DataFrame overhead —
+    ruinous when groups are tiny and numerous (LSH buckets: ~16×n_docs
+    groups, almost all singletons). Partitioning by ``hash(key)`` first
+    gives every group to exactly one partition, and ``per_partition``
+    iterates groups in-process with plain pandas. Same exchange volume,
+    ~1000× fewer task invocations.
+    """
+    import zlib
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_pylist()
+        pid = pa.array(
+            [zlib.crc32(str(k).encode()) % num_partitions for k in keys],
+            type=pa.int32(),
+        )
+        return batch.append_column("_pid", pid)
+
+    return (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid")
+        .map_groups(per_partition, batch_format="pandas")
+    )
