@@ -1,0 +1,126 @@
+"""Deterministic sampling / splitting / histograms over ``documents``.
+
+A 100 TB training-data pipeline never samples with ``random()`` — it hashes
+a stable key so every run, resume, and cluster size selects the identical
+subset. These operators use ``md5(doc_id)`` exactly as the DuckDB oracles
+do, so sampling decisions are value-checkable, embarrassingly parallel,
+and shuffle-free (the histogram's exchange carries one row per bucket per
+block).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from .exchange import rename
+from .queryset import register, table_path
+
+SAMPLE_PCT = 10  # docs_sample keeps ~10%
+SPLIT_VAL_PCT = 5  # validation share of the train/val split
+HIST_BUCKET = 25  # token-count histogram bucket width
+
+
+def _hash_bucket(doc_ids: pa.ChunkedArray | pa.Array, mod: int = 100) -> np.ndarray:
+    """Stable per-key bucket in [0, mod): first 8 hex chars of md5(doc_id).
+
+    Matches the DuckDB expression
+    ``CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % mod``.
+    """
+    out = np.empty(len(doc_ids), dtype=np.int64)
+    for i, v in enumerate(doc_ids.to_pylist()):
+        out[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod
+    return out
+
+
+def _bucket_sql(mod: int = 100) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {mod}"
+    )
+
+
+def docs_sample(sf_dir: str, pct: int = SAMPLE_PCT) -> "ray.data.Dataset":
+    """~pct% deterministic sample: (doc_id, n_chars). Same rows every run."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pa.array(_hash_bucket(batch["doc_id"]) < pct)
+        t = batch.filter(keep)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars": pc.utf8_length(t["text"])}
+        )
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_SAMPLE_SQL = f"""
+SELECT doc_id, len(text) AS n_chars FROM documents
+WHERE {_bucket_sql()} < {SAMPLE_PCT}
+"""
+
+
+def docs_split_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Train/val split sizes: (split, n_docs). Hash-stable, resume-safe."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = _hash_bucket(batch["doc_id"])
+        split = pa.array(np.where(buckets < SPLIT_VAL_PCT, "val", "train"))
+        t = pa.table({"split": split})
+        g = t.group_by("split").aggregate([([], "count_all")])
+        return g.rename_columns(["split", "n_docs"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("split").aggregate(Sum("n_docs"))
+    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
+    return rename(out, {scol: "n_docs"})
+
+
+DOCS_SPLIT_SQL = f"""
+SELECT CASE WHEN {_bucket_sql()} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def docs_length_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Token-count histogram: (bucket_lo, n_docs), bucket width HIST_BUCKET.
+
+    Per-block partial counts → the exchange moves #buckets rows per block.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(batch["text"], r"\S+")
+        lo = pc.multiply(
+            pc.cast(pc.divide(n_tok, HIST_BUCKET), pa.int64()), HIST_BUCKET
+        )
+        t = pa.table({"bucket_lo": lo})
+        g = t.group_by("bucket_lo").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket_lo", "n_docs"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("bucket_lo").aggregate(Sum("n_docs"))
+    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
+    return rename(out, {scol: "n_docs"})
+
+
+DOCS_HISTOGRAM_SQL = f"""
+SELECT (len(regexp_extract_all(text, '\\S+')) // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+register("docs_sample", docs_sample, sql=DOCS_SAMPLE_SQL)
+register("docs_split_counts", docs_split_counts, sql=DOCS_SPLIT_SQL)
+register("docs_length_histogram", docs_length_histogram, sql=DOCS_HISTOGRAM_SQL)

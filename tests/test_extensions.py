@@ -225,6 +225,29 @@ class TestExtensionSurface:
         assert report["partitions_committed"] == 1
 
 
+class TestSampling:
+    def test_sample_matches_oracle_and_is_stable(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = _check_against_oracle("docs_sample", oracle_con)
+        # deterministic: identical selection across runs
+        df2 = queryset.QUERIES["docs_sample"](SF).to_pandas()
+        assert sorted(df.doc_id) == sorted(df2.doc_id)
+
+    def test_split_counts_match_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
+
+        df = _check_against_oracle("docs_split_counts", oracle_con)
+        assert set(df.split) <= {"train", "val"}
+
+    def test_length_histogram_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
+
+        df = _check_against_oracle("docs_length_histogram", oracle_con)
+        assert (df.bucket_lo % 25 == 0).all()
+
+
 class TestConversationReassembly:
     def test_salted_equals_unsalted_and_oracle(self, ray_session):
         from pdf_ocr_batch_ndrocr_lite_ray.oracle import oracle_extract_parquet
