@@ -225,6 +225,36 @@ class TestExtensionSurface:
         assert report["partitions_committed"] == 1
 
 
+class TestAsofJoin:
+    def test_asof_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
+
+        df = _check_against_oracle("events_asof_view_click", oracle_con)
+        assert (df.gap_us >= 0).all()
+
+    def test_asof_partition_semantics(self):
+        import pandas as pd
+        import numpy as np
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof import _asof_partition
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        sec = np.timedelta64(1_000_000, "us")
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [9, 9, 9, 9, 9],
+                "event_type": ["click", "view", "click", "view", "click"],
+                "ts": pd.Series([base, base + sec, base + 2 * sec, base + 3 * sec, base + 4 * sec]),
+            }
+        )
+        out = _asof_partition(df).sort_values("event_id").reset_index(drop=True)
+        # first click has no prior view → dropped; later clicks take the
+        # latest view at or before them
+        assert out.event_id.tolist() == [3, 5]
+        assert out.prior_view_id.tolist() == [2, 4]
+        assert out.gap_us.tolist() == [1_000_000, 1_000_000]
+
+
 class TestSampling:
     def test_sample_matches_oracle_and_is_stable(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
