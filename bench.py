@@ -7,7 +7,8 @@ Default mode prints ONE JSON line:
      "turns_per_sec": ...}
 
 ``--scaling`` runs the flagship extraction twice in FRESH processes
-(``num_cpus=8`` then ``num_cpus=32`` — N vs 4N) on the same sharded input
+(default ``num_cpus=4`` then ``num_cpus=16`` — N vs 4N; see main() for why
+not 8/32 on this box) on the same sharded input
 and reports both throughputs plus scaling efficiency
 ``eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)`` (BASELINE.md criterion,
 target ≥ 0.8). ``--child`` is the internal single-run mode used for that.
@@ -112,12 +113,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     _consume(extract_transcripts(paths[:2]))  # prime the worker pool
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name, fn in BENCH_QUERIES.items():
         t0 = time.perf_counter()
         try:
             rows[name] = fn(sf_dir)
-        except ModuleNotFoundError:
-            continue  # operator family not built yet
+        except Exception as exc:  # a broken query must not kill the artifact
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
     extract_rows = rows.get("extract", 0)
     extract_sec = timings.get("extract", 0.0)
@@ -130,6 +133,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "turns_per_sec": round(extract_rows / extract_sec, 1) if extract_sec else None,
         "extract_rows": extract_rows,
+        **({"errors": errors} if errors else {}),
     }
 
 
@@ -196,12 +200,23 @@ def main() -> int:
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    if args.child:
-        report = run_child(args.sf_dir, args.num_cpus)
-    elif args.scaling:
-        report = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
-    else:
-        report = run_suite(args.sf_dir, args.num_cpus)
+    try:
+        if args.child:
+            report = run_child(args.sf_dir, args.num_cpus)
+        elif args.scaling:
+            report = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
+        else:
+            report = run_suite(args.sf_dir, args.num_cpus)
+    except Exception as exc:  # always emit ONE JSON line, even on failure
+        report = {
+            "metric": "bench failed",
+            "value": -1,
+            "unit": "sec",
+            "queries": {},
+            "sf": args.sf_dir,
+            "num_cpus": args.num_cpus,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+        }
 
     print(json.dumps(report))
     import ray
