@@ -96,12 +96,28 @@ def q_ann_topk(sf_dir: str) -> int:
     return _consume(brute_force_topk(sf_dir))
 
 
+def q_user_sessions(sf_dir: str) -> int:
+    """Per-user sessionization over the events stream."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import user_sessions
+
+    return _consume(user_sessions(sf_dir))
+
+
+def q_asof_join(sf_dir: str) -> int:
+    """As-of join: each click to its latest prior view."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof import events_asof_view_before_click
+
+    return _consume(events_asof_view_before_click(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_ordered": q_extract_ordered,
     "docs_textstats": q_docs_textstats,
     "dedup_minhash": q_dedup_minhash,
     "ann_topk": q_ann_topk,
+    "user_sessions": q_user_sessions,
+    "asof_join": q_asof_join,
 }
 
 

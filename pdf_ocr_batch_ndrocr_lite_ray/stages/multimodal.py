@@ -40,16 +40,23 @@ FEATURES_SCHEMA = pa.schema(
 
 
 def decode_image_pixels(payload: bytes) -> "np.ndarray":
-    """STUB — real pixel decode needs an image library not present here.
-
-    In production swap this for ``PIL.Image.open(io.BytesIO(payload))`` (or
-    pypdfium2 for PDF pages, reference app.py:1414-1423). Everything around
-    it (batching, actor pool, schema, error isolation) is the real engine.
+    """Real pixel decode when an image codec is importable; explicit stub
+    otherwise (this container ships none — reference app.py:1414-1423 uses
+    pypdfium2/Pillow). Everything around it (batching, actor pool, schema,
+    error isolation) is the real engine either way.
     """
-    raise NotImplementedError(
-        "pixel decode requires an image codec (e.g. Pillow) — not available "
-        "in this environment; use the fake-container feature path instead"
-    )
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        raise NotImplementedError(
+            "pixel decode requires an image codec (e.g. Pillow) — not "
+            "available in this environment; use the fake-container feature "
+            "path instead"
+        ) from None
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"))
 
 
 def sample_frame_offsets(n_frames: int, stride: int) -> list[int]:
