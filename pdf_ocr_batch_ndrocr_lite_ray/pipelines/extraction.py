@@ -131,10 +131,29 @@ def extract_transcripts(
     use_actors: bool = False,
     override_num_blocks: Optional[int] = None,
 ) -> "ray.data.Dataset":
-    """Read transcript parquet and run the extraction pipeline (lazy)."""
+    """Read transcript parquet and run the extraction pipeline (lazy).
+
+    Column projection tolerates schema drift: optional columns missing from
+    the input (``role``/``tool``/``ts``) are simply not projected; only
+    ``conv_id``, ``turn_idx`` and ``text`` are required.
+    """
+    if columns:
+        wanted = list(columns)
+    else:
+        import pyarrow.parquet as _pq
+
+        first = paths if isinstance(paths, str) else next(iter(paths))
+        try:
+            available = set(_pq.read_schema(first).names)
+            wanted = [c for c in INPUT_COLUMNS if c in available]
+        except Exception:
+            wanted = list(INPUT_COLUMNS)
+        missing = {"conv_id", "turn_idx", "text"} - set(wanted)
+        if missing:
+            raise ValueError(f"input lacks required columns: {sorted(missing)}")
     ds = ray.data.read_parquet(
         paths,
-        columns=list(columns) if columns else INPUT_COLUMNS,
+        columns=wanted,
         override_num_blocks=override_num_blocks,
     )
     return build_extraction(
