@@ -137,12 +137,17 @@ def extract_transcripts(
     the input (``role``/``tool``/``ts``) are simply not projected; only
     ``conv_id``, ``turn_idx`` and ``text`` are required.
     """
+    # normalize to plain strings: ray.data.read_parquet rejects PathLike
+    if isinstance(paths, (str, os.PathLike)):
+        paths = str(paths)
+    else:
+        paths = [str(p) for p in paths]
     if columns:
         wanted = list(columns)
     else:
         import pyarrow.parquet as _pq
 
-        first = paths if isinstance(paths, str) else next(iter(paths))
+        first = paths if isinstance(paths, str) else paths[0]
         try:
             available = set(_pq.read_schema(first).names)
             wanted = [c for c in INPUT_COLUMNS if c in available]
