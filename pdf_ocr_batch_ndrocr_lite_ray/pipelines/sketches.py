@@ -1,0 +1,158 @@
+"""Mergeable sketches: distinct counts and quantiles at corpus scale.
+
+The reference computes no distinct-counts or quantiles (SURVEY.md §2.7);
+these are the sketch operators a 10^12-row pipeline needs, built as
+**per-block sketch → merge** so the exchange carries sketches, not rows:
+
+- ``events_distinct_users``: EXACT distinct count per group — per-block
+  distinct pairs, pair-level groupby, then count per group. SQL-oracled.
+- ``docs_distinct_shingles_kmv``: KMV (k-minimum-values) cardinality
+  estimate of the corpus' distinct shingle count. One k-sized sketch per
+  block, one merge — estimate = (k-1) / max_of_k_min_hashes. Approximate →
+  rows-only; the error bound vs the exact count is asserted in tests
+  (cf. "Quantile Sketches over Data Streams", EDBT 2023 family).
+- ``events_value_quantiles``: fixed-bin histogram quantile estimator over
+  ``events.value`` — per-block histograms merge by vector addition;
+  quantiles read off the cumulative distribution (error ≤ bin width).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count
+
+from .dedup import _doc_shingles
+from .exchange import rename
+from .queryset import register, table_path
+
+KMV_K = 1024
+QUANT_BINS = 2048
+QUANT_LO, QUANT_HI = 0.0, 1024.0  # events.value domain guess; clamped
+QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+# --- exact distinct count per group (SQL-oracled) --------------------------
+
+def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, n_users): exact distinct user count per event type.
+
+    Per-block distinct pairs collapse duplicates early; the exchange then
+    carries unique (event_type, user_id) pairs — bounded by the true
+    distinct count, not the event count.
+    """
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"], "user_id": batch["user_id"]})
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+    ).map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count())
+    ccol = [c for c in pairs.schema().names if c.startswith("count")][0]
+    pairs = pairs.drop_columns([ccol])
+    out = pairs.groupby("event_type").aggregate(Count())
+    ccol = [c for c in out.schema().names if c.startswith("count")][0]
+    return rename(out, {ccol: "n_users"})
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --- KMV distinct-count sketch (approximate, rows-only) --------------------
+
+def _kmv_hash(values: list[str]) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def kmv_estimate(min_hashes: np.ndarray, k: int = KMV_K) -> float:
+    """Cardinality estimate from the k smallest 64-bit hashes seen."""
+    if len(min_hashes) < k:
+        return float(len(min_hashes))  # saw fewer than k distinct values
+    kth = float(np.sort(min_hashes)[k - 1])
+    return (k - 1) / (kth / float(2**64))
+
+
+def docs_distinct_shingles_kmv(sf_dir: str) -> "ray.data.Dataset":
+    """One-row result: (estimate, k) — approx distinct word-trigram count."""
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        hashes: set[int] = set()
+        for text in batch["text"].to_pylist():
+            for h in _kmv_hash(sorted(_doc_shingles(text or ""))):
+                hashes.add(int(h))
+        smallest = np.sort(np.fromiter(hashes, dtype=np.uint64, count=len(hashes)))[
+            :KMV_K
+        ]
+        return pa.table(
+            {"min_hashes": pa.array([smallest.tolist()], type=pa.list_(pa.uint64()))}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        merged = np.sort(np.concatenate([np.asarray(x, dtype=np.uint64) for x in df["min_hashes"]]))
+        merged = np.unique(merged)[:KMV_K]
+        est = kmv_estimate(merged)
+        return pd.DataFrame({"estimate": pd.Series([round(est)], dtype="int64"),
+                             "k": pd.Series([KMV_K], dtype="int64")})
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["text"]
+    ).map_batches(block_sketch, batch_format="pyarrow")
+    # all block sketches merge in ONE reduce row (sketches are k-sized)
+    return ds.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+# --- histogram quantile sketch (approximate, rows-only) --------------------
+
+def events_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """(q, value_estimate): histogram-sketch quantiles of events.value."""
+
+    edges = np.linspace(QUANT_LO, QUANT_HI, QUANT_BINS + 1)
+
+    def block_hist(batch: pa.Table) -> pa.Table:
+        vals = np.clip(
+            np.asarray(batch["value"].to_pylist(), dtype=np.float64),
+            QUANT_LO,
+            QUANT_HI,
+        )
+        hist, _ = np.histogram(vals, bins=edges)
+        return pa.table({"hist": pa.array([hist.tolist()], type=pa.list_(pa.int64()))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(
+            [np.asarray(h, dtype=np.int64) for h in df["hist"]], axis=0
+        )
+        cum = np.cumsum(total)
+        n = cum[-1]
+        qs, vals = [], []
+        for q in QUANTILES:
+            idx = int(np.searchsorted(cum, q * n, side="left"))
+            qs.append(q)
+            vals.append(round(float(edges[min(idx + 1, QUANT_BINS)]), 6))
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value_estimate": pd.Series(vals, dtype="float64")})
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["value"]
+    ).map_batches(block_hist, batch_format="pyarrow")
+    return ds.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+register("events_distinct_users", events_distinct_users, sql=EVENTS_DISTINCT_USERS_SQL)
+register("docs_distinct_shingles_kmv", docs_distinct_shingles_kmv)  # rows-only (approx)
+register("events_value_quantiles", events_value_quantiles)  # rows-only (approx)

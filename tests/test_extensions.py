@@ -225,6 +225,52 @@ class TestExtensionSurface:
         assert report["partitions_committed"] == 1
 
 
+class TestSketches:
+    def test_distinct_users_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
+
+        _check_against_oracle("events_distinct_users", oracle_con)
+
+    def test_kmv_estimate_within_bound(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        est = int(
+            queryset.QUERIES["docs_distinct_shingles_kmv"](SF).to_pandas().estimate.iloc[0]
+        )
+        exact = oracle_con.execute(
+            r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text,'\S+') ws FROM documents),
+            s AS (SELECT CASE WHEN len(ws)<3 THEN array_to_string(ws,' ')
+                  ELSE ws[CAST(i AS INT)]||' '||ws[CAST(i AS INT)+1]||' '||ws[CAST(i AS INT)+2] END sh
+                  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2,
+                       CASE WHEN len(ws)>0 THEN 1 ELSE 0 END))) u(i))
+            SELECT count(DISTINCT sh) FROM s
+            """
+        ).fetchone()[0]
+        # KMV with k=1024 → std err ≈ 1/sqrt(k) ≈ 3.1%; allow 4 sigma
+        assert abs(est - exact) / exact < 0.125, (est, exact)
+
+    def test_kmv_exact_below_k(self):
+        import numpy as np
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import kmv_estimate
+
+        h = np.array([5, 9, 2], dtype=np.uint64)
+        assert kmv_estimate(h) == 3.0  # fewer than k distinct → exact
+
+    def test_quantile_sketch_within_bin_width(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches as sk
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        qs = queryset.QUERIES["events_value_quantiles"](SF).to_pandas()
+        bin_w = (sk.QUANT_HI - sk.QUANT_LO) / sk.QUANT_BINS
+        for _, r in qs.iterrows():
+            true = oracle_con.execute(
+                f"SELECT quantile_cont(value, {r.q}) FROM events"
+            ).fetchone()[0]
+            assert abs(r.value_estimate - true) <= bin_w + 1e-9, (r.q, r.value_estimate, true)
+
+
 class TestAsofJoin:
     def test_asof_matches_oracle(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
