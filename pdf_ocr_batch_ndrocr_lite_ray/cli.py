@@ -62,7 +62,12 @@ def _expand_inputs(patterns: list[str]) -> list[str]:
         if any(ch in p for ch in "*?["):
             paths.extend(sorted(glob.glob(p)))
         elif Path(p).is_dir():
-            paths.extend(sorted(str(x) for x in Path(p).glob("*.parquet")))
+            found = sorted(
+                str(x)
+                for pat in ("*.parquet", "*.jsonl", "*.json")
+                for x in Path(p).glob(pat)
+            )
+            paths.extend(found)
         else:
             paths.append(p)
     # reference input collection: sorted, deduped (app.py:1151-1152)
@@ -72,29 +77,54 @@ def _expand_inputs(patterns: list[str]) -> list[str]:
 def cmd_extract(args: argparse.Namespace) -> int:
     config = _load_config(args.config)
     _init_ray(_resolve(args, config, "num_cpus"))
-    from .pipelines.extraction import extract_transcripts
+    from .pipelines.extraction import build_extraction, INPUT_COLUMNS, extract_transcripts
 
     inputs = _expand_inputs(args.input)
     if not inputs:
         print("no input files found", file=sys.stderr)
         return 2
-    ds = extract_transcripts(
-        inputs,
-        batch_size=_resolve(args, config, "batch_size"),
-        order=bool(_resolve(args, config, "order")),
-        use_actors=bool(_resolve(args, config, "use_actors")),
-    )
+    if args.input_format == "jsonl":
+        import ray.data
+
+        ds = ray.data.read_json(inputs)
+        keep = [c for c in INPUT_COLUMNS if c in ds.schema().names]
+        ds = build_extraction(
+            ds.select_columns(keep),
+            batch_size=_resolve(args, config, "batch_size"),
+            order=bool(_resolve(args, config, "order")),
+            use_actors=bool(_resolve(args, config, "use_actors")),
+        )
+    else:
+        ds = extract_transcripts(
+            inputs,
+            batch_size=_resolve(args, config, "batch_size"),
+            order=bool(_resolve(args, config, "order")),
+            use_actors=bool(_resolve(args, config, "use_actors")),
+        )
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
-    ds.write_parquet(str(out))
+    if args.output_format == "jsonl":
+        ds = ds.drop_columns([c for c in ["spans"] if c in ds.schema().names])
+        ds.write_json(str(out))
+    else:
+        ds.write_parquet(str(out))
+    if args.stats:
+        print(ds.stats(), file=sys.stderr)
     # job report from the written output (A1/A4 counter analog)
-    import pyarrow.dataset as pads
     from collections import Counter
 
     counts: Counter = Counter()
-    for batch in pads.dataset(str(out), format="parquet").to_batches(columns=["action"]):
-        for v in batch.column(0).to_pylist():
-            counts[v] += 1
+    if args.output_format == "jsonl":
+        for f in sorted(out.glob("*.json")):
+            for line in f.read_text().splitlines():
+                if line.strip():
+                    counts[json.loads(line).get("action", "?")] += 1
+    else:
+        import pyarrow.dataset as pads
+
+        for batch in pads.dataset(str(out), format="parquet").to_batches(columns=["action"]):
+            for v in batch.column(0).to_pylist():
+                counts[v] += 1
     report = {"rows": sum(counts.values()), "actions": dict(counts), "output": str(out)}
     print(json.dumps(report))
     return 0
@@ -155,6 +185,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore (conv_id, turn_idx) order before writing")
     p.add_argument("--use-actors", dest="use_actors", action="store_const",
                    const=True, default=None)
+    p.add_argument("--input-format", choices=["parquet", "jsonl"], default="parquet")
+    p.add_argument("--output-format", choices=["parquet", "jsonl"], default="parquet")
+    p.add_argument("--stats", action="store_true",
+                   help="print Ray Data operator stats to stderr after the run")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("resume", help="checkpointed extraction (resumable)")
