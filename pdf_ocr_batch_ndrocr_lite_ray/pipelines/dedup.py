@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Min
 
 from .exchange import hash_partitioned as _hash_partitioned
 from .exchange import rename as _rename
@@ -158,10 +158,40 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+#: document-frequency cap: a shingle present in more than this many docs is
+#: excluded from intersection evidence. Without it, pair emission is
+#: O(df²) per shingle and a stop-phrase shingle detonates the exchange
+#: (observed: sf0.1's small-vocab corpus never finishes uncapped). The SQL
+#: oracle applies the identical HAVING filter, so results stay value-exact.
+MAX_SHINGLE_DF = 64
+
+
+def _pair_count_partition(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["doc_a", "doc_b"], sort=True).size().reset_index(name="m")
+    g["m"] = g["m"].astype("int64")
+    return g[["doc_a", "doc_b", "m"]]
+
+
+def _pair_dedupe_partition(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _pair_min_hamming_partition(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["doc_a", "doc_b"], sort=True)["hamming"].min().reset_index()
+    g["hamming"] = g["hamming"].astype("int64")
+    return g
+
+
+def _pair_max_cosine_partition(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["vec_a", "vec_b"], sort=True)["cosine"].max().reset_index()
+    return g
+
+
 def _shingle_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    # prune singleton shingles (they cannot contribute to an intersection)
+    # prune singleton shingles (no intersection) and high-df shingles
+    # (quadratic pair fan-out; excluded from evidence on both engines)
     vc = df["sh"].map(df["sh"].value_counts())
-    df = df[vc > 1]
+    df = df[(vc > 1) & (vc <= MAX_SHINGLE_DF)]
     a: list[int] = []
     b: list[int] = []
     for _, group in df.groupby("sh", sort=True):
@@ -200,9 +230,10 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
     doc_counts = _rename(doc_counts, {cnt_col: "n_sh"})
 
     pairs = _hash_partitioned(sh, "sh", _shingle_partition_pairs)
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
-    icol = [c for c in inter.schema().names if c.startswith("count")][0]
-    inter = _rename(inter, {icol: "m"})
+    # pair-count via hash partition on doc_a (a pair's rows all share doc_a,
+    # so groups are partition-complete); Ray's multi-key groupby was
+    # measured at 274s for 2.4M pair rows vs ~4s for this shape
+    inter = _hash_partitioned(pairs, "doc_a", _pair_count_partition)
 
     nparts = _join_partitions()
     joined = inter.join(
@@ -242,9 +273,11 @@ s AS (
 ),
 d AS (SELECT DISTINCT doc_id, sh FROM s),
 cnt AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
+lowdf AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 64),
+d2 AS (SELECT d.doc_id, d.sh FROM d JOIN lowdf USING (sh)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
-  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM d2 a JOIN d2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -362,9 +395,10 @@ def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset"
 
     ds = corpus(sf_dir).map_batches(_minhash_band_rows, batch_format="pyarrow")
     pairs = _hash_partitioned(ds, "band_key", _minhash_partition_pairs)
-    # distinct candidate pairs (a pair can collide in several bands)
-    pairs = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
-    pairs = pairs.drop_columns([c for c in pairs.schema().names if c.startswith("count")])
+    # distinct candidate pairs (a pair can collide in several bands);
+    # partition-complete dedupe on doc_a — Ray's multi-key groupby is ~70x
+    # slower at millions of pair rows
+    pairs = _hash_partitioned(pairs, "doc_a", _pair_dedupe_partition)
 
     # estimate stage: signatures are looked up from a broadcast table
     # (candidates ≪ corpus; at extreme corpus scale this lookup becomes a
@@ -463,9 +497,7 @@ def simhash_duplicate_pairs(sf_dir: str) -> "ray.data.Dataset":
     """SimHash near-dup pairs (hamming ≤ 3): (doc_a, doc_b, hamming)."""
     ds = corpus(sf_dir).map_batches(_simhash_band_rows, batch_format="pyarrow")
     pairs = _hash_partitioned(ds, "band_key", _simhash_partition_pairs)
-    best = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
-    mcol = [c for c in best.schema().names if c.startswith("min(")][0]
-    return _rename(best, {mcol: "hamming"})
+    return _hash_partitioned(pairs, "doc_a", _pair_min_hamming_partition)
 
 
 # --- embedding cosine near-dup ---------------------------------------------
@@ -624,9 +656,7 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
 
     ds = emb_corpus(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
     pairs = _hash_partitioned(ds, "bucket", partition_pairs)
-    best = pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine"))
-    mcol = [c for c in best.schema().names if c.startswith("max(")][0]
-    return _rename(best, {mcol: "cosine"})
+    return _hash_partitioned(pairs, "vec_a", _pair_max_cosine_partition)
 
 
 # --- registration ----------------------------------------------------------
