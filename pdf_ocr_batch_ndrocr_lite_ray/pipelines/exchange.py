@@ -33,12 +33,26 @@ def hash_partitioned(
     """
     import zlib
 
+    import numpy as np
+
     def add_pid(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_pylist()
-        pid = pa.array(
-            [zlib.crc32(str(k).encode()) % num_partitions for k in keys],
-            type=pa.int32(),
-        )
+        col = batch[key]
+        if pa.types.is_integer(col.type):
+            # vectorized Knuth multiplicative hash — the per-row Python
+            # crc32 loop dominates at millions of pair rows
+            vals = np.asarray(col.to_pylist(), dtype=np.uint64)
+            pid_np = ((vals * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(
+                num_partitions
+            )
+            pid = pa.array(pid_np.astype(np.int32), type=pa.int32())
+        else:
+            pid = pa.array(
+                [
+                    zlib.crc32(str(k).encode()) % num_partitions
+                    for k in col.to_pylist()
+                ],
+                type=pa.int32(),
+            )
         return batch.append_column("_pid", pid)
 
     return (
