@@ -168,3 +168,46 @@ def sql_stats_select(t: str) -> str:
       ), 6) AS quality_score,
       md5(trim(regexp_replace({t}, '\\s+', ' ', 'g'))) AS fingerprint
     """
+
+
+# --- rolling-hash (winnowing) fingerprints ---------------------------------
+
+WINNOW_K = 5  # k-gram length (characters)
+WINNOW_W = 4  # winnowing window (hashes per window)
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_hashes(text: str, k: int = WINNOW_K) -> list[int]:
+    """Rabin-Karp rolling hashes of every k-char gram (O(n), exact)."""
+    n = len(text)
+    if n < k:
+        return []
+    h = 0
+    for ch in text[:k]:
+        h = (h * _ROLL_BASE + ord(ch)) % _ROLL_MOD
+    out = [h]
+    top = pow(_ROLL_BASE, k - 1, _ROLL_MOD)
+    for i in range(k, n):
+        # python % keeps the value non-negative even after the subtraction
+        h = ((h - ord(text[i - k]) * top) * _ROLL_BASE + ord(text[i])) % _ROLL_MOD
+        out.append(h)
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> set[int]:
+    """Winnowing (MOSS-style) fingerprint set: the min hash of each window.
+
+    Guarantees at least one fingerprint per w consecutive k-grams, so two
+    documents sharing a run of ≥ w+k-1 chars share a fingerprint — the
+    rolling-hash document fingerprint of the task brief.
+    """
+    hs = rolling_hashes(text, k)
+    if not hs:
+        return set()
+    if len(hs) <= w:
+        return {min(hs)}
+    out: set[int] = set()
+    for i in range(len(hs) - w + 1):
+        out.add(min(hs[i : i + w]))
+    return out

@@ -53,5 +53,27 @@ def media_kind_counts(sf_dir: str) -> "ray.data.Dataset":
     return out
 
 
+def media_resized_features(sf_dir: str) -> "ray.data.Dataset":
+    """Resize stage chained into feature extraction: decode health after a
+    payload-rewriting actor stage (images resized to 16x16, rest pass)."""
+    from ..stages.multimodal import MediaFeatureExtractor, MediaResizer
+
+    ds = ray.data.read_parquet(
+        media_table_for_sf(sf_dir), columns=["media_id", "payload"]
+    )
+    ds = ds.map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"target_w": 16, "target_h": 16},
+    )
+    ds = ds.drop_columns(["action", "error"])
+    return ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
 register("media_features", media_features)  # rows-only: binary payloads
+register("media_resized_features", media_resized_features)  # rows-only
 register("media_kind_counts", media_kind_counts)  # rows-only

@@ -53,6 +53,35 @@ register(
     lambda sf_dir: doc_text_stats(sf_dir),
     sql=f"SELECT doc_id, {sql_stats_select('text')} FROM documents",
 )
+def doc_winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_fingerprints, fp_min): winnowing rolling-hash fingerprints.
+
+    Rows-only (the O(n) rolling recurrence is not SQL-expressible);
+    determinism and the shared-substring guarantee are pinned by unit tests.
+    """
+    from ..functions.textstats import winnow_fingerprints
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        n_fp, fp_min = [], []
+        for text in batch["text"].to_pylist():
+            fps = winnow_fingerprints(text or "")
+            n_fp.append(len(fps))
+            fp_min.append(min(fps) if fps else 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array(n_fp, type=pa.int64()),
+                "fp_min": pa.array(fp_min, type=pa.uint64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+register("docs_winnow_fingerprints", doc_winnow_fingerprints)  # rows-only
+
 register(
     "docs_lang_counts",
     lambda sf_dir: doc_lang_counts(sf_dir),

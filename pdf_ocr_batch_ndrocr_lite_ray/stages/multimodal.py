@@ -117,3 +117,73 @@ class MediaFeatureExtractor:
                 out["action"].append("error")
                 out["error"].append(f"{type(exc).__name__}: {exc}")
         return pa.Table.from_pydict(out, schema=FEATURES_SCHEMA)
+
+
+def resize_fake_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of a fake-container image payload.
+
+    Real byte-level work over the deterministic container (header rewrite +
+    per-pixel gather); a real deployment swaps the body math for
+    ``PIL.Image.resize`` via ``decode_image_pixels``. Raises ValueError on
+    non-image payloads — per-row isolation upstream turns that into an
+    ``action="error"`` row.
+    """
+    from ..sources.media import pack_header
+
+    meta = parse_header(payload)
+    if meta["kind"] != "image":
+        raise ValueError(f"resize expects an image payload, got {meta['kind']!r}")
+    w, h, c = meta["width"], meta["height"], meta["channels"]
+    body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
+    if len(body) < w * h * c:
+        raise ValueError("image body truncated")
+    pixels = body[: w * h * c].reshape(h, w, c)
+    ys = np.clip((np.arange(target_h) * h) // max(target_h, 1), 0, h - 1)
+    xs = np.clip((np.arange(target_w) * w) // max(target_w, 1), 0, w - 1)
+    resized = pixels[ys][:, xs]
+    header = pack_header("image", target_w, target_h, c, 0, 1)
+    return header + resized.tobytes()
+
+
+class MediaResizer:
+    """Actor-pool resize stage: image payloads → fixed target dimensions.
+
+    Non-image rows pass through untouched (``action="passthrough"``);
+    failures isolate per row. Small ``batch_size`` guidance from the module
+    docstring applies doubly here — the stage holds input + output payloads.
+    """
+
+    def __init__(self, target_w: int = 32, target_h: int = 32) -> None:
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_payload, out_action, out_error = [], [], []
+        for payload in payloads:
+            payload = payload or b""
+            try:
+                meta = parse_header(payload)
+                if meta["kind"] != "image":
+                    out_payload.append(payload)
+                    out_action.append("passthrough")
+                    out_error.append("")
+                else:
+                    out_payload.append(
+                        resize_fake_image(payload, self.target_w, self.target_h)
+                    )
+                    out_action.append("resized")
+                    out_error.append("")
+            except Exception as exc:
+                out_payload.append(b"")
+                out_action.append("error")
+                out_error.append(f"{type(exc).__name__}: {exc}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(out_payload, type=pa.binary()),
+                "action": pa.array(out_action, type=pa.string()),
+                "error": pa.array(out_error, type=pa.string()),
+            }
+        )

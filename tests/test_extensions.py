@@ -397,6 +397,87 @@ class TestWindows:
         }
 
 
+class TestWinnowing:
+    def test_rolling_hash_matches_direct(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.functions.textstats import (
+            WINNOW_K,
+            _ROLL_BASE,
+            _ROLL_MOD,
+            rolling_hashes,
+        )
+
+        text = "hello winnowing world"
+        hs = rolling_hashes(text)
+        direct = [
+            sum(
+                ord(c) * pow(_ROLL_BASE, WINNOW_K - 1 - j, _ROLL_MOD)
+                for j, c in enumerate(text[i : i + WINNOW_K])
+            )
+            % _ROLL_MOD
+            for i in range(len(text) - WINNOW_K + 1)
+        ]
+        assert hs == direct
+
+    def test_shared_substring_shares_fingerprint(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.functions.textstats import (
+            winnow_fingerprints,
+        )
+
+        shared = "a long common passage of text here"
+        a = winnow_fingerprints("XX " + shared + " YY")
+        b = winnow_fingerprints("completely different prefix " + shared)
+        assert a & b  # winnowing guarantee: long shared runs share prints
+        assert winnow_fingerprints("") == set()
+        assert len(winnow_fingerprints("abcd")) == 0  # shorter than k
+
+    def test_winnow_query_runs(self, ray_session):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = queryset.QUERIES["docs_winnow_fingerprints"](SF).to_pandas()
+        assert len(df) > 0 and (df.n_fingerprints > 0).all()
+        df2 = queryset.QUERIES["docs_winnow_fingerprints"](SF).to_pandas()
+        assert df.sort_values("doc_id").fp_min.tolist() == df2.sort_values("doc_id").fp_min.tolist()
+
+
+class TestMediaResize:
+    def test_resize_fake_image_roundtrip(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.media import generate_media_table
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.multimodal import (
+            parse_header,
+            resize_fake_image,
+        )
+
+        t = generate_media_table(30, seed=5)
+        img = next(
+            r for r in t.to_pylist() if r["kind"] == "image" and len(r["payload"]) > 16
+        )
+        resized = resize_fake_image(img["payload"], 8, 6)
+        meta = parse_header(resized)
+        assert (meta["width"], meta["height"]) == (8, 6)
+        assert len(resized) == 16 + 8 * 6 * meta["channels"]
+        # deterministic
+        assert resize_fake_image(img["payload"], 8, 6) == resized
+
+    def test_resize_rejects_non_image(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.media import pack_header
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.multimodal import resize_fake_image
+
+        audio = pack_header("audio", 0, 0, 0, 8000, 0) + b"\x00" * 64
+        with pytest.raises(ValueError):
+            resize_fake_image(audio, 8, 8)
+
+    def test_resized_features_pipeline(self, ray_session):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.multimodal_queries  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = queryset.QUERIES["media_resized_features"](SF).to_pandas()
+        decoded_images = df[(df.action == "decoded") & (df.kind == "image")]
+        assert len(decoded_images) > 0
+        # every decoded image body is now exactly 16x16x3
+        assert (decoded_images.body_bytes == 16 * 16 * 3).all()
+
+
 class TestMultimodal:
     def test_header_roundtrip(self):
         from pdf_ocr_batch_ndrocr_lite_ray.sources.media import pack_header, parse_header
