@@ -56,15 +56,21 @@ def _init_ray(num_cpus):
         ray.init(**kwargs)
 
 
-def _expand_inputs(patterns: list[str]) -> list[str]:
+_DIR_GLOBS = {"parquet": ("*.parquet",), "jsonl": ("*.jsonl", "*.json")}
+
+
+def _expand_inputs(patterns: list[str], input_format: str = "parquet") -> list[str]:
     paths: list[str] = []
     for p in patterns:
         if any(ch in p for ch in "*?["):
             paths.extend(sorted(glob.glob(p)))
         elif Path(p).is_dir():
+            # only pick up files of the declared input format — a mixed
+            # directory (e.g. holding a previous jsonl export) would feed
+            # wrong-format files to the reader
             found = sorted(
                 str(x)
-                for pat in ("*.parquet", "*.jsonl", "*.json")
+                for pat in _DIR_GLOBS.get(input_format, ("*.parquet",))
                 for x in Path(p).glob(pat)
             )
             paths.extend(found)
@@ -79,7 +85,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
     _init_ray(_resolve(args, config, "num_cpus"))
     from .pipelines.extraction import build_extraction, INPUT_COLUMNS, extract_transcripts
 
-    inputs = _expand_inputs(args.input)
+    inputs = _expand_inputs(args.input, args.input_format)
     if not inputs:
         print("no input files found", file=sys.stderr)
         return 2
@@ -88,6 +94,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
         ds = ray.data.read_json(inputs)
         keep = [c for c in INPUT_COLUMNS if c in ds.schema().names]
+        missing = {"conv_id", "turn_idx", "text"} - set(keep)
+        if missing:
+            print(f"input lacks required columns: {sorted(missing)}", file=sys.stderr)
+            return 2
         ds = build_extraction(
             ds.select_columns(keep),
             batch_size=_resolve(args, config, "batch_size"),
@@ -135,7 +145,7 @@ def cmd_resume(args: argparse.Namespace) -> int:
     _init_ray(_resolve(args, config, "num_cpus"))
     from .state.checkpoint import run_resumable_extraction
 
-    inputs = _expand_inputs(args.input)
+    inputs = _expand_inputs(args.input, "parquet")
     if not inputs:
         print("no input files found", file=sys.stderr)
         return 2

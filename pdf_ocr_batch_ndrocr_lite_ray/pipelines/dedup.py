@@ -273,7 +273,7 @@ s AS (
 ),
 d AS (SELECT DISTINCT doc_id, sh FROM s),
 cnt AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
-lowdf AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 64),
+lowdf AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
 d2 AS (SELECT d.doc_id, d.sh FROM d JOIN lowdf USING (sh)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m

@@ -37,10 +37,12 @@ def hash_partitioned(
 
     def add_pid(batch: pa.Table) -> pa.Table:
         col = batch[key]
-        if pa.types.is_integer(col.type):
+        if pa.types.is_integer(col.type) and col.null_count == 0:
             # vectorized Knuth multiplicative hash — the per-row Python
-            # crc32 loop dominates at millions of pair rows
-            vals = np.asarray(col.to_pylist(), dtype=np.uint64)
+            # crc32 loop dominates at millions of pair rows. int64→uint64
+            # reinterpretation keeps negative keys well-defined; null keys
+            # fall back to the generic path below.
+            vals = np.asarray(col.to_pylist(), dtype=np.int64).astype(np.uint64)
             pid_np = ((vals * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(
                 num_partitions
             )
@@ -55,8 +57,16 @@ def hash_partitioned(
             )
         return batch.append_column("_pid", pid)
 
+    def run_partition(df):
+        out = per_partition(df)
+        # the partition id is internal plumbing: never let it leak into a
+        # per_partition result that passes input columns through
+        if "_pid" in out.columns:
+            out = out.drop(columns=["_pid"])
+        return out
+
     return (
         ds.map_batches(add_pid, batch_format="pyarrow")
         .groupby("_pid")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(run_partition, batch_format="pandas")
     )

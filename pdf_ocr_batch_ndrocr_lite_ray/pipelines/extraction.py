@@ -147,10 +147,15 @@ def extract_transcripts(
     else:
         import pyarrow.parquet as _pq
 
-        first = paths if isinstance(paths, str) else paths[0]
+        probe = [paths] if isinstance(paths, str) else list(paths)[:8]
         try:
-            available = set(_pq.read_schema(first).names)
-            wanted = [c for c in INPUT_COLUMNS if c in available]
+            # intersect schemas across a bounded probe of files: projecting
+            # a column absent from ANY file fails the whole read
+            available: set | None = None
+            for f in probe:
+                names = set(_pq.read_schema(f).names)
+                available = names if available is None else (available & names)
+            wanted = [c for c in INPUT_COLUMNS if c in (available or set())]
         except Exception:
             wanted = list(INPUT_COLUMNS)
         missing = {"conv_id", "turn_idx", "text"} - set(wanted)
