@@ -112,6 +112,21 @@ def cmd_extract(args: argparse.Namespace) -> int:
             use_actors=bool(_resolve(args, config, "use_actors")),
         )
     out = Path(args.output)
+    if out.exists() and any(out.iterdir()):
+        # Ray writes fresh unique filenames, so re-running into a dirty
+        # directory would MIX stale files from the previous run into the
+        # output and double-count them in the report (reference conflict
+        # policy: abort unless told to overwrite, app.py:2519-2529)
+        if getattr(args, "overwrite", False):
+            import shutil
+
+            shutil.rmtree(out)
+        else:
+            print(
+                f"output directory {out} is not empty; pass --overwrite to clear it",
+                file=sys.stderr,
+            )
+            return 2
     out.mkdir(parents=True, exist_ok=True)
     if args.output_format == "jsonl":
         ds = ds.drop_columns([c for c in ["spans"] if c in ds.schema().names])
@@ -130,11 +145,13 @@ def cmd_extract(args: argparse.Namespace) -> int:
                 if line.strip():
                     counts[json.loads(line).get("action", "?")] += 1
     else:
+        import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
         for batch in pads.dataset(str(out), format="parquet").to_batches(columns=["action"]):
-            for v in batch.column(0).to_pylist():
-                counts[v] += 1
+            vc = pc.value_counts(batch.column(0))
+            for v, n in zip(vc.field("values"), vc.field("counts")):
+                counts[v.as_py()] += n.as_py()
     report = {"rows": sum(counts.values()), "actions": dict(counts), "output": str(out)}
     print(json.dumps(report))
     return 0
@@ -199,6 +216,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--stats", action="store_true",
                    help="print Ray Data operator stats to stderr after the run")
+    p.add_argument("--overwrite", action="store_true",
+                   help="clear a non-empty output directory before writing")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("resume", help="checkpointed extraction (resumable)")

@@ -69,8 +69,15 @@ def events_by_type(sf_dir: str) -> "ray.data.Dataset":
         # by ~1 ulp, which breaks string-level value comparison; an integer
         # in 1e-4 units is stable on both engines
         i = t.schema.get_field_index("total_value")
+        # round_mode matches DuckDB round() (half away from zero); pyarrow's
+        # default half-to-even would flip the hash on an exact-.5 boundary
         scaled = pc.cast(
-            pc.round(pc.multiply(t["total_value"], 10000.0), ndigits=0), pa.int64()
+            pc.round(
+                pc.multiply(t["total_value"], 10000.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
         return t.set_column(i, "total_value_e4", scaled)
 
@@ -95,18 +102,29 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
     """
     import pyarrow.parquet as pq
 
+    from .exchange import int64_array
+
     cust = pq.read_table(
         table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
-    lookup = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    )
-    ref = ray.put(lookup)
+    # sorted-key arrays + np.searchsorted beat a per-row dict probe; the
+    # broadcast payload is two flat numpy arrays, read once per task
+    ckeys = int64_array(cust["c_custkey"])
+    cnations = int64_array(cust["c_nationkey"])
+    order = np.argsort(ckeys)
+    ref = ray.put((ckeys[order], cnations[order]))
 
     def join_partial(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        keys = batch["o_custkey"].to_pylist()
-        nations = pa.array([lk.get(k, -1) for k in keys], type=pa.int32())
+        skeys, snations = ray.get(ref)
+        keys = int64_array(batch["o_custkey"])
+        if len(skeys) == 0:
+            nation_np = np.full(len(keys), -1, dtype=np.int32)
+        else:
+            pos = np.searchsorted(skeys, keys)
+            pos_clipped = np.minimum(pos, len(skeys) - 1)
+            hit = skeys[pos_clipped] == keys
+            nation_np = np.where(hit, snations[pos_clipped], -1).astype(np.int32)
+        nations = pa.array(nation_np, type=pa.int32())
         joined = pa.table(
             {
                 "c_nationkey": nations,
@@ -135,7 +153,12 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
     def to_cents(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("total_price")
         cents = pc.cast(
-            pc.round(pc.multiply(t["total_price"], 100.0), ndigits=0), pa.int64()
+            pc.round(
+                pc.multiply(t["total_price"], 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
         return t.set_column(i, "total_price_cents", cents)
 

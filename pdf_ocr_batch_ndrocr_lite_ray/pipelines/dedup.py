@@ -35,6 +35,8 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from .exchange import hash_partitioned as _hash_partitioned
+from .exchange import int64_array as _int64_array
+from .exchange import list_matrix as _list_matrix
 from .exchange import rename as _rename
 from .queryset import register, table_path
 
@@ -58,8 +60,7 @@ corpus AS (
 
 
 def _mod_mask(ids: pa.ChunkedArray | pa.Array, mod: int) -> pa.Array:
-    vals = np.asarray(ids.to_pylist(), dtype=np.int64)
-    return pa.array(vals % mod == 0)
+    return pa.array(_int64_array(ids) % mod == 0)
 
 
 def _corpus_batch(batch: pa.Table) -> pa.Table:
@@ -330,16 +331,31 @@ def minhash_signature(shingles: set[str]) -> np.ndarray:
     return prod.min(axis=1)
 
 
-def _minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, band_key) rows — signatures deliberately NOT carried: the
+def _minhash_sig_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, sig) — one signature row per doc; sig is the 64 uint64 perms
+    packed to 512 fixed bytes (binary survives ``Dataset.join``, which
+    rejects list-typed non-key columns)."""
+    sigs = [
+        minhash_signature(_doc_shingles(t or "")).tobytes()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sig": pa.array(sigs, type=pa.binary()),
+        }
+    )
+
+
+def _band_rows_from_sigs(batch: pa.Table) -> pa.Table:
+    """(doc_id, band_key) rows derived from packed signatures — the band
     exchange ships 2 small columns instead of 16 copies of a 64-int list."""
     doc_ids, band_keys = [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sig_list = minhash_signature(_doc_shingles(text or "")).tolist()
+    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
         for band in range(N_BANDS):
-            chunk = sig_list[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+            chunk = sig[band * ROWS_PER_BAND * 8 : (band + 1) * ROWS_PER_BAND * 8]
             key = hashlib.blake2b(
-                (str(band) + ":" + ",".join(map(str, chunk))).encode(), digest_size=8
+                str(band).encode() + b":" + chunk, digest_size=8
             ).hexdigest()
             doc_ids.append(doc_id)
             band_keys.append(key)
@@ -347,21 +363,6 @@ def _minhash_band_rows(batch: pa.Table) -> pa.Table:
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "band_key": pa.array(band_keys),
-        }
-    )
-
-
-def _minhash_sig_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, sig) — one signature row per doc, for the verify lookup."""
-    doc_ids = batch["doc_id"].to_pylist()
-    sigs = [
-        minhash_signature(_doc_shingles(t or "")).tolist()
-        for t in batch["text"].to_pylist()
-    ]
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
         }
     )
 
@@ -388,44 +389,63 @@ def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset"
     """Near-dup candidate pairs via MinHash banding: (doc_a, doc_b, est_jaccard).
 
     est_jaccard is the signature agreement fraction — candidates never pull
-    raw text across the exchange. Dedup of multi-band collisions via a
-    (doc_a, doc_b) groupby-max.
+    raw text across the exchange, and the verify stage never pulls the
+    corpus to the driver: signatures stay a DISTRIBUTED dataset that is
+    shuffle-joined onto the candidate pairs by doc id (once for ``doc_a``,
+    once for ``doc_b``). Signatures are computed ONE time (the band rows are
+    derived from the signature dataset, not from a second corpus pass); the
+    materialized signature table is 512 bytes/doc spread across the object
+    store — at 10⁹ docs that's ~512 GB cluster-wide, spillable, never
+    resident on one node.
     """
-    import ray as _ray
+    sigs = (
+        corpus(sf_dir)
+        .map_batches(_minhash_sig_rows, batch_format="pyarrow")
+        .materialize()
+    )
 
-    ds = corpus(sf_dir).map_batches(_minhash_band_rows, batch_format="pyarrow")
-    pairs = _hash_partitioned(ds, "band_key", _minhash_partition_pairs)
+    bands = sigs.map_batches(_band_rows_from_sigs, batch_format="pyarrow")
+    pairs = _hash_partitioned(bands, "band_key", _minhash_partition_pairs)
     # distinct candidate pairs (a pair can collide in several bands);
     # partition-complete dedupe on doc_a — Ray's multi-key groupby is ~70x
     # slower at millions of pair rows
     pairs = _hash_partitioned(pairs, "doc_a", _pair_dedupe_partition)
 
-    # estimate stage: signatures are looked up from a broadcast table
-    # (candidates ≪ corpus; at extreme corpus scale this lookup becomes a
-    # shuffle join on doc_id instead of a broadcast)
-    sig_tbl = pa.concat_tables(
-        corpus(sf_dir)
-        .map_batches(_minhash_sig_rows, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
+    nparts = _join_partitions()
+    joined = pairs.join(
+        sigs, join_type="inner", num_partitions=nparts,
+        on=("doc_a",), right_on=("doc_id",), right_suffix="_a",
     )
-    sig_map = {
-        d: np.asarray(g, dtype=np.uint64)
-        for d, g in zip(sig_tbl["doc_id"].to_pylist(), sig_tbl["sig"].to_pylist())
-    }
-    sig_ref = _ray.put(sig_map)
+    joined = _rename(joined, {"sig": "sig_a"})
+    joined = joined.join(
+        sigs, join_type="inner", num_partitions=nparts,
+        on=("doc_b",), right_on=("doc_id",), right_suffix="_b",
+    )
+    joined = _rename(joined, {"sig": "sig_b"})
 
     def estimate(batch: pa.Table) -> pa.Table:
-        sm = _ray.get(sig_ref)
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        est = [
-            round(float(np.mean(sm[x] == sm[y])), 6) if x in sm and y in sm else 0.0
-            for x, y in zip(a, b)
-        ]
-        t = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
+        out_schema = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        a = np.frombuffer(
+            b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64
+        ).reshape(batch.num_rows, N_PERMS)
+        b = np.frombuffer(
+            b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64
+        ).reshape(batch.num_rows, N_PERMS)
+        est = np.round((a == b).mean(axis=1), 6)
+        t = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "est_jaccard": pa.array(est, type=pa.float64()),
+            }
+        )
         return t.filter(pc.greater_equal(t["est_jaccard"], tau))
 
-    return pairs.map_batches(estimate, batch_format="pyarrow")
+    return joined.map_batches(estimate, batch_format="pyarrow")
 
 
 # --- SimHash (rows-only) ---------------------------------------------------
@@ -526,13 +546,27 @@ def emb_corpus(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(_emb_corpus_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: hard cap on the brute-force comparison side: this pipeline is the exact
+#: N×N verify BASELINE and deliberately materializes the corpus matrix —
+#: refuse inputs where that stops being a baseline-sized job instead of
+#: silently OOMing the driver. The scale path is the LSH variant.
+MAX_BRUTE_FORCE_VECS = 1_000_000  # ~0.5 GB at 64 float64 dims
+
+
 def _normalized_matrix(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
     """(ids, unit-norm matrix) of a small embedding dataset (driver-side)."""
     tbl = pa.concat_tables(
         [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
     )
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    if tbl.num_rows > MAX_BRUTE_FORCE_VECS:
+        raise ValueError(
+            f"brute-force embedding dedup capped at {MAX_BRUTE_FORCE_VECS} vectors "
+            f"(got {tbl.num_rows}); use embedding_lsh_near_dup_pairs at this scale"
+        )
+    ids = _int64_array(tbl["vec_id"])
+    mat = _list_matrix(tbl["embedding"])
+    if mat.shape[0] == 0:
+        return ids, mat
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return ids, mat / norms
@@ -554,9 +588,13 @@ def embedding_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data.Dat
     ref = ray_core.put((ids, mat))
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+            ).empty_table()
         all_ids, all_mat = ray_core.get(ref)
-        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        b_mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        b_ids = _int64_array(batch["vec_id"])
+        b_mat = _list_matrix(batch["embedding"])
         norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         sims = (b_mat / norms) @ all_mat.T  # (B, N)
@@ -613,7 +651,16 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
     brute-force baseline is asserted in tests, not against a SQL oracle.
     """
     def sig_rows(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if batch.num_rows == 0:
+            # preserve the input's embedding type exactly (list<float32/64>)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "bucket": pa.array([], type=pa.string()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        mat = _list_matrix(batch["embedding"])
         planes = _lsh_planes(mat.shape[1])
         bits = (mat @ planes.T) > 0  # (B, PLANES)
         keys = [

@@ -19,6 +19,41 @@ def rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def int64_array(col: "pa.Array | pa.ChunkedArray"):
+    """Zero-copy-ish int64 numpy view of an Arrow integer column."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def list_matrix(col: "pa.Array | pa.ChunkedArray"):
+    """2-D float64 matrix view of a list<float> column without Python boxing.
+
+    Replaces the ``to_pylist()`` → ``np.asarray`` pattern (per-element boxing
+    on the hottest columns). Zero rows → shape ``(0, 0)``; callers that index
+    ``shape[1]`` should early-return on empty batches first.
+    """
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        width = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(col), width)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if widths.size and (widths != widths[0]).any():
+        raise ValueError("ragged list column cannot form a matrix")
+    width = int(widths[0]) if widths.size else 0
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(col), width)
+
+
 def hash_partitioned(
     ds: "ray.data.Dataset", key: str, per_partition, num_partitions: int = _GROUP_PARTITIONS
 ) -> "ray.data.Dataset":
@@ -34,19 +69,34 @@ def hash_partitioned(
     import zlib
 
     import numpy as np
+    import pyarrow.compute as pc
 
     def add_pid(batch: pa.Table) -> pa.Table:
         col = batch[key]
-        if pa.types.is_integer(col.type) and col.null_count == 0:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # The code path is chosen from the SCHEMA TYPE only — never from the
+        # batch's null count. If the path depended on per-batch nulls, the
+        # same key value would hash differently in different batches (Knuth
+        # vs crc32) and a group would silently split across partitions.
+        if pa.types.is_integer(col.type):
             # vectorized Knuth multiplicative hash — the per-row Python
             # crc32 loop dominates at millions of pair rows. int64→uint64
             # reinterpretation keeps negative keys well-defined; null keys
-            # fall back to the generic path below.
-            vals = np.asarray(col.to_pylist(), dtype=np.int64).astype(np.uint64)
-            pid_np = ((vals * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(
-                num_partitions
+            # all route to the fixed partition 0.
+            vals = (
+                pc.fill_null(col, 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
             )
-            pid = pa.array(pid_np.astype(np.int32), type=pa.int32())
+            pid_np = (
+                (vals * np.uint64(2654435761)) >> np.uint64(16)
+            ) % np.uint64(num_partitions)
+            pid_np = pid_np.astype(np.int32)
+            if col.null_count:
+                pid_np[pc.is_null(col).to_numpy(zero_copy_only=False)] = 0
+            pid = pa.array(pid_np, type=pa.int32())
         else:
             pid = pa.array(
                 [

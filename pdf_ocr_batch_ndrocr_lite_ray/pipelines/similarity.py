@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .exchange import int64_array, list_matrix
 from .queryset import register, table_path
 
 TOPK_K = 10
@@ -31,8 +32,18 @@ N_QUERIES = 8  # queries = the embeddings with vec_id < N_QUERIES
 IVF_CENTROIDS = 16  # centroids = the embeddings with vec_id < IVF_CENTROIDS
 IVF_NPROBE = 4
 
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "vec_id": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+    }
+)
+
 
 def _unit(mat: np.ndarray) -> np.ndarray:
+    if mat.shape[0] == 0:
+        return mat
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return mat / norms
@@ -47,8 +58,8 @@ def _small_matrix(sf_dir: str, max_vec_id: int) -> tuple[np.ndarray, np.ndarray]
         table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     tbl = tbl.filter(pc.less(tbl["vec_id"], max_vec_id))
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = _unit(np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64))
+    ids = int64_array(tbl["vec_id"])
+    mat = _unit(list_matrix(tbl["embedding"]))
     order = np.argsort(ids)
     return ids[order], mat[order]
 
@@ -64,9 +75,11 @@ def brute_force_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
     ref = ray.put((q_ids, q_mat))
 
     def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray Data can deliver empty blocks
+            return _EMPTY_TOPK
         ids_q, mat_q = ray.get(ref)
-        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        b_mat = _unit(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        b_ids = int64_array(batch["vec_id"])
+        b_mat = _unit(list_matrix(batch["embedding"]))
         sims = mat_q @ b_mat.T  # (Q, B)
         qcol, vcol, scol = [], [], []
         for qi in range(len(ids_q)):
@@ -136,36 +149,43 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
     """
     c_ids, c_mat = _small_matrix(sf_dir, IVF_CENTROIDS)
     q_ids, q_mat = _small_matrix(sf_dir, N_QUERIES)
-    # per-query probed buckets (driver-side: Q × C is tiny)
-    probes = {
-        int(q_ids[i]): set(
-            int(c) for c in np.argsort(-(q_mat[i] @ c_mat.T))[:IVF_NPROBE]
-        )
-        for i in range(len(q_ids))
-    }
-    ref = ray.put((q_ids, q_mat, c_mat, probes))
+    # probe table as a dense (Q, C) boolean lookup — vectorized per-batch
+    # masking is probe_bool[qi][assign], no per-row Python
+    n_cent = c_mat.shape[0]
+    probe_bool = np.zeros((len(q_ids), n_cent), dtype=bool)
+    for i in range(len(q_ids)):
+        probe_bool[i, np.argsort(-(q_mat[i] @ c_mat.T))[:IVF_NPROBE]] = True
+    # centroids probed by NO query are dead: their vectors are dropped before
+    # any query scoring. At corpus scale the dataset is WRITTEN partitioned
+    # by centroid_id and non-probed partitions are pruned at the read; here
+    # the prune happens right after assignment, which preserves the compute
+    # shape (probed fraction only) on an unpartitioned input.
+    probe_any = probe_bool.any(axis=0)
+    ref = ray.put((q_ids, q_mat, c_mat, probe_bool, probe_any))
 
     def candidates(batch: pa.Table) -> pa.Table:
-        ids_q, mat_q, cent, probe_map = ray.get(ref)
-        b_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        b_mat = _unit(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
+        ids_q, mat_q, cent, p_bool, p_any = ray.get(ref)
+        b_ids = int64_array(batch["vec_id"])
+        b_mat = _unit(list_matrix(batch["embedding"]))
         assign = np.argmax(b_mat @ cent.T, axis=1)  # nearest centroid per vector
-        sims = mat_q @ b_mat.T
+        keep = p_any[assign]  # IVF prune: drop vectors in never-probed buckets
+        b_ids, b_mat, assign = b_ids[keep], b_mat[keep], assign[keep]
         qcol, vcol, scol = [], [], []
         for qi in range(len(ids_q)):
             qid = int(ids_q[qi])
-            mask = np.array(
-                [int(assign[j]) in probe_map[qid] and b_ids[j] != qid for j in range(len(b_ids))]
-            )
+            mask = p_bool[qi][assign] & (b_ids != qid)
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 continue
-            row = sims[qi]
-            take = idx[np.argpartition(-row[idx], min(k, len(idx)) - 1)[:k]]
-            for j in take:
+            # score ONLY the probed subset — never the whole batch
+            row = mat_q[qi] @ b_mat[idx].T
+            take = np.argpartition(-row, min(k, len(idx)) - 1)[:k]
+            for t in take:
                 qcol.append(qid)
-                vcol.append(int(b_ids[j]))
-                scol.append(round(float(row[j]), 6))
+                vcol.append(int(b_ids[idx[t]]))
+                scol.append(round(float(row[t]), 6))
         return pa.table(
             {
                 "query_id": pa.array(qcol, type=pa.int64()),

@@ -92,13 +92,12 @@ def docs_distinct_shingles_kmv(sf_dir: str) -> "ray.data.Dataset":
     """One-row result: (estimate, k) — approx distinct word-trigram count."""
 
     def block_sketch(batch: pa.Table) -> pa.Table:
-        hashes: set[int] = set()
+        # running k-min sketch: memory is bounded by k + one doc's hashes,
+        # independent of the block's total distinct-shingle cardinality
+        smallest = np.empty(0, dtype=np.uint64)
         for text in batch["text"].to_pylist():
-            for h in _kmv_hash(sorted(_doc_shingles(text or ""))):
-                hashes.add(int(h))
-        smallest = np.sort(np.fromiter(hashes, dtype=np.uint64, count=len(hashes)))[
-            :KMV_K
-        ]
+            doc_hashes = _kmv_hash(sorted(_doc_shingles(text or "")))
+            smallest = np.unique(np.concatenate([smallest, doc_hashes]))[:KMV_K]
         return pa.table(
             {"min_hashes": pa.array([smallest.tolist()], type=pa.list_(pa.uint64()))}
         )
@@ -120,15 +119,28 @@ def docs_distinct_shingles_kmv(sf_dir: str) -> "ray.data.Dataset":
 # --- histogram quantile sketch (approximate, rows-only) --------------------
 
 def events_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
-    """(q, value_estimate): histogram-sketch quantiles of events.value."""
+    """(q, value_estimate): histogram-sketch quantiles of events.value.
 
-    edges = np.linspace(QUANT_LO, QUANT_HI, QUANT_BINS + 1)
+    The bin domain comes from a cheap column-pruned min/max PRE-PASS, not a
+    hard-coded guess — a guessed domain silently clamps (and biases) any
+    value distribution that moves outside it.
+    """
+    source = ray.data.read_parquet(table_path(sf_dir, "events"), columns=["value"])
+
+    from ray.data.aggregate import Max, Min
+
+    mm = source.aggregate(Min("value"), Max("value"))
+    lo = float(mm.get("min(value)", QUANT_LO))
+    hi = float(mm.get("max(value)", QUANT_HI))
+    if not (np.isfinite(lo) and np.isfinite(hi)) or hi <= lo:
+        lo, hi = QUANT_LO, QUANT_HI
+    edges = np.linspace(lo, hi, QUANT_BINS + 1)
 
     def block_hist(batch: pa.Table) -> pa.Table:
         vals = np.clip(
-            np.asarray(batch["value"].to_pylist(), dtype=np.float64),
-            QUANT_LO,
-            QUANT_HI,
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+            lo,
+            hi,
         )
         hist, _ = np.histogram(vals, bins=edges)
         return pa.table({"hist": pa.array([hist.tolist()], type=pa.list_(pa.int64()))})
@@ -147,9 +159,7 @@ def events_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                              "value_estimate": pd.Series(vals, dtype="float64")})
 
-    ds = ray.data.read_parquet(
-        table_path(sf_dir, "events"), columns=["value"]
-    ).map_batches(block_hist, batch_format="pyarrow")
+    ds = source.map_batches(block_hist, batch_format="pyarrow")
     return ds.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
