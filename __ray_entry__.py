@@ -44,5 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query (same column names)."""
+    """DuckDB oracle SQL for every SQL-expressible query (same column names).
+
+    The extraction oracles read the synthesized transcript table directly
+    (``read_parquet('<cache path>')``) — materialize it here so the SQL is
+    runnable regardless of whether the matching query ran first.
+    """
+    _queryset.transcripts_for_sf("/root/testdata/sf0.01")
     return dict(_queryset.ORACLE_SQL)

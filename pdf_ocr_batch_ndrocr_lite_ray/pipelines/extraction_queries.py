@@ -1,9 +1,25 @@
 """Extraction-family queries for the driver's correctness harness.
 
-The extraction pipeline itself is not SQL-expressible (fixpoint regex
-normalization, greedy geometric clustering, DOM stripping), so the flagship
-queries are rows-only checks; the SQL-expressible kernels (whitespace
-collapse, content sniffing) get full DuckDB oracles for value-level parity.
+The FULL extraction pipeline is not SQL-expressible (greedy geometric
+clustering, DOM stripping), so ``extract_flagship`` stays rows-only — but
+large projections of it ARE exactly expressible and get value-level DuckDB
+oracles:
+
+- the content sniff (CASE over regex evidence) — over documents AND over
+  the real transcript table;
+- the ENTIRE plain-text path: CRLF-normalize → form-feed segmentation →
+  fixpoint whitespace normalization → order-preserving dedup → join. The
+  fixpoint regex cascade uses Python lookarounds, which RE2 (DuckDB's
+  engine) lacks; the oracle rewrites each rule with capture groups and
+  unrolls the cascade ``_NORM_SQL_ITERS`` times. A capture-group pass
+  deletes a subset of what a lookaround pass deletes (shared boundary
+  chars are consumed), but both systems converge to the same fixpoint —
+  3 unrolled passes suffice on every segment in the sf0.1 corpus
+  (pinned by tests/test_extraction_oracle.py); 6 gives 2x margin.
+
+Oracle SQL strings are static, so the transcript-table oracles embed the
+deterministic sf0.01 cache path (the driver always compares at sf0.01;
+``__ray_entry__.oracle_sql()`` materializes the file first).
 """
 
 from __future__ import annotations
@@ -15,7 +31,7 @@ import ray.data
 
 from ..stages.sniffer import SNIFF_PREFIX_BYTES, classify_text_array, sniff_batch
 from .extraction import extract_transcripts
-from .queryset import register, table_path, transcripts_for_sf
+from .queryset import register, table_path, transcripts_for_sf, transcripts_path_for_sf
 
 
 def q_extract_flagship(sf_dir: str):
@@ -60,13 +76,23 @@ def q_docs_sniff_kind(sf_dir: str):
     ).map_batches(sniff, batch_format="pyarrow")
 
 
-_SNIFF_SQL = f"""
-WITH p AS (
-  SELECT doc_id, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre FROM documents
+#: Python's re.UNICODE ``\s`` (what textnorm compiles) matches far more than
+#: RE2's ASCII ``\s`` — notably U+3000 (ideographic space) and NBSP. The SQL
+#: rewrites use this explicit class wherever the Python side used ``\s`` on
+#: RAW text; after the first collapse only ASCII spaces remain and plain
+#: ``\s`` is safe again.
+_UNICODE_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
 )
-SELECT doc_id,
-  CASE
-    WHEN regexp_matches(pre, '^\\s*$') OR pre IS NULL THEN 'empty'
+WS_CLASS_SQL = "[" + _UNICODE_WS + "]"
+
+#: the sniff decision tree as a SQL CASE over a ``pre`` (bounded prefix)
+#: column — the byte-for-byte analog of ``classify_text_array`` (whose
+#: emptiness test is the unicode-aware ``utf8_trim_whitespace``)
+SNIFF_CASE_SQL = f"""CASE
+    WHEN regexp_matches(pre, '^{WS_CLASS_SQL}*$') OR pre IS NULL THEN 'empty'
     WHEN regexp_matches(pre, '^\\s*[\\[{{]') THEN 'pdfish'
     WHEN len(regexp_extract_all(pre, '</?[A-Za-z][A-Za-z0-9]*(\\s[^>]*)?>')) >= 1
          AND (
@@ -74,12 +100,162 @@ SELECT doc_id,
            OR len(regexp_extract_all(pre, '</?[A-Za-z][A-Za-z0-9]*(\\s[^>]*)?>')) >= 3
          ) THEN 'html'
     ELSE 'plain'
-  END AS content_kind
+  END"""
+
+_SNIFF_SQL = f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre FROM documents
+)
+SELECT doc_id, {SNIFF_CASE_SQL} AS content_kind
 FROM p
+"""
+
+
+# --- plain-path value oracle over the real transcript table ----------------
+
+#: capture-group rewrites of textnorm._NORMALIZE_RULES (RE2 has no
+#: lookarounds). Same rule ORDER as the Python cascade — order is part of
+#: the fixpoint contract.
+_CJK_CLASS = "぀-ヿ㐀-䶿一-鿿！-｠　-〿"
+_NORM_RULES_SQL: list[tuple[str, str]] = [
+    (f"([{_CJK_CLASS}])\\s+([{_CJK_CLASS}])", "\\1\\2"),
+    ("([A-Za-z])\\s+([0-9])", "\\1\\2"),
+    ("([0-9])\\s+([A-Za-z])", "\\1\\2"),
+    ("([¥￥])\\s+([0-9])", "\\1\\2"),
+    ("([（(\\[【「『])\\s+", "\\1"),
+    ("\\s+([）)\\]】」』、。，．,:;])", "\\1"),
+    ("([●•])\\s+", "\\1"),
+]
+_NORM_SQL_ITERS = 6  # 2x the measured fixpoint depth on the sf0.1 corpus
+
+
+def normalize_text_sql(col: str, iters: int = _NORM_SQL_ITERS) -> str:
+    """SQL expression computing ``textnorm.normalize_text(col)`` in DuckDB.
+
+    The first collapse runs on RAW text, so it must use the unicode
+    whitespace class (Python ``\\s`` semantics); every later rule sees only
+    ASCII spaces and keeps plain ``\\s``.
+    """
+    expr = f"trim(regexp_replace({col}, '{WS_CLASS_SQL}+', ' ', 'g'))"
+    for _ in range(iters):
+        for pat, rep in _NORM_RULES_SQL:
+            expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"trim({expr})"
+
+
+def _plain_turns_cte(path: str) -> str:
+    """CTE chain computing the plain-path extraction over a transcript file."""
+    return f"""
+WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')),
+p AS (SELECT conv_id, turn_idx, text, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre FROM t),
+plain AS (SELECT conv_id, turn_idx, text FROM p WHERE {SNIFF_CASE_SQL} = 'plain'),
+sl AS (SELECT conv_id, turn_idx, text,
+              string_split_regex(replace(text, chr(13) || chr(10), chr(10)), '\\f+') AS segs
+       FROM plain),
+segs AS (
+  SELECT conv_id, turn_idx, CAST(i AS INT) AS i,
+         {normalize_text_sql('segs[CAST(i AS INT)]')} AS nseg
+  FROM sl, LATERAL UNNEST(generate_series(1, len(segs))) u(i)
+),
+kept AS (
+  SELECT conv_id, turn_idx, i, nseg,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, nseg ORDER BY i) AS rn
+  FROM segs WHERE nseg <> ''
+),
+joined AS (
+  SELECT conv_id, turn_idx, string_agg(nseg, chr(10) ORDER BY i) AS extracted_text
+  FROM kept WHERE rn = 1 GROUP BY conv_id, turn_idx
+),
+plain_turns AS (
+  SELECT p2.conv_id, p2.turn_idx,
+         coalesce(j.extracted_text, '') AS extracted_text,
+         CASE WHEN j.extracted_text IS NULL THEN 'empty'
+              WHEN j.extracted_text = p2.text THEN 'skipped_clean'
+              ELSE 'extracted' END AS action
+  FROM plain p2 LEFT JOIN joined j USING (conv_id, turn_idx)
+)"""
+
+
+def _plain_filter(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.equal(batch["content_kind"], "plain"))
+    return batch.select(["conv_id", "turn_idx", "extracted_text", "action"])
+
+
+def q_extract_plain_turns(sf_dir: str):
+    """Plain-path extraction VALUES per turn: the flagship's plain family
+    with a full DuckDB oracle (conv_id, turn_idx, extracted_text, action)."""
+    path = transcripts_for_sf(sf_dir)
+    ds = extract_transcripts(path)
+    return ds.map_batches(_plain_filter, batch_format="pyarrow")
+
+
+def q_extract_plain_action_counts(sf_dir: str):
+    """Per-action counts of the plain path (skip/extract/empty rule check)."""
+    path = transcripts_for_sf(sf_dir)
+    ds = extract_transcripts(path).map_batches(_plain_filter, batch_format="pyarrow")
+    out = ds.groupby("action").count()
+    return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
+
+
+def q_extract_kind_counts(sf_dir: str):
+    """Sniffed content-kind counts over the transcript table (all kinds)."""
+    path = transcripts_for_sf(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = classify_text_array(batch["text"])
+        vc = pc.value_counts(kinds)
+        return pa.table(
+            {
+                "content_kind": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Sum
+
+    out = ds.groupby("content_kind").aggregate(Sum("n"))
+    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns([("n" if c == scol else c) for c in t.column_names])
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
+# the driver compares at sf0.01; embed that deterministic cache path
+_ORACLE_TRANSCRIPTS = transcripts_path_for_sf("/root/testdata/sf0.01")
+
+EXTRACT_PLAIN_TURNS_SQL = (
+    _plain_turns_cte(_ORACLE_TRANSCRIPTS)
+    + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
+)
+
+EXTRACT_PLAIN_ACTION_COUNTS_SQL = (
+    _plain_turns_cte(_ORACLE_TRANSCRIPTS)
+    + "\nSELECT action, count(*) AS n FROM plain_turns GROUP BY action"
+)
+
+EXTRACT_KIND_COUNTS_SQL = f"""
+WITH p AS (
+  SELECT substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre
+  FROM read_parquet('{_ORACLE_TRANSCRIPTS}')
+)
+SELECT {SNIFF_CASE_SQL} AS content_kind, count(*) AS n
+FROM p GROUP BY 1
 """
 
 register("extract_flagship", q_extract_flagship)  # rows-only: not SQL-expressible
 register("extract_action_counts", q_extract_action_counts)  # rows-only
+register("extract_plain_turns", q_extract_plain_turns, sql=EXTRACT_PLAIN_TURNS_SQL)
+register(
+    "extract_plain_action_counts",
+    q_extract_plain_action_counts,
+    sql=EXTRACT_PLAIN_ACTION_COUNTS_SQL,
+)
+register("extract_kind_counts", q_extract_kind_counts, sql=EXTRACT_KIND_COUNTS_SQL)
 register(
     "docs_normalize_space",
     q_docs_normalize_space,

@@ -33,13 +33,24 @@ def register(name: str, fn: Callable[[str], Any], sql: Optional[str] = None) -> 
         ORACLE_SQL[name] = sql
 
 
+def transcripts_path_for_sf(sf_dir: str) -> str:
+    """Deterministic transcript cache path (pure path math, no file write).
+
+    Oracle SQL strings embed this path at registration time;
+    ``transcripts_for_sf`` materializes the file before any query runs.
+    """
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(_CACHE_DIR / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}.parquet")
+
+
 def transcripts_for_sf(sf_dir: str) -> str:
     """Deterministic transcript parquet for a given testdata scale dir."""
     from ..sources.transcripts import write_transcripts
 
     name = Path(sf_dir).name or "sf0.001"
     n_convs = _SF_CONVS.get(name, 40)
-    path = _CACHE_DIR / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}.parquet"
+    path = Path(transcripts_path_for_sf(sf_dir))
     if not path.exists():
         _CACHE_DIR.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp.parquet")

@@ -1,0 +1,137 @@
+"""Value-level parity between the plain-path SQL oracle and the engine.
+
+The flagship extraction's plain family is SQL-expressible; these tests pin
+the DuckDB rewrite (capture groups instead of RE2-less lookarounds, unrolled
+fixpoint) against the Python kernel it mirrors:
+
+- ``normalize_text_sql`` ≡ ``textnorm.normalize_text`` on adversarial and
+  randomized inputs;
+- the unroll depth has ≥2x margin (3 passes reach the fixpoint on every
+  generated segment; the oracle uses 6);
+- the full CTE chain (sniff → segment → normalize → dedup → join → action)
+  matches the engine per turn on a synthesized transcript table.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import duckdb
+import pytest
+
+from pdf_ocr_batch_ndrocr_lite_ray.functions.textnorm import normalize_text
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries import (
+    _plain_turns_cte,
+    normalize_text_sql,
+)
+from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import extract_plain
+from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import classify_one
+
+_FF = re.compile(r"\f+")
+
+ADVERSARIAL = [
+    "",
+    "   ",
+    "\t\n\f\r ",
+    "日 本 語 の 文 章",
+    "同 じ 文 字 が 続 く と き の 連 鎖 で す よ ね",
+    "alpha 42 beta 7 x",
+    "a 1 b 2 c 3 d 4 e 5",
+    "¥ 12345 and ￥ 678",
+    "（ hello ） [ x ] 【 日 本 】 「 あ 」 『 い 』",
+    "● item • another ● 三 つ 目",
+    "a , b 。 c ， d ． e : f ; g",
+    "Ｆｕｌｌ　ｗｉｄｔｈ ！ ？ ～",
+    "mix 日 本 ascii words 漢 字 42 x 7 日",
+    "(  deep （ （ nest ) ）",
+    "P 12 ペ ー ジ 3 頁",
+    "already-clean single token",
+]
+
+_CHARS = list("ab1 2（）[]【】「」¥●•、。，．,:;日本語漢字カナあいう ！Ｘ　") + ["  ", "\t"]
+
+
+def _rand_strings(n: int, seed: int = 99) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        out.append("".join(rng.choice(_CHARS) for _ in range(rng.randrange(0, 40))))
+    return out
+
+
+class TestNormalizeSql:
+    def test_adversarial_parity(self):
+        con = duckdb.connect()
+        for s in ADVERSARIAL + _rand_strings(400):
+            got = con.execute(f"SELECT {normalize_text_sql('?')}", [s]).fetchone()[0]
+            assert got == normalize_text(s), repr(s)
+
+    def test_unroll_margin(self):
+        """3 passes reach the fixpoint everywhere the oracle's 6 do."""
+        con = duckdb.connect()
+        for s in ADVERSARIAL + _rand_strings(400, seed=123):
+            lo = con.execute(
+                f"SELECT {normalize_text_sql('?', iters=3)}", [s]
+            ).fetchone()[0]
+            assert lo == normalize_text(s), repr(s)
+
+    def test_idempotent(self):
+        con = duckdb.connect()
+        for s in ADVERSARIAL:
+            once = con.execute(f"SELECT {normalize_text_sql('?')}", [s]).fetchone()[0]
+            twice = con.execute(f"SELECT {normalize_text_sql('?')}", [once]).fetchone()[0]
+            assert once == twice
+
+
+class TestPlainTurnsCte:
+    @pytest.fixture(scope="class")
+    def synth(self, tmp_path_factory):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import write_transcripts
+
+        out = tmp_path_factory.mktemp("oracle") / "synth.parquet"
+        write_transcripts(out, n_convs=30, seed=31)
+        return str(out)
+
+    def test_full_chain_matches_engine(self, synth):
+        import pyarrow.parquet as pq
+
+        sql = (
+            _plain_turns_cte(synth)
+            + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
+        )
+        df = duckdb.connect().execute(sql).df()
+        oracle = {
+            (r.conv_id, r.turn_idx): (r.extracted_text, r.action)
+            for r in df.itertuples()
+        }
+
+        tbl = pq.read_table(synth, columns=["conv_id", "turn_idx", "text"])
+        engine = {}
+        for cid, tix, txt in zip(
+            tbl["conv_id"].to_pylist(),
+            tbl["turn_idx"].to_pylist(),
+            tbl["text"].to_pylist(),
+        ):
+            if classify_one(txt) != "plain":
+                continue
+            ext, _spans = extract_plain(txt or "")
+            action = (
+                "empty"
+                if not ext
+                else ("skipped_clean" if ext == (txt or "") else "extracted")
+            )
+            engine[(cid, tix)] = (ext, action)
+
+        assert engine and set(engine) == set(oracle)
+        for key, val in engine.items():
+            assert oracle[key] == val, key
+
+    def test_actions_cover_skip_and_extract(self, synth):
+        sql = (
+            _plain_turns_cte(synth)
+            + "\nSELECT action, count(*) AS n FROM plain_turns GROUP BY 1"
+        )
+        counts = dict(duckdb.connect().execute(sql).fetchall())
+        assert counts.get("extracted", 0) > 0
+        assert counts.get("skipped_clean", 0) > 0  # idempotence probes exist
