@@ -94,6 +94,7 @@ WS_CLASS_SQL = "[" + _UNICODE_WS + "]"
 SNIFF_CASE_SQL = f"""CASE
     WHEN regexp_matches(pre, '^{WS_CLASS_SQL}*$') OR pre IS NULL THEN 'empty'
     WHEN regexp_matches(pre, '^\\s*[\\[{{]') THEN 'pdfish'
+    WHEN regexp_matches(pre, '^\\s*<\\?xml|<(PAGE|alto|PcGts)[\\s>]|<LINE\\s') THEN 'xml'
     WHEN len(regexp_extract_all(pre, '</?[A-Za-z][A-Za-z0-9]*(\\s[^>]*)?>')) >= 1
          AND (
            regexp_matches(pre, '(?i)<(p|div|html|body|head|br|span|a|li|ul|ol|h[1-6]|nav|footer|header|table|td|th|tr|article|section|main|aside|pre|blockquote|script|style|img|form|em|strong|b|i|code)\\b')

@@ -25,6 +25,10 @@ _CACHE_DIR = Path("/tmp/graft_cache")
 # conversations per scale factor for the synthesized transcript table
 _SF_CONVS = {"sf0.001": 40, "sf0.01": 160, "sf0.1": 640}
 _SYNTH_SEED = 42
+# bump when the payload GENERATOR changes (cache files are content-addressed
+# by (name, n_convs, seed, version) — a stale cache would silently pin the
+# old distribution)
+_SYNTH_VERSION = 2
 
 
 def register(name: str, fn: Callable[[str], Any], sql: Optional[str] = None) -> None:
@@ -41,7 +45,10 @@ def transcripts_path_for_sf(sf_dir: str) -> str:
     """
     name = Path(sf_dir).name or "sf0.001"
     n_convs = _SF_CONVS.get(name, 40)
-    return str(_CACHE_DIR / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}.parquet")
+    return str(
+        _CACHE_DIR
+        / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}-v{_SYNTH_VERSION}.parquet"
+    )
 
 
 def transcripts_for_sf(sf_dir: str) -> str:
@@ -75,7 +82,10 @@ def bench_transcripts_dir(sf_dir: str) -> str:
 
     name = Path(sf_dir).name or "sf0.1"
     n_convs = _BENCH_CONVS.get(name, 1024)
-    d = _CACHE_DIR / f"transcripts-bench-{name}-c{n_convs}-s{_SYNTH_SEED}-n{_BENCH_SHARDS}"
+    d = _CACHE_DIR / (
+        f"transcripts-bench-{name}-c{n_convs}-s{_SYNTH_SEED}"
+        f"-n{_BENCH_SHARDS}-v{_SYNTH_VERSION}"
+    )
     marker = d / "_DONE"
     if not marker.exists():
         write_transcript_shards(d, n_convs=n_convs, seed=_SYNTH_SEED, n_shards=_BENCH_SHARDS)

@@ -5,7 +5,8 @@ Schema (exactly the ``input_hint`` shape):
     conv_id: string, turn_idx: int32, role: string, text: string,
     tool: string, ts: timestamp[us]
 
-Payload mix per turn ≈ 50% plain / 30% html / 18% pdfish / 2% empty-garbage,
+Payload mix per turn ≈ 48% plain / 28% html / 16% pdfish / 6% xml /
+2% empty-garbage,
 covering every normalization rule, clustering tolerance boundary, bbox/text
 key spelling, and error-isolation case. Hot conversations (~1 in 25, with
 50× the median turn count) exercise skew handling. Rows are written in
@@ -186,6 +187,56 @@ def _pdfish_payload(rng: random.Random) -> str:
     return json.dumps(entries)
 
 
+# ---------------------------------------------------------------------------
+# xml payloads — NDLOCR PAGE/LINE, ALTO String, PAGE-XML Coords variants
+# ---------------------------------------------------------------------------
+
+def _xml_payload(rng: random.Random) -> str:
+    style = rng.randrange(3)
+    words = [rng.choice(_ASCII_WORDS + _CJK_WORDS) for _ in range(rng.randrange(2, 7))]
+    if style == 0:
+        # NDLOCR-lite: <PAGE><LINE X= Y= WIDTH= HEIGHT= STRING=/></PAGE>
+        y = 30
+        lines = []
+        for w in words:
+            lines.append(
+                f'<LINE X="{20 + rng.randrange(5)}" Y="{y}" WIDTH="{8 * len(w)}" '
+                f'HEIGHT="12" STRING="{w}"/>'
+            )
+            y += 16
+        prolog = '<?xml version="1.0" encoding="utf-8"?>' if rng.random() < 0.7 else ""
+        img = f' IMAGENAME="frag_p{rng.randrange(1, 20):03d}.png"' if rng.random() < 0.5 else ""
+        return f"{prolog}<OCRDATASET><PAGE{img}>{''.join(lines)}</PAGE></OCRDATASET>"
+    if style == 1:
+        # ALTO: String CONTENT, sometimes with a bbox spelling, sometimes
+        # HPOS/VPOS only (unknown spelling -> free-text path)
+        strings = []
+        y = 40
+        for w in words:
+            if rng.random() < 0.6:
+                strings.append(
+                    f'<String CONTENT="{w}" xmin="{20}" ymin="{y}" '
+                    f'xmax="{20 + 8 * len(w)}" ymax="{y + 12}"/>'
+                )
+            else:
+                strings.append(f'<String CONTENT="{w}" HPOS="20" VPOS="{y}"/>')
+            y += 16
+        ns = ' xmlns="http://www.loc.gov/standards/alto/ns-v3#"' if rng.random() < 0.5 else ""
+        return f'<alto{ns}><Layout><TextLine>{"".join(strings)}</TextLine></Layout></alto>'
+    # PAGE-XML: TextLine with <Coords points=> and nested <Unicode> text
+    y = 50
+    tls = []
+    for w in words:
+        x2 = 30 + 8 * len(w)
+        tls.append(
+            f'<TextLine><Coords points="30,{y} {x2},{y} {x2},{y + 14} 30,{y + 14}"/>'
+            f"<TextEquiv><Unicode>{w}</Unicode></TextEquiv></TextLine>"
+        )
+        y += 18
+    ns = ' xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"'
+    return f"<PcGts{ns}><Page>{''.join(tls)}</Page></PcGts>"
+
+
 def _garbage_payload(rng: random.Random) -> str:
     return rng.choice(
         [
@@ -197,6 +248,7 @@ def _garbage_payload(rng: random.Random) -> str:
             "\x00\x01\x02binary-ish\x03",
             "{}",
             "[]",
+            '<?xml version="1.0"?><PAGE><LINE X="1" STRING="cut',
         ]
     )
 
@@ -207,12 +259,14 @@ def _garbage_payload(rng: random.Random) -> str:
 
 def _payload(rng: random.Random) -> str:
     r = rng.random()
-    if r < 0.50:
+    if r < 0.48:
         return _plain_payload(rng)
-    if r < 0.80:
+    if r < 0.76:
         return _html_payload(rng)
-    if r < 0.98:
+    if r < 0.92:
         return _pdfish_payload(rng)
+    if r < 0.98:
+        return _xml_payload(rng)
     return _garbage_payload(rng)
 
 

@@ -37,10 +37,13 @@ from .sniffer import (
     KIND_HTML,
     KIND_PDFISH,
     KIND_PLAIN,
+    KIND_XML,
     classify_text_array,
 )
+from .xmltokens import parse_xml_payload
 
 ACTION_EXTRACTED = "extracted"
+ACTION_FALLBACK = "extracted_fallback"
 ACTION_SKIPPED_CLEAN = "skipped_clean"
 ACTION_EMPTY = "empty"
 ACTION_ERROR = "error"
@@ -98,6 +101,15 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
     return assemble_layout_text(boxes, blocks)
 
 
+def extract_xml(text: str) -> tuple[str, list[Span]]:
+    """XML path: NDLOCR/ALTO/PAGE-XML positioned tokens through the same
+    dedup + layout kernel as the pdfish path (reference app.py:1911-2007)."""
+    boxes, blocks = parse_xml_payload(text)
+    boxes = dedup_boxes(boxes)
+    blocks = dedup_blocks(blocks)
+    return assemble_layout_text(boxes, blocks)
+
+
 #: user-extension surface (reference U1/U3: injected pipeline callables,
 #: app.py:1540-1565, 2640-2664): map a content kind to its extractor.
 #: Register additions at MODULE IMPORT time (e.g. from a plugin module the
@@ -114,21 +126,46 @@ def register_extractor(kind: str, fn) -> None:
     EXTRACTOR_REGISTRY[kind] = fn
 
 
+#: structured kinds whose payload falls back to the PLAIN interpretation
+#: when structured parsing fails or yields nothing — the per-turn analog of
+#: the reference's priority chain that parses structured formats first and
+#: fills still-empty pages from lower-priority formats ("fill only empty
+#: pages", app.py:1663-1687): in a transcript a turn's raw bytes ARE its
+#: lowest-priority text representation.
+FALLBACK_KINDS: set = {KIND_PDFISH, KIND_HTML, KIND_XML}
+
+
 def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str]:
     """Extract one turn. Returns (extracted_text, spans, action, error).
 
-    Never raises: failures become ``action="error"`` rows.
+    Never raises: failures become ``action="error"`` rows. A structured
+    kind whose parse fails (truncated JSON, malformed XML) or produces no
+    text re-routes through the plain extractor and is tagged
+    ``action="extracted_fallback"`` — real payloads are messy, and the
+    reference's robustness rule is "lower-priority formats fill what the
+    structured parse left empty", not "give up".
     """
     try:
         if kind == KIND_EMPTY:
             return "", [], ACTION_EMPTY, ""
         raw = text or ""
         extractor = EXTRACTOR_REGISTRY.get(kind)
-        if extractor is not None:
-            extracted, spans = extractor(raw)
-        else:
+        if extractor is None:
             return "", [], ACTION_ERROR, f"unknown content kind: {kind!r}"
+        try:
+            extracted, spans = extractor(raw)
+        except Exception:
+            if kind not in FALLBACK_KINDS:
+                raise
+            extracted, spans = extract_plain(raw)
+            if extracted:
+                return extracted, spans, ACTION_FALLBACK, ""
+            return "", [], ACTION_EMPTY, ""
         if not extracted:
+            if kind in FALLBACK_KINDS:
+                extracted, spans = extract_plain(raw)
+                if extracted:
+                    return extracted, spans, ACTION_FALLBACK, ""
             return "", [], ACTION_EMPTY, ""
         if kind == KIND_PLAIN and extracted == raw:
             return extracted, spans, ACTION_SKIPPED_CLEAN, ""
@@ -138,6 +175,7 @@ def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str
 
 
 register_extractor(KIND_PDFISH, extract_pdfish)
+register_extractor(KIND_XML, extract_xml)
 register_extractor(KIND_HTML, extract_html)
 register_extractor(KIND_PLAIN, extract_plain)
 

@@ -9,6 +9,11 @@ turn's ``text`` that emits a ``content_kind`` column:
 
 - ``empty``  — whitespace-only payload
 - ``pdfish`` — JSON-ish positioned-text payload (first non-space char ``{``/``[``)
+- ``xml``    — positioned-token XML: an ``<?xml`` prolog or an NDLOCR /
+  ALTO / PAGE-XML signature tag (``<PAGE``, ``<LINE ``, ``<alto``,
+  ``<PcGts``) in the prefix — checked BEFORE the html rule so OCR XML never
+  degrades to tag-stripping (the reference routes these by ``.xml``
+  extension, app.py:1659-1661)
 - ``html``   — markup, by dual evidence: ≥1 tag-like match AND (a known tag
   name OR tag density ≥ 3 in the prefix)
 - ``plain``  — everything else
@@ -28,10 +33,14 @@ SNIFF_PREFIX_BYTES = 4096
 
 KIND_EMPTY = "empty"
 KIND_PDFISH = "pdfish"
+KIND_XML = "xml"
 KIND_HTML = "html"
 KIND_PLAIN = "plain"
 
 _JSONISH_RE = r"^\s*[\[{]"
+#: case-sensitive: NDLOCR/ALTO/PAGE-XML tag names are uppercase-exact;
+#: lowercase html <line> (nonstandard) stays on the html path
+XMLISH_RE = r"^\s*<\?xml|<(PAGE|alto|PcGts)[\s>]|<LINE\s"
 _TAG_RE = r"</?[A-Za-z][A-Za-z0-9]*(\s[^>]*)?>"
 _KNOWN_TAG_RE = (
     r"(?i)<(p|div|html|body|head|br|span|a|li|ul|ol|h[1-6]|nav|footer|header|"
@@ -47,6 +56,7 @@ def classify_text_array(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     prefix = pc.utf8_slice_codeunits(text, 0, SNIFF_PREFIX_BYTES)
     is_empty = pc.equal(pc.utf8_trim_whitespace(prefix), "")
     jsonish = pc.match_substring_regex(prefix, _JSONISH_RE)
+    xmlish = pc.match_substring_regex(prefix, XMLISH_RE)
     tag_count = pc.count_substring_regex(prefix, _TAG_RE)
     has_tag = pc.greater_equal(tag_count, 1)
     known_tag = pc.match_substring_regex(prefix, _KNOWN_TAG_RE)
@@ -59,7 +69,11 @@ def classify_text_array(text: pa.Array | pa.ChunkedArray) -> pa.Array:
         pc.if_else(
             jsonish,
             pa.scalar(KIND_PDFISH),
-            pc.if_else(htmlish, pa.scalar(KIND_HTML), pa.scalar(KIND_PLAIN)),
+            pc.if_else(
+                xmlish,
+                pa.scalar(KIND_XML),
+                pc.if_else(htmlish, pa.scalar(KIND_HTML), pa.scalar(KIND_PLAIN)),
+            ),
         ),
     )
     if isinstance(kind, pa.ChunkedArray):

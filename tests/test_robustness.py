@@ -62,7 +62,7 @@ class TestFaultTolerance:
         expected_rows = pq.read_metadata(str(src)).num_rows
         assert len(out) == expected_rows
         assert set(out.action.unique()) <= {
-            "extracted", "skipped_clean", "empty", "error",
+            "extracted", "extracted_fallback", "skipped_clean", "empty", "error",
         }
         # the failure actually fired at least once
         assert len(os.listdir(marker_dir)) >= 1

@@ -145,9 +145,36 @@ class TestExtractTurn:
     def test_empty(self):
         assert extract_turn("", "empty") == ("", [], ACTION_EMPTY, "")
 
-    def test_pdfish_error_isolated(self):
+    def test_pdfish_parse_failure_falls_back_to_plain(self):
+        """Truncated JSON yields normalized text via the plain fallback,
+        not an error row (reference fill-only-empty chain, app.py:1663-1687)."""
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import ACTION_FALLBACK
+
         text, spans, action, err = extract_turn('{"text": "trunc', "pdfish")
-        assert action == ACTION_ERROR and "ValueError" in err and text == ""
+        assert action == ACTION_FALLBACK and err == ""
+        assert text == '{"text": "trunc'  # plain-normalized raw payload
+        assert spans and spans[0][2] == "block"
+
+    def test_pdfish_empty_result_falls_back(self):
+        """A structurally valid but token-free payload fills from plain."""
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import ACTION_FALLBACK
+
+        text, _, action, _ = extract_turn("{}", "pdfish")
+        assert action == ACTION_FALLBACK and text == "{}"
+
+    def test_custom_kind_error_still_isolated(self):
+        """Non-fallback kinds keep strict per-item error isolation."""
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import register_extractor, EXTRACTOR_REGISTRY
+
+        def boom(raw):
+            raise RuntimeError("kaput")
+
+        register_extractor("custom_boom", boom)
+        try:
+            text, _, action, err = extract_turn("x", "custom_boom")
+            assert action == ACTION_ERROR and "kaput" in err and text == ""
+        finally:
+            EXTRACTOR_REGISTRY.pop("custom_boom", None)
 
     def test_pdfish_lines(self):
         payload = json.dumps(
