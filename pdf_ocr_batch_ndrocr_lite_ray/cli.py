@@ -111,22 +111,27 @@ def cmd_extract(args: argparse.Namespace) -> int:
             order=bool(_resolve(args, config, "order")),
             use_actors=bool(_resolve(args, config, "use_actors")),
         )
-    out = Path(args.output)
-    if out.exists() and any(out.iterdir()):
-        # Ray writes fresh unique filenames, so re-running into a dirty
-        # directory would MIX stale files from the previous run into the
-        # output and double-count them in the report (reference conflict
-        # policy: abort unless told to overwrite, app.py:2519-2529)
-        if getattr(args, "overwrite", False):
-            import shutil
+    # Ray writes fresh unique filenames, so re-running into a dirty
+    # directory would MIX stale files from the previous run into the output
+    # and double-count them in the report. Writer policy (reference S6/U4,
+    # app.py:2519-2529): fail (default), overwrite (clear first), or
+    # rename (_001.._9999 sequence picks a fresh sibling dir).
+    from .state.output_paths import make_output_dir
 
-            shutil.rmtree(out)
-        else:
-            print(
-                f"output directory {out} is not empty; pass --overwrite to clear it",
-                file=sys.stderr,
-            )
-            return 2
+    conflict = "overwrite" if getattr(args, "overwrite", False) else args.on_conflict
+    try:
+        out = make_output_dir(Path(args.output), conflict)
+    except FileExistsError:
+        print(
+            f"output directory {args.output} is not empty; use --on-conflict "
+            "overwrite|rename (or --overwrite)",
+            file=sys.stderr,
+        )
+        return 2
+    if conflict == "overwrite" and out.exists() and any(out.iterdir()):
+        import shutil
+
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     if args.output_format == "jsonl":
         ds = ds.drop_columns([c for c in ["spans"] if c in ds.schema().names])
@@ -172,6 +177,7 @@ def cmd_resume(args: argparse.Namespace) -> int:
         batch_size=_resolve(args, config, "batch_size"),
         max_partitions=args.max_partitions,
         on_conflict=args.on_conflict,
+        wave_size=args.wave_size,
     )
     print(json.dumps(report))
     return 0
@@ -217,7 +223,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true",
                    help="print Ray Data operator stats to stderr after the run")
     p.add_argument("--overwrite", action="store_true",
-                   help="clear a non-empty output directory before writing")
+                   help="shorthand for --on-conflict overwrite")
+    p.add_argument("--on-conflict", choices=["fail", "overwrite", "rename"],
+                   default="fail",
+                   help="policy for a non-empty output dir: fail (default), "
+                        "overwrite (clear it), rename (_001.._9999 sibling)")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("resume", help="checkpointed extraction (resumable)")
@@ -226,6 +236,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-cpus", dest="num_cpus", type=int)
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--max-partitions", type=int, default=None)
+    p.add_argument("--wave-size", type=int, default=None,
+                   help="fragments per streaming job (manifests commit per wave)")
     p.add_argument("--on-conflict", choices=["overwrite", "fail"], default="overwrite",
                    help="policy for uncommitted partition dirs from a prior attempt")
     p.set_defaults(fn=cmd_resume)

@@ -13,10 +13,14 @@ Ray-native analog here:
 - output rows are written with ``write_parquet(partition_cols=["part_id"])``
   → one directory per input fragment (``part_id=<hex>/``), never one giant
   file.
-- after the streaming write completes, a manifest
+- fragments are processed in bounded WAVES (``wave_size`` fragments per
+  streaming job); after each wave's write completes, a manifest
   ``_ckpt/<part_id>.json`` is committed per fragment recording lineage
   (input path, row count), output row count, and per-action counters —
   the manifest is the commit marker, written strictly AFTER the data.
+  Wave-granular commit means a job killed after k waves resumes at wave
+  k+1 instead of reprocessing the whole run; the wave size trades resume
+  granularity against per-job pipeline startup cost.
 - **resume**: fragments with a manifest are filtered out of the read (the
   skip happens at the *file list*, so completed partitions cost zero I/O);
   partition dirs without a manifest are torn down and rewritten
@@ -89,6 +93,16 @@ def _add_part_id_column(batch: pa.Table) -> pa.Table:
     return batch.append_column("part_id", part_ids)
 
 
+def _default_wave_size() -> int:
+    """Fragments per streaming job: enough to keep every CPU busy, small
+    enough that a kill loses at most one wave's work."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, cpus)
+
+
 def run_resumable_extraction(
     input_paths: Sequence[Union[str, Path]],
     out_dir: Union[str, Path],
@@ -97,6 +111,7 @@ def run_resumable_extraction(
     concurrency: Union[int, tuple[int, int], None] = None,
     max_partitions: Optional[int] = None,
     on_conflict: str = "overwrite",
+    wave_size: Optional[int] = None,
 ) -> dict:
     """Run (or resume) a checkpointed extraction job.
 
@@ -107,6 +122,10 @@ def run_resumable_extraction(
     ``"overwrite"`` tears down uncommitted partition dirs and rewrites them
     (idempotent resume); ``"fail"`` raises if any uncommitted partition dir
     already exists (the reference's conflict=abort mode).
+
+    ``wave_size`` fragments are processed per streaming job and their
+    manifests committed before the next wave starts — a mid-run kill
+    recovers every completed wave, not nothing.
 
     Returns a job report: counters summed over ALL committed partitions
     (previous runs included), plus how many were skipped as already done.
@@ -135,32 +154,38 @@ def run_resumable_extraction(
             shutil.rmtree(pdir)
 
     if remaining:
+        wave = wave_size or _default_wave_size()
         run_started = time.monotonic()
-        ds = ray.data.read_parquet([p for _, p in remaining], include_paths=True)
-        ds = ds.map_batches(
-            _add_part_id_column,
-            batch_format="pyarrow",
-            runtime_env=package_runtime_env(),
-        )
-        ds = build_extraction(ds, batch_size=batch_size, concurrency=concurrency)
-        ds.write_parquet(str(out_dir / DATA_SUBDIR), partition_cols=["part_id"])
-        run_seconds = time.monotonic() - run_started
         run_rows = 0
+        for start in range(0, len(remaining), wave):
+            batch_frags = remaining[start : start + wave]
+            ds = ray.data.read_parquet(
+                [p for _, p in batch_frags], include_paths=True
+            )
+            ds = ds.map_batches(
+                _add_part_id_column,
+                batch_format="pyarrow",
+                runtime_env=package_runtime_env(),
+            )
+            ds = build_extraction(ds, batch_size=batch_size, concurrency=concurrency)
+            ds.write_parquet(str(out_dir / DATA_SUBDIR), partition_cols=["part_id"])
 
-        # commit: manifest written AFTER the partition's data is durable
-        for pid, path in remaining:
-            actions = _count_actions(_partition_dir(out_dir, pid))
-            run_rows += sum(actions.values())
-            manifest = {
-                "part_id": pid,
-                "input_path": path,
-                "input_rows": pq.read_metadata(path).num_rows,
-                "output_rows": sum(actions.values()),
-                "actions": dict(actions),
-            }
-            tmp = _manifest_path(out_dir, pid).with_suffix(".tmp")
-            tmp.write_text(json.dumps(manifest, sort_keys=True))
-            tmp.replace(_manifest_path(out_dir, pid))
+            # commit: manifests written AFTER this wave's data is durable,
+            # BEFORE the next wave starts — the streaming checkpoint
+            for pid, path in batch_frags:
+                actions = _count_actions(_partition_dir(out_dir, pid))
+                run_rows += sum(actions.values())
+                manifest = {
+                    "part_id": pid,
+                    "input_path": path,
+                    "input_rows": pq.read_metadata(path).num_rows,
+                    "output_rows": sum(actions.values()),
+                    "actions": dict(actions),
+                }
+                tmp = _manifest_path(out_dir, pid).with_suffix(".tmp")
+                tmp.write_text(json.dumps(manifest, sort_keys=True))
+                tmp.replace(_manifest_path(out_dir, pid))
+        run_seconds = time.monotonic() - run_started
     else:
         run_seconds, run_rows = 0.0, 0
 

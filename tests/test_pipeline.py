@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from pdf_ocr_batch_ndrocr_lite_ray.oracle import GOLDEN_COLUMNS, oracle_extract_parquet
 
@@ -155,3 +156,129 @@ class TestResume:
             [ray.get(r) for r in read_extracted(out).to_arrow_refs()]
         )
         _assert_tables_equal(ours, golden)
+
+
+class TestWaveCommit:
+    """Per-wave manifest commit: a job that dies mid-run recovers every
+    COMPLETED wave instead of nothing (streaming checkpoint granularity)."""
+
+    def _write_shards(self, tmp_path, n_shards=4, convs_per_shard=3, seed=11):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import write_transcripts
+
+        paths = []
+        for i in range(n_shards):
+            p = tmp_path / f"shard-{i}.parquet"
+            write_transcripts(p, n_convs=convs_per_shard, seed=seed + i, first_conv=i * convs_per_shard)
+            paths.append(str(p))
+        return paths
+
+    def test_crash_mid_run_keeps_completed_waves(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
+            completed_partitions,
+            run_resumable_extraction,
+        )
+
+        paths = self._write_shards(tmp_path)
+        # corrupt the shard that lands in wave 2 (inputs are processed in
+        # sorted order; waves of 2 → shard-2 starts wave 2)
+        bad = tmp_path / "shard-2.parquet"
+        bad.write_bytes(b"not a parquet file")
+
+        out = tmp_path / "out"
+        with pytest.raises(Exception):
+            run_resumable_extraction(paths, out, concurrency=2, wave_size=2)
+
+        # wave 1 (shards 0+1) committed before the crash
+        done = completed_partitions(out)
+        assert len(done) == 2
+        committed_inputs = sorted(m["input_path"] for m in done.values())
+        assert committed_inputs == [str(tmp_path / "shard-0.parquet"),
+                                    str(tmp_path / "shard-1.parquet")]
+
+        # repair the shard; the resume skips wave 1 entirely
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import write_transcripts
+
+        write_transcripts(bad, n_convs=3, seed=13, first_conv=6)
+        report = run_resumable_extraction(paths, out, concurrency=2, wave_size=2)
+        assert report["partitions_skipped_resume"] == 2
+        assert report["partitions_committed"] == 4
+
+    def test_wave_size_invariance(self, ray_session, tmp_path):
+        import ray
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
+            read_extracted,
+            run_resumable_extraction,
+        )
+
+        paths = self._write_shards(tmp_path, n_shards=3)
+        a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+        run_resumable_extraction(paths, a_dir, concurrency=2, wave_size=1)
+        run_resumable_extraction(paths, b_dir, concurrency=2, wave_size=8)
+        a = pa.concat_tables([ray.get(r) for r in read_extracted(a_dir).to_arrow_refs()])
+        b = pa.concat_tables([ray.get(r) for r in read_extracted(b_dir).to_arrow_refs()])
+        _assert_tables_equal(a, b)
+
+
+class TestOutputPaths:
+    """Destination modes + rename-sequence conflict policy (S6/U4)."""
+
+    def test_modes(self, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.state.output_paths import (
+            SUBDIR_NAME,
+            resolve_output_dir,
+        )
+
+        src = tmp_path / "in" / "frag.parquet"
+        src.parent.mkdir()
+        src.touch()
+        assert resolve_output_dir(src, tmp_path / "in", "same_dir") == src.parent
+        assert (
+            resolve_output_dir(src, tmp_path / "in", "input_subdir")
+            == tmp_path / "in" / SUBDIR_NAME
+        )
+        assert resolve_output_dir(src, tmp_path / "in", "custom_dir", tmp_path / "x") == tmp_path / "x"
+        with pytest.raises(ValueError):
+            resolve_output_dir(src, tmp_path / "in", "custom_dir")
+        # unknown mode falls back to same_dir (reference default branch)
+        assert resolve_output_dir(src, tmp_path / "in", "bogus") == src.parent
+
+    def test_rename_sequence(self, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.state.output_paths import make_output_dir
+
+        base = tmp_path / "out"
+        assert make_output_dir(base, "rename") == base  # clear → base itself
+        base.mkdir()
+        (base / "f").touch()
+        assert make_output_dir(base, "rename") == tmp_path / "out_001"
+        (tmp_path / "out_001").mkdir()
+        (tmp_path / "out_001" / "f").touch()
+        assert make_output_dir(base, "rename") == tmp_path / "out_002"
+        # empty existing dir is reusable, not a conflict
+        (tmp_path / "out_002").mkdir()
+        assert make_output_dir(base, "rename") == tmp_path / "out_002"
+
+    def test_rename_exhaustion(self, tmp_path, monkeypatch):
+        import pdf_ocr_batch_ndrocr_lite_ray.state.output_paths as op
+
+        base = tmp_path / "out"
+        base.mkdir()
+        (base / "f").touch()
+        monkeypatch.setattr(op, "_RENAME_LIMIT", 3)
+        for i in range(1, 4):
+            d = tmp_path / f"out_{i:03d}"
+            d.mkdir()
+            (d / "f").touch()
+        with pytest.raises(RuntimeError):
+            op.make_output_dir(base, "rename")
+
+    def test_fail_and_overwrite(self, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.state.output_paths import make_output_dir
+
+        base = tmp_path / "out"
+        base.mkdir()
+        (base / "f").touch()
+        with pytest.raises(FileExistsError):
+            make_output_dir(base, "fail")
+        assert make_output_dir(base, "overwrite") == base
+        with pytest.raises(ValueError):
+            make_output_dir(base, "bogus")
