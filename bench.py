@@ -96,6 +96,37 @@ def q_ann_topk(sf_dir: str) -> int:
     return _consume(brute_force_topk(sf_dir))
 
 
+def q_dedup_ngram_jaccard(sf_dir: str) -> int:
+    """Exact n-gram Jaccard pairs (shingle explode + joins — heavy exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_ngram_jaccard
+
+    return _consume(dedup_ngram_jaccard(sf_dir))
+
+
+def q_conversation_texts(sf_dir: str) -> int:
+    """Salted conversation reassembly over the BENCH corpus (extraction +
+    the skew-defusing 2-level groupby exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+        reassemble_conversations,
+    )
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+
+    return _consume(reassemble_conversations(extract_transcripts(_bench_input(sf_dir))))
+
+
+def q_extract_resume(sf_dir: str) -> int:
+    """Checkpointed extraction: wave-granular write + manifest commit path."""
+    import shutil
+
+    from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import run_resumable_extraction
+
+    out = Path("/tmp/graft_cache/bench_ckpt")
+    if out.exists():
+        shutil.rmtree(out)
+    report = run_resumable_extraction(_bench_input(sf_dir), out)
+    return int(report["rows"])
+
+
 def q_user_sessions(sf_dir: str) -> int:
     """Per-user sessionization over the events stream."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import user_sessions
@@ -113,8 +144,11 @@ def q_asof_join(sf_dir: str) -> int:
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_ordered": q_extract_ordered,
+    "extract_resume": q_extract_resume,
     "docs_textstats": q_docs_textstats,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "conversation_texts": q_conversation_texts,
     "ann_topk": q_ann_topk,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,

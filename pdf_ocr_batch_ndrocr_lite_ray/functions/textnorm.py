@@ -70,11 +70,21 @@ def normalize_space(text: Optional[str]) -> str:
     return _WS_RE.sub(" ", text or "").strip()
 
 
+#: hard cap on fixpoint passes: real text converges in ≤4 passes (pinned by
+#: tests/test_extraction_oracle.py), so 64 never changes a legitimate
+#: result — it only bounds the adversarial worst case (a payload crafted so
+#: each pass deletes one space is otherwise O(n) passes × O(n) scan).
+#: The straggler guard SURVEY §4 calls for: no single row can wedge an actor.
+_MAX_FIXPOINT_PASSES = 64
+
+
 @lru_cache(maxsize=65536)
 def _normalize_text_cached(s: str) -> str:
     prev = None
-    while s != prev:
+    passes = 0
+    while s != prev and passes < _MAX_FIXPOINT_PASSES:
         prev = s
+        passes += 1
         for pat, rep in _NORMALIZE_RULES:
             s = pat.sub(rep, s)
     return s.strip()
@@ -118,8 +128,10 @@ def collapse_spaces_japanese(text: Optional[str]) -> str:
     s = s.replace(_PLACEHOLDER, " ")
 
     prev = None
-    while s != prev:
+    passes = 0
+    while s != prev and passes < _MAX_FIXPOINT_PASSES:
         prev = s
+        passes += 1
         for pat, rep in _JP_COLLAPSE_RULES:
             s = pat.sub(rep, s)
     return s.strip()
@@ -184,3 +196,36 @@ def page_number_from_name(name: Optional[str]) -> Optional[int]:
             except ValueError:
                 continue
     return None
+
+
+def guess_page_index(name: Optional[str], page_names: list[str]) -> Optional[int]:
+    """Fuzzy page/fragment attribution of a name to one of ``page_names``.
+
+    Mirrors the reference's ``_guess_page_index_from_name``
+    (app.py:2025-2051): exact embedded page number wins (1-based, must be
+    in range); a single-page document claims everything; otherwise each
+    page is scored by summed lengths of candidate substrings found in the
+    name (the page's own stem, ``pNNNN``, ``pageN``, ``_NNNN``) plus the
+    name-token overlap — highest positive score wins, ties to the earlier
+    page.
+    """
+    lowered = (name or "").lower()
+    page_count = len(page_names)
+    exact = page_number_from_name(lowered)
+    if exact is not None and 1 <= exact <= page_count:
+        return exact - 1
+    if page_count == 1:
+        return 0
+    name_tokens = tokenize_name(lowered)
+    best: Optional[tuple[int, int]] = None
+    for idx, page_name in enumerate(page_names):
+        stem = (page_name or "").lower()
+        candidates = {stem, f"p{idx + 1:04d}", f"page{idx + 1}", f"_{idx + 1:04d}"}
+        score = 0
+        for cand in candidates:
+            if cand and cand in lowered:
+                score += len(cand)
+        score += len(name_tokens & tokenize_name(stem))
+        if score > 0 and (best is None or score > best[0]):
+            best = (score, idx)
+    return best[1] if best else None

@@ -401,51 +401,118 @@ def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset"
     sigs = (
         corpus(sf_dir)
         .map_batches(_minhash_sig_rows, batch_format="pyarrow")
-        .materialize()
+        .materialize()  # distributed blocks, 512 B/doc — computed once
     )
 
     bands = sigs.map_batches(_band_rows_from_sigs, batch_format="pyarrow")
     pairs = _hash_partitioned(bands, "band_key", _minhash_partition_pairs)
-    # distinct candidate pairs (a pair can collide in several bands);
-    # partition-complete dedupe on doc_a — Ray's multi-key groupby is ~70x
-    # slower at millions of pair rows
-    pairs = _hash_partitioned(pairs, "doc_a", _pair_dedupe_partition)
+    # multi-band collisions are deduped inside merge_a below — it is keyed
+    # on doc_a, so every copy of a pair lands in the same partition and a
+    # separate dedupe exchange would only add a shuffle
 
-    nparts = _join_partitions()
-    joined = pairs.join(
-        sigs, join_type="inner", num_partitions=nparts,
-        on=("doc_a",), right_on=("doc_id",), right_suffix="_a",
-    )
-    joined = _rename(joined, {"sig": "sig_a"})
-    joined = joined.join(
-        sigs, join_type="inner", num_partitions=nparts,
-        on=("doc_b",), right_on=("doc_id",), right_suffix="_b",
-    )
-    joined = _rename(joined, {"sig": "sig_b"})
-
-    def estimate(batch: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
-        )
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        a = np.frombuffer(
-            b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64
-        ).reshape(batch.num_rows, N_PERMS)
-        b = np.frombuffer(
-            b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64
-        ).reshape(batch.num_rows, N_PERMS)
-        est = np.round((a == b).mean(axis=1), 6)
-        t = pa.table(
+    # attach signatures by a UNION + partition-complete merge rather than
+    # Dataset.join: tagging both sides into one exchange and joining with
+    # pandas inside each hash partition costs two cheap shuffles, while the
+    # generic join operator pays a barrier + an aggregator-actor pool per
+    # join (measured ~5x slower on this shape). Signatures stay distributed
+    # throughout — nothing corpus-sized ever lands on the driver.
+    def tag_pairs_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "est_jaccard": pa.array(est, type=pa.float64()),
+                "key": pc.cast(batch["doc_a"], pa.int64()),
+                "other": pc.cast(batch["doc_b"], pa.int64()),
+                "sig": pa.nulls(batch.num_rows, type=pa.binary()),
             }
         )
-        return t.filter(pc.greater_equal(t["est_jaccard"], tau))
 
-    return joined.map_batches(estimate, batch_format="pyarrow")
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(batch["doc_id"], pa.int64()),
+                "other": pa.nulls(batch.num_rows, type=pa.int64()),
+                "sig": batch["sig"],
+            }
+        )
+
+    def merge_a(df: pd.DataFrame) -> pd.DataFrame:
+        sig_rows = df[df["sig"].notna()]
+        lut = dict(zip(sig_rows["key"], sig_rows["sig"]))
+        # dedupe multi-band collisions here: the partition is keyed on
+        # doc_a, so all copies of a candidate pair are local
+        pr = df[df["sig"].isna()].drop_duplicates(["key", "other"])
+        out = pd.DataFrame(
+            {
+                "key": pr["other"].astype("int64"),  # next pass keys on doc_b
+                "doc_a": pr["key"].astype("int64"),
+                "sig_a": pr["key"].map(lut),
+            }
+        )
+        return out.dropna(subset=["sig_a"]).reset_index(drop=True)
+
+    pass1 = pairs.map_batches(tag_pairs_a, batch_format="pyarrow").union(
+        sigs.map_batches(tag_sigs, batch_format="pyarrow")
+    )
+    with_sig_a = _hash_partitioned(pass1, "key", merge_a)
+
+    def tag_pairs_b(batch: pa.Table) -> pa.Table:
+        # an empty pandas partition infers sig_a as null-typed — pin binary
+        # so the union's schema stays stable across blocks
+        sig_a = batch["sig_a"]
+        if not pa.types.is_binary(sig_a.type):
+            sig_a = pc.cast(sig_a, pa.binary())
+        return pa.table(
+            {
+                "key": pc.cast(batch["key"], pa.int64()),
+                "doc_a": pc.cast(batch["doc_a"], pa.int64()),
+                "sig_a": sig_a,
+                "sig": pa.nulls(batch.num_rows, type=pa.binary()),
+            }
+        )
+
+    def tag_sigs_b(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(batch["doc_id"], pa.int64()),
+                "doc_a": pa.nulls(batch.num_rows, type=pa.int64()),
+                "sig_a": pa.nulls(batch.num_rows, type=pa.binary()),
+                "sig": batch["sig"],
+            }
+        )
+
+    def merge_b(df: pd.DataFrame) -> pd.DataFrame:
+        sig_rows = df[df["sig"].notna()]
+        lut = dict(zip(sig_rows["key"], sig_rows["sig"]))
+        pr = df[df["sig"].isna()].copy()
+        pr["sig_b"] = pr["key"].map(lut)
+        pr = pr.dropna(subset=["sig_b"])
+        if len(pr) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "est_jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        a = np.frombuffer(b"".join(pr["sig_a"]), dtype=np.uint64).reshape(
+            len(pr), N_PERMS
+        )
+        b = np.frombuffer(b"".join(pr["sig_b"]), dtype=np.uint64).reshape(
+            len(pr), N_PERMS
+        )
+        est = np.round((a == b).mean(axis=1), 6)
+        out = pd.DataFrame(
+            {
+                "doc_a": pr["doc_a"].astype("int64").to_numpy(),
+                "doc_b": pr["key"].astype("int64").to_numpy(),
+                "est_jaccard": est,
+            }
+        )
+        return out[out["est_jaccard"] >= tau].reset_index(drop=True)
+
+    pass2 = with_sig_a.map_batches(tag_pairs_b, batch_format="pyarrow").union(
+        sigs.map_batches(tag_sigs_b, batch_format="pyarrow")
+    )
+    return _hash_partitioned(pass2, "key", merge_b)
 
 
 # --- SimHash (rows-only) ---------------------------------------------------

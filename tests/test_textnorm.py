@@ -151,3 +151,59 @@ class TestReferenceParity:
         for name in names:
             assert tn.tokenize_name(name) == refmod._tokenize_name(name)
             assert tn.page_number_from_name(name) == refmod._extract_page_number_from_name(name)
+
+
+class TestGuessPageIndex:
+    PAGES = ["scan_0001", "scan_0002", "chapter-two-page2", "appendix_final"]
+
+    def test_exact_number_wins(self):
+        assert tn.guess_page_index("frag_p0003", self.PAGES) == 2
+        assert tn.guess_page_index("x_0002_y", self.PAGES) == 1
+
+    def test_out_of_range_number_falls_through(self):
+        # p9 exceeds page_count -> fuzzy scoring (no match -> None)
+        assert tn.guess_page_index("zz_p0009_zz", self.PAGES) is None
+
+    def test_single_page_claims_all(self):
+        assert tn.guess_page_index("anything", ["only"]) == 0
+
+    def test_substring_and_token_overlap(self):
+        assert tn.guess_page_index("out-appendix-final-ocr", self.PAGES) == 3
+        # "page2" carries an exact embedded number -> 1-based page 2, NOT
+        # the fuzzy match against the page stem (reference precedence)
+        assert tn.guess_page_index("chapter-two-page2-result", self.PAGES) == 1
+
+    def test_no_evidence_is_none(self):
+        assert tn.guess_page_index("unrelated", self.PAGES) is None
+        assert tn.guess_page_index("", self.PAGES) is None
+
+    def test_matches_reference(self, refmod):
+        import random
+        import types
+        from pathlib import Path
+
+        class _Page:
+            def __init__(self, index, stem):
+                self.index = index
+                self.image_path = Path(f"{stem}.png")
+
+        parser = refmod.OCRResultParser(log=lambda level, msg: None)
+        rng = random.Random(77)
+        stems_pool = [
+            "scan_0001", "scan_0002", "page3", "frag_p0004", "doc-part-five",
+            "image", "img_001", "table_page2", "fig", "appendix",
+        ]
+        probes = [
+            "frag_p0001", "scan_0002_ocr", "out_page3", "img_001_result",
+            "doc-part-five", "nothing-here", "p0002", "_0003_", "page1",
+            "table_page2_x", "", "appendix",
+        ]
+        for _ in range(200):
+            n = rng.randrange(1, 6)
+            stems = rng.sample(stems_pool, n)
+            pages = [_Page(i, s) for i, s in enumerate(stems)]
+            prepared = types.SimpleNamespace(pages=pages)
+            probe = rng.choice(probes)
+            want = parser._guess_page_index_from_name(Path(probe + ".json"), prepared)
+            got = tn.guess_page_index(probe, stems)
+            assert got == want, (probe, stems)
