@@ -51,4 +51,6 @@ def oracle_sql() -> dict[str, str]:
     runnable regardless of whether the matching query ran first.
     """
     _queryset.transcripts_for_sf("/root/testdata/sf0.01")
+    for materialize in _queryset.MATERIALIZERS:
+        materialize()
     return dict(_queryset.ORACLE_SQL)

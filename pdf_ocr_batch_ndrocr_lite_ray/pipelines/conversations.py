@@ -122,4 +122,35 @@ def q_conversation_texts(sf_dir: str) -> "ray.data.Dataset":
     return reassemble_conversations(extract_transcripts(path))
 
 
-register("conversation_texts", q_conversation_texts)  # rows-only: needs extraction
+def q_conversation_plain_texts(sf_dir: str) -> "ray.data.Dataset":
+    """Salted reassembly restricted to plain-path turns — the same two-level
+    exchange as ``conversation_texts``, but over the turn family whose
+    extracted text has a full DuckDB oracle, so the reassembly VALUES
+    (order, separator, empty-turn skipping) get checked end-to-end."""
+    path = transcripts_for_sf(sf_dir)
+    ds = extract_transcripts(path)
+
+    def plain_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["content_kind"], "plain"))
+
+    return reassemble_conversations(ds.map_batches(plain_only, batch_format="pyarrow"))
+
+
+def _conversation_plain_sql() -> str:
+    from .extraction_queries import _ORACLE_TRANSCRIPTS, _plain_turns_cte
+
+    # string_agg skips NULLs, so empty turns are dropped from the join but
+    # still counted — exactly the Python assembly's `if t` filter + len(g)
+    return _plain_turns_cte(_ORACLE_TRANSCRIPTS) + """
+SELECT conv_id,
+       coalesce(string_agg(CASE WHEN extracted_text <> '' THEN extracted_text END,
+                           chr(10) || chr(10) ORDER BY turn_idx), '') AS full_text,
+       count(*) AS n_turns
+FROM plain_turns GROUP BY conv_id
+"""
+
+
+register("conversation_texts", q_conversation_texts)  # rows-only: all-kind extraction
+register(
+    "conversation_plain_texts", q_conversation_plain_texts, sql=_conversation_plain_sql()
+)

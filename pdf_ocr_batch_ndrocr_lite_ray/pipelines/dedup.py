@@ -310,9 +310,12 @@ _PERM_A, _PERM_B = _perm_tables()
 
 
 def _base_hashes(shingles: set[str]) -> np.ndarray:
+    # md5 (not blake2b): DuckDB can reproduce it, which is what lets the
+    # whole MinHash pipeline carry a value-level SQL oracle —
+    # ('0x' || substr(md5(sh), 1, 8))::UBIGINT equals these 4 bytes
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big")
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
             for s in shingles
         ),
         dtype=np.uint64,
@@ -523,12 +526,14 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over distinct whitespace words (unweighted votes)."""
+    """64-bit SimHash over distinct whitespace words (unweighted votes).
+
+    Word hash = first 8 bytes of md5 (not blake2b) so DuckDB can reproduce
+    the full pipeline as a value-level oracle.
+    """
     votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
     for w in set(text.split()):
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
-        )
+        h = np.uint64(int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big"))
         bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
         votes += np.where(bits.astype(bool), 1, -1)
     return int(
@@ -775,9 +780,129 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
 
 # --- registration ----------------------------------------------------------
 
+def _minhash_oracle_sql() -> str:
+    """Value-level DuckDB oracle for the ENTIRE MinHash+LSH pipeline.
+
+    Expressible because every stage is deterministic arithmetic: shingle
+    base hash = first 4 bytes of md5 (``('0x'||substr(md5(sh),1,8))::UBIGINT``),
+    permutations = the module's (a, b) constants embedded as literals,
+    signature = min over shingles, banding = equality of the band's 4-perm
+    tuple (the Python band_key is blake2b OF that tuple — equal iff the
+    tuple is equal), bucket cap = row_number ≤ _MAX_BUCKET over sorted doc
+    ids, estimate = agreement fraction k/64 (exact binary fraction, so
+    np.round and SQL round agree bit-for-bit). Shingle-less docs carry the
+    all-sentinel signature on both engines.
+    """
+    perm_rows = ", ".join(
+        f"({p}, {int(a)}, {int(b)})"
+        for p, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    m = int(_MERSENNE)
+    return f"""
+WITH {CORPUS_SQL},
+w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM corpus),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+),
+d AS (SELECT DISTINCT doc_id, sh FROM s),
+h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::UBIGINT % {m} AS hv FROM d),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, p, min((a::UBIGINT * hv + b::UBIGINT) % {m}) AS v
+  FROM h CROSS JOIN perms GROUP BY doc_id, p
+),
+sig_all AS (
+  SELECT doc_id, CAST(p AS INT) AS p, v FROM sig
+  UNION ALL
+  SELECT w.doc_id, CAST(pp.p AS INT) AS p, {m}::UBIGINT AS v
+  FROM w CROSS JOIN (SELECT unnest(range({N_PERMS})) AS p) pp WHERE len(ws) = 0
+),
+band_sig AS (
+  SELECT doc_id, p // {ROWS_PER_BAND} AS band,
+         string_agg(v::VARCHAR, ',' ORDER BY p) AS bkey
+  FROM sig_all GROUP BY doc_id, p // {ROWS_PER_BAND}
+),
+ranked AS (
+  SELECT doc_id, band, bkey,
+         row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+  FROM band_sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE a.rn <= {_MAX_BUCKET} AND b.rn <= {_MAX_BUCKET}
+)
+SELECT c.doc_a, c.doc_b,
+       round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {N_PERMS}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig_all sa ON sa.doc_id = c.doc_a
+JOIN sig_all sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+GROUP BY 1, 2
+HAVING est_jaccard >= 0.5
+"""
+
+
 register("dedup_exact", dedup_exact, sql=DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, sql=DEDUP_NGRAM_JACCARD_SQL)
-register("dedup_minhash", minhash_duplicate_pairs)  # rows-only: signature estimate
-register("dedup_simhash", simhash_duplicate_pairs)  # rows-only
+def _simhash_oracle_sql() -> str:
+    """Value-level DuckDB oracle for the SimHash pipeline.
+
+    Word hash = first 8 bytes of md5; bit votes over distinct words;
+    sign-threshold reassembly uses ``1::HUGEINT << bit`` (NOT ``**`` — DuckDB
+    power returns DOUBLE and silently loses bits past 2^53); banding =
+    equality of each 16-bit chunk; bucket cap mirrors the Python
+    sorted-(doc_id, simhash)[:_MAX_BUCKET] rule via row_number.
+    """
+    return f"""
+WITH {CORPUS_SQL},
+w AS (
+  SELECT DISTINCT doc_id, wd
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS wd FROM corpus)
+),
+wh AS (SELECT doc_id, ('0x' || substr(md5(wd), 1, 16))::UBIGINT AS h FROM w),
+bits AS (SELECT unnest(range({SIMHASH_BITS})) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ((h >> CAST(bit AS INT)) & 1::UBIGINT) = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN bits GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(bit AS INT)) ELSE 0 END) AS UBIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+sh_all AS (
+  SELECT c.doc_id, coalesce(sh.simhash, 0::UBIGINT) AS simhash
+  FROM corpus c LEFT JOIN sh USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> CAST(b.band * 16 AS INT)) & 65535::UBIGINT AS chunk
+  FROM sh_all CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) b
+),
+ranked AS (
+  SELECT doc_id, simhash, band, chunk,
+         row_number() OVER (PARTITION BY band, chunk ORDER BY doc_id, simhash) AS rn
+  FROM bands
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE a.rn <= {_MAX_BUCKET} AND b.rn <= {_MAX_BUCKET}
+    AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+"""
+
+
+register("dedup_minhash", minhash_duplicate_pairs, sql=_minhash_oracle_sql())
+register("dedup_simhash", simhash_duplicate_pairs, sql=_simhash_oracle_sql())
 register("dedup_embedding", embedding_near_dup_pairs, sql=EMB_NEAR_DUP_SQL)
 register("dedup_embedding_lsh", embedding_lsh_near_dup_pairs)  # rows-only (approx)

@@ -1,8 +1,12 @@
 """Multimodal pipeline queries: decode + feature-extract over binary columns.
 
 The media table is synthesized deterministically per scale factor (cached
-under /tmp) — binary payloads are not SQL-friendly, so these are rows-only
-conformance checks; byte-exact behavior is pinned by unit tests instead.
+under /tmp). The list-typed features (byte histogram, frame samples) and the
+payload checksum are pinned by unit tests, but the header-parse semantics
+ARE SQL-expressible — DuckDB reads the container header out of
+``hex(payload)``, so ``media_meta`` (per-row decode metadata) and
+``media_kind_counts`` (the decode health report) get full value-level
+oracles; the payload-carrying feature queries stay rows-only.
 """
 
 from __future__ import annotations
@@ -12,10 +16,17 @@ from pathlib import Path
 import ray.data
 
 from ..stages.multimodal import MediaFeatureExtractor
-from .queryset import _CACHE_DIR, register
+from .queryset import _CACHE_DIR, MATERIALIZERS, register
 
 _SF_MEDIA_ROWS = {"sf0.001": 120, "sf0.01": 600, "sf0.1": 3000}
 _MEDIA_SEED = 42
+
+
+def media_path_for_sf(sf_dir: str) -> str:
+    """Deterministic media cache path (pure path math, no file write)."""
+    name = Path(sf_dir).name or "sf0.001"
+    n = _SF_MEDIA_ROWS.get(name, 120)
+    return str(_CACHE_DIR / f"media-{name}-r{n}-s{_MEDIA_SEED}.parquet")
 
 
 def media_table_for_sf(sf_dir: str) -> str:
@@ -23,7 +34,7 @@ def media_table_for_sf(sf_dir: str) -> str:
 
     name = Path(sf_dir).name or "sf0.001"
     n = _SF_MEDIA_ROWS.get(name, 120)
-    path = _CACHE_DIR / f"media-{name}-r{n}-s{_MEDIA_SEED}.parquet"
+    path = Path(media_path_for_sf(sf_dir))
     if not path.exists():
         _CACHE_DIR.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp.parquet")
@@ -74,6 +85,57 @@ def media_resized_features(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def media_meta(sf_dir: str) -> "ray.data.Dataset":
+    """Per-row decode metadata projection of the feature stage — the
+    SQL-oracled slice (kind/action/byte counts; lists and checksum are
+    pinned by unit tests instead)."""
+    return media_features(sf_dir).select_columns(
+        ["media_id", "kind", "payload_bytes", "body_bytes", "action"]
+    )
+
+
+# the driver compares at sf0.01; embed that deterministic cache path. The
+# header contract (sources/media.py HEADER_FMT "<4sBHHBIH"): 16 bytes, magic
+# "FMED" (hex 464D4544), kind code byte at offset 4 (hex chars 9-10);
+# parse_header fails on short payloads / bad magic / unknown kind → the
+# extractor emits kind='' action='error' for that row.
+_ORACLE_MEDIA = media_path_for_sf("/root/testdata/sf0.01")
+
+_MEDIA_META_CTE = f"""
+WITH h AS (
+  SELECT media_id, octet_length(payload) AS pb, hex(payload) AS hx
+  FROM read_parquet('{_ORACLE_MEDIA}')
+),
+f AS (
+  SELECT media_id, pb,
+         (pb >= 16 AND substr(hx, 1, 8) = '464D4544'
+                  AND substr(hx, 9, 2) IN ('01', '02', '03')) AS ok,
+         substr(hx, 9, 2) AS kc
+  FROM h
+),
+meta AS (
+  SELECT media_id,
+         CASE WHEN ok THEN
+           CASE kc WHEN '01' THEN 'image' WHEN '02' THEN 'audio' ELSE 'video' END
+         ELSE '' END AS kind,
+         pb AS payload_bytes,
+         CASE WHEN ok THEN pb - 16 ELSE 0 END AS body_bytes,
+         CASE WHEN ok THEN 'decoded' ELSE 'error' END AS action
+  FROM f
+)"""
+
+MEDIA_META_SQL = (
+    _MEDIA_META_CTE
+    + "\nSELECT media_id, kind, payload_bytes, body_bytes, action FROM meta"
+)
+
+MEDIA_KIND_COUNTS_SQL = (
+    _MEDIA_META_CTE + "\nSELECT kind, action, count(*) AS n FROM meta GROUP BY 1, 2"
+)
+
+MATERIALIZERS.append(lambda: media_table_for_sf("/root/testdata/sf0.01"))
+
 register("media_features", media_features)  # rows-only: binary payloads
 register("media_resized_features", media_resized_features)  # rows-only
-register("media_kind_counts", media_kind_counts)  # rows-only
+register("media_meta", media_meta, sql=MEDIA_META_SQL)
+register("media_kind_counts", media_kind_counts, sql=MEDIA_KIND_COUNTS_SQL)

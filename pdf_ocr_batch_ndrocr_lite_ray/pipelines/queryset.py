@@ -19,6 +19,11 @@ from typing import Any, Callable, Optional
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
+#: zero-arg callables run by ``__ray_entry__.oracle_sql()`` before the SQL is
+#: handed to the driver — they materialize any cached tables the static SQL
+#: strings reference by path (transcripts, media), so the oracle is runnable
+#: even if the matching Ray query never ran.
+MATERIALIZERS: list[Callable[[], None]] = []
 
 _CACHE_DIR = Path("/tmp/graft_cache")
 

@@ -56,8 +56,12 @@ register(
 def doc_winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_fingerprints, fp_min): winnowing rolling-hash fingerprints.
 
-    Rows-only (the O(n) rolling recurrence is not SQL-expressible);
-    determinism and the shared-substring guarantee are pinned by unit tests.
+    Fully SQL-oracled: the Rabin-Karp hash of each k-gram is plain modular
+    arithmetic (``ascii`` codepoints × powers of 257 mod 2^61-1 — no
+    rolling recurrence needed when each gram is hashed independently), and
+    the winnow windows are a ``min() OVER (... 3 FOLLOWING)`` truncated at
+    the partition end — which makes the ``n_hashes <= w`` single-window
+    case fall out of the same expression at i=1.
     """
     from ..functions.textstats import winnow_fingerprints
 
@@ -80,7 +84,39 @@ def doc_winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-register("docs_winnow_fingerprints", doc_winnow_fingerprints)  # rows-only
+# Rabin-Karp gram hash in SQL: h = sum(codepoint_j * 257^(k-1-j)) mod 2^61-1.
+# Max per-position sum ≈ 0x10FFFF * 257^4 * 5 < 2^56, so BIGINT never
+# overflows before the mod; ascii() == Python ord() for any codepoint and
+# substr()/len() are character-based, matching the Python string indexing.
+DOCS_WINNOW_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS tx, len(coalesce(text, '')) AS n FROM documents),
+hashes AS (
+  SELECT doc_id, CAST(i AS INT) AS i, n - 4 AS n_hashes,
+    (ascii(substr(tx, CAST(i AS INT), 1)) * 4362470401
+     + ascii(substr(tx, CAST(i AS INT)+1, 1)) * 16974593
+     + ascii(substr(tx, CAST(i AS INT)+2, 1)) * 66049
+     + ascii(substr(tx, CAST(i AS INT)+3, 1)) * 257
+     + ascii(substr(tx, CAST(i AS INT)+4, 1))) % 2305843009213693951 AS h
+  FROM t, LATERAL UNNEST(generate_series(1, n - 4)) u(i)
+  WHERE n >= 5
+),
+wm AS (
+  SELECT doc_id, i, n_hashes,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM hashes
+),
+fp AS (
+  SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints, min(wmin) AS fp_min
+  FROM wm WHERE i <= greatest(n_hashes - 3, 1) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(fp.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(fp.fp_min, 0) AS fp_min
+FROM t LEFT JOIN fp USING (doc_id)
+"""
+
+register("docs_winnow_fingerprints", doc_winnow_fingerprints, sql=DOCS_WINNOW_SQL)
 
 register(
     "docs_lang_counts",
