@@ -245,6 +245,113 @@ FROM agg ORDER BY rev DESC, l_partkey LIMIT {TOP_PARTS_K}
 """
 
 
+# --- grouped top-k: top customers per nation --------------------------------
+
+TOP_CUST_K = 3
+
+
+def top_customers_per_nation(sf_dir: str, k: int = TOP_CUST_K) -> "ray.data.Dataset":
+    """Top-k customers by total order value WITHIN each nation:
+    (c_nationkey, o_custkey, total_cents, rank).
+
+    Grouped top-k without a global sort: broadcast-join nation onto orders,
+    partial per-block (nation, customer) cents sums, one exchange keyed on
+    ``o_custkey`` to complete the per-customer sums (a customer maps to one
+    nation, so the finer key is partition-complete for both), then a second
+    tiny exchange keyed on ``c_nationkey`` over ≤ #customers rows picks each
+    nation's top k. Skewed nations cost one partition of customer-level
+    rows, never the order rows themselves.
+    """
+    import pyarrow.parquet as pq
+
+    from .dedup import _hash_partitioned
+    from .exchange import int64_array
+
+    cust = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    ckeys = int64_array(cust["c_custkey"])
+    cnations = int64_array(cust["c_nationkey"])
+    order = np.argsort(ckeys)
+    ref = ray.put((ckeys[order], cnations[order]))
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        skeys, snations = ray.get(ref)
+        keys = int64_array(batch["o_custkey"])
+        pos = np.searchsorted(skeys, keys) if len(skeys) else np.zeros(0, np.int64)
+        pos_clipped = np.minimum(pos, max(len(skeys) - 1, 0))
+        hit = skeys[pos_clipped] == keys if len(skeys) else np.zeros(len(keys), bool)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "c_nationkey": pa.array(
+                    np.where(hit, snations[pos_clipped], -1).astype(np.int64)
+                ),
+                "o_custkey": pa.array(keys, type=pa.int64()),
+                "cents": cents,
+            }
+        ).filter(pa.array(hit))  # inner-join semantics, matching the oracle
+        g = t.group_by(["c_nationkey", "o_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "o_custkey", "cents"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_per_customer(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["c_nationkey", "o_custkey"], sort=True)["cents"]
+            .sum()
+            .reset_index(name="total_cents")
+        )
+        g["total_cents"] = g["total_cents"].astype("int64")
+        return g
+
+    per_cust = _hash_partitioned(ds, "o_custkey", sum_per_customer)
+
+    def topk_per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["c_nationkey", "total_cents", "o_custkey"],
+            ascending=[True, False, True],
+        )
+        df = df.groupby("c_nationkey", sort=True).head(k).reset_index(drop=True)
+        df["rank"] = df.groupby("c_nationkey").cumcount().astype("int64") + 1
+        return df[["c_nationkey", "o_custkey", "total_cents", "rank"]]
+
+    return _hash_partitioned(per_cust, "c_nationkey", topk_per_nation)
+
+
+TOP_CUSTOMERS_PER_NATION_SQL = f"""
+WITH j AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT c_nationkey, o_custkey, CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM j GROUP BY 1, 2
+)
+SELECT c_nationkey, o_custkey, total_cents,
+       row_number() OVER (
+         PARTITION BY c_nationkey ORDER BY total_cents DESC, o_custkey
+       ) AS rank
+FROM agg
+QUALIFY rank <= {TOP_CUST_K}
+"""
+
+
 register("events_by_type", events_by_type, sql=EVENTS_BY_TYPE_SQL)
 register("orders_by_nation", orders_by_nation, sql=ORDERS_BY_NATION_SQL)
 register("lineitem_top_parts", lineitem_top_parts, sql=LINEITEM_TOP_PARTS_SQL)
+register(
+    "top_customers_per_nation",
+    top_customers_per_nation,
+    sql=TOP_CUSTOMERS_PER_NATION_SQL,
+)

@@ -11,7 +11,9 @@ side by side in ``functions/textstats.py`` so they cannot drift silently.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -117,6 +119,97 @@ FROM t LEFT JOIN fp USING (doc_id)
 """
 
 register("docs_winnow_fingerprints", doc_winnow_fingerprints, sql=DOCS_WINNOW_SQL)
+
+
+# --- tf-idf top terms (broadcast-small-side pattern) ------------------------
+
+TFIDF_TOPK = 5
+
+
+def _term_count_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows: lowercase → strip non-alpha → split. The
+    flatten uses the list offsets, so no Python loop over tokens."""
+    toks = pc.utf8_split_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z]+", replacement=" "
+        )
+    )
+    flat = pc.list_flatten(toks)  # skips null rows
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    parents = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+    keep = pc.not_equal(flat, "")  # split artifacts at string edges
+    t = pa.table({"doc_id": pa.array(parents, type=pa.int64()), "term": flat}).filter(
+        keep
+    )
+    g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "term", "tf"])
+
+
+def docs_tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK) -> "ray.data.Dataset":
+    """Top-k tf-idf terms per document: (doc_id, term, tf, score).
+
+    The canonical broadcast-join shape: per-doc term counts stream in
+    blocks; document frequencies are a VOCAB-sized aggregate (bounded by
+    distinct [a-z]+ words, not corpus size) collected once and ``ray.put``
+    broadcast to every scoring task — no shuffle join of the big side. The
+    only exchange of doc-sized data is the hash partition for per-doc
+    top-k selection.
+    """
+    import ray as _ray
+
+    from .dedup import _hash_partitioned
+
+    n_docs = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id"]
+    ).count()
+
+    tf = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(_term_count_rows, batch_format="pyarrow", zero_copy_batch=True)
+    tf = tf.materialize()  # used twice: df aggregate + scoring
+
+    df_tbl = tf.groupby("term").count()
+    ccol = [c for c in df_tbl.schema().names if c.startswith("count")][0]
+    df_map: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b["term"].to_pylist(), b[ccol].to_pylist()))
+    ref = _ray.put((df_map, float(n_docs)))
+
+    def topk_partition(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pdf.assign(score=pd.Series([], dtype="float64"))
+        dfm, n = _ray.get(ref)
+        dfs = pdf["term"].map(dfm).astype("float64")
+        pdf = pdf.assign(score=np.round(pdf["tf"] * np.log(n / dfs), 6))
+        pdf = pdf.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+        out = pdf.groupby("doc_id", sort=True).head(k)
+        return out.reset_index(drop=True)
+
+    return _hash_partitioned(tf, "doc_id", topk_partition)
+
+
+DOCS_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT doc_id, term, tf, round(tf * ln(n.n / df.df), 6) AS score
+FROM tf JOIN df USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY round(tf * ln(n.n / df.df), 6) DESC, term
+) <= {TFIDF_TOPK}
+"""
+
+register("docs_tfidf_top_terms", docs_tfidf_top_terms, sql=DOCS_TFIDF_SQL)
 
 register(
     "docs_lang_counts",

@@ -124,5 +124,59 @@ FROM per_session GROUP BY user_id
 """
 
 
+SLIDE_LEN_SEC = 3600  # sliding window length
+SLIDE_STEP_SEC = 900  # slide step → each event lands in LEN/STEP windows
+
+
+def events_sliding(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding 1h/15min window counts: (window_start, event_type, n_events).
+
+    An event at epoch ``e`` belongs to the ``LEN/STEP`` windows starting at
+    ``floor(e/STEP)*STEP - j*STEP`` — assignment is a vectorized shift per
+    replica ``j`` inside ``map_batches`` (the standard streaming window
+    replication), and per-block partial counts keep the exchange at
+    #windows × #types rows per block, never #events × replicas.
+    ``window_start`` is emitted as epoch SECONDS (int64) on both engines —
+    integer-exact, no timezone semantics to match.
+    """
+    n_rep = SLIDE_LEN_SEC // SLIDE_STEP_SEC
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())  # timestamp[us] → microseconds
+        base = pc.multiply(
+            pc.divide(us, SLIDE_STEP_SEC * 1_000_000), SLIDE_STEP_SEC
+        )
+        reps = []
+        for j in range(n_rep):
+            reps.append(
+                pa.table(
+                    {
+                        "window_start": pc.subtract(base, j * SLIDE_STEP_SEC),
+                        "event_type": batch["event_type"],
+                    }
+                )
+            )
+        t = pa.concat_tables(reps)
+        g = t.group_by(["window_start", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "event_type", "n_events"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["window_start", "event_type"]).aggregate(Sum("n_events"))
+    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
+    return _rename(out, {scol: "n_events"})
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT (epoch_us(ts) // {SLIDE_STEP_SEC * 1_000_000}) * {SLIDE_STEP_SEC}
+         - {SLIDE_STEP_SEC} * CAST(j AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events
+FROM events, LATERAL UNNEST(generate_series(0, {SLIDE_LEN_SEC // SLIDE_STEP_SEC - 1})) u(j)
+GROUP BY 1, 2
+"""
+
+
 register("events_hourly", events_hourly, sql=EVENTS_HOURLY_SQL)
+register("events_sliding", events_sliding, sql=EVENTS_SLIDING_SQL)
 register("user_sessions", user_sessions, sql=USER_SESSIONS_SQL)

@@ -444,6 +444,35 @@ class TestWinnowing:
         df = _check_against_oracle("docs_winnow_fingerprints", oracle_con)
         assert len(df) > 0 and (df.n_fingerprints > 0).all()
 
+    def test_tfidf_top_terms_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import text_analysis as ta
+
+        df = _check_against_oracle("docs_tfidf_top_terms", oracle_con)
+        # at most k terms per doc, ranked by score then term
+        assert df.groupby("doc_id").size().max() <= ta.TFIDF_TOPK
+        assert (df.tf >= 1).all()
+
+
+class TestGroupedOps:
+    def test_events_sliding_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import windows as w
+
+        df = _check_against_oracle("events_sliding", oracle_con)
+        # every window start is step-aligned and each event lands in
+        # LEN/STEP windows → total count is a LEN/STEP multiple of events
+        assert (df.window_start % w.SLIDE_STEP_SEC == 0).all()
+
+    def test_top_customers_per_nation_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import analytics as an
+
+        df = _check_against_oracle("top_customers_per_nation", oracle_con)
+        assert df.groupby("c_nationkey").size().max() <= an.TOP_CUST_K
+        # ranks are 1..k and descending by total within each nation
+        for _, g in df.groupby("c_nationkey"):
+            g = g.sort_values("rank")
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+            assert g.total_cents.is_monotonic_decreasing or len(g) == 1
+
 
 class TestMediaResize:
     def test_resize_fake_image_roundtrip(self):
