@@ -248,7 +248,44 @@ SELECT {SNIFF_CASE_SQL} AS content_kind, count(*) AS n
 FROM p GROUP BY 1
 """
 
+def q_extract_paged(sf_dir: str):
+    """Page-aware extraction of pdfish turns (reference M11/M12): per-turn
+    multi-page JSON payloads parsed with page attribution, merged through
+    the only-empty-pages rules, pages joined by form feed. Rows-only (the
+    merge kernel is fuzz-pinned against the reference in tests)."""
+    from ..stages.paged import extract_paged_turn
+
+    path = transcripts_for_sf(sf_dir)
+
+    def run(batch: pa.Table) -> pa.Table:
+        kinds = classify_text_array(batch["text"])
+        keep = pc.equal(kinds, "pdfish")
+        batch = batch.filter(keep)
+        texts_out, pages_out, hits_out = [], [], []
+        for conv_id, text in zip(
+            batch["conv_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            text_doc, n_pages, hits = extract_paged_turn(text, src_name=conv_id)
+            texts_out.append(text_doc)
+            pages_out.append(n_pages)
+            hits_out.append(hits)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "extracted_text": pa.array(texts_out, type=pa.string()),
+                "n_pages": pa.array(pages_out, type=pa.int64()),
+                "merge_hits": pa.array(hits_out, type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"]
+    ).map_batches(run, batch_format="pyarrow")
+
+
 register("extract_flagship", q_extract_flagship)  # rows-only: not SQL-expressible
+register("extract_paged", q_extract_paged)  # rows-only: merge kernel fuzz-pinned
 register("extract_action_counts", q_extract_action_counts)  # rows-only
 register("extract_plain_turns", q_extract_plain_turns, sql=EXTRACT_PLAIN_TURNS_SQL)
 register(
