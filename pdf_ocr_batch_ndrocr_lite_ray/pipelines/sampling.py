@@ -121,6 +121,63 @@ FROM documents GROUP BY 1
 """
 
 
+STRATA_N = 20  # docs kept per language stratum
+
+
+def docs_stratified_sample(sf_dir: str, n_per_stratum: int = STRATA_N) -> "ray.data.Dataset":
+    """Balanced per-language subset: the ``n`` LOWEST-md5-hash docs of each
+    detected language — (lang, doc_id, h). Deterministic quota sampling:
+    every run/cluster size picks the identical rows (hash order, not
+    ``random()``), and the selection is TWO-LEVEL so nothing big moves:
+    each block keeps at most ``n`` candidates per language (partial top-n),
+    then one tiny reduce picks the global ``n`` from ≤ n × #langs × #blocks
+    candidate rows.
+    """
+    import pandas as pd
+
+    from ..functions.textstats import text_stats_columns
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = text_stats_columns(batch["text"])["lang"]
+        h = _hash_bucket(batch["doc_id"], mod=2**31)
+        df = pd.DataFrame(
+            {
+                "lang": lang.to_pylist() if hasattr(lang, "to_pylist") else lang,
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "h": h,
+            }
+        )
+        df = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_per_stratum)
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(df) -> "pd.DataFrame":
+        df = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(n_per_stratum)
+        return df[["lang", "doc_id", "h"]].reset_index(drop=True)
+
+    # candidate set is ≤ n × #langs × #blocks rows — a single-block reduce
+    return ds.repartition(1).map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def _stratified_sql() -> str:
+    from ..functions.textstats import sql_stats_select
+
+    return f"""
+WITH s AS (SELECT doc_id, {sql_stats_select('text')} FROM documents),
+h AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {2**31} AS h
+  FROM s
+)
+SELECT lang, doc_id, h FROM h
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {STRATA_N}
+"""
+
+
 register("docs_sample", docs_sample, sql=DOCS_SAMPLE_SQL)
 register("docs_split_counts", docs_split_counts, sql=DOCS_SPLIT_SQL)
 register("docs_length_histogram", docs_length_histogram, sql=DOCS_HISTOGRAM_SQL)
+register("docs_stratified_sample", docs_stratified_sample, sql=_stratified_sql())
