@@ -625,8 +625,12 @@ def _lsh_planes(dim: int) -> np.ndarray:
 def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data.Dataset":
     """Random-hyperplane LSH bucketing, exact cosine within buckets.
 
-    Approximate (bucket collisions required), so rows-only: recall vs the
-    brute-force baseline is asserted in tests, not against a SQL oracle.
+    Fully SQL-oracled: the hyperplanes are literal constants in the oracle
+    and the bucket bit is the sign of the dot product ROUNDED to 4
+    decimals — numpy's blocked matmul and DuckDB's sequential
+    ``list_inner_product`` can differ by ~1 ulp, and rounding first makes
+    the sign decision identical on both engines except on a measure-zero
+    boundary.
     """
     def sig_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -640,7 +644,7 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
             )
         mat = _list_matrix(batch["embedding"])
         planes = _lsh_planes(mat.shape[1])
-        bits = (mat @ planes.T) > 0  # (B, PLANES)
+        bits = np.round(mat @ planes.T, 4) > 0  # (B, PLANES)
         keys = [
             "".join("1" if b else "0" for b in bits[i]) for i in range(bits.shape[0])
         ]
@@ -680,8 +684,9 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
         )
 
     ds = emb_corpus(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
-    pairs = _hash_partitioned(ds, "bucket", partition_pairs)
-    return _hash_partitioned(pairs, "vec_a", _pair_max_cosine_partition)
+    # a vector has exactly ONE bucket (the bucket is a function of the
+    # vector), so a pair can never be emitted twice — no dedupe exchange
+    return _hash_partitioned(ds, "bucket", partition_pairs)
 
 
 # --- registration ----------------------------------------------------------
@@ -810,5 +815,43 @@ SELECT doc_a, doc_b, hamming FROM pairs
 
 register("dedup_minhash", minhash_duplicate_pairs, sql=_minhash_oracle_sql())
 register("dedup_simhash", simhash_duplicate_pairs, sql=_simhash_oracle_sql())
+def _embedding_lsh_oracle_sql(dim: int = 64) -> str:
+    """SQL oracle for the LSH path: hyperplanes as DOUBLE[] literals (exact
+    repr round-trip of the seeded numpy constants), bucket = concatenated
+    rounded-dot signs, exact cosine within rank-capped buckets."""
+    planes = _lsh_planes(dim)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(v) for v in planes[p]))
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH ecorpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+planes(p, pv) AS (VALUES {rows}),
+sig AS (
+  SELECT vec_id,
+         string_agg(
+           CASE WHEN round(list_inner_product(emb, pv), 4) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY p) AS bucket
+  FROM ecorpus CROSS JOIN planes GROUP BY vec_id
+),
+ranked AS (
+  SELECT s.vec_id, s.bucket, e.emb,
+         row_number() OVER (PARTITION BY s.bucket ORDER BY s.vec_id) AS rn
+  FROM sig s JOIN ecorpus e USING (vec_id)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM ranked a JOIN ranked b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE a.rn <= {_MAX_BUCKET} AND b.rn <= {_MAX_BUCKET}
+  AND round(list_cosine_similarity(a.emb, b.emb), 6) >= {EMB_TAU}
+"""
+
+
 register("dedup_embedding", embedding_near_dup_pairs, sql=EMB_NEAR_DUP_SQL)
-register("dedup_embedding_lsh", embedding_lsh_near_dup_pairs)  # rows-only (approx)
+register("dedup_embedding_lsh", embedding_lsh_near_dup_pairs, sql=_embedding_lsh_oracle_sql())

@@ -145,7 +145,11 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
     Centroids are a fixed deterministic subset (vec_id < IVF_CENTROIDS) —
     at corpus scale they'd come from a sampled k-means pass, but bucket
     mechanics (assign in map, probe nprobe buckets, exact math inside
-    buckets) are identical.
+    buckets) are identical. Assignment and probe DECISIONS compare dots
+    rounded to 6 decimals with centroid-index tie-break, which makes the
+    bucket structure reproducible in the SQL oracle (numpy's blocked
+    matmul and DuckDB's sequential sum differ by ulps; rounding first
+    pins the comparisons except on a measure-zero boundary).
     """
     c_ids, c_mat = _small_matrix(sf_dir, IVF_CENTROIDS)
     q_ids, q_mat = _small_matrix(sf_dir, N_QUERIES)
@@ -154,7 +158,9 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
     n_cent = c_mat.shape[0]
     probe_bool = np.zeros((len(q_ids), n_cent), dtype=bool)
     for i in range(len(q_ids)):
-        probe_bool[i, np.argsort(-(q_mat[i] @ c_mat.T))[:IVF_NPROBE]] = True
+        dots = np.round(q_mat[i] @ c_mat.T, 6)
+        order = np.lexsort((np.arange(n_cent), -dots))  # dot desc, cid asc
+        probe_bool[i, order[:IVF_NPROBE]] = True
     # centroids probed by NO query are dead: their vectors are dropped before
     # any query scoring. At corpus scale the dataset is WRITTEN partitioned
     # by centroid_id and non-probed partitions are pruned at the read; here
@@ -169,7 +175,8 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
         ids_q, mat_q, cent, p_bool, p_any = ray.get(ref)
         b_ids = int64_array(batch["vec_id"])
         b_mat = _unit(list_matrix(batch["embedding"]))
-        assign = np.argmax(b_mat @ cent.T, axis=1)  # nearest centroid per vector
+        # nearest centroid per vector: rounded dots, first-max = lowest cid
+        assign = np.argmax(np.round(b_mat @ cent.T, 6), axis=1)
         keep = p_any[assign]  # IVF prune: drop vectors in never-probed buckets
         b_ids, b_mat, assign = b_ids[keep], b_mat[keep], assign[keep]
         qcol, vcol, scol = [], [], []
@@ -185,7 +192,7 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
             for t in take:
                 qcol.append(qid)
                 vcol.append(int(b_ids[idx[t]]))
-                scol.append(round(float(row[t]), 6))
+                scol.append(float(row[t]))
         return pa.table(
             {
                 "query_id": pa.array(qcol, type=pa.int64()),
@@ -197,10 +204,60 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     ).map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("query_id").map_groups(
+    out = ds.groupby("query_id").map_groups(
         lambda g: _topk_per_query(g, k), batch_format="pandas"
     )
 
+    def round_score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("score"), "score", pc.round(t["score"], ndigits=6)
+        )
+
+    return out.map_batches(round_score, batch_format="pyarrow")
+
+
+#: IVF SQL oracle. Unit-vector dots ARE cosines, so every comparison uses
+#: list_cosine_similarity; assignment/probing mirror the engine's rounded
+#: comparisons (round 6, centroid-id tie-break); final ranking uses the
+#: UNROUNDED cosine exactly like the Ray path's selection math.
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {IVF_CENTROIDS}),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, cent.cemb), 6) DESC, cent.cid
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qemb, cent.cemb), 6) DESC, cent.cid
+           ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= {IVF_NPROBE}
+)
+SELECT query_id, e.vec_id AS vec_id,
+       round(list_cosine_similarity(q.qemb, e.emb), 6) AS score
+FROM q
+JOIN probes USING (query_id)
+JOIN assign ON assign.cid = probes.cid
+JOIN e ON e.vec_id = assign.vec_id AND e.vec_id != q.query_id
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_cosine_similarity(q.qemb, e.emb) DESC, e.vec_id
+) <= {TOPK_K}
+"""
+
 
 register("ann_brute_force_topk", brute_force_topk, sql=BRUTE_FORCE_TOPK_SQL)
-register("ann_ivf_topk", ivf_topk)  # rows-only (approximate)
+register("ann_ivf_topk", ivf_topk, sql=IVF_TOPK_SQL)
