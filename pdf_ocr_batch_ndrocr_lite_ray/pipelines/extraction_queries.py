@@ -144,12 +144,19 @@ def normalize_text_sql(col: str, iters: int = _NORM_SQL_ITERS) -> str:
     return f"trim({expr})"
 
 
-def _plain_turns_cte(path: str) -> str:
-    """CTE chain computing the plain-path extraction over a transcript file."""
+def _plain_turns_cte(path: str, turn_filter: str | None = None) -> str:
+    """CTE chain computing the plain-path extraction over a transcript file.
+
+    ``turn_filter`` selects which turns go through the plain pipeline
+    (default: sniffed-plain turns); the fallback oracle reuses the same
+    chain over undecodable pdfish turns — the M7 rule runs the identical
+    plain extractor on them.
+    """
+    turn_filter = turn_filter or f"{SNIFF_CASE_SQL} = 'plain'"
     return f"""
 WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')),
 p AS (SELECT conv_id, turn_idx, text, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre FROM t),
-plain AS (SELECT conv_id, turn_idx, text FROM p WHERE {SNIFF_CASE_SQL} = 'plain'),
+plain AS (SELECT conv_id, turn_idx, text FROM p WHERE {turn_filter}),
 sl AS (SELECT conv_id, turn_idx, text,
               string_split_regex(replace(text, chr(13) || chr(10), chr(10)), '\\f+') AS segs
        FROM plain),
@@ -284,8 +291,50 @@ def q_extract_paged(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow")
 
 
+def q_extract_fallback_turns(sf_dir: str):
+    """Per-turn VALUES of the M7 fallback rule: pdfish turns whose JSON does
+    not decode re-route through the plain extractor — (conv_id, turn_idx,
+    extracted_text, action ∈ {extracted_fallback, empty}). Python's
+    ``json.loads`` accept/reject matches DuckDB ``json_valid`` on this
+    corpus (checked row-for-row), so the subset and the values are both
+    oracle-able."""
+    import json as _json
+
+    path = transcripts_for_sf(sf_dir)
+    ds = extract_transcripts(path)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["content_kind"], "pdfish"))
+        invalid = []
+        for t in batch["text"].to_pylist():
+            try:
+                _json.loads(t or "")
+                invalid.append(False)
+            except Exception:
+                invalid.append(True)
+        batch = batch.filter(pa.array(invalid))
+        return batch.select(["conv_id", "turn_idx", "extracted_text", "action"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+EXTRACT_FALLBACK_TURNS_SQL = (
+    _plain_turns_cte(
+        _ORACLE_TRANSCRIPTS,
+        turn_filter=f"{SNIFF_CASE_SQL} = 'pdfish' AND NOT json_valid(text)",
+    )
+    + """
+SELECT conv_id, turn_idx, extracted_text,
+       CASE WHEN extracted_text = '' THEN 'empty' ELSE 'extracted_fallback' END AS action
+FROM plain_turns
+"""
+)
+
 register("extract_flagship", q_extract_flagship)  # rows-only: not SQL-expressible
 register("extract_paged", q_extract_paged)  # rows-only: merge kernel fuzz-pinned
+register(
+    "extract_fallback_turns", q_extract_fallback_turns, sql=EXTRACT_FALLBACK_TURNS_SQL
+)
 register("extract_action_counts", q_extract_action_counts)  # rows-only
 register("extract_plain_turns", q_extract_plain_turns, sql=EXTRACT_PLAIN_TURNS_SQL)
 register(
