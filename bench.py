@@ -127,6 +127,23 @@ def q_extract_resume(sf_dir: str) -> int:
     return int(report["rows"])
 
 
+def q_prep_corpus(sf_dir: str) -> int:
+    """Full training-data prep composition over the BENCH corpus: extract →
+    quality gate → reassemble → exact dedup → stats → split."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines import prep
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+        reassemble_conversations,
+    )
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+
+    # same flow as prep.prep_corpus but over the sharded bench corpus
+    ext = extract_transcripts(_bench_input(sf_dir))
+    convs = reassemble_conversations(
+        ext.map_batches(prep.quality_gate, batch_format="pyarrow")
+    )
+    return _consume(prep.dedup_stats_split(convs))
+
+
 def q_user_sessions(sf_dir: str) -> int:
     """Per-user sessionization over the events stream."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import user_sessions
@@ -149,6 +166,7 @@ BENCH_QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "conversation_texts": q_conversation_texts,
+    "prep_corpus": q_prep_corpus,
     "ann_topk": q_ann_topk,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,

@@ -12,11 +12,12 @@ Scale shapes (100 TB):
 - exact dedup: fingerprint inside ``map_batches`` (no text leaves the
   block), then a ``groupby(fingerprint)`` whose exchange carries only
   (hash, doc_id) — the canonical hash-partition + per-group-first.
-- n-gram Jaccard is EXACT pair similarity: shingle explode → groupby
-  (shingle) → pair counts → ``Dataset.join`` against per-doc shingle
-  counts. Pair fan-out is bounded by shingle document-frequency; at corpus
-  scale you put the MinHash/LSH variant in front and use this only to
-  verify candidates.
+- n-gram Jaccard is EXACT pair similarity: shingle explode (each row
+  carrying its doc's set size) → shingle-bucket pair emission → one
+  partition-complete pair reduce that finishes jaccard in place — two
+  exchanges, no joins. Pair fan-out is bounded by shingle
+  document-frequency; at corpus scale you put the MinHash/LSH variant in
+  front and use this only to verify candidates.
 - MinHash+LSH / SimHash / embedding-LSH: signature inside ``map_batches``
   (vectorized numpy), candidates from band-bucket groupbys (only
   signatures shuffle, never text), pairwise work bounded per bucket.
@@ -148,14 +149,24 @@ def _doc_shingles(text: str) -> set[str]:
 
 
 def _shingle_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, sh, n_sh) — the doc's DISTINCT shingle count rides with every
+    shingle row (+8 bytes/row), which lets the pair stage compute jaccard
+    without any join back to a per-doc count table."""
     doc_ids: list[int] = []
     shingles: list[str] = []
+    n_col: list[int] = []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        for sh in _doc_shingles(text or ""):
+        doc_sh = _doc_shingles(text or "")
+        for sh in doc_sh:
             doc_ids.append(doc_id)
             shingles.append(sh)
+            n_col.append(len(doc_sh))
     return pa.table(
-        {"doc_id": pa.array(doc_ids, type=pa.int64()), "sh": pa.array(shingles)}
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "sh": pa.array(shingles),
+            "n_sh": pa.array(n_col, type=pa.int64()),
+        }
     )
 
 
@@ -165,12 +176,6 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
 #: (observed: sf0.1's small-vocab corpus never finishes uncapped). The SQL
 #: oracle applies the identical HAVING filter, so results stay value-exact.
 MAX_SHINGLE_DF = 64
-
-
-def _pair_count_partition(df: pd.DataFrame) -> pd.DataFrame:
-    g = df.groupby(["doc_a", "doc_b"], sort=True).size().reset_index(name="m")
-    g["m"] = g["m"].astype("int64")
-    return g[["doc_a", "doc_b", "m"]]
 
 
 
@@ -192,71 +197,61 @@ def _shingle_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
     df = df[(vc > 1) & (vc <= MAX_SHINGLE_DF)]
     a: list[int] = []
     b: list[int] = []
+    na: list[int] = []
+    nb: list[int] = []
     for _, group in df.groupby("sh", sort=True):
-        ids = sorted(group["doc_id"].tolist())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        rows = sorted(set(zip(group["doc_id"].tolist(), group["n_sh"].tolist())))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                na.append(rows[i][1])
+                nb.append(rows[j][1])
     return pd.DataFrame(
-        {"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")}
+        {
+            "doc_a": pd.Series(a, dtype="int64"),
+            "doc_b": pd.Series(b, dtype="int64"),
+            "n_a": pd.Series(na, dtype="int64"),
+            "n_b": pd.Series(nb, dtype="int64"),
+        }
     )
 
-
-def _join_partitions() -> int:
-    """Hash-join partition count sized to the session: each partition pins an
-    aggregator actor, so a count above the CPU budget deadlocks small
-    clusters (observed: 16 partitions on a 4-CPU session hangs)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(16, cpus // 2))
 
 
 def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
     """EXACT word-trigram Jaccard pairs ≥ tau: (doc_a, doc_b, jaccard).
 
-    shingle explode → groupby(shingle) pair emission → pair-count groupby →
-    two hash joins against per-doc shingle counts. Everything after the
-    explode carries only ids and counts.
+    TWO exchanges, zero joins: the per-doc distinct-shingle count rides
+    with each shingle row (+8 bytes), so the shingle buckets emit pairs
+    that already carry both set sizes, and the pair-count partition (keyed
+    on ``doc_a`` — partition-complete) sums the intersection and finishes
+    jaccard in place. The previous shape paid two ``Dataset.join``
+    barriers (an aggregator actor pool each) for exactly this lookup.
     """
     sh = corpus(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
-    # per-doc distinct shingle counts (shingles are emitted distinct per doc)
-    doc_counts = sh.groupby("doc_id").aggregate(Count())
-    cnt_col = [c for c in doc_counts.schema().names if c.startswith("count")][0]
-    doc_counts = _rename(doc_counts, {cnt_col: "n_sh"})
-
     pairs = _hash_partitioned(sh, "sh", _shingle_partition_pairs)
-    # pair-count via hash partition on doc_a (a pair's rows all share doc_a,
-    # so groups are partition-complete); Ray's multi-key groupby was
-    # measured at 274s for 2.4M pair rows vs ~4s for this shape
-    inter = _hash_partitioned(pairs, "doc_a", _pair_count_partition)
 
-    nparts = _join_partitions()
-    joined = inter.join(
-        doc_counts, join_type="inner", num_partitions=nparts,
-        on=("doc_a",), right_on=("doc_id",), right_suffix="_a",
-    )
-    joined = _rename(joined, {"n_sh": "n_a"})  # join drops the right key
-    joined = joined.join(
-        doc_counts, join_type="inner", num_partitions=nparts,
-        on=("doc_b",), right_on=("doc_id",), right_suffix="_b",
-    )
-    joined = _rename(joined, {"n_sh": "n_b"})
-
-    def finish(batch: pa.Table) -> pa.Table:
-        m = pc.cast(batch["m"], pa.float64())
-        union = pc.subtract(
-            pc.cast(pc.add(batch["n_a"], batch["n_b"]), pa.float64()), m
+    def finish_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        g = (
+            df.groupby(["doc_a", "doc_b"], sort=True)
+            .agg(m=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first"))
+            .reset_index()
         )
-        j = pc.round(pc.divide(m, union), ndigits=6)
-        out = pa.table(
-            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"], "jaccard": j}
+        j = np.round(g["m"] / (g["n_a"] + g["n_b"] - g["m"]), 6)
+        out = pd.DataFrame(
+            {"doc_a": g["doc_a"], "doc_b": g["doc_b"], "jaccard": j}
         )
-        return out.filter(pc.greater_equal(out["jaccard"], tau))
+        return out[out["jaccard"] >= tau].reset_index(drop=True)
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return _hash_partitioned(pairs, "doc_a", finish_partition)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""

@@ -1,0 +1,98 @@
+"""End-to-end training-data prep: the engine's stages composed as ONE flow.
+
+This is the pipeline a user of the engine actually runs over raw
+transcripts — extraction → quality gate → conversation reassembly → exact
+dedup → per-document stats → deterministic split — each stage being an
+operator that is individually driver-verified elsewhere. Shapes:
+
+- extraction and the quality gate are embarrassingly parallel maps;
+- reassembly is the salted two-level exchange (skew-safe);
+- dedup exchanges only (fingerprint, conv_id) — never the text twice;
+- stats are vectorized pyarrow.compute on the assembled text;
+- the split is hash-stable (identical rows at any parallelism / resume).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.textstats import text_stats_columns
+from .conversations import reassemble_conversations
+from .exchange import hash_partitioned
+from .extraction import extract_transcripts
+from .queryset import register, transcripts_for_sf
+
+KEEP_ACTIONS = ("extracted", "skipped_clean", "extracted_fallback")
+VAL_PCT = 10
+
+
+def quality_gate(batch: pa.Table) -> pa.Table:
+    keep = pc.and_(
+        pc.is_in(batch["action"], value_set=pa.array(KEEP_ACTIONS)),
+        pc.not_equal(batch["extracted_text"], ""),
+    )
+    return batch.filter(keep).select(["conv_id", "turn_idx", "extracted_text"])
+
+
+def prep_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """(conv_id, n_turns, n_tokens, lang, split) for deduped conversations.
+
+    Conversations whose assembled text is an exact duplicate keep only the
+    lexicographically-first conv_id (the reference's first-wins rule at
+    document scope).
+    """
+    ext = extract_transcripts(transcripts_for_sf(sf_dir))
+    convs = reassemble_conversations(ext.map_batches(quality_gate, batch_format="pyarrow"))
+    return dedup_stats_split(convs)
+
+
+def dedup_stats_split(convs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact-dedup reassembled conversations, attach stats + split."""
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        fps = pa.array(
+            [
+                hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in batch["full_text"].to_pylist()
+            ]
+        )
+        return batch.append_column("fingerprint", fps)
+
+    convs = convs.map_batches(fingerprint, batch_format="pyarrow")
+
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fingerprint", "conv_id"], kind="stable")
+        return df.drop_duplicates("fingerprint", keep="first").reset_index(drop=True)
+
+    deduped = hash_partitioned(convs, "fingerprint", first_wins)
+
+    def stats_and_split(batch: pa.Table) -> pa.Table:
+        cols = text_stats_columns(batch["full_text"])
+        split = pa.array(
+            [
+                "val"
+                if int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) % 100 < VAL_PCT
+                else "train"
+                for c in batch["conv_id"].to_pylist()
+            ]
+        )
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": batch["n_turns"],
+                "n_tokens": cols["n_tokens_ws"],
+                "lang": cols["lang"],
+                "split": split,
+            }
+        )
+
+    return deduped.map_batches(stats_and_split, batch_format="pyarrow")
+
+
+register("prep_corpus", prep_corpus)  # rows-only: composition of verified stages

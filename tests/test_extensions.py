@@ -573,3 +573,47 @@ class TestMultimodal:
         # deterministic: same input → same checksums across runs
         df2 = queryset.QUERIES["media_features"](SF).to_pandas()
         assert sorted(df.checksum.dropna()) == sorted(df2.checksum.dropna())
+
+
+class TestOracleRegistry:
+    def test_every_registered_oracle_sql_executes(self, ray_session):
+        """Guard: each ORACLE_SQL string must be runnable DuckDB — a broken
+        oracle would otherwise surface only in the driver's correctness
+        gate. Views are registered at sf0.01 because several oracles embed
+        that scale's deterministic cache paths (materialized first)."""
+        import duckdb
+
+        import __ray_entry__ as entrymod
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        sqls = entrymod.oracle_sql()  # runs MATERIALIZERS
+        con = duckdb.connect()
+        sf = "/root/testdata/sf0.01"
+        for t in ("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        assert set(sqls) <= set(queryset.QUERIES), "oracle without a query"
+        for name, sql in sqls.items():
+            try:
+                con.execute(f"SELECT * FROM ({sql}) LIMIT 1").fetchall()
+            except Exception as exc:
+                raise AssertionError(f"oracle SQL for {name!r} failed: {exc}") from exc
+
+
+class TestPrepCorpus:
+    def test_prep_corpus_end_to_end(self, ray_session):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.prep  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = queryset.QUERIES["prep_corpus"](SF).to_pandas()
+        assert set(df.columns) == {"conv_id", "n_turns", "n_tokens", "lang", "split"}
+        assert len(df) > 0 and df.conv_id.is_unique
+        assert set(df.split.unique()) <= {"train", "val"}
+        assert (df.n_turns >= 1).all() and (df.n_tokens >= 1).all()
+        # deterministic: identical rows on a second run
+        df2 = queryset.QUERIES["prep_corpus"](SF).to_pandas()
+        a = df.sort_values("conv_id").reset_index(drop=True)
+        b = df2.sort_values("conv_id").reset_index(drop=True)
+        assert a.equals(b)
