@@ -173,6 +173,90 @@ GROUP BY c.c_nationkey
 """
 
 
+def orders_by_nation_shuffle(sf_dir: str) -> "ray.data.Dataset":
+    """Same result as ``orders_by_nation``, built as a SHUFFLE join — the
+    documented fallback for when the dimension side outgrows a broadcast
+    (at 10^12 rows the customer table is not small). Both sides are tagged
+    into ONE union keyed on ``o_custkey``; each hash partition joins with
+    pandas and pre-aggregates to per-nation partials, so the second
+    exchange carries ≤ #nations × #partitions tiny rows.
+    """
+    from .dedup import _hash_partitioned
+
+    cust = ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+                "cents": pa.nulls(batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "c_nationkey": pa.nulls(batch.num_rows, type=pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_and_combine(df: pd.DataFrame) -> pd.DataFrame:
+        dim = df[df["cents"].isna()]
+        lut = dict(zip(dim["o_custkey"], dim["c_nationkey"]))
+        fact = df[df["cents"].notna()].copy()
+        fact["c_nationkey"] = fact["o_custkey"].map(lut)
+        fact = fact.dropna(subset=["c_nationkey"])  # inner-join semantics
+        g = (
+            fact.groupby("c_nationkey", sort=True)
+            .agg(n_orders=("cents", "size"), total_price_cents=("cents", "sum"))
+            .reset_index()
+        )
+        g["c_nationkey"] = g["c_nationkey"].astype("int64")
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["total_price_cents"] = g["total_price_cents"].astype("int64")
+        return g
+
+    partials = _hash_partitioned(both, "o_custkey", join_and_combine)
+    out = partials.groupby("c_nationkey").aggregate(
+        Sum("n_orders"), Sum("total_price_cents")
+    )
+    ren = {}
+    for name in out.schema().names:
+        if name.startswith("sum(n_orders"):
+            ren[name] = "n_orders"
+        elif name.startswith("sum(total_price_cents"):
+            ren[name] = "total_price_cents"
+    out = _rename(out, ren)
+
+    def to_int32_nation(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("c_nationkey")
+        return t.set_column(
+            i, "c_nationkey", pc.cast(t["c_nationkey"], pa.int32())
+        )
+
+    return out.map_batches(to_int32_nation, batch_format="pyarrow")
+
+
 # --- top-k without a global sort -------------------------------------------
 
 TOP_PARTS_K = 25
@@ -349,6 +433,7 @@ QUALIFY rank <= {TOP_CUST_K}
 
 register("events_by_type", events_by_type, sql=EVENTS_BY_TYPE_SQL)
 register("orders_by_nation", orders_by_nation, sql=ORDERS_BY_NATION_SQL)
+register("orders_by_nation_shuffle", orders_by_nation_shuffle, sql=ORDERS_BY_NATION_SQL)
 register("lineitem_top_parts", lineitem_top_parts, sql=LINEITEM_TOP_PARTS_SQL)
 register(
     "top_customers_per_nation",

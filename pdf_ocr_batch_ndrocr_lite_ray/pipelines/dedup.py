@@ -185,10 +185,6 @@ def _pair_min_hamming_partition(df: pd.DataFrame) -> pd.DataFrame:
     return g
 
 
-def _pair_max_cosine_partition(df: pd.DataFrame) -> pd.DataFrame:
-    g = df.groupby(["vec_a", "vec_b"], sort=True)["cosine"].max().reset_index()
-    return g
-
 
 def _shingle_partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
     # prune singleton shingles (no intersection) and high-df shingles
