@@ -177,6 +177,151 @@ GROUP BY 1, 2
 """
 
 
+# --- exact per-group median (order statistic without a global sort) ---------
+
+def events_median_value_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, median_value): EXACT median per group.
+
+    Order statistics can't pre-aggregate, but they don't need a global
+    sort either: hash-partition by the group key (each partition holds
+    complete groups), sort only within the partition's own groups. The
+    exchange carries (event_type, value) — 2 columns.
+    """
+
+    def median_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=True)["value"].median().reset_index()
+        g["median_value"] = np.round(g["value"], 6)
+        return g[["event_type", "median_value"]]
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    return _hash_partitioned(ds, "event_type", median_partition)
+
+
+EVENTS_MEDIAN_SQL = """
+SELECT event_type, round(median(value), 6) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- ordered window function: per-user running total ------------------------
+
+RUNNING_TOPN = 5  # emit each user's first N events (bounded output)
+
+
+def user_running_value(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, ts, running_value) for each user's first N events: the
+    cumulative-sum window function, hash-partitioned per user and computed
+    with one stable in-partition sort — no global ordering needed because
+    the frame is per-key. Values are summed as integer 1e-4 units so the
+    running total is identical regardless of float summation order.
+    """
+
+    def running_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        v = df["value"].to_numpy() * 10000.0
+        # half-away-from-zero, matching DuckDB round() (numpy rounds half-even)
+        scaled = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = df.assign(
+            running_value_e4=pd.Series(scaled, index=df.index)
+            .groupby(df["user_id"])
+            .cumsum()
+        )
+        out = df.groupby("user_id", sort=True).head(RUNNING_TOPN)
+        return out[["user_id", "ts", "running_value_e4"]].reset_index(drop=True)
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    return _hash_partitioned(ds, "user_id", running_partition)
+
+
+USER_RUNNING_SQL = f"""
+WITH r AS (
+  SELECT user_id, ts,
+         sum(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS running_value_e4,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+)
+SELECT user_id, ts, CAST(running_value_e4 AS BIGINT) AS running_value_e4
+FROM r WHERE rn <= {RUNNING_TOPN}
+"""
+
+
+# --- interval join: purchases inside each session window --------------------
+
+SESSION_TARGET_TYPE = "purchase"
+
+
+def session_purchase_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, session_start_us, n_purchases): an INTERVAL JOIN — each
+    user's sessions become [start, end] windows and that user's purchase
+    events are counted into the window containing them.
+
+    The join key is the user, so ONE hash partition co-locates both sides
+    (sessions are derived in-partition, purchases binary-search into the
+    interval list via ``np.searchsorted``); no per-interval fan-out, no
+    cross product. Session starts are epoch microseconds (int64) so both
+    engines compare integers, not timestamps.
+    """
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out_user, out_start, out_n = [], [], []
+        for user_id, g in df.groupby("user_id", sort=True):
+            ts = np.sort(g["ts"].values.astype("datetime64[us]").astype(np.int64))
+            gaps = np.diff(ts) > SESSION_GAP_SEC * 1_000_000
+            starts = ts[np.concatenate([[True], gaps])]
+            p = g[g["event_type"] == SESSION_TARGET_TYPE]
+            pts = p["ts"].values.astype("datetime64[us]").astype(np.int64)
+            # session index of each purchase: rightmost start <= ts
+            idx = np.searchsorted(starts, pts, side="right") - 1
+            counts = np.bincount(idx, minlength=len(starts))
+            out_user.extend([int(user_id)] * len(starts))
+            out_start.extend(int(s) for s in starts)
+            out_n.extend(int(c) for c in counts)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_user, dtype="int64"),
+                "session_start_us": pd.Series(out_start, dtype="int64"),
+                "n_purchases": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    return _hash_partitioned(ds, "user_id", per_user)
+
+
+SESSION_PURCHASE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_SEC} SECOND
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       CAST(count(*) FILTER (event_type = '{SESSION_TARGET_TYPE}') AS BIGINT) AS n_purchases
+FROM tagged GROUP BY user_id, session_id
+"""
+
+
 register("events_hourly", events_hourly, sql=EVENTS_HOURLY_SQL)
 register("events_sliding", events_sliding, sql=EVENTS_SLIDING_SQL)
 register("user_sessions", user_sessions, sql=USER_SESSIONS_SQL)
+register(
+    "events_median_value_by_type", events_median_value_by_type, sql=EVENTS_MEDIAN_SQL
+)
+register("user_running_value", user_running_value, sql=USER_RUNNING_SQL)
+register("session_purchase_counts", session_purchase_counts, sql=SESSION_PURCHASE_SQL)

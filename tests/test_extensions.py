@@ -617,3 +617,32 @@ class TestPrepCorpus:
         a = df.sort_values("conv_id").reset_index(drop=True)
         b = df2.sort_values("conv_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestExchangeNullKeys:
+    def test_string_key_nulls_route_to_one_partition(self, ray_session):
+        """The dictionary-encoded string-hash path must keep a key's
+        partition independent of which batch it arrives in, with nulls
+        pinned to one partition (group-splitting regression guard)."""
+        import pyarrow as pa
+
+        import ray.data
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import hash_partitioned
+
+        t1 = pa.table({"k": ["a", None, "b", "a"], "v": [1, 2, 3, 4]})
+        t2 = pa.table({"k": [None, "b", "c"], "v": [5, 6, 7]})
+        ds = ray.data.from_arrow([t1, t2])
+
+        def group_sums(df):
+            g = df.groupby("k", sort=True, dropna=False)["v"].sum().reset_index()
+            g["v"] = g["v"].astype("int64")
+            return g
+
+        out = hash_partitioned(ds, "k", group_sums, num_partitions=4).to_pandas()
+        # every key (including null) must appear EXACTLY once → groups were
+        # partition-complete across batches
+        keys = out["k"].tolist()
+        assert len(keys) == len(set(map(str, keys)))
+        sums = {str(r.k): r.v for r in out.itertuples()}
+        assert sums["a"] == 5 and sums["b"] == 9 and sums["c"] == 7
+        assert sums.get("None", sums.get("nan")) == 7 or 7 in sums.values()
