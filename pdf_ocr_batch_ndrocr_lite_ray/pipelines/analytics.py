@@ -431,7 +431,71 @@ QUALIFY rank <= {TOP_CUST_K}
 """
 
 
+# --- anti join: customers with no orders ------------------------------------
+
+BIG_ORDER_CENTS_MIN = 300_000.0  # "big order" threshold for the anti join
+
+
+def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+    """(c_custkey, c_nationkey) for customers with no BIG order (totalprice
+    above the threshold) — the ANTI join. The probe side is pruned at the
+    read (row filter) and reduced to a distinct-key set (per-block dedup,
+    then one groupby over unique keys only), which is broadcast and
+    checked with a vectorized ``np.isin``; the customer table streams and
+    never shuffles. At 10^12 orders the distinct-custkey set is still
+    customer-sized — if even THAT outgrows a broadcast, the same
+    union + hash-partition merge as ``orders_by_nation_shuffle`` applies.
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from .exchange import int64_array
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], BIG_ORDER_CENTS_MIN))
+        return t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+
+    keys = (
+        ray.data.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(big_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(_Count())
+    )
+    key_arrays = [
+        int64_array(b["o_custkey"])
+        for b in keys.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    have_orders = np.sort(np.concatenate(key_arrays)) if key_arrays else np.array([], dtype=np.int64)
+    ref = ray.put(have_orders)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        probe = ray.get(ref)
+        ck = int64_array(batch["c_custkey"])
+        keep = ~np.isin(ck, probe)
+        return batch.filter(pa.array(keep)).select(["c_custkey", "c_nationkey"])
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER_CENTS_MIN}
+)
+"""
+
+
 register("events_by_type", events_by_type, sql=EVENTS_BY_TYPE_SQL)
+register(
+    "customers_without_orders",
+    customers_without_orders,
+    sql=CUSTOMERS_WITHOUT_ORDERS_SQL,
+)
 register("orders_by_nation", orders_by_nation, sql=ORDERS_BY_NATION_SQL)
 register("orders_by_nation_shuffle", orders_by_nation_shuffle, sql=ORDERS_BY_NATION_SQL)
 register("lineitem_top_parts", lineitem_top_parts, sql=LINEITEM_TOP_PARTS_SQL)
