@@ -4,6 +4,7 @@ Subcommands:
 
 - ``extract``   one-shot extraction: transcript parquet in → parquet out
 - ``resume``    checkpointed (resumable) extraction over many input files
+- ``prep``      composed prep: extract → reassemble → dedup → stats → split
 - ``report``    print the committed-partition report of a checkpointed run
 
 Config precedence mirrors the reference's ``SettingPrecedencePolicy``
@@ -183,6 +184,59 @@ def cmd_resume(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prep(args: argparse.Namespace) -> int:
+    """Composed training-data prep: extract → quality gate → conversation
+    reassembly → exact dedup → stats → hash-stable split → parquet."""
+    config = _load_config(args.config)
+    _init_ray(_resolve(args, config, "num_cpus"))
+    from .pipelines.conversations import reassemble_conversations
+    from .pipelines.extraction import extract_transcripts
+    from .pipelines.prep import dedup_stats_split, quality_gate
+    from .state.output_paths import make_output_dir
+
+    inputs = _expand_inputs(args.input, "parquet")
+    if not inputs:
+        print("no input files found", file=sys.stderr)
+        return 2
+    conflict = "overwrite" if getattr(args, "overwrite", False) else args.on_conflict
+    try:
+        out = make_output_dir(Path(args.output), conflict)
+    except FileExistsError:
+        print(
+            f"output directory {args.output} is not empty; use --on-conflict "
+            "overwrite|rename (or --overwrite)",
+            file=sys.stderr,
+        )
+        return 2
+    if conflict == "overwrite" and out.exists() and any(out.iterdir()):
+        import shutil
+
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    ext = extract_transcripts(inputs, batch_size=_resolve(args, config, "batch_size"))
+    import pyarrow as pa  # noqa: F401  (quality_gate operates on Arrow batches)
+
+    convs = reassemble_conversations(ext.map_batches(quality_gate, batch_format="pyarrow"))
+    result = dedup_stats_split(convs)
+    result.write_parquet(str(out))
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from collections import Counter
+
+    split_counts: Counter = Counter()
+    rows = 0
+    for batch in pads.dataset(str(out), format="parquet").to_batches(columns=["split"]):
+        rows += batch.num_rows
+        vc = pc.value_counts(batch.column(0))
+        for v, n in zip(vc.field("values"), vc.field("counts")):
+            split_counts[v.as_py()] += n.as_py()
+    print(json.dumps({"conversations": rows, "splits": dict(split_counts), "output": str(out)}))
+    return 0
+
+
 def cmd_report(args: argparse.Namespace) -> int:
     from .state.checkpoint import completed_partitions
 
@@ -241,6 +295,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on-conflict", choices=["overwrite", "fail"], default="overwrite",
                    help="policy for uncommitted partition dirs from a prior attempt")
     p.set_defaults(fn=cmd_resume)
+
+    p = sub.add_parser(
+        "prep", help="composed prep: extract+reassemble+dedup+stats+split"
+    )
+    p.add_argument("--input", nargs="+", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--num-cpus", dest="num_cpus", type=int)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--on-conflict", choices=["fail", "overwrite", "rename"],
+                   default="fail")
+    p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("report", help="report of a checkpointed run")
     p.add_argument("--output", required=True)
