@@ -137,9 +137,17 @@ FROM corpus GROUP BY 1
 
 SHINGLE_WORDS = 3  # word trigrams
 
+#: ASCII \S+, matching the oracles' RE2 semantics exactly. Python's
+#: ``str.split()`` also breaks on UNICODE whitespace (U+3000, NBSP, ...),
+#: which DuckDB's '\\S+' does not — a latent value divergence on any corpus
+#: containing ideographic spaces (pinned by the adversarial-corpus test).
+import re as _re
+
+_WORDS_RE = _re.compile(r"\S+", _re.ASCII)
+
 
 def _doc_shingles(text: str) -> set[str]:
-    words = text.split()
+    words = _WORDS_RE.findall(text)
     if len(words) < SHINGLE_WORDS:
         return {" ".join(words)} if words else set()
     return {
@@ -428,7 +436,7 @@ def simhash64(text: str) -> int:
     the full pipeline as a value-level oracle.
     """
     votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for w in set(text.split()):
+    for w in set(_WORDS_RE.findall(text)):  # ASCII \S+ == the oracle's RE2
         h = np.uint64(int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big"))
         bits = (h >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
         votes += np.where(bits.astype(bool), 1, -1)

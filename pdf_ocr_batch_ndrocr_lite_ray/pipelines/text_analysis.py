@@ -93,11 +93,15 @@ def doc_winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 DOCS_WINNOW_SQL = """
 WITH t AS (SELECT doc_id, coalesce(text, '') AS tx, len(coalesce(text, '')) AS n FROM documents),
 hashes AS (
+  -- every power literal is cast to BIGINT: ascii() is INT32 and
+  -- 127 * 16974593 already sits one bit under INT32_MAX — any non-ASCII
+  -- codepoint overflows the INT32 product (caught by the
+  -- adversarial-corpus parity test)
   SELECT doc_id, CAST(i AS INT) AS i, n - 4 AS n_hashes,
-    (ascii(substr(tx, CAST(i AS INT), 1)) * 4362470401
-     + ascii(substr(tx, CAST(i AS INT)+1, 1)) * 16974593
-     + ascii(substr(tx, CAST(i AS INT)+2, 1)) * 66049
-     + ascii(substr(tx, CAST(i AS INT)+3, 1)) * 257
+    (ascii(substr(tx, CAST(i AS INT), 1)) * 4362470401::BIGINT
+     + ascii(substr(tx, CAST(i AS INT)+1, 1)) * 16974593::BIGINT
+     + ascii(substr(tx, CAST(i AS INT)+2, 1)) * 66049::BIGINT
+     + ascii(substr(tx, CAST(i AS INT)+3, 1)) * 257::BIGINT
      + ascii(substr(tx, CAST(i AS INT)+4, 1))) % 2305843009213693951 AS h
   FROM t, LATERAL UNNEST(generate_series(1, n - 4)) u(i)
   WHERE n >= 5

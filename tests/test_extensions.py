@@ -646,3 +646,72 @@ class TestExchangeNullKeys:
         sums = {str(r.k): r.v for r in out.itertuples()}
         assert sums["a"] == 5 and sums["b"] == 9 and sums["c"] == 7
         assert sums.get("None", sums.get("nan")) == 7 or 7 in sums.values()
+
+
+class TestAdversarialCorpusParity:
+    """Oracle parity on a NASTY documents table (unicode whitespace, CJK,
+    empties, single words, huge repetition) — the driver's synthetic corpus
+    is ASCII-only and would never expose unicode-semantics divergence
+    between Python kernels and the RE2-based SQL."""
+
+    TEXTS = [
+        "",
+        " ",
+        "one",
+        "two words",
+        "exactly three words",
+        "a b c d e f g h",
+        "tab\tand\nnewline\rsplits",
+        "ideographic　space　separated words here",
+        "nbsp\xa0joined\xa0tokens stay one word in ascii \\S+",
+        "日本語 テキスト の 単語 分割 テスト",
+        "mixed 日本語 and english words",
+        ("repeat me often " * 50).strip(),
+        "punctuation, heavy! text? with; lots: of. marks",
+        "🙂 emoji 🚀 tokens 🙂",
+    ]
+
+    @pytest.fixture(scope="class")
+    def nasty_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("nasty")
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(self.TEXTS)), type=pa.int64()),
+                "text": pa.array(self.TEXTS),
+            }
+        )
+        pq.write_table(tbl, d / "documents.parquet")
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "dedup_exact",
+            "dedup_ngram_jaccard",
+            "dedup_minhash",
+            "dedup_simhash",
+            "docs_winnow_fingerprints",
+            "docs_tfidf_top_terms",
+            "docs_normalize_space",
+            "docs_textstats",
+        ],
+    )
+    def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
+        import duckdb
+
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{nasty_dir}/documents.parquet')"
+        )
+        ours = queryset.QUERIES[name](nasty_dir).to_pandas()
+        gold = con.execute(queryset.ORACLE_SQL[name]).df()
+        assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
+        assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
