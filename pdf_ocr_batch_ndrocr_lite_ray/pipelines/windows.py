@@ -211,15 +211,18 @@ RUNNING_TOPN = 5  # emit each user's first N events (bounded output)
 
 
 def user_running_value(sf_dir: str) -> "ray.data.Dataset":
-    """(user_id, ts, running_value) for each user's first N events: the
-    cumulative-sum window function, hash-partitioned per user and computed
-    with one stable in-partition sort — no global ordering needed because
-    the frame is per-key. Values are summed as integer 1e-4 units so the
-    running total is identical regardless of float summation order.
+    """(user_id, event_id, running_value_e4) for each user's first N
+    events: the cumulative-sum window function, hash-partitioned per user
+    and computed with one stable in-partition sort — no global ordering
+    needed because the frame is per-key. The frame order is
+    ``(ts, event_id)`` — a TOTAL order, so duplicate timestamps cannot
+    make the running totals engine-dependent — and values are summed as
+    integer 1e-4 units so the total is independent of float summation
+    order.
     """
 
     def running_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"], kind="stable")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         v = df["value"].to_numpy() * 10000.0
         # half-away-from-zero, matching DuckDB round() (numpy rounds half-even)
         scaled = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
@@ -229,24 +232,24 @@ def user_running_value(sf_dir: str) -> "ray.data.Dataset":
             .cumsum()
         )
         out = df.groupby("user_id", sort=True).head(RUNNING_TOPN)
-        return out[["user_id", "ts", "running_value_e4"]].reset_index(drop=True)
+        return out[["user_id", "event_id", "running_value_e4"]].reset_index(drop=True)
 
     ds = ray.data.read_parquet(
-        table_path(sf_dir, "events"), columns=["user_id", "ts", "value"]
+        table_path(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
     )
     return _hash_partitioned(ds, "user_id", running_partition)
 
 
 USER_RUNNING_SQL = f"""
 WITH r AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id,
          sum(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
-           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
          ) AS running_value_e4,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 )
-SELECT user_id, ts, CAST(running_value_e4 AS BIGINT) AS running_value_e4
+SELECT user_id, event_id, CAST(running_value_e4 AS BIGINT) AS running_value_e4
 FROM r WHERE rn <= {RUNNING_TOPN}
 """
 

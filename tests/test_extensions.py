@@ -715,3 +715,80 @@ class TestAdversarialCorpusParity:
         gold = con.execute(queryset.ORACLE_SQL[name]).df()
         assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
         assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
+
+
+class TestAdversarialEventsParity:
+    """Windowed/ordered oracles on a nasty events table: duplicate
+    timestamps within a user (total-order tie-break), negative values,
+    exact .5 scaled-rounding boundaries, session-gap edges."""
+
+    @pytest.fixture(scope="class")
+    def nasty_events_dir(self, tmp_path_factory):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+
+        def add(user, sec, etype, value):
+            nonlocal eid
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + dt.timedelta(seconds=sec),
+                    "user_id": user,
+                    "event_type": etype,
+                    "value": value,
+                    "props": "",
+                }
+            )
+            eid += 1
+
+        # user 1: duplicate timestamps (tie-break must be total)
+        for v in (1.0, 2.0, 3.0):
+            add(1, 100, "click", v)
+        add(1, 100, "purchase", -1.5)
+        # user 2: exact .5 boundaries at 1e-4 scale, negatives
+        for i, v in enumerate((0.00005, -0.00005, 2.00015, -3.99995)):
+            add(2, 200 + i, "view", v)
+        # user 3: session-gap edges (exactly the gap, one over, one under)
+        add(3, 0, "view", 1.0)
+        add(3, 1800, "purchase", 1.0)   # == gap → same session
+        add(3, 3601, "view", 1.0)       # > gap from previous → new session
+        add(3, 5400, "purchase", 1.0)
+        # user 4: single event
+        add(4, 50, "purchase", 0.5)
+        d = tmp_path_factory.mktemp("nasty_events")
+        pq.write_table(pa.Table.from_pylist(rows), d / "events.parquet")
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "user_running_value",
+            "user_sessions",
+            "session_purchase_counts",
+            "events_median_value_by_type",
+            "events_hourly",
+            "events_sliding",
+            "events_by_type",
+        ],
+    )
+    def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
+        import duckdb
+
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{nasty_events_dir}/events.parquet')"
+        )
+        ours = queryset.QUERIES[name](nasty_events_dir).to_pandas()
+        gold = con.execute(queryset.ORACLE_SQL[name]).df()
+        assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
+        assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
