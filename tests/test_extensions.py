@@ -761,6 +761,14 @@ class TestAdversarialEventsParity:
         add(3, 5400, "purchase", 1.0)
         # user 4: single event
         add(4, 50, "purchase", 0.5)
+        # user 5: view/click at the SAME microsecond (as-of tie-break by
+        # event_id), plus interleavings around it
+        add(5, 10, "view", 1.0)
+        add(5, 20, "click", 1.0)     # prior view at t=10
+        add(5, 30, "view", 1.0)
+        add(5, 30, "click", 1.0)     # same-ts view: prior by event_id order
+        add(5, 30, "click", 1.0)     # second click in the same microsecond
+        add(5, 40, "click", 1.0)     # prior view at t=30
         d = tmp_path_factory.mktemp("nasty_events")
         pq.write_table(pa.Table.from_pylist(rows), d / "events.parquet")
         return str(d)
@@ -775,12 +783,14 @@ class TestAdversarialEventsParity:
             "events_hourly",
             "events_sliding",
             "events_by_type",
+            "events_asof_view_click",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
         import duckdb
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
@@ -792,3 +802,52 @@ class TestAdversarialEventsParity:
         gold = con.execute(queryset.ORACLE_SQL[name]).df()
         assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
         assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
+
+
+class TestExchangeGroupCompleteness:
+    def test_partition_layout_invariance(self, ray_session):
+        """hash_partitioned must deliver every key's rows to exactly one
+        partition regardless of how the input is split into batches —
+        every per-partition consumer in the engine rides on this."""
+        import random
+
+        import pyarrow as pa
+
+        import ray.data
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import hash_partitioned
+
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            keys = [rng.choice([-5, -1, 0, 3, 2**40, None]) for _ in range(300)]
+            vals = list(range(300))
+            expected: dict = {}
+            for k, v in zip(keys, vals):
+                expected[k] = expected.get(k, 0) + v
+            # random batch layout
+            cuts = sorted(rng.sample(range(1, 300), 5))
+            tables = []
+            lo = 0
+            for hi in cuts + [300]:
+                tables.append(
+                    pa.table(
+                        {
+                            "k": pa.array(keys[lo:hi], type=pa.int64()),
+                            "v": pa.array(vals[lo:hi], type=pa.int64()),
+                        }
+                    )
+                )
+                lo = hi
+            ds = ray.data.from_arrow(tables)
+
+            def sums(df):
+                g = df.groupby("k", sort=True, dropna=False)["v"].sum().reset_index()
+                g["v"] = g["v"].astype("int64")
+                return g
+
+            out = hash_partitioned(ds, "k", sums, num_partitions=7).to_pandas()
+            got = {}
+            for r in out.itertuples():
+                k = None if pd.isna(r.k) else int(r.k)
+                assert k not in got, f"key {k} split across partitions (seed {seed})"
+                got[k] = int(r.v)
+            assert got == expected, f"sums diverge (seed {seed})"
