@@ -215,6 +215,149 @@ QUALIFY row_number() OVER (
 
 register("docs_tfidf_top_terms", docs_tfidf_top_terms, sql=DOCS_TFIDF_SQL)
 
+
+# --- collocations: top bigrams by pointwise mutual information --------------
+
+PMI_TOPK = 20
+PMI_MIN_COUNT = 5
+
+
+def docs_top_bigrams_pmi(
+    sf_dir: str, k: int = PMI_TOPK, min_count: int = PMI_MIN_COUNT
+) -> "ray.data.Dataset":
+    """(w1, w2, n_pair, pmi): corpus-level collocations.
+
+    Scale shape: ONE pass emits per-block partial unigram AND bigram
+    counts (unigrams tagged with ``w2 = ''``, impossible for an [a-z]+
+    token); a single hash partition on ``w1`` completes both count kinds
+    per word; the merged unigram vocabulary (small by construction) is
+    broadcast for the ``w2`` lookups; scoring and the per-partition top-k
+    happen in place and only ≤ k × partitions candidate rows reach the
+    final reduce.
+    """
+    import re
+
+    import ray as _ray
+
+    from .dedup import _hash_partitioned
+
+    word_re = re.compile(r"[a-z]+")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = word_re.findall((t or "").lower())
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        w1s, w2s, cs = [], [], []
+        for w, c in uni.items():
+            w1s.append(w)
+            w2s.append("")
+            cs.append(c)
+        for (a, b), c in big.items():
+            w1s.append(a)
+            w2s.append(b)
+            cs.append(c)
+        return pa.table(
+            {
+                "w1": pa.array(w1s),
+                "w2": pa.array(w2s),
+                "c": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    counts = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["text"]
+    ).map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_counts(df):
+        g = df.groupby(["w1", "w2"], sort=True)["c"].sum().reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    merged = _hash_partitioned(counts, "w1", merge_counts).materialize()
+
+    # vocabulary-sized unigram table + totals, broadcast once
+    uni_map: dict[str, int] = {}
+    n_big = 0
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        is_uni = pc.equal(b["w2"], "")
+        u = b.filter(is_uni)
+        uni_map.update(zip(u["w1"].to_pylist(), u["c"].to_pylist()))
+        n_big += sum(b.filter(pc.invert(is_uni))["c"].to_pylist())
+    n_uni = sum(uni_map.values())
+    ref = _ray.put((uni_map, float(n_uni), float(n_big)))
+
+    def score_partition(df):
+        import pandas as pd
+
+        df = df[(df["w2"] != "") & (df["c"] >= min_count)]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="object"),
+                    "w2": pd.Series([], dtype="object"),
+                    "n_pair": pd.Series([], dtype="int64"),
+                    "pmi": pd.Series([], dtype="float64"),
+                }
+            )
+        um, nu, nb = _ray.get(ref)
+        c1 = df["w1"].map(um).astype("float64")
+        c2 = df["w2"].map(um).astype("float64")
+        pmi = np.round(np.log((df["c"] / nb) / ((c1 / nu) * (c2 / nu))), 6)
+        out = pd.DataFrame(
+            {"w1": df["w1"], "w2": df["w2"], "n_pair": df["c"].astype("int64"), "pmi": pmi}
+        )
+        return (
+            out.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    candidates = merged.map_batches(score_partition, batch_format="pandas")
+
+    def final_topk(df):
+        return (
+            df.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return candidates.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
+
+
+DOCS_PMI_SQL = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+toks AS (
+  SELECT ws[CAST(i AS INT)] AS term
+  FROM w, LATERAL UNNEST(generate_series(1, len(ws))) u(i)
+),
+big AS (
+  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT)+1] AS w2
+  FROM w, LATERAL UNNEST(generate_series(1, len(ws)-1)) u(i)
+  WHERE len(ws) >= 2
+),
+uni_c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+big_c AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+n AS (SELECT (SELECT count(*) FROM toks)::DOUBLE AS n_uni,
+             (SELECT count(*) FROM big)::DOUBLE AS n_big)
+SELECT w1, w2, big_c.c AS n_pair,
+       round(ln((big_c.c / n.n_big) / ((u1.c / n.n_uni) * (u2.c / n.n_uni))), 6) AS pmi
+FROM big_c
+JOIN uni_c u1 ON u1.term = big_c.w1
+JOIN uni_c u2 ON u2.term = big_c.w2
+CROSS JOIN n
+WHERE big_c.c >= {PMI_MIN_COUNT}
+QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= {PMI_TOPK}
+"""
+
+register("docs_top_bigrams_pmi", docs_top_bigrams_pmi, sql=DOCS_PMI_SQL)
+
 register(
     "docs_lang_counts",
     lambda sf_dir: doc_lang_counts(sf_dir),
