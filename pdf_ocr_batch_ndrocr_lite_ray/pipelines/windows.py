@@ -328,3 +328,79 @@ register(
 )
 register("user_running_value", user_running_value, sql=USER_RUNNING_SQL)
 register("session_purchase_counts", session_purchase_counts, sql=SESSION_PURCHASE_SQL)
+
+
+# --- ordered funnel: view → click → purchase within step windows ------------
+
+FUNNEL_STEP_SEC = 24 * 3600  # each next step must follow within 24h
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def user_funnel_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(step, n_users): the ordered event funnel. A user advances a step
+    when the step's event type occurs STRICTLY AFTER the previous step's
+    time and within ``FUNNEL_STEP_SEC`` of it (first qualifying event
+    wins). Per-user sequence logic runs inside one hash partition
+    (vectorized min-over-mask per step); the exchange then carries only
+    per-block step counts.
+    """
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(FUNNEL_STEPS), dtype=np.int64)
+        for _, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+            et = g["event_type"].to_numpy()
+            prev_t = -1
+            for depth, step in enumerate(FUNNEL_STEPS):
+                if depth == 0:
+                    mask = et == step
+                else:
+                    mask = (
+                        (et == step)
+                        & (ts > prev_t)
+                        & (ts <= prev_t + FUNNEL_STEP_SEC * 1_000_000)
+                    )
+                if not mask.any():
+                    break
+                prev_t = int(ts[mask].min())
+                counts[depth] += 1
+        labels = [">".join(FUNNEL_STEPS[: i + 1]) for i in range(len(FUNNEL_STEPS))]
+        return pd.DataFrame(
+            {
+                "step": pd.Series(labels, dtype="object"),
+                "n_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    partials = _hash_partitioned(ds, "user_id", per_user)
+    out = partials.groupby("step").aggregate(Sum("n_users"))
+    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
+    return _rename(out, {scol: "n_users"})
+
+
+USER_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {FUNNEL_STEP_SEC} SECOND GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {FUNNEL_STEP_SEC} SECOND GROUP BY 1
+)
+SELECT '{FUNNEL_STEPS[0]}' AS step, (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT '{">".join(FUNNEL_STEPS[:2])}', (SELECT count(*) FROM s2)
+UNION ALL SELECT '{">".join(FUNNEL_STEPS)}', (SELECT count(*) FROM s3)
+"""
+
+register("user_funnel_counts", user_funnel_counts, sql=USER_FUNNEL_SQL)

@@ -784,6 +784,7 @@ class TestAdversarialEventsParity:
             "events_sliding",
             "events_by_type",
             "events_asof_view_click",
+            "user_funnel_counts",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
