@@ -135,3 +135,131 @@ class TestPlainTurnsCte:
         counts = dict(duckdb.connect().execute(sql).fetchall())
         assert counts.get("extracted", 0) > 0
         assert counts.get("skipped_clean", 0) > 0  # idempotence probes exist
+
+
+class TestAdversarialTranscriptParity:
+    """Plain-path / fallback / sniff CTEs on a NASTY transcript table —
+    CRLF, form feeds, unicode whitespace, CJK adjacency (fixpoint rules),
+    JSON-ish prefixes, truncated JSON — built for a custom path via the
+    same CTE builders the registered oracles use."""
+
+    TEXTS = [
+        "",
+        "   ",
+        "plain line\r\nwith crlf",
+        "page one\ftwo\f\fthree",
+        "ＡＢＣ　日本語 と english 123 mixed",
+        "（ quoted ） and ● bullet , punct",
+        "a  b   c　d\xa0e",
+        "{not json at all",
+        '[{"text": "tok", "bbox": [1, 2, 3, 4]}]',
+        '{"truncated": ',
+        "<p>html-ish</p> body",
+        "123 abc 456 def ¥ 100",
+        "日本語テキスト" * 40,
+        "dup seg\fdup seg\funique",
+    ]
+
+    @pytest.fixture(scope="class")
+    def nasty_path(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for i, t in enumerate(self.TEXTS):
+            rows.append(
+                {
+                    "conv_id": f"c{i % 3}",
+                    "turn_idx": i,
+                    "role": "user",
+                    "text": t,
+                    "tool": "",
+                    "ts": 0,
+                }
+            )
+        d = tmp_path_factory.mktemp("nasty_transcripts")
+        p = d / "t.parquet"
+        pq.write_table(pa.Table.from_pylist(rows), p)
+        return str(p)
+
+    def test_plain_turns_cte_matches_engine(self, ray_session, nasty_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries import (
+            _plain_turns_cte,
+        )
+
+        ds = extract_transcripts(nasty_path)
+        got = {}
+        for r in ds.take_all():
+            if r["content_kind"] == "plain":
+                got[(r["conv_id"], r["turn_idx"])] = (r["extracted_text"], r["action"])
+        sql = (
+            _plain_turns_cte(nasty_path)
+            + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
+        )
+        want = {
+            (cid, tix): (txt, act)
+            for cid, tix, txt, act in duckdb.connect().execute(sql).fetchall()
+        }
+        assert got == want
+
+    def test_fallback_cte_matches_engine(self, ray_session, nasty_path):
+        import duckdb
+        import json as _json
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries import (
+            SNIFF_CASE_SQL,
+            _plain_turns_cte,
+        )
+
+        ds = extract_transcripts(nasty_path)
+        got = {}
+        for r in ds.take_all():
+            if r["content_kind"] != "pdfish":
+                continue
+            try:
+                _json.loads(r["text"] or "")
+            except Exception:
+                got[(r["conv_id"], r["turn_idx"])] = (r["extracted_text"], r["action"])
+        sql = (
+            _plain_turns_cte(
+                nasty_path,
+                turn_filter=f"{SNIFF_CASE_SQL} = 'pdfish' AND NOT json_valid(text)",
+            )
+            + """
+SELECT conv_id, turn_idx, extracted_text,
+       CASE WHEN extracted_text = '' THEN 'empty' ELSE 'extracted_fallback' END AS action
+FROM plain_turns"""
+        )
+        want = {
+            (cid, tix): (txt, act)
+            for cid, tix, txt, act in duckdb.connect().execute(sql).fetchall()
+        }
+        assert got == want
+        assert len(got) >= 2  # the nasty table plants undecodable pdfish rows
+
+    def test_sniff_case_matches_engine(self, ray_session, nasty_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import (
+            SNIFF_PREFIX_BYTES,
+            classify_text_array,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries import (
+            SNIFF_CASE_SQL,
+        )
+        import pyarrow as pa
+
+        got = classify_text_array(pa.array(self.TEXTS)).to_pylist()
+        sql = f"""
+WITH p AS (
+  SELECT turn_idx, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre
+  FROM read_parquet('{nasty_path}')
+)
+SELECT turn_idx, {SNIFF_CASE_SQL} AS kind FROM p ORDER BY turn_idx
+"""
+        want = [k for _, k in duckdb.connect().execute(sql).fetchall()]
+        assert got == want
