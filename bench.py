@@ -97,7 +97,7 @@ def q_ann_topk(sf_dir: str) -> int:
 
 
 def q_dedup_ngram_jaccard(sf_dir: str) -> int:
-    """Exact n-gram Jaccard pairs (shingle explode + joins — heavy exchange)."""
+    """Exact n-gram Jaccard pairs (shingle explode, two exchanges, no joins)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_ngram_jaccard
 
     return _consume(dedup_ngram_jaccard(sf_dir))

@@ -81,6 +81,32 @@ def _expand_inputs(patterns: list[str], input_format: str = "parquet") -> list[s
     return sorted(set(paths), key=str.lower)
 
 
+def _prepare_output_dir(args: argparse.Namespace) -> Path | None:
+    """Resolve the writer conflict policy and return a CLEAN output dir
+    (reference S6/U4, app.py:2519-2529): fail (default) refuses a non-empty
+    dir, overwrite clears it, rename picks a fresh `_001.._9999` sibling.
+    Returns None (after printing the error) when the policy refuses.
+    """
+    from .state.output_paths import make_output_dir
+
+    conflict = "overwrite" if getattr(args, "overwrite", False) else args.on_conflict
+    try:
+        out = make_output_dir(Path(args.output), conflict)
+    except FileExistsError:
+        print(
+            f"output directory {args.output} is not empty; use --on-conflict "
+            "overwrite|rename (or --overwrite)",
+            file=sys.stderr,
+        )
+        return None
+    if conflict == "overwrite" and out.exists() and any(out.iterdir()):
+        import shutil
+
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+    return out
+
+
 def cmd_extract(args: argparse.Namespace) -> int:
     config = _load_config(args.config)
     _init_ray(_resolve(args, config, "num_cpus"))
@@ -114,26 +140,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
         )
     # Ray writes fresh unique filenames, so re-running into a dirty
     # directory would MIX stale files from the previous run into the output
-    # and double-count them in the report. Writer policy (reference S6/U4,
-    # app.py:2519-2529): fail (default), overwrite (clear first), or
-    # rename (_001.._9999 sequence picks a fresh sibling dir).
-    from .state.output_paths import make_output_dir
-
-    conflict = "overwrite" if getattr(args, "overwrite", False) else args.on_conflict
-    try:
-        out = make_output_dir(Path(args.output), conflict)
-    except FileExistsError:
-        print(
-            f"output directory {args.output} is not empty; use --on-conflict "
-            "overwrite|rename (or --overwrite)",
-            file=sys.stderr,
-        )
+    # and double-count them in the report.
+    out = _prepare_output_dir(args)
+    if out is None:
         return 2
-    if conflict == "overwrite" and out.exists() and any(out.iterdir()):
-        import shutil
-
-        shutil.rmtree(out)
-    out.mkdir(parents=True, exist_ok=True)
     if args.output_format == "jsonl":
         ds = ds.drop_columns([c for c in ["spans"] if c in ds.schema().names])
         ds.write_json(str(out))
@@ -192,31 +202,16 @@ def cmd_prep(args: argparse.Namespace) -> int:
     from .pipelines.conversations import reassemble_conversations
     from .pipelines.extraction import extract_transcripts
     from .pipelines.prep import dedup_stats_split, quality_gate
-    from .state.output_paths import make_output_dir
 
     inputs = _expand_inputs(args.input, "parquet")
     if not inputs:
         print("no input files found", file=sys.stderr)
         return 2
-    conflict = "overwrite" if getattr(args, "overwrite", False) else args.on_conflict
-    try:
-        out = make_output_dir(Path(args.output), conflict)
-    except FileExistsError:
-        print(
-            f"output directory {args.output} is not empty; use --on-conflict "
-            "overwrite|rename (or --overwrite)",
-            file=sys.stderr,
-        )
+    out = _prepare_output_dir(args)
+    if out is None:
         return 2
-    if conflict == "overwrite" and out.exists() and any(out.iterdir()):
-        import shutil
-
-        shutil.rmtree(out)
-    out.mkdir(parents=True, exist_ok=True)
 
     ext = extract_transcripts(inputs, batch_size=_resolve(args, config, "batch_size"))
-    import pyarrow as pa  # noqa: F401  (quality_gate operates on Arrow batches)
-
     convs = reassemble_conversations(ext.map_batches(quality_gate, batch_format="pyarrow"))
     result = dedup_stats_split(convs)
     result.write_parquet(str(out))

@@ -102,28 +102,21 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
     """
     import pyarrow.parquet as pq
 
-    from .exchange import int64_array
+    from .exchange import broadcast_lookup, int64_array, probe_lookup
 
     cust = pq.read_table(
         table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
     # sorted-key arrays + np.searchsorted beat a per-row dict probe; the
     # broadcast payload is two flat numpy arrays, read once per task
-    ckeys = int64_array(cust["c_custkey"])
-    cnations = int64_array(cust["c_nationkey"])
-    order = np.argsort(ckeys)
-    ref = ray.put((ckeys[order], cnations[order]))
+    ref = ray.put(
+        broadcast_lookup(int64_array(cust["c_custkey"]), int64_array(cust["c_nationkey"]))
+    )
 
     def join_partial(batch: pa.Table) -> pa.Table:
         skeys, snations = ray.get(ref)
         keys = int64_array(batch["o_custkey"])
-        if len(skeys) == 0:
-            nation_np = np.full(len(keys), -1, dtype=np.int32)
-        else:
-            pos = np.searchsorted(skeys, keys)
-            pos_clipped = np.minimum(pos, len(skeys) - 1)
-            hit = skeys[pos_clipped] == keys
-            nation_np = np.where(hit, snations[pos_clipped], -1).astype(np.int32)
+        nation_np = probe_lookup(skeys, snations, keys).astype(np.int32)
         nations = pa.array(nation_np, type=pa.int32())
         joined = pa.table(
             {
@@ -349,22 +342,20 @@ def top_customers_per_nation(sf_dir: str, k: int = TOP_CUST_K) -> "ray.data.Data
     import pyarrow.parquet as pq
 
     from .dedup import _hash_partitioned
-    from .exchange import int64_array
+    from .exchange import broadcast_lookup, int64_array, probe_lookup
 
     cust = pq.read_table(
         table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     )
-    ckeys = int64_array(cust["c_custkey"])
-    cnations = int64_array(cust["c_nationkey"])
-    order = np.argsort(ckeys)
-    ref = ray.put((ckeys[order], cnations[order]))
+    ref = ray.put(
+        broadcast_lookup(int64_array(cust["c_custkey"]), int64_array(cust["c_nationkey"]))
+    )
 
     def join_partial(batch: pa.Table) -> pa.Table:
         skeys, snations = ray.get(ref)
         keys = int64_array(batch["o_custkey"])
-        pos = np.searchsorted(skeys, keys) if len(skeys) else np.zeros(0, np.int64)
-        pos_clipped = np.minimum(pos, max(len(skeys) - 1, 0))
-        hit = skeys[pos_clipped] == keys if len(skeys) else np.zeros(len(keys), bool)
+        nation_np = probe_lookup(skeys, snations, keys)
+        hit = nation_np != -1
         cents = pc.cast(
             pc.round(
                 pc.multiply(batch["o_totalprice"], 100.0),
@@ -375,9 +366,7 @@ def top_customers_per_nation(sf_dir: str, k: int = TOP_CUST_K) -> "ray.data.Data
         )
         t = pa.table(
             {
-                "c_nationkey": pa.array(
-                    np.where(hit, snations[pos_clipped], -1).astype(np.int64)
-                ),
+                "c_nationkey": pa.array(nation_np.astype(np.int64)),
                 "o_custkey": pa.array(keys, type=pa.int64()),
                 "cents": cents,
             }
@@ -433,7 +422,7 @@ QUALIFY rank <= {TOP_CUST_K}
 
 # --- anti join: customers with no orders ------------------------------------
 
-BIG_ORDER_CENTS_MIN = 300_000.0  # "big order" threshold for the anti join
+BIG_ORDER_PRICE_MIN = 300_000.0  # o_totalprice (currency units) threshold for the anti join
 
 
 def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
@@ -451,7 +440,7 @@ def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
     from .exchange import int64_array
 
     def big_keys(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.greater(batch["o_totalprice"], BIG_ORDER_CENTS_MIN))
+        t = batch.filter(pc.greater(batch["o_totalprice"], BIG_ORDER_PRICE_MIN))
         return t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
 
     keys = (
@@ -485,7 +474,7 @@ CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
 SELECT c_custkey, c_nationkey FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER_CENTS_MIN}
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {BIG_ORDER_PRICE_MIN}
 )
 """
 

@@ -39,28 +39,16 @@ TURN_SEP = "\n\n"
 def _add_salt_key(batch: pa.Table, salt_block: int) -> pa.Table:
     """Append (seg_key:int64, salt:int32). The partition key only needs to
     CO-LOCATE each (conv_id, salt) group — the assembly groups by the real
-    columns — so it is a cheap int (crc32 of each DISTINCT conv_id via
-    dictionary-encode, mixed with the salt), not a padded string: building
-    the old string key cost more than the whole per-partition assembly.
+    columns — so it is a cheap int (shared ``crc32_codes`` over distinct
+    conv_ids, mixed with the salt), not a padded string: building the old
+    string key cost more than the whole per-partition assembly.
     """
-    import zlib
-
     import numpy as np
 
+    from .exchange import crc32_codes
+
     salt = pc.divide(batch["turn_idx"], salt_block)
-    conv = batch["conv_id"]
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    enc = conv.dictionary_encode()
-    uniq = np.fromiter(
-        (zlib.crc32(str(k).encode()) for k in enc.dictionary.to_pylist()),
-        dtype=np.int64,
-        count=len(enc.dictionary),
-    )
-    idx = pc.fill_null(enc.indices, 0)  # null conv_id → bucket of dict[0]
-    conv_hash = uniq[idx.to_numpy(zero_copy_only=False)] if len(uniq) else np.zeros(
-        batch.num_rows, dtype=np.int64
-    )
+    conv_hash = crc32_codes(batch["conv_id"])
     key = conv_hash * np.int64(1000003) + pc.cast(salt, pa.int64()).to_numpy(
         zero_copy_only=False
     )

@@ -54,6 +54,57 @@ def list_matrix(col: "pa.Array | pa.ChunkedArray"):
     return flat.astype(np.float64, copy=False).reshape(len(col), width)
 
 
+def crc32_codes(col: "pa.Array | pa.ChunkedArray"):
+    """int64 crc32 of each string value, vectorized over the DICTIONARY:
+    the Python loop runs once per DISTINCT value, then a gather through the
+    dictionary indices maps codes to rows. Null values take the code of
+    dictionary slot 0 — callers that must segregate nulls mask them with
+    ``pc.is_null`` afterwards (``add_pid`` does)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    if len(enc.dictionary) == 0:
+        return np.zeros(len(col), dtype=np.int64)
+    uniq = np.fromiter(
+        (zlib.crc32(str(k).encode()) for k in enc.dictionary.to_pylist()),
+        dtype=np.int64,
+        count=len(enc.dictionary),
+    )
+    idx = pc.fill_null(enc.indices, 0).to_numpy(zero_copy_only=False)
+    return uniq[idx]
+
+
+def broadcast_lookup(keys, values):
+    """(sorted_keys, sorted_values) ready for ``ray.put`` + ``probe_lookup``
+    — the broadcast-join small side as two flat numpy arrays."""
+    import numpy as np
+
+    order = np.argsort(keys)
+    return keys[order], values[order]
+
+
+def probe_lookup(sorted_keys, sorted_values, probe, missing=-1):
+    """Vectorized hash-join probe via binary search: value for each probe
+    key, ``missing`` where absent. Safe on an EMPTY small side (returns all
+    ``missing``) — the guard every hand-rolled copy of this pattern forgot
+    at least once."""
+    import numpy as np
+
+    if len(sorted_keys) == 0:
+        return np.full(len(probe), missing, dtype=sorted_values.dtype if len(sorted_values) else np.int64)
+    pos = np.searchsorted(sorted_keys, probe)
+    pos = np.minimum(pos, len(sorted_keys) - 1)
+    hit = sorted_keys[pos] == probe
+    return np.where(hit, sorted_values[pos], missing)
+
+
 def hash_partitioned(
     ds: "ray.data.Dataset", key: str, per_partition, num_partitions: int = _GROUP_PARTITIONS
 ) -> "ray.data.Dataset":
@@ -66,8 +117,6 @@ def hash_partitioned(
     iterates groups in-process with plain pandas. Same exchange volume,
     ~1000× fewer task invocations.
     """
-    import zlib
-
     import numpy as np
     import pyarrow.compute as pc
 
@@ -98,28 +147,13 @@ def hash_partitioned(
                 pid_np[pc.is_null(col).to_numpy(zero_copy_only=False)] = 0
             pid = pa.array(pid_np, type=pa.int32())
         else:
-            # string keys: crc32 over the DICTIONARY (unique values), then a
-            # vectorized gather through the indices — the Python loop runs
-            # once per distinct key in the batch, not once per row (measured
-            # ~6x on the 791k-row conversation exchange, whose 32k conv_ids
-            # repeat ~24x each). Same pid per key as the old per-row loop.
-            enc = col.dictionary_encode()
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            uniq_pids = np.fromiter(
-                (
-                    zlib.crc32(str(k).encode()) % num_partitions
-                    for k in enc.dictionary.to_pylist()
-                ),
-                dtype=np.int32,
-                count=len(enc.dictionary),
-            )
-            idx = enc.indices
-            pid_np = uniq_pids[
-                pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
-            ].astype(np.int32)
-            if idx.null_count:
-                pid_np[pc.is_null(idx).to_numpy(zero_copy_only=False)] = 0
+            # string keys: crc32 over the DICTIONARY (unique values) via the
+            # shared crc32_codes helper — the Python loop runs once per
+            # distinct key in the batch, not once per row (measured ~6x on
+            # the 791k-row conversation exchange). Nulls route to pid 0.
+            pid_np = (crc32_codes(col) % num_partitions).astype(np.int32)
+            if col.null_count:
+                pid_np[pc.is_null(col).to_numpy(zero_copy_only=False)] = 0
             pid = pa.array(pid_np, type=pa.int32())
         return batch.append_column("_pid", pid)
 

@@ -111,16 +111,19 @@ def brute_force_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
         lambda g: _topk_per_query(g, k), batch_format="pandas"
     )
 
-    def round_score(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    return out.map_batches(_round_score, batch_format="pyarrow")
 
-        return t.set_column(
-            t.schema.get_field_index("score"),
-            "score",
-            pc.round(t["score"], ndigits=6),
-        )
 
-    return out.map_batches(round_score, batch_format="pyarrow")
+def _round_score(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # half-away-from-zero matches DuckDB round(); pyarrow defaults to
+    # half-to-even, which would flip the oracle hash on an exact boundary
+    return t.set_column(
+        t.schema.get_field_index("score"),
+        "score",
+        pc.round(t["score"], ndigits=6, round_mode="half_towards_infinity"),
+    )
 
 
 BRUTE_FORCE_TOPK_SQL = f"""
@@ -207,15 +210,7 @@ def ivf_topk(sf_dir: str, k: int = TOPK_K) -> "ray.data.Dataset":
     out = ds.groupby("query_id").map_groups(
         lambda g: _topk_per_query(g, k), batch_format="pandas"
     )
-
-    def round_score(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.set_column(
-            t.schema.get_field_index("score"), "score", pc.round(t["score"], ndigits=6)
-        )
-
-    return out.map_batches(round_score, batch_format="pyarrow")
+    return out.map_batches(_round_score, batch_format="pyarrow")
 
 
 #: IVF SQL oracle. Unit-vector dots ARE cosines, so every comparison uses

@@ -190,7 +190,10 @@ def events_median_value_by_type(sf_dir: str) -> "ray.data.Dataset":
 
     def median_partition(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("event_type", sort=True)["value"].median().reset_index()
-        g["median_value"] = np.round(g["value"], 6)
+        # half-away-from-zero to match DuckDB round(): an even-count median
+        # is a two-value average and lands on exact .5e-6 boundaries easily
+        v = g["value"].to_numpy() * 1e6
+        g["median_value"] = np.sign(v) * np.floor(np.abs(v) + 0.5) / 1e6
         return g[["event_type", "median_value"]]
 
     ds = ray.data.read_parquet(
