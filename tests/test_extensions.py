@@ -761,6 +761,11 @@ class TestAdversarialEventsParity:
         add(3, 5400, "purchase", 1.0)
         # user 4: single event
         add(4, 50, "purchase", 0.5)
+        # user 6: an even-count type whose median is an exact .5e-6
+        # boundary (2e-6, 3e-6 → 2.5e-6) — half-even vs half-away rounding
+        # diverges here (regression case for the median rounding fix)
+        add(6, 400, "signup", 0.000002)
+        add(6, 401, "signup", 0.000003)
         # user 5: view/click at the SAME microsecond (as-of tie-break by
         # event_id), plus interleavings around it
         add(5, 10, "view", 1.0)
