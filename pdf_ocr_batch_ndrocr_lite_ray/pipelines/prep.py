@@ -95,4 +95,60 @@ def dedup_stats_split(convs: "ray.data.Dataset") -> "ray.data.Dataset":
     return deduped.map_batches(stats_and_split, batch_format="pyarrow")
 
 
-register("prep_corpus", prep_corpus)  # rows-only: composition of verified stages
+def prep_plain_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The SAME composed prep flow restricted to plain-path turns — which
+    makes EVERY stage SQL-expressible, so the end-to-end composition
+    (extract → gate → reassemble → first-wins dedup → stats → split) gets
+    a value-level oracle, not just its stages individually."""
+    ext = extract_transcripts(transcripts_for_sf(sf_dir))
+
+    def plain_gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["content_kind"], "plain"),
+            pc.and_(
+                pc.is_in(batch["action"], value_set=pa.array(KEEP_ACTIONS)),
+                pc.not_equal(batch["extracted_text"], ""),
+            ),
+        )
+        return batch.filter(keep).select(["conv_id", "turn_idx", "extracted_text"])
+
+    convs = reassemble_conversations(ext.map_batches(plain_gate, batch_format="pyarrow"))
+    return dedup_stats_split(convs)
+
+
+def _prep_plain_sql() -> str:
+    from ..functions.textstats import sql_stats_select
+    from .extraction_queries import _ORACLE_TRANSCRIPTS, _plain_turns_cte
+
+    return (
+        _plain_turns_cte(_ORACLE_TRANSCRIPTS)
+        + f""",
+kept_turns AS (
+  SELECT conv_id, turn_idx, extracted_text FROM plain_turns
+  WHERE action IN ('extracted', 'skipped_clean') AND extracted_text <> ''
+),
+convs AS (
+  SELECT conv_id,
+         string_agg(extracted_text, chr(10) || chr(10) ORDER BY turn_idx) AS full_text,
+         count(*) AS n_turns
+  FROM kept_turns GROUP BY conv_id
+),
+deduped AS (
+  SELECT conv_id, full_text, n_turns,
+         row_number() OVER (PARTITION BY md5(full_text) ORDER BY conv_id) AS rn
+  FROM convs
+),
+stats AS (
+  SELECT conv_id, n_turns, {sql_stats_select('full_text')}
+  FROM deduped WHERE rn = 1
+)
+SELECT conv_id, n_turns, n_tokens_ws AS n_tokens, lang,
+       CASE WHEN ('0x' || substr(md5(conv_id), 1, 8))::BIGINT % 100 < {VAL_PCT}
+            THEN 'val' ELSE 'train' END AS split
+FROM stats
+"""
+    )
+
+
+register("prep_corpus", prep_corpus)  # rows-only: all-kind extraction
+register("prep_plain_corpus", prep_plain_corpus, sql=_prep_plain_sql())
