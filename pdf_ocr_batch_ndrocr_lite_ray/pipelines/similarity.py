@@ -13,6 +13,12 @@
 At 100 TB the same shapes hold: the broadcast is a fixed small query set /
 centroid table, candidate generation stays embarrassingly parallel, and the
 only exchange is the tiny per-query candidate groupby.
+
+Precondition: embedding rows must have NONZERO norm — cosine is undefined
+for the zero vector and the engines pick different conventions (the unit
+guard here yields score 0; DuckDB's list_cosine_similarity yields -1).
+Adversarial parity (duplicates, antipodal, tiny magnitudes) is pinned in
+tests/test_extensions.py::TestAdversarialEmbeddingsParity.
 """
 
 from __future__ import annotations

@@ -857,3 +857,60 @@ class TestExchangeGroupCompleteness:
                 assert k not in got, f"key {k} split across partitions (seed {seed})"
                 got[k] = int(r.v)
             assert got == expected, f"sums diverge (seed {seed})"
+
+
+class TestAdversarialEmbeddingsParity:
+    """Similarity oracles on a nasty embeddings table: exact duplicates,
+    antipodal vectors, tiny magnitudes, near-parallel pairs. Exact-zero
+    vectors are excluded by precondition — cosine is undefined there and
+    the engines disagree on the convention (Python unit-guard → 0, DuckDB
+    list_cosine_similarity → -1)."""
+
+    @pytest.fixture(scope="class")
+    def nasty_emb_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(7)
+        dim = 64  # the LSH oracle embeds dim-64 hyperplane literals
+        base = rng.standard_normal((40, dim)).astype(np.float32)
+        base[1] = base[0]                      # exact duplicate
+        base[2] = -base[0]                     # antipodal
+        base[3] = base[0] * 1e-3               # tiny-magnitude parallel
+        base[4] = base[0] + rng.standard_normal(dim).astype(np.float32) * 0.01
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in base],
+                                      type=pa.list_(pa.float32())),
+                "label": pa.array([0] * 40, type=pa.int32()),
+            }
+        )
+        d = tmp_path_factory.mktemp("nasty_emb")
+        pq.write_table(tbl, d / "embeddings.parquet")
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "dedup_embedding",
+            "dedup_embedding_lsh",
+            "ann_brute_force_topk",
+            "ann_ivf_topk",
+        ],
+    )
+    def test_matches_oracle_on_nasty_embeddings(self, ray_session, nasty_emb_dir, name):
+        import duckdb
+
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.similarity  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{nasty_emb_dir}/embeddings.parquet')"
+        )
+        ours = queryset.QUERIES[name](nasty_emb_dir).to_pandas()
+        gold = con.execute(queryset.ORACLE_SQL[name]).df()
+        assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
+        assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
