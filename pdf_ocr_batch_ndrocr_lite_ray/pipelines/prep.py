@@ -103,14 +103,9 @@ def prep_plain_corpus(sf_dir: str) -> "ray.data.Dataset":
     ext = extract_transcripts(transcripts_for_sf(sf_dir))
 
     def plain_gate(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.equal(batch["content_kind"], "plain"),
-            pc.and_(
-                pc.is_in(batch["action"], value_set=pa.array(KEEP_ACTIONS)),
-                pc.not_equal(batch["extracted_text"], ""),
-            ),
-        )
-        return batch.filter(keep).select(["conv_id", "turn_idx", "extracted_text"])
+        # the SAME quality gate, restricted to plain-kind turns — one copy
+        # of the keep-condition, so the oracled flow can't drift from prep
+        return quality_gate(batch.filter(pc.equal(batch["content_kind"], "plain")))
 
     convs = reassemble_conversations(ext.map_batches(plain_gate, batch_format="pyarrow"))
     return dedup_stats_split(convs)
@@ -125,7 +120,8 @@ def _prep_plain_sql() -> str:
         + f""",
 kept_turns AS (
   SELECT conv_id, turn_idx, extracted_text FROM plain_turns
-  WHERE action IN ('extracted', 'skipped_clean') AND extracted_text <> ''
+  WHERE action IN ({", ".join(repr(a) for a in KEEP_ACTIONS)})
+    AND extracted_text <> ''
 ),
 convs AS (
   SELECT conv_id,
