@@ -117,14 +117,13 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
         skeys, snations = ray.get(ref)
         keys = int64_array(batch["o_custkey"])
         nation_np = probe_lookup(skeys, snations, keys).astype(np.int32)
-        nations = pa.array(nation_np, type=pa.int32())
         joined = pa.table(
             {
-                "c_nationkey": nations,
+                "c_nationkey": pa.array(nation_np, type=pa.int32()),
                 "o_orderkey": batch["o_orderkey"],
                 "o_totalprice": batch["o_totalprice"],
             }
-        )
+        ).filter(pa.array(nation_np != -1))  # inner-join: drop dangling orders
         g = joined.group_by("c_nationkey").aggregate(
             [("o_orderkey", "count"), ("o_totalprice", "sum")]
         )
@@ -188,24 +187,19 @@ def orders_by_nation_shuffle(sf_dir: str) -> "ray.data.Dataset":
             {
                 "o_custkey": pc.cast(batch["c_custkey"], pa.int64()),
                 "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
-                "cents": pa.nulls(batch.num_rows, type=pa.int64()),
+                "price": pa.nulls(batch.num_rows, type=pa.float64()),
             }
         )
 
     def tag_orders(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(batch["o_totalprice"], 100.0),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
+        # raw doubles, NOT per-row cents: the oracle rounds the SUM, so a
+        # per-row rounding accumulates half-cent bias (caught by the nasty
+        # relational parity test: 100.005 + ... diverged by one cent)
         return pa.table(
             {
                 "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
                 "c_nationkey": pa.nulls(batch.num_rows, type=pa.int64()),
-                "cents": cents,
+                "price": pc.cast(batch["o_totalprice"], pa.float64()),
             }
         )
 
@@ -214,40 +208,49 @@ def orders_by_nation_shuffle(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def join_and_combine(df: pd.DataFrame) -> pd.DataFrame:
-        dim = df[df["cents"].isna()]
+        dim = df[df["price"].isna()]
         lut = dict(zip(dim["o_custkey"], dim["c_nationkey"]))
-        fact = df[df["cents"].notna()].copy()
+        fact = df[df["price"].notna()].copy()
         fact["c_nationkey"] = fact["o_custkey"].map(lut)
         fact = fact.dropna(subset=["c_nationkey"])  # inner-join semantics
         g = (
             fact.groupby("c_nationkey", sort=True)
-            .agg(n_orders=("cents", "size"), total_price_cents=("cents", "sum"))
+            .agg(n_orders=("price", "size"), total_price=("price", "sum"))
             .reset_index()
         )
         g["c_nationkey"] = g["c_nationkey"].astype("int64")
         g["n_orders"] = g["n_orders"].astype("int64")
-        g["total_price_cents"] = g["total_price_cents"].astype("int64")
         return g
 
     partials = _hash_partitioned(both, "o_custkey", join_and_combine)
     out = partials.groupby("c_nationkey").aggregate(
-        Sum("n_orders"), Sum("total_price_cents")
+        Sum("n_orders"), Sum("total_price")
     )
     ren = {}
     for name in out.schema().names:
         if name.startswith("sum(n_orders"):
             ren[name] = "n_orders"
-        elif name.startswith("sum(total_price_cents"):
-            ren[name] = "total_price_cents"
+        elif name.startswith("sum(total_price"):
+            ren[name] = "total_price"
     out = _rename(out, ren)
 
-    def to_int32_nation(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("c_nationkey")
-        return t.set_column(
-            i, "c_nationkey", pc.cast(t["c_nationkey"], pa.int32())
+    def finish(t: pa.Table) -> pa.Table:
+        # round the SUM to cents (oracle semantics), nation back to int32
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["total_price"], 100.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
+        t = t.set_column(
+            t.schema.get_field_index("total_price"), "total_price_cents", cents
+        )
+        i = t.schema.get_field_index("c_nationkey")
+        return t.set_column(i, "c_nationkey", pc.cast(t["c_nationkey"], pa.int32()))
 
-    return out.map_batches(to_int32_nation, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # --- top-k without a global sort -------------------------------------------

@@ -914,3 +914,77 @@ class TestAdversarialEmbeddingsParity:
         gold = con.execute(queryset.ORACLE_SQL[name]).df()
         assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
         assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
+
+
+class TestAdversarialRelationalParity:
+    """Money-rounding and join-edge oracles on a nasty relational corpus:
+    exact half-cent totals, a customer with no orders, orders whose
+    custkey has no customer row, and a lineitem at an exact .5-cent
+    revenue boundary."""
+
+    @pytest.fixture(scope="class")
+    def nasty_rel_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("nasty_rel")
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "c_nationkey": pa.array([10, 10, 20, 30], type=pa.int32()),
+                }
+            ),
+            d / "customer.parquet",
+        )
+        # order 103 has NO matching customer; 100.005 is an exact half-cent
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([100, 101, 102, 103, 104], type=pa.int64()),
+                    "o_custkey": pa.array([1, 1, 2, 99, 3], type=pa.int64()),
+                    "o_totalprice": pa.array(
+                        [100.005, 250_000.0, 399_999.995, 50.0, 500_000.0]
+                    ),
+                }
+            ),
+            d / "orders.parquet",
+        )
+        # revenue 10.005 * (1 - 0.0) * 100 = 1000.5 → exact .5-cent boundary
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([7, 7, 8], type=pa.int64()),
+                    "l_extendedprice": pa.array([10.005, 20.0, 5.125]),
+                    "l_discount": pa.array([0.0, 0.5, 0.0]),
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "orders_by_nation",
+            "orders_by_nation_shuffle",
+            "top_customers_per_nation",
+            "customers_without_orders",
+            "lineitem_top_parts",
+        ],
+    )
+    def test_matches_oracle_on_nasty_relational(self, ray_session, nasty_rel_dir, name):
+        import duckdb
+
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{nasty_rel_dir}/{t}.parquet')"
+            )
+        ours = queryset.QUERIES[name](nasty_rel_dir).to_pandas()
+        gold = con.execute(queryset.ORACLE_SQL[name]).df()
+        assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
+        assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
