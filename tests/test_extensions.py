@@ -697,6 +697,12 @@ class TestAdversarialCorpusParity:
             "docs_tfidf_top_terms",
             "docs_normalize_space",
             "docs_textstats",
+            "docs_lang_counts",
+            "docs_sample",
+            "docs_split_counts",
+            "docs_length_histogram",
+            "docs_stratified_sample",
+            "docs_top_bigrams_pmi",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -704,6 +710,7 @@ class TestAdversarialCorpusParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
@@ -790,6 +797,7 @@ class TestAdversarialEventsParity:
             "events_by_type",
             "events_asof_view_click",
             "user_funnel_counts",
+            "events_distinct_users",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -797,6 +805,7 @@ class TestAdversarialEventsParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
