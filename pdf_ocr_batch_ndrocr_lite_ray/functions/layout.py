@@ -48,32 +48,32 @@ def group_into_lines(boxes: list[Box]) -> list[list[Box]]:
     if not boxes:
         return []
     ordered = sorted(boxes, key=lambda b: (b.center_y, float(b.x1), float(b.x2)))
-    lines: list[list[Box]] = []
-    # running (Σcenter_y, Σheight) per line: summing on append adds terms in
-    # the same order as sum() over the list, so the means are bit-identical
-    # to the recompute-per-probe form (pinned by the reference fuzz tests)
-    # while each probe drops from O(line len) to O(1)
-    sums: list[tuple[float, float]] = []
+    # each cluster record bundles [boxes, Σcenter_y, Σheight]: summing on
+    # append adds terms in the same order as sum() over the list, so the
+    # means are bit-identical to the recompute-per-probe form (pinned by
+    # the reference fuzz tests) while each probe drops to O(1)
+    lines: list[list] = []  # [list[Box], float, float]
     for box in ordered:
         placed = False
         cy = box.center_y
         h = box.height
         start = max(0, len(lines) - _GREEDY_WINDOW)
         for i in range(len(lines) - 1, start - 1, -1):
-            s_cy, s_h = sums[i]
-            n = len(lines[i])
-            avg_cy = s_cy / n
-            avg_h = s_h / n
-            tolerance = max(_MIN_TOLERANCE, min(avg_h, h) * _LINE_TOL_RATIO)
-            if abs(cy - avg_cy) <= tolerance:
-                lines[i].append(box)
-                sums[i] = (s_cy + cy, s_h + h)
+            members, s_cy, s_h = lines[i]
+            n = len(members)
+            tolerance = max(_MIN_TOLERANCE, min(s_h / n, h) * _LINE_TOL_RATIO)
+            if abs(cy - s_cy / n) <= tolerance:
+                members.append(box)
+                lines[i][1] = s_cy + cy
+                lines[i][2] = s_h + h
                 placed = True
                 break
         if not placed:
-            lines.append([box])
-            sums.append((cy, h))
-    return [sorted(line, key=lambda b: (float(b.x1), float(b.x2))) for line in lines]
+            lines.append([[box], cy, h])
+    return [
+        sorted(members, key=lambda b: (float(b.x1), float(b.x2)))
+        for members, _, _ in lines
+    ]
 
 
 def group_into_vertical_columns(boxes: list[Box]) -> list[list[Box]]:
@@ -81,28 +81,28 @@ def group_into_vertical_columns(boxes: list[Box]) -> list[list[Box]]:
     if not boxes:
         return []
     ordered = sorted(boxes, key=lambda b: (-b.center_x, float(b.y1), float(b.y2)))
-    cols: list[list[Box]] = []
-    sums: list[tuple[float, float]] = []  # running (Σcenter_x, Σwidth) per col
+    cols: list[list] = []  # [list[Box], Σcenter_x, Σwidth] per cluster
     for box in ordered:
         placed = False
         cx = box.center_x
         w = box.width
         start = max(0, len(cols) - _GREEDY_WINDOW)
         for i in range(len(cols) - 1, start - 1, -1):
-            s_cx, s_w = sums[i]
-            n = len(cols[i])
-            avg_cx = s_cx / n
-            avg_w = s_w / n
-            tolerance = max(_MIN_TOLERANCE, min(avg_w, w) * _COL_TOL_RATIO)
-            if abs(cx - avg_cx) <= tolerance:
-                cols[i].append(box)
-                sums[i] = (s_cx + cx, s_w + w)
+            members, s_cx, s_w = cols[i]
+            n = len(members)
+            tolerance = max(_MIN_TOLERANCE, min(s_w / n, w) * _COL_TOL_RATIO)
+            if abs(cx - s_cx / n) <= tolerance:
+                members.append(box)
+                cols[i][1] = s_cx + cx
+                cols[i][2] = s_w + w
                 placed = True
                 break
         if not placed:
-            cols.append([box])
-            sums.append((cx, w))
-    return [sorted(col, key=lambda b: (float(b.y1), float(b.y2))) for col in cols]
+            cols.append([[box], cx, w])
+    return [
+        sorted(members, key=lambda b: (float(b.y1), float(b.y2)))
+        for members, _, _ in cols
+    ]
 
 
 def is_vertical_layout(boxes: list[Box]) -> bool:
