@@ -1,0 +1,91 @@
+"""Property fuzz of the per-turn extractor's hard contracts.
+
+``extract_turn`` promises to NEVER raise and to keep its action/error/text
+fields mutually consistent for ANY payload; the sniffer promises to put
+every string into exactly one known kind. Hypothesis drives both with
+arbitrary unicode, JSON-ish fragments, HTML-ish fragments, and binary-ish
+noise.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import (
+    ACTION_EMPTY,
+    ACTION_ERROR,
+    ACTION_EXTRACTED,
+    ACTION_FALLBACK,
+    ACTION_SKIPPED_CLEAN,
+    extract_turn,
+)
+import pyarrow as pa
+
+from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import (
+    KIND_EMPTY,
+    KIND_HTML,
+    KIND_PDFISH,
+    KIND_PLAIN,
+    KIND_XML,
+    classify_text_array,
+)
+
+KINDS = {KIND_EMPTY, KIND_PDFISH, KIND_XML, KIND_HTML, KIND_PLAIN}
+
+
+def classify_text(s: str) -> str:
+    return classify_text_array(pa.array([s])).to_pylist()[0]
+
+ACTIONS = {
+    ACTION_EXTRACTED,
+    ACTION_FALLBACK,
+    ACTION_SKIPPED_CLEAN,
+    ACTION_EMPTY,
+    ACTION_ERROR,
+}
+
+payloads = st.one_of(
+    st.none(),
+    st.text(max_size=400),
+    st.text(alphabet="{}[]\":,0123456789.eE+- \n\tabc", max_size=400),  # JSON-ish
+    st.text(alphabet="<>/= \"'abcdivspan\n", max_size=400),  # HTML-ish
+    st.binary(max_size=200).map(lambda b: b.decode("latin-1")),
+    st.sampled_from(
+        [
+            '{"text": "x", "bbox": [0, 0, 1, 1]}',
+            '[{"text": "a"}, {"text": "b", "boundingBox": [1,2,3,4]}]',
+            "<?xml version='1.0'?><PAGE><LINE X='1' Y='2' WIDTH='3' HEIGHT='4' STRING='s'/></PAGE>",
+            "<p>hello</p>" * 40,
+            "\f\f\f",
+            "text\fmore\ftext",
+        ]
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=payloads)
+def test_extract_turn_never_raises_and_is_consistent(text):
+    kind = classify_text(text or "")
+    assert kind in KINDS
+    extracted, spans, action, error = extract_turn(text, kind)
+    assert action in ACTIONS
+    # error text present iff the action is error
+    assert (action == ACTION_ERROR) == bool(error)
+    # empty/error rows carry no text; extracted-ish rows carry some
+    if action in (ACTION_EMPTY, ACTION_ERROR):
+        assert extracted == ""
+    else:
+        assert extracted != ""
+    # spans index into the extracted text
+    for s in spans:
+        start, end, k = s
+        assert 0 <= start <= end <= len(extracted)
+        assert isinstance(k, str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=payloads)
+def test_extract_turn_deterministic(text):
+    kind = classify_text(text or "")
+    assert extract_turn(text, kind) == extract_turn(text, kind)
