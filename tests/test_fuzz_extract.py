@@ -89,3 +89,35 @@ def test_extract_turn_never_raises_and_is_consistent(text):
 def test_extract_turn_deterministic(text):
     kind = classify_text(text or "")
     assert extract_turn(text, kind) == extract_turn(text, kind)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=payloads, name=st.text(max_size=30))
+def test_extract_paged_turn_never_raises(text, name):
+    from pdf_ocr_batch_ndrocr_lite_ray.stages.paged import PAGE_SEP, extract_paged_turn
+
+    doc, n_pages, hits = extract_paged_turn(text, src_name=name)
+    assert n_pages >= 1 and hits >= 0
+    # the document always carries exactly n_pages form-feed-separated pages
+    assert len(doc.split(PAGE_SEP)) == n_pages
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    shared=st.text(min_size=12, max_size=60),
+    prefix_a=st.text(max_size=20),
+    prefix_b=st.text(max_size=20),
+)
+def test_winnowing_shared_run_guarantee(shared, prefix_a, prefix_b):
+    """Two documents sharing a run of ≥ w+k-1 chars MUST share a
+    fingerprint — the MOSS guarantee the operator is built on."""
+    from pdf_ocr_batch_ndrocr_lite_ray.functions.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    a = winnow_fingerprints(prefix_a + shared)
+    b = winnow_fingerprints(prefix_b + shared)
+    assert a & b, "shared run produced no common fingerprint"
