@@ -77,11 +77,20 @@ def test_extract_turn_never_raises_and_is_consistent(text):
         assert extracted == ""
     else:
         assert extracted != ""
-    # spans index into the extracted text
+    # spans index into the extracted text, tile it in order without
+    # overlap, and reconstruct it exactly (1-char separators between spans)
+    prev_end = None
     for s in spans:
         start, end, k = s
         assert 0 <= start <= end <= len(extracted)
         assert isinstance(k, str)
+        if prev_end is not None:
+            assert start == prev_end + 1  # single separator char
+        prev_end = end
+    if spans:
+        assert spans[0][0] == 0 and spans[-1][1] == len(extracted)
+        rebuilt = "\n".join(extracted[s[0]:s[1]] for s in spans)
+        assert rebuilt == extracted
 
 
 @settings(max_examples=300, deadline=None)
