@@ -87,10 +87,10 @@ def media_resized_features(sf_dir: str) -> "ray.data.Dataset":
 
 def media_meta(sf_dir: str) -> "ray.data.Dataset":
     """Per-row decode metadata projection of the feature stage — the
-    SQL-oracled slice (kind/action/byte counts; lists and checksum are
-    pinned by unit tests instead)."""
+    SQL-oracled slice (header fields + integrity checksum; the list-typed
+    features are pinned by unit tests instead)."""
     return media_features(sf_dir).select_columns(
-        ["media_id", "kind", "payload_bytes", "body_bytes", "action"]
+        ["media_id", "kind", "payload_bytes", "body_bytes", "checksum", "action"]
     )
 
 
@@ -107,7 +107,7 @@ WITH h AS (
   FROM read_parquet('{_ORACLE_MEDIA}')
 ),
 f AS (
-  SELECT media_id, pb,
+  SELECT media_id, pb, hx,
          (pb >= 16 AND substr(hx, 1, 8) = '464D4544'
                   AND substr(hx, 9, 2) IN ('01', '02', '03')) AS ok,
          substr(hx, 9, 2) AS kc
@@ -120,13 +120,14 @@ meta AS (
          ELSE '' END AS kind,
          pb AS payload_bytes,
          CASE WHEN ok THEN pb - 16 ELSE 0 END AS body_bytes,
+         CASE WHEN ok THEN md5(hx) ELSE '' END AS checksum,
          CASE WHEN ok THEN 'decoded' ELSE 'error' END AS action
   FROM f
 )"""
 
 MEDIA_META_SQL = (
     _MEDIA_META_CTE
-    + "\nSELECT media_id, kind, payload_bytes, body_bytes, action FROM meta"
+    + "\nSELECT media_id, kind, payload_bytes, body_bytes, checksum, action FROM meta"
 )
 
 MEDIA_KIND_COUNTS_SQL = (

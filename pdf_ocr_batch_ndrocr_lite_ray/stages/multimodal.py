@@ -103,7 +103,13 @@ class MediaFeatureExtractor:
                 meta, hist, frames = self._features(payload)
                 out["kind"].append(meta["kind"])
                 out["body_bytes"].append(len(payload) - HEADER_LEN)
-                out["checksum"].append(hashlib.md5(payload).hexdigest())
+                # md5 over the UPPERCASE hex encoding, not the raw bytes:
+                # equally sound as an integrity fingerprint, and DuckDB (whose
+                # md5 takes VARCHAR, not BLOB) can reproduce it from
+                # md5(hex(payload)) — which makes the checksum oracle-able
+                out["checksum"].append(
+                    hashlib.md5(payload.hex().upper().encode()).hexdigest()
+                )
                 out["byte_histogram"].append(hist)
                 out["sampled_frames"].append(frames)
                 out["action"].append("decoded")
