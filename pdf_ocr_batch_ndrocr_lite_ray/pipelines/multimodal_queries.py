@@ -134,9 +134,55 @@ MEDIA_KIND_COUNTS_SQL = (
     _MEDIA_META_CTE + "\nSELECT kind, action, count(*) AS n FROM meta GROUP BY 1, 2"
 )
 
+def media_frame_offsets(sf_dir: str) -> "ray.data.Dataset":
+    """(media_id, frame_idx) exploded from the frame-sampling stage — the
+    deterministic every-stride-th sampling as ROWS, which (unlike the
+    list column) the driver can value-hash against SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(batch: "pa.Table") -> "pa.Table":
+        frames = batch["sampled_frames"]
+        if isinstance(frames, pa.ChunkedArray):
+            frames = frames.combine_chunks()
+        flat = pc.list_flatten(frames)
+        lens = (
+            pc.fill_null(pc.list_value_length(frames), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = np.repeat(batch["media_id"].to_numpy(zero_copy_only=False), lens)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pc.cast(flat, pa.int64()),
+            }
+        )
+
+    return media_features(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+# header contract: n_frames is the little-endian uint16 at byte offset 14
+# (hex chars 29-32); sampling takes every 2nd frame index starting at 0
+MEDIA_FRAME_OFFSETS_SQL = (
+    _MEDIA_META_CTE
+    + """,
+vid AS (
+  SELECT f.media_id,
+         ('0x' || substr(f.hx, 31, 2) || substr(f.hx, 29, 2))::INT AS n_frames
+  FROM f WHERE f.ok
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx
+FROM vid, LATERAL UNNEST(generate_series(0, n_frames - 1, 2)) u(i)
+WHERE n_frames > 0
+"""
+)
+
 MATERIALIZERS.append(lambda: media_table_for_sf("/root/testdata/sf0.01"))
 
 register("media_features", media_features)  # rows-only: binary payloads
 register("media_resized_features", media_resized_features)  # rows-only
 register("media_meta", media_meta, sql=MEDIA_META_SQL)
 register("media_kind_counts", media_kind_counts, sql=MEDIA_KIND_COUNTS_SQL)
+register("media_frame_offsets", media_frame_offsets, sql=MEDIA_FRAME_OFFSETS_SQL)
