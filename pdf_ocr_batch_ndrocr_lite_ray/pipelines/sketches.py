@@ -72,11 +72,13 @@ FROM events GROUP BY event_type
 # --- KMV distinct-count sketch (approximate, rows-only) --------------------
 
 def _kmv_hash(values: list[str]) -> np.ndarray:
+    # first 8 md5 bytes (not blake2b): DuckDB reproduces this as
+    # ('0x' || substr(md5(v), 1, 16))::UBIGINT, which makes the whole
+    # sketch VALUE oracle-checkable (the sketch is a deterministic
+    # function; only its relation to the true cardinality is approximate)
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+        out[i] = int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "big")
     return out
 
 
@@ -106,7 +108,8 @@ def docs_distinct_shingles_kmv(sf_dir: str) -> "ray.data.Dataset":
         merged = np.sort(np.concatenate([np.asarray(x, dtype=np.uint64) for x in df["min_hashes"]]))
         merged = np.unique(merged)[:KMV_K]
         est = kmv_estimate(merged)
-        return pd.DataFrame({"estimate": pd.Series([round(est)], dtype="int64"),
+        # half-away rounding matches DuckDB round(); est is positive
+        return pd.DataFrame({"estimate": pd.Series([int(np.floor(est + 0.5))], dtype="int64"),
                              "k": pd.Series([KMV_K], dtype="int64")})
 
     ds = ray.data.read_parquet(
@@ -154,8 +157,10 @@ def events_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
         qs, vals = [], []
         for q in QUANTILES:
             idx = int(np.searchsorted(cum, q * n, side="left"))
+            e = float(edges[min(idx + 1, QUANT_BINS)])
+            # half-away rounding matches DuckDB round()
+            vals.append(float(np.sign(e) * np.floor(abs(e) * 1e6 + 0.5) / 1e6))
             qs.append(q)
-            vals.append(round(float(edges[min(idx + 1, QUANT_BINS)]), 6))
         return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                              "value_estimate": pd.Series(vals, dtype="float64")})
 
@@ -163,6 +168,58 @@ def events_value_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return ds.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+#: the histogram-sketch quantile VALUE is deterministic given the data:
+#: same min/max domain, same 2048 uniform bins, same first-cum-≥-target
+#: pick, same upper-edge readout — so it gets a full oracle. Only its
+#: relation to the true quantile is approximate (bin-width error bound,
+#: asserted in tests).
+EVENTS_QUANTILES_SQL = f"""
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT least(CAST(floor((value - mm.lo) / (mm.hi - mm.lo) * {QUANT_BINS}) AS INT),
+               {QUANT_BINS} - 1) AS bin
+  FROM events, mm
+),
+hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+cum AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum,
+         (SELECT count(*) FROM events) AS n
+  FROM hist
+),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILES)}),
+pick AS (
+  SELECT q, min(bin) AS idx FROM qs JOIN cum ON cum.cum >= q * cum.n GROUP BY q
+)
+SELECT q,
+       round(mm.lo + (mm.hi - mm.lo) * least(idx + 1, {QUANT_BINS}) / {QUANT_BINS}, 6)
+         AS value_estimate
+FROM pick, mm
+"""
+
+
+#: the KMV sketch VALUE is deterministic, so it gets a full oracle: same
+#: distinct-shingle set, same md5-derived 64-bit hashes, same k-min — the
+#: only "approximation" is the estimate's relation to the true cardinality
+#: (asserted separately in tests).
+DOCS_KMV_SQL = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+s AS (
+  SELECT CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+),
+d AS (SELECT DISTINCT sh FROM s),
+h AS (SELECT ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS hv FROM d),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
+agg AS (SELECT count(*) AS n, max(hv) AS kth FROM k)
+SELECT CASE WHEN n < {KMV_K} THEN n
+       ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
+       END AS estimate,
+       {KMV_K} AS k
+FROM agg
+"""
+
 register("events_distinct_users", events_distinct_users, sql=EVENTS_DISTINCT_USERS_SQL)
-register("docs_distinct_shingles_kmv", docs_distinct_shingles_kmv)  # rows-only (approx)
-register("events_value_quantiles", events_value_quantiles)  # rows-only (approx)
+register("docs_distinct_shingles_kmv", docs_distinct_shingles_kmv, sql=DOCS_KMV_SQL)
+register("events_value_quantiles", events_value_quantiles, sql=EVENTS_QUANTILES_SQL)
