@@ -179,6 +179,56 @@ WHERE n_frames > 0
 """
 )
 
+def media_byte_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """(media_id, bin, n) exploded from the 16-bin body-byte histogram of
+    each decoded payload (zero bins omitted) — the byte-level feature
+    computation as value-hashable rows. The oracle recomputes it from the
+    FIRST hex digit of every body byte pair (bin = byte >> 4)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.multimodal import FEATURE_BINS
+
+    def explode(batch: "pa.Table") -> "pa.Table":
+        b = batch.filter(pc.equal(batch["action"], "decoded"))
+        hists = b["byte_histogram"]
+        if isinstance(hists, pa.ChunkedArray):
+            hists = hists.combine_chunks()
+        flat = pc.list_flatten(hists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["media_id"].to_numpy(zero_copy_only=False), FEATURE_BINS)
+        bins = np.tile(np.arange(FEATURE_BINS), len(b))
+        t = pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "bin": pa.array(bins, type=pa.int64()),
+                "n": pa.array(flat.astype(np.int64)),
+            }
+        )
+        return t.filter(pc.greater(t["n"], 0))
+
+    return media_features(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+MEDIA_BYTE_HISTOGRAM_SQL = f"""
+WITH h AS (
+  SELECT media_id, octet_length(payload) AS pb, hex(payload) AS hx
+  FROM read_parquet('{_ORACLE_MEDIA}')
+),
+ok AS (
+  SELECT media_id, pb, hx FROM h
+  WHERE pb >= 16 AND substr(hx, 1, 8) = '464D4544'
+    AND substr(hx, 9, 2) IN ('01', '02', '03')
+),
+bytes AS (
+  SELECT media_id,
+         ('0x' || substr(hx, 33 + (CAST(i AS INT) - 1) * 2, 1))::INT AS bin
+  FROM ok, LATERAL UNNEST(generate_series(1, pb - 16)) u(i)
+)
+SELECT media_id, CAST(bin AS BIGINT) AS bin, count(*) AS n
+FROM bytes GROUP BY 1, 2
+"""
+
 MATERIALIZERS.append(lambda: media_table_for_sf("/root/testdata/sf0.01"))
 
 register("media_features", media_features)  # rows-only: binary payloads
@@ -186,3 +236,4 @@ register("media_resized_features", media_resized_features)  # rows-only
 register("media_meta", media_meta, sql=MEDIA_META_SQL)
 register("media_kind_counts", media_kind_counts, sql=MEDIA_KIND_COUNTS_SQL)
 register("media_frame_offsets", media_frame_offsets, sql=MEDIA_FRAME_OFFSETS_SQL)
+register("media_byte_histogram", media_byte_histogram, sql=MEDIA_BYTE_HISTOGRAM_SQL)
