@@ -21,6 +21,10 @@ Scale shapes (100 TB):
 - MinHash+LSH / SimHash / embedding-LSH: signature inside ``map_batches``
   (vectorized numpy), candidates from band-bucket groupbys (only
   signatures shuffle, never text), pairwise work bounded per bucket.
+- embedding near-dup is banded-LSH generate → exact-cosine verify in one
+  composition: the vector rides with each band row, buckets verify their
+  own candidates, a final partition-complete dedupe collapses multi-band
+  hits. Nothing materializes on the driver.
 """
 
 from __future__ import annotations
@@ -291,6 +295,9 @@ WHERE round(m::DOUBLE / (ca.n_sh + cb.n_sh - m), 6) >= 0.5
 N_PERMS = 64
 N_BANDS = 16  # 16 bands x 4 rows → catches jaccard ≳ 0.5
 ROWS_PER_BAND = N_PERMS // N_BANDS
+#: shared by minhash_duplicate_pairs' default AND its SQL oracle — change
+#: it in one place or the registered oracle silently desynchronizes
+MINHASH_TAU = 0.5
 _MERSENNE = np.uint64((1 << 31) - 1)  # 31-bit prime: products wrap, perms mix
 _MAX_BUCKET = 256  # pairwise cap per LSH bucket (skew guard; logged via count)
 
@@ -364,7 +371,7 @@ def _band_sig_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_duplicate_pairs(sf_dir: str, tau: float = 0.5) -> "ray.data.Dataset":
+def minhash_duplicate_pairs(sf_dir: str, tau: float = MINHASH_TAU) -> "ray.data.Dataset":
     """Near-dup candidate pairs via MinHash banding: (doc_a, doc_b, est_jaccard).
 
     ONE streaming pass, TWO exchanges, nothing on the driver:
@@ -523,90 +530,161 @@ def emb_corpus(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(_emb_corpus_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-#: hard cap on the brute-force comparison side: this pipeline is the exact
-#: N×N verify BASELINE and deliberately materializes the corpus matrix —
-#: refuse inputs where that stops being a baseline-sized job instead of
-#: silently OOMing the driver. The scale path is the LSH variant.
-MAX_BRUTE_FORCE_VECS = 1_000_000  # ~0.5 GB at 64 float64 dims
+#: banded hyperplane LSH (the recall path): the 12 shared hyperplanes split
+#: into 4 bands × 3 planes; a pair is a candidate if ANY band's 3 sign bits
+#: agree (OR-of-ANDs). At cos ≥ 0.95 the per-plane agreement probability is
+#: 1 − arccos(0.95)/π ≈ 0.899, so band recall = 0.899³ ≈ 0.73 and 4-band
+#: recall ≈ 1 − (1 − 0.73)⁴ ≈ 0.994 — versus ≈ 0.28 for the all-12-bit
+#: single-bucket variant below, whose precision (fewer candidates) is the
+#: trade it buys.
+EMB_BANDS = 4
+PLANES_PER_BAND = 3  # EMB_BANDS * PLANES_PER_BAND == LSH_PLANES
 
 
-def _normalized_matrix(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
-    """(ids, unit-norm matrix) of a small embedding dataset (driver-side)."""
-    tbl = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+def _emb_bucket_pairs(df: pd.DataFrame, key: str, tau: float) -> pd.DataFrame:
+    """Exact-cosine verification within each LSH bucket of a partition.
+
+    Shared by the banded generator (``key="band_key"``) and the
+    single-bucket variant (``key="bucket"``). Buckets are rank-capped at
+    ``_MAX_BUCKET`` over vec_id order — mirrored in both SQL oracles via
+    ``row_number()``. Zero-norm vectors are guarded to 0-similarity
+    (documented precondition: DuckDB's list_cosine_similarity returns -1
+    there, so oracles assume no zero vectors in the corpus).
+    """
+    vc = df[key].map(df[key].value_counts())
+    df = df[vc > 1]
+    a, b, cs = [], [], []
+    for _, group in df.groupby(key, sort=True):
+        ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order][:_MAX_BUCKET]
+        mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)[order][:_MAX_BUCKET]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j] and round(float(sims[i, j]), 6) >= tau:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    cs.append(round(float(sims[i, j]), 6))
+    return pd.DataFrame(
+        {
+            "vec_a": pd.Series(a, dtype="int64"),
+            "vec_b": pd.Series(b, dtype="int64"),
+            "cosine": pd.Series(cs, dtype="float64"),
+        }
     )
-    if tbl.num_rows > MAX_BRUTE_FORCE_VECS:
-        raise ValueError(
-            f"brute-force embedding dedup capped at {MAX_BRUTE_FORCE_VECS} vectors "
-            f"(got {tbl.num_rows}); use embedding_lsh_near_dup_pairs at this scale"
-        )
-    ids = _int64_array(tbl["vec_id"])
-    mat = _list_matrix(tbl["embedding"])
-    if mat.shape[0] == 0:
-        return ids, mat
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    return ids, mat / norms
 
 
 def embedding_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data.Dataset":
-    """Cosine near-dup pairs ≥ tau: (vec_a, vec_b, cosine).
+    """Cosine near-dup pairs ≥ tau via banded LSH generate → exact verify:
+    (vec_a, vec_b, cosine).
 
-    The comparison side is broadcast ONCE via ``ray.put`` (a lookup read by
-    every task), never re-shipped per batch; each batch does one float64
-    matmul against it. This is the brute-force N×N baseline — correct at
-    test scale and the verification stage at corpus scale, where the
-    LSH-bucketed variant (``embedding_lsh_near_dup_pairs``) generates
-    candidates first.
+    Fully distributed, nothing on the driver — this replaced the round-2
+    N×N driver-materialized baseline. Generator and verifier are one
+    composition:
+
+    1. one ``map_batches`` computes the 12 hyperplane signs per vector and
+       emits EMB_BANDS rows, the vector riding WITH each band row (the
+       MinHash signature-riding shape; ~4× the embedding bytes through the
+       first exchange, the price of never joining vectors back);
+    2. hash-partition on ``band_key``: every band bucket verifies its own
+       candidates with an exact in-bucket cosine (rank-capped);
+    3. hash-partition on ``vec_a``: a pair agreeing in several bands got
+       the identical cosine everywhere → plain ``drop_duplicates`` on a
+       partition-complete key.
+
+    Recall at tau=0.95 is ≈ 0.994 by the banding math above; precision is
+    exact (every emitted pair passed the true-cosine check).
     """
-    import ray as ray_core
 
-    ids, mat = _normalized_matrix(emb_corpus(sf_dir))
-    ref = ray_core.put((ids, mat))
-
-    def batch_pairs(batch: pa.Table) -> pa.Table:
+    def band_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.schema(
-                [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
-            ).empty_table()
-        all_ids, all_mat = ray_core.get(ref)
-        b_ids = _int64_array(batch["vec_id"])
-        b_mat = _list_matrix(batch["embedding"])
-        norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        sims = (b_mat / norms) @ all_mat.T  # (B, N)
-        va, vb, cs = [], [], []
-        for i in range(sims.shape[0]):
-            hits = np.where(np.round(sims[i], 6) >= tau)[0]
-            for j in hits:
-                if b_ids[i] < all_ids[j]:
-                    va.append(b_ids[i])
-                    vb.append(all_ids[j])
-                    cs.append(round(float(sims[i, j]), 6))
-        return pa.table(
-            {
-                "vec_a": pa.array(va, type=pa.int64()),
-                "vec_b": pa.array(vb, type=pa.int64()),
-                "cosine": pa.array(cs, type=pa.float64()),
-            }
-        )
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "band_key": pa.array([], type=pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        mat = _list_matrix(batch["embedding"])
+        planes = _lsh_planes(mat.shape[1])
+        # round-then-sign: numpy's blocked matmul and DuckDB's sequential
+        # list_inner_product can differ by ~1 ulp; rounding first makes the
+        # bit identical on both engines except on a measure-zero boundary
+        bits = (np.round(mat @ planes.T, 4) > 0).astype(np.int64)  # (B, 12)
+        ids = batch["vec_id"]
+        tables = []
+        weights = 1 << np.arange(PLANES_PER_BAND - 1, -1, -1, dtype=np.int64)
+        for band in range(EMB_BANDS):
+            chunk = bits[:, band * PLANES_PER_BAND : (band + 1) * PLANES_PER_BAND]
+            keys = (band << PLANES_PER_BAND) | (chunk @ weights)
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": ids,
+                        "band_key": pa.array(keys, type=pa.int64()),
+                        "embedding": batch["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
 
-    return emb_corpus(sf_dir).map_batches(batch_pairs, batch_format="pyarrow")
+    ds = emb_corpus(sf_dir).map_batches(band_rows, batch_format="pyarrow")
+    pairs = _hash_partitioned(
+        ds, "band_key", lambda df: _emb_bucket_pairs(df, "band_key", tau)
+    )
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    return _hash_partitioned(pairs, "vec_a", distinct_pairs)
 
 
-EMB_NEAR_DUP_SQL = f"""
+def _emb_banded_oracle_sql(dim: int = 64, tau: float = EMB_TAU) -> str:
+    """Value-level oracle for the banded generate→verify pipeline: the 12
+    hyperplanes as DOUBLE[] literals, band chunk = the band's 3 rounded
+    sign bits, candidates = any-band agreement under the rank cap,
+    verification = exact cosine ≥ tau."""
+    planes = _lsh_planes(dim)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(v) for v in planes[p]))
+        for p in range(LSH_PLANES)
+    )
+    return f"""
 WITH ecorpus AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
   UNION ALL
-  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id, embedding
+  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
   FROM embeddings WHERE vec_id % 5 = 0
+),
+planes(p, pv) AS (VALUES {rows}),
+sig AS (
+  SELECT vec_id, p // {PLANES_PER_BAND} AS band,
+         string_agg(
+           CASE WHEN round(list_inner_product(emb, pv), 4) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY p) AS chunk
+  FROM ecorpus CROSS JOIN planes GROUP BY vec_id, p // {PLANES_PER_BAND}
+),
+ranked AS (
+  SELECT vec_id, band, chunk,
+         row_number() OVER (PARTITION BY band, chunk ORDER BY vec_id) AS rn
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ranked a JOIN ranked b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  WHERE a.rn <= {_MAX_BUCKET} AND b.rn <= {_MAX_BUCKET}
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= {EMB_TAU}
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM cand c
+JOIN ecorpus ea ON ea.vec_id = c.vec_a
+JOIN ecorpus eb ON eb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {tau}
 """
 
 
@@ -655,37 +733,12 @@ def embedding_lsh_near_dup_pairs(sf_dir: str, tau: float = EMB_TAU) -> "ray.data
             }
         )
 
-    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["bucket"].map(df["bucket"].value_counts())
-        df = df[vc > 1]
-        a, b, cs = [], [], []
-        for _, group in df.groupby("bucket", sort=True):
-            ids = np.asarray(group["vec_id"].tolist(), dtype=np.int64)
-            order = np.argsort(ids)
-            ids = ids[order][:_MAX_BUCKET]
-            mat = np.asarray(group["embedding"].tolist(), dtype=np.float64)[order][:_MAX_BUCKET]
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            unit = mat / norms
-            sims = unit @ unit.T
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] != ids[j] and round(float(sims[i, j]), 6) >= tau:
-                        a.append(ids[i])
-                        b.append(ids[j])
-                        cs.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame(
-            {
-                "vec_a": pd.Series(a, dtype="int64"),
-                "vec_b": pd.Series(b, dtype="int64"),
-                "cosine": pd.Series(cs, dtype="float64"),
-            }
-        )
-
     ds = emb_corpus(sf_dir).map_batches(sig_rows, batch_format="pyarrow")
     # a vector has exactly ONE bucket (the bucket is a function of the
     # vector), so a pair can never be emitted twice — no dedupe exchange
-    return _hash_partitioned(ds, "bucket", partition_pairs)
+    return _hash_partitioned(
+        ds, "bucket", lambda df: _emb_bucket_pairs(df, "bucket", tau)
+    )
 
 
 # --- registration ----------------------------------------------------------
@@ -753,7 +806,7 @@ FROM cand c
 JOIN sig_all sa ON sa.doc_id = c.doc_a
 JOIN sig_all sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
 GROUP BY 1, 2
-HAVING est_jaccard >= 0.5
+HAVING est_jaccard >= {MINHASH_TAU}
 """
 
 
@@ -852,5 +905,5 @@ WHERE a.rn <= {_MAX_BUCKET} AND b.rn <= {_MAX_BUCKET}
 """
 
 
-register("dedup_embedding", embedding_near_dup_pairs, sql=EMB_NEAR_DUP_SQL)
+register("dedup_embedding", embedding_near_dup_pairs, sql=_emb_banded_oracle_sql())
 register("dedup_embedding_lsh", embedding_lsh_near_dup_pairs, sql=_embedding_lsh_oracle_sql())

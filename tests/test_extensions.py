@@ -136,15 +136,24 @@ class TestDedup:
         assert ((df.vec_b - df.vec_a) == dedup.EMB_DUP_OFFSET).any()
 
     def test_embedding_lsh_recall(self, ray_session):
+        """The single-bucket variant's candidates are a subset of the banded
+        variant's (all-12-planes agree ⟹ every band agrees), and on the
+        planted exact-duplicate corpus both reach the same pairs."""
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
-        bf = queryset.QUERIES["dedup_embedding"](SF).to_pandas()
+        banded = queryset.QUERIES["dedup_embedding"](SF).to_pandas()
         lsh = queryset.QUERIES["dedup_embedding_lsh"](SF).to_pandas()
-        bf_pairs = set(zip(bf.vec_a, bf.vec_b))
+        banded_pairs = set(zip(banded.vec_a, banded.vec_b))
         lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
-        assert lsh_pairs <= bf_pairs  # no false positives (exact check in-bucket)
-        recall = len(bf_pairs & lsh_pairs) / max(len(bf_pairs), 1)
+        assert lsh_pairs <= banded_pairs  # no false positives (exact check in-bucket)
+        recall = len(banded_pairs & lsh_pairs) / max(len(banded_pairs), 1)
         assert recall >= 0.9, f"embedding LSH recall {recall}"
+        # planted identical embeddings (every 5th vec) must all be found
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup
+
+        planted = banded[(banded.vec_b - banded.vec_a) == dedup.EMB_DUP_OFFSET]
+        assert (planted.cosine == 1.0).all()
+        assert len(planted) > 0
 
 
 class TestSimilarity:
