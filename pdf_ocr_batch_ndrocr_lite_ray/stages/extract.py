@@ -31,6 +31,7 @@ import pyarrow as pa
 from ..functions.layout import assemble_layout_text, dedup_blocks, dedup_boxes
 from ..functions.textnorm import normalize_text
 from .domstrip import extract_html_main_content
+from .paged import PAGE_SEP, extract_paged_turn, infer_page_count
 from .payload import parse_pdfish_payload
 from .sniffer import (
     KIND_EMPTY,
@@ -94,7 +95,27 @@ def extract_html(text: str) -> tuple[str, list[Span]]:
 
 
 def extract_pdfish(text: str) -> tuple[str, list[Span]]:
-    """PDF-ish path: parse positioned boxes, dedup, cluster, reading-order join."""
+    """PDF-ish path: parse positioned boxes, dedup, cluster, reading-order join.
+
+    A PAGE-SHAPED payload (multi-page NDLOCR ``{"contents": [[...], ...]}``)
+    routes through the full paged document model (``extract_paged_turn``) so
+    the flagship applies M7/M11 semantics — per-page token assignment,
+    fill-only-empty merge — instead of flattening pages together. Page
+    boundaries surface as ``kind="page"`` spans over the form-feed-joined
+    document (the same separator the plain path splits on).
+    """
+    if infer_page_count(text or "") > 1:
+        doc, _n_pages, _hits = extract_paged_turn(text)
+        if not doc.strip():
+            return "", []
+        spans: list[Span] = []
+        pos = 0
+        for i, page in enumerate(doc.split(PAGE_SEP)):
+            if i:
+                pos += 1
+            spans.append((pos, pos + len(page), "page"))
+            pos += len(page)
+        return doc, spans
     boxes, blocks = parse_pdfish_payload(text)
     boxes = dedup_boxes(boxes)
     blocks = dedup_blocks(blocks)

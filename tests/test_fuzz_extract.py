@@ -78,7 +78,8 @@ def test_extract_turn_never_raises_and_is_consistent(text):
     else:
         assert extracted != ""
     # spans index into the extracted text, tile it in order without
-    # overlap, and reconstruct it exactly (1-char separators between spans)
+    # overlap, and reconstruct it exactly. Separators are single chars:
+    # "\n" between blocks/lines/paragraphs, "\f" between page spans.
     prev_end = None
     for s in spans:
         start, end, k = s
@@ -86,10 +87,13 @@ def test_extract_turn_never_raises_and_is_consistent(text):
         assert isinstance(k, str)
         if prev_end is not None:
             assert start == prev_end + 1  # single separator char
+            assert extracted[prev_end] in ("\n", "\f")
         prev_end = end
     if spans:
         assert spans[0][0] == 0 and spans[-1][1] == len(extracted)
-        rebuilt = "\n".join(extracted[s[0]:s[1]] for s in spans)
+        rebuilt = extracted[spans[0][0] : spans[0][1]]
+        for (_, pe, _), (s, e, _) in zip(spans, spans[1:]):
+            rebuilt += extracted[pe] + extracted[s:e]
         assert rebuilt == extracted
 
 

@@ -197,6 +197,45 @@ class TestExtractTurn:
         _, _, action, err = extract_turn("x", "bogus")
         assert action == ACTION_ERROR and "unknown content kind" in err
 
+    def test_multipage_payload_routes_through_paged_kernel(self):
+        """Flagship M7/M11 integration: a 3-page NDLOCR payload through the
+        flagship pdfish path yields the form-feed-separated document the
+        paged kernel produces, with kind="page" spans tiling it."""
+        import json
+
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.paged import PAGE_SEP, extract_paged_turn
+
+        payload = json.dumps(
+            {
+                "contents": [
+                    [
+                        {"text": "alpha one", "boundingBox": [0, 0, 30, 10]},
+                        {"text": "alpha two", "boundingBox": [0, 20, 30, 30]},
+                    ],
+                    [{"text": "beta", "boundingBox": [0, 0, 10, 10]}],
+                    [],
+                ]
+            }
+        )
+        paged_doc, n_pages, _ = extract_paged_turn(payload)
+        assert n_pages == 3
+        text, spans, action, _ = extract_turn(payload, "pdfish")
+        assert action == ACTION_EXTRACTED
+        assert text == paged_doc
+        assert text.split(PAGE_SEP) == paged_doc.split(PAGE_SEP)
+        assert [k for _, _, k in spans] == ["page", "page", "page"]
+        # page spans tile the document around the form-feed separators
+        pages = text.split(PAGE_SEP)
+        assert [text[s:e] for s, e, _ in spans] == pages
+
+    def test_single_page_payload_keeps_flat_path(self):
+        """A one-page payload is NOT paged: the flat box/block layout path
+        (line/block spans) still applies, unchanged from round 2."""
+        payload = '{"contents": [[{"text": "only", "boundingBox": [0,0,9,9]}]]}'
+        text, spans, action, _ = extract_turn(payload, "pdfish")
+        assert action == ACTION_EXTRACTED and text == "only"
+        assert all(k != "page" for _, _, k in spans)
+
     def test_spans_cover_text_exactly(self):
         from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import generate_rows
         from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import classify_one
