@@ -260,5 +260,148 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- centroid-partitioned IVF layout (read-I/O pruning) ---------------------
+
+_IVF_INDEX_VERSION = 1
+
+
+def ivf_index_dir(sf_dir: str) -> str:
+    """Cache location of the centroid-partitioned embedding layout for a
+    source dir — content-keyed on the source parquet's (size, mtime) via the
+    marker file, so a changed source rebuilds."""
+    import hashlib as _hl
+    from pathlib import Path
+
+    key = _hl.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    return f"/tmp/graft_cache/ivf-index-{key}-c{IVF_CENTROIDS}-v{_IVF_INDEX_VERSION}"
+
+
+def build_ivf_index(sf_dir: str) -> str:
+    """ONE distributed pass writes the embeddings partitioned by nearest
+    centroid: ``<index>/centroid_id=<c>/*.parquet`` (hive layout). The
+    centroid id is also kept as a regular column (``cid``) so readers of an
+    explicit partition-dir subset still see it without hive discovery.
+
+    This is the layout half of IVF at scale: with vectors co-located by
+    centroid, a query's read I/O is proportional to the probed fraction —
+    non-probed partitions never leave storage. Idempotent per source file
+    state; concurrent/re-runs rebuild into a fresh directory then rename.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    src = Path(table_path(sf_dir, "embeddings"))
+    stat = src.stat()
+    stamp = f"{stat.st_size}:{stat.st_mtime_ns}"
+    out = Path(ivf_index_dir(sf_dir))
+    marker = out / "_DONE"
+    if marker.exists() and marker.read_text() == stamp:
+        return str(out)
+
+    c_ids, c_mat = _small_matrix(sf_dir, IVF_CENTROIDS)
+    ref = ray.put(c_mat)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cid", pa.array([], type=pa.int64())) \
+                        .append_column("centroid_id", pa.array([], type=pa.int64()))
+        cent = ray.get(ref)
+        mat = _unit(list_matrix(batch["embedding"]))
+        # same rounded-dot argmax as ivf_topk: identical bucket structure
+        assign = np.argmax(np.round(mat @ cent.T, 6), axis=1).astype(np.int64)
+        return batch.append_column("cid", pa.array(assign, type=pa.int64())) \
+                    .append_column("centroid_id", pa.array(assign, type=pa.int64()))
+
+    tmp = out.with_name(out.name + f".build-{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ray.data.read_parquet(str(src), columns=["vec_id", "embedding"]).map_batches(
+        assign_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(tmp), partition_cols=["centroid_id"])
+    (tmp / "_DONE").write_text(stamp)
+    if out.exists():
+        shutil.rmtree(out)
+    tmp.replace(out)
+    return str(out)
+
+
+def probed_partition_paths(index_dir: str, probed: "np.ndarray") -> list[str]:
+    """Parquet files under the probed centroid partitions — ONLY these are
+    read (``read_parquet`` wants files when given a list). A probed centroid
+    that attracted no vectors has no dir; skip it."""
+    from pathlib import Path
+
+    base = Path(index_dir)
+    files: list[str] = []
+    for c in np.nonzero(probed)[0]:
+        d = base / f"centroid_id={c}"
+        if d.is_dir():
+            files.extend(sorted(str(p) for p in d.glob("*.parquet")))
+    return files
+
+
+def ivf_topk_partitioned(
+    sf_dir: str, k: int = TOPK_K, n_queries: int = N_QUERIES
+) -> "ray.data.Dataset":
+    """IVF top-k over the centroid-partitioned layout: identical rows to
+    ``ivf_topk``, but the read touches ONLY the union of the queries'
+    probed partitions — the scan I/O shrinks with the probed fraction
+    instead of always streaming the whole corpus.
+    """
+    index_dir = build_ivf_index(sf_dir)
+    c_ids, c_mat = _small_matrix(sf_dir, IVF_CENTROIDS)
+    q_ids, q_mat = _small_matrix(sf_dir, n_queries)
+    n_cent = c_mat.shape[0]
+    probe_bool = np.zeros((len(q_ids), n_cent), dtype=bool)
+    for i in range(len(q_ids)):
+        dots = np.round(q_mat[i] @ c_mat.T, 6)
+        order = np.lexsort((np.arange(n_cent), -dots))
+        probe_bool[i, order[:IVF_NPROBE]] = True
+    paths = probed_partition_paths(index_dir, probe_bool.any(axis=0))
+    if not paths:
+        return ray.data.from_arrow(_EMPTY_TOPK)
+    ref = ray.put((q_ids, q_mat, probe_bool))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
+        ids_q, mat_q, p_bool = ray.get(ref)
+        b_ids = int64_array(batch["vec_id"])
+        b_cid = int64_array(batch["cid"])
+        b_mat = _unit(list_matrix(batch["embedding"]))
+        qcol, vcol, scol = [], [], []
+        for qi in range(len(ids_q)):
+            qid = int(ids_q[qi])
+            mask = p_bool[qi][b_cid] & (b_ids != qid)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            row = mat_q[qi] @ b_mat[idx].T
+            take = np.argpartition(-row, min(k, len(idx)) - 1)[:k]
+            for t in take:
+                qcol.append(qid)
+                vcol.append(int(b_ids[idx[t]]))
+                scol.append(float(row[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(qcol, type=pa.int64()),
+                "vec_id": pa.array(vcol, type=pa.int64()),
+                "score": pa.array(scol, type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "cid", "embedding"]).map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("query_id").map_groups(
+        lambda g: _topk_per_query(g, k), batch_format="pandas"
+    )
+    return out.map_batches(_round_score, batch_format="pyarrow")
+
+
 register("ann_brute_force_topk", brute_force_topk, sql=BRUTE_FORCE_TOPK_SQL)
 register("ann_ivf_topk", ivf_topk, sql=IVF_TOPK_SQL)
+# same oracle as ann_ivf_topk: the partitioned layout changes WHERE bytes
+# are read, not what the query computes
+register("ann_ivf_topk_partitioned", ivf_topk_partitioned, sql=IVF_TOPK_SQL)
