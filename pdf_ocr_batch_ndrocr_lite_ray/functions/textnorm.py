@@ -77,16 +77,76 @@ def normalize_space(text: Optional[str]) -> str:
 #: The straggler guard SURVEY §4 calls for: no single row can wedge an actor.
 _MAX_FIXPOINT_PASSES = 64
 
+#: observability for the cap (silent truncation would diverge from the
+#: reference's true-fixpoint semantics with no signal): a per-process
+#: counter plus a one-time warning the first time the cap fires. Real
+#: corpora never hit it — a nonzero counter means adversarial input.
+FIXPOINT_CAP_HITS = 0
+_warned_cap = False
+
+
+def _note_cap_hit() -> None:
+    global FIXPOINT_CAP_HITS, _warned_cap
+    FIXPOINT_CAP_HITS += 1
+    if not _warned_cap:
+        _warned_cap = True
+        import warnings
+
+        warnings.warn(
+            "normalization fixpoint pass cap hit: result truncated before "
+            "convergence (adversarial input?)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+class RowBudgetExceeded(Exception):
+    """A single row blew its wall-clock budget (straggler guard, SURVEY §4
+    — the reference bounds per-item work with a 3600 s subprocess timeout,
+    app.py:88, 1601-1607). Raised from kernel outer loops between passes,
+    caught by the extractor and turned into an action="error" row."""
+
+
+#: per-row deadline (time.monotonic value), set by the extractor before each
+#: row and cleared after. Ray tasks/actors execute calls single-threaded per
+#: worker process, so a module global is safe worker-local state.
+_ROW_DEADLINE: Optional[float] = None
+
+
+def set_row_deadline(seconds: Optional[float]) -> None:
+    """Arm (or with None, disarm) the per-row wall-clock budget."""
+    global _ROW_DEADLINE
+    if seconds is None:
+        _ROW_DEADLINE = None
+    else:
+        import time
+
+        _ROW_DEADLINE = time.monotonic() + seconds
+
+
+def check_row_budget() -> None:
+    """Raise ``RowBudgetExceeded`` if the armed deadline has passed.
+    Called between fixpoint passes — one ``time.monotonic`` per pass, never
+    per character."""
+    if _ROW_DEADLINE is not None:
+        import time
+
+        if time.monotonic() > _ROW_DEADLINE:
+            raise RowBudgetExceeded()
+
 
 @lru_cache(maxsize=65536)
 def _normalize_text_cached(s: str) -> str:
     prev = None
     passes = 0
     while s != prev and passes < _MAX_FIXPOINT_PASSES:
+        check_row_budget()
         prev = s
         passes += 1
         for pat, rep in _NORMALIZE_RULES:
             s = pat.sub(rep, s)
+    if s != prev:
+        _note_cap_hit()
     return s.strip()
 
 
@@ -130,10 +190,13 @@ def collapse_spaces_japanese(text: Optional[str]) -> str:
     prev = None
     passes = 0
     while s != prev and passes < _MAX_FIXPOINT_PASSES:
+        check_row_budget()
         prev = s
         passes += 1
         for pat, rep in _JP_COLLAPSE_RULES:
             s = pat.sub(rep, s)
+    if s != prev:
+        _note_cap_hit()
     return s.strip()
 
 

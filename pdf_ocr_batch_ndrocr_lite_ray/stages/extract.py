@@ -29,7 +29,7 @@ import re
 import pyarrow as pa
 
 from ..functions.layout import assemble_layout_text, dedup_blocks, dedup_boxes
-from ..functions.textnorm import normalize_text
+from ..functions.textnorm import RowBudgetExceeded, normalize_text, set_row_deadline
 from .domstrip import extract_html_main_content
 from .paged import PAGE_SEP, extract_paged_turn, infer_page_count
 from .payload import parse_pdfish_payload
@@ -155,6 +155,17 @@ def register_extractor(kind: str, fn) -> None:
 #: lowest-priority text representation.
 FALLBACK_KINDS: set = {KIND_PDFISH, KIND_HTML, KIND_XML}
 
+#: per-row straggler guards (SURVEY §4; the reference bounds per-item work
+#: with a 3600 s subprocess timeout, app.py:88, 1601-1607). Two layers:
+#: a DETERMINISTIC payload-size cap (same verdict on every machine), and a
+#: wall-clock deadline armed around each row and checked between kernel
+#: fixpoint passes — generous enough that only adversarial rows (quadratic
+#: regex bait, multi-GB strings) ever hit it; corpus rows run in µs–ms.
+MAX_TURN_CHARS = 16_000_000
+TURN_BUDGET_SECONDS: float | None = 30.0
+
+ERROR_BUDGET = "budget_exceeded"
+
 
 def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str]:
     """Extract one turn. Returns (extracted_text, spans, action, error).
@@ -165,16 +176,28 @@ def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str
     ``action="extracted_fallback"`` — real payloads are messy, and the
     reference's robustness rule is "lower-priority formats fill what the
     structured parse left empty", not "give up".
+
+    A row larger than ``MAX_TURN_CHARS`` or overrunning
+    ``TURN_BUDGET_SECONDS`` becomes ``action="error",
+    error="budget_exceeded"`` — one pathological row can never wedge a
+    worker; the rest of the batch is unaffected.
     """
     try:
         if kind == KIND_EMPTY:
             return "", [], ACTION_EMPTY, ""
         raw = text or ""
+        if len(raw) > MAX_TURN_CHARS:
+            return "", [], ACTION_ERROR, (
+                f"{ERROR_BUDGET}: payload {len(raw)} chars > {MAX_TURN_CHARS}"
+            )
+        set_row_deadline(TURN_BUDGET_SECONDS)
         extractor = EXTRACTOR_REGISTRY.get(kind)
         if extractor is None:
             return "", [], ACTION_ERROR, f"unknown content kind: {kind!r}"
         try:
             extracted, spans = extractor(raw)
+        except RowBudgetExceeded:
+            raise  # over-budget is terminal, never a fallback candidate
         except Exception:
             if kind not in FALLBACK_KINDS:
                 raise
@@ -191,8 +214,12 @@ def extract_turn(text: str | None, kind: str) -> tuple[str, list[Span], str, str
         if kind == KIND_PLAIN and extracted == raw:
             return extracted, spans, ACTION_SKIPPED_CLEAN, ""
         return extracted, spans, ACTION_EXTRACTED, ""
+    except RowBudgetExceeded:
+        return "", [], ACTION_ERROR, ERROR_BUDGET
     except Exception as exc:  # per-item isolation: row-scoped failure
         return "", [], ACTION_ERROR, f"{type(exc).__name__}: {exc}"
+    finally:
+        set_row_deadline(None)
 
 
 register_extractor(KIND_PDFISH, extract_pdfish)
