@@ -28,7 +28,9 @@ Ray-native analog here:
 
 Counters are recovered from the written output (a footer + single-column
 scan of ``action``), not from a driver-side accumulation, so they stay
-correct across retries and partial failures.
+correct across retries and partial failures. The scans run as parallel Ray
+tasks (one per fragment), so inter-wave driver time is O(manifests
+written), independent of the wave's output volume.
 """
 
 from __future__ import annotations
@@ -171,14 +173,26 @@ def run_resumable_extraction(
             ds.write_parquet(str(out_dir / DATA_SUBDIR), partition_cols=["part_id"])
 
             # commit: manifests written AFTER this wave's data is durable,
-            # BEFORE the next wave starts — the streaming checkpoint
-            for pid, path in batch_frags:
-                actions = _count_actions(_partition_dir(out_dir, pid))
+            # BEFORE the next wave starts — the streaming checkpoint.
+            # Counting is DISTRIBUTED (one task per fragment, reading the
+            # durable output's action column + the input footer), so the
+            # inter-wave driver work is O(wave manifests), not a serial
+            # scan of the wave's output. Raw tasks, not a Dataset job:
+            # per-wave pipeline startup would dwarf these footer-sized reads.
+            count_refs = [
+                _count_partition_remote.remote(
+                    str(_partition_dir(out_dir, pid)), path
+                )
+                for pid, path in batch_frags
+            ]
+            for (pid, path), (actions, input_rows) in zip(
+                batch_frags, ray.get(count_refs)
+            ):
                 run_rows += sum(actions.values())
                 manifest = {
                     "part_id": pid,
                     "input_path": path,
-                    "input_rows": pq.read_metadata(path).num_rows,
+                    "input_rows": input_rows,
                     "output_rows": sum(actions.values()),
                     "actions": dict(actions),
                 }
@@ -212,6 +226,20 @@ def run_resumable_extraction(
     tmp.write_text(json.dumps(report, sort_keys=True))
     tmp.replace(out_dir / CKPT_SUBDIR / "job.json")
     return report
+
+
+@ray.remote(num_cpus=0.5)
+def _count_partition_remote(partition_dir: str, input_path: str) -> tuple[dict, int]:
+    """(action counts of the durable partition output, input fragment rows).
+
+    Counters derive from what was actually WRITTEN (correct across retries
+    and partial failures) — never from driver-side accumulation. num_cpus
+    0.5: footer + single-column scans, I/O-bound, pack two per core.
+    """
+    return (
+        dict(_count_actions(Path(partition_dir))),
+        pq.read_metadata(input_path).num_rows,
+    )
 
 
 def _count_actions(partition_dir: Path) -> Counter:

@@ -129,6 +129,25 @@ class TestResume:
         assert report_full["rows"] == report_r["rows"]
         assert report_full["actions"] == report_r["actions"]
 
+        # manifests byte-identical between the two runs, and identical to a
+        # local recount of the durable output — the distributed count tasks
+        # must be a pure relocation of the driver-side scan
+        from pathlib import Path
+
+        from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
+            _count_actions,
+            completed_partitions,
+        )
+
+        full_m = completed_partitions(full_dir)
+        res_m = completed_partitions(resume_dir)
+        assert full_m.keys() == res_m.keys()
+        for pid in full_m:
+            f, r = dict(full_m[pid]), dict(res_m[pid])
+            assert f == r  # same inputs → byte-identical manifests
+            local = dict(_count_actions(Path(full_dir) / "data" / f"part_id={pid}"))
+            assert f["actions"] == local
+
     def test_rerun_is_noop(self, ray_session, tmp_path):
         from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import run_resumable_extraction
 
