@@ -427,16 +427,74 @@ QUALIFY rank <= {TOP_CUST_K}
 
 BIG_ORDER_PRICE_MIN = 300_000.0  # o_totalprice (currency units) threshold for the anti join
 
+#: broadcast ceiling for the anti-join key set: ~400 MB of int64 on every
+#: worker. Past it the pipeline AUTO-SWITCHES to the shuffle shape below
+#: instead of materializing an unbounded array on the driver.
+MAX_BROADCAST_KEYS = 50_000_000
 
-def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+
+def _customers_without_orders_shuffle(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-shape anti join (the past-the-broadcast-ceiling path): tag
+    both sides, union, hash-partition on the key, and drop customers whose
+    partition holds an order row with their key — one exchange, nothing on
+    the driver, same rows as the broadcast path."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"], BIG_ORDER_PRICE_MIN))
+        k = t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+        n = k.num_rows
+        return pa.table(
+            {
+                "key": k["o_custkey"],
+                "c_nationkey": pa.array([-1] * n, type=pa.int64()),
+                "is_order": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["c_custkey"],
+                "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
+                "is_order": pa.array([False] * batch.num_rows, type=pa.bool_()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    custs = ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def anti_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        have = set(df.loc[df["is_order"], "key"])
+        out = df[~df["is_order"] & ~df["key"].isin(have)]
+        return pd.DataFrame(
+            {
+                "c_custkey": out["key"].astype("int64").to_numpy(),
+                "c_nationkey": out["c_nationkey"].astype("int64").to_numpy(),
+            }
+        )
+
+    return _hash_partitioned(orders.union(custs), "key", anti_partition)
+
+
+def customers_without_orders(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "ray.data.Dataset":
     """(c_custkey, c_nationkey) for customers with no BIG order (totalprice
     above the threshold) — the ANTI join. The probe side is pruned at the
     read (row filter) and reduced to a distinct-key set (per-block dedup,
     then one groupby over unique keys only), which is broadcast and
     checked with a vectorized ``np.isin``; the customer table streams and
-    never shuffles. At 10^12 orders the distinct-custkey set is still
-    customer-sized — if even THAT outgrows a broadcast, the same
-    union + hash-partition merge as ``orders_by_nation_shuffle`` applies.
+    never shuffles. The key-set collection is CAPPED: past
+    ``max_broadcast_keys`` it abandons the broadcast and reroutes to the
+    union + hash-partition shuffle shape — never an unbounded driver
+    materialization.
     """
     from ray.data.aggregate import Count as _Count
 
@@ -454,11 +512,14 @@ def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
         .groupby("o_custkey")
         .aggregate(_Count())
     )
-    key_arrays = [
-        int64_array(b["o_custkey"])
-        for b in keys.iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
+    key_arrays = []
+    total = 0
+    for b in keys.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            key_arrays.append(int64_array(b["o_custkey"]))
+            total += b.num_rows
+            if total > max_broadcast_keys:
+                return _customers_without_orders_shuffle(sf_dir)
     have_orders = np.sort(np.concatenate(key_arrays)) if key_arrays else np.array([], dtype=np.int64)
     ref = ray.put(have_orders)
 

@@ -1051,3 +1051,19 @@ class TestAdversarialRelationalParity:
         gold = con.execute(queryset.ORACLE_SQL[name]).df()
         assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
         assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
+
+    def test_anti_join_reroutes_past_broadcast_cap(self, ray_session, nasty_rel_dir, oracle_con):
+        """An oversized key set never materializes on the driver: with the
+        cap forced to zero the pipeline auto-switches to the shuffle shape
+        and still returns the identical anti-join rows."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            customers_without_orders,
+        )
+
+        broadcast = customers_without_orders(SF).to_pandas()
+        shuffled = customers_without_orders(SF, max_broadcast_keys=0).to_pandas()
+        assert _value_hash(broadcast) == _value_hash(shuffled)
+        # and on the nasty corpus (dangling keys, boundary prices) too
+        b2 = customers_without_orders(nasty_rel_dir).to_pandas()
+        s2 = customers_without_orders(nasty_rel_dir, max_broadcast_keys=0).to_pandas()
+        assert _value_hash(b2) == _value_hash(s2)
