@@ -31,7 +31,17 @@ import ray.data
 
 from ..stages.sniffer import SNIFF_PREFIX_BYTES, classify_text_array, sniff_batch
 from .extraction import extract_transcripts
-from .queryset import register, table_path, transcripts_for_sf, transcripts_path_for_sf
+from .queryset import (
+    MATERIALIZERS,
+    _CACHE_DIR,
+    _SF_CONVS,
+    _SYNTH_SEED,
+    _SYNTH_VERSION,
+    register,
+    table_path,
+    transcripts_for_sf,
+    transcripts_path_for_sf,
+)
 
 
 def q_extract_flagship(sf_dir: str):
@@ -330,12 +340,81 @@ FROM plain_turns
 """
 )
 
+# --- corpus-derived expected-action oracle ----------------------------------
+
+#: bump when expected_action's labeling rules change (cache key component)
+_EXPECTED_ACTIONS_VERSION = 1
+
+
+def expected_action_counts_path(sf_dir: str) -> str:
+    from pathlib import Path as _P
+
+    name = _P(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(
+        _CACHE_DIR
+        / (
+            f"expected-actions-{name}-c{n_convs}-s{_SYNTH_SEED}"
+            f"-v{_SYNTH_VERSION}.{_EXPECTED_ACTIONS_VERSION}.parquet"
+        )
+    )
+
+
+def materialize_expected_action_counts(sf_dir: str) -> str:
+    """Materialize the EXPECTED per-action counts for the synthesized corpus
+    (a tiny parquet the ``extract_action_counts`` oracle reads).
+
+    Expectations come from ``sources.transcripts.expected_action`` —
+    construction-family knowledge, the sniffer (itself green-oracled), and
+    the plain kernel (itself green-oracled) — never from running the
+    html/xml/pdfish extractors whose parse decisions this oracle pins.
+    """
+    from collections import Counter as _Counter
+    from pathlib import Path as _P
+
+    from ..sources.transcripts import expected_action, generate_rows
+
+    path = _P(expected_action_counts_path(sf_dir))
+    if path.exists():
+        return str(path)
+    name = _P(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    counts: _Counter = _Counter(
+        expected_action(r["text"], r["family"])
+        for r in generate_rows(n_convs=n_convs, seed=_SYNTH_SEED, with_family=True)
+    )
+    import pyarrow.parquet as _pq
+
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "action": pa.array(sorted(counts), type=pa.string()),
+            "n": pa.array([counts[a] for a in sorted(counts)], type=pa.int64()),
+        }
+    )
+    tmp = path.with_suffix(".tmp.parquet")
+    _pq.write_table(tbl, tmp)
+    tmp.replace(path)
+    return str(path)
+
+
+EXTRACT_ACTION_COUNTS_SQL = (
+    "SELECT action, n FROM read_parquet("
+    f"'{expected_action_counts_path('/root/testdata/sf0.01')}')"
+)
+MATERIALIZERS.append(
+    lambda: materialize_expected_action_counts("/root/testdata/sf0.01")
+)
+
+
 register("extract_flagship", q_extract_flagship)  # rows-only: not SQL-expressible
 register("extract_paged", q_extract_paged)  # rows-only: merge kernel fuzz-pinned
 register(
     "extract_fallback_turns", q_extract_fallback_turns, sql=EXTRACT_FALLBACK_TURNS_SQL
 )
-register("extract_action_counts", q_extract_action_counts)  # rows-only
+register(
+    "extract_action_counts", q_extract_action_counts, sql=EXTRACT_ACTION_COUNTS_SQL
+)
 register("extract_plain_turns", q_extract_plain_turns, sql=EXTRACT_PLAIN_TURNS_SQL)
 register(
     "extract_plain_action_counts",

@@ -257,24 +257,74 @@ def _garbage_payload(rng: random.Random) -> str:
 # table assembly
 # ---------------------------------------------------------------------------
 
-def _payload(rng: random.Random) -> str:
+def _payload_with_family(rng: random.Random) -> tuple[str, str]:
+    """(payload, construction family) — the family is GENERATION knowledge
+    (which branch built the text), consumed by ``expected_action`` to derive
+    an engine-independent expected outcome per turn."""
     r = rng.random()
     if r < 0.48:
-        return _plain_payload(rng)
+        return _plain_payload(rng), "plain"
     if r < 0.76:
-        return _html_payload(rng)
+        return _html_payload(rng), "html"
     if r < 0.92:
-        return _pdfish_payload(rng)
+        return _pdfish_payload(rng), "pdfish"
     if r < 0.98:
-        return _xml_payload(rng)
-    return _garbage_payload(rng)
+        return _xml_payload(rng), "xml"
+    return _garbage_payload(rng), "garbage"
 
 
-def generate_rows(n_convs: int, seed: int, first_conv: int = 0) -> list[dict]:
+def _payload(rng: random.Random) -> str:
+    return _payload_with_family(rng)[0]
+
+
+def expected_action(text: str, family: str) -> str:
+    """Expected extraction action for a generated turn, derived from
+    construction knowledge — NOT from running the structured extractors.
+
+    Trust decomposition (what makes this an oracle rather than a tautology):
+
+    - the sniff decision reuses ``classify_one``, which carries its own
+      green value-level SQL oracle (``docs_sniff_kind`` / kind counts);
+    - turns sniffed PLAIN run exactly ``extract_plain`` in the engine, and
+      the plain path carries its own green SQL oracle — so reusing it here
+      adds no unverified trust;
+    - the NEW fact this pins: a turn sniffed as the structured kind its
+      family CONSTRUCTED must parse and yield text (action="extracted"),
+      and a turn sniffed structured that was NOT built as that structure
+      must fail the parse and take the M7 plain fallback. Those parse
+      decisions are exactly what no live SQL can express.
+    """
+    from ..stages.extract import extract_plain
+    from ..stages.sniffer import classify_one
+
+    kind = classify_one(text or "")
+    if kind == "empty":
+        return "empty"
+    if kind == "plain":
+        extracted, _ = extract_plain(text)
+        if not extracted:
+            return "empty"
+        return "skipped_clean" if extracted == text else "extracted"
+    if family == kind:
+        # constructed as this structure: every generator branch plants ≥1
+        # non-empty token/paragraph, so the parse must succeed with text
+        return "extracted"
+    # sniffed structured, built as something else (a plain part starting
+    # with "[", a garbage literal): the parse must fail or yield nothing →
+    # M7 fallback through the plain extractor
+    extracted, _ = extract_plain(text)
+    return "extracted_fallback" if extracted else "empty"
+
+
+def generate_rows(
+    n_convs: int, seed: int, first_conv: int = 0, with_family: bool = False
+) -> list[dict]:
     """Generate transcript rows for ``n_convs`` conversations, shuffled.
 
     ``first_conv`` offsets conversation ids so multiple shards can be
     generated independently (and in parallel) without key collisions.
+    ``with_family`` adds the construction-family label to each row (same
+    rng stream — the payload bytes are identical either way).
     """
     rng = random.Random(seed)
     rows: list[dict] = []
@@ -284,16 +334,18 @@ def generate_rows(n_convs: int, seed: int, first_conv: int = 0) -> list[dict]:
         n_turns = _MEDIAN_TURNS * _HOT_MULTIPLIER if hot else rng.randrange(2, 2 * _MEDIAN_TURNS)
         for t in range(n_turns):
             role = _ROLES[t % len(_ROLES)]
-            rows.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": t,
-                    "role": role,
-                    "text": _payload(rng),
-                    "tool": rng.choice(_TOOLS) if role == "tool" else "",
-                    "ts": _BASE_TS + dt.timedelta(seconds=t),
-                }
-            )
+            text, family = _payload_with_family(rng)
+            row = {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": rng.choice(_TOOLS) if role == "tool" else "",
+                "ts": _BASE_TS + dt.timedelta(seconds=t),
+            }
+            if with_family:
+                row["family"] = family
+            rows.append(row)
     rng.shuffle(rows)
     return rows
 

@@ -263,3 +263,46 @@ SELECT turn_idx, {SNIFF_CASE_SQL} AS kind FROM p ORDER BY turn_idx
 """
         want = [k for _, k in duckdb.connect().execute(sql).fetchall()]
         assert got == want
+
+
+class TestExpectedActionOracle:
+    def test_engine_actions_match_corpus_derived_expectations(self, ray_session):
+        """extract_action_counts vs the construction-knowledge expectation
+        table: the html/xml/pdfish parse-success decisions (the non-SQL
+        part of the action column) are pinned by generator-family labels,
+        never by re-running the structured extractors."""
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries import (
+            materialize_expected_action_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        p = materialize_expected_action_counts(sf)
+        exp = duckdb.sql(f"SELECT action, n FROM read_parquet('{p}')").df()
+        got = queryset.QUERIES["extract_action_counts"](sf).to_pandas()
+        assert dict(zip(exp.action, exp.n)) == dict(zip(got.action, got.n))
+        # every action class is exercised by the corpus
+        assert set(exp.action) == {
+            "empty",
+            "extracted",
+            "extracted_fallback",
+            "skipped_clean",
+        }
+
+    def test_expected_labels_are_per_turn_correct(self, ray_session):
+        """Stronger than counts: the per-turn expected label equals the
+        engine's action on every turn of the sf0.001 corpus."""
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import (
+            expected_action,
+            generate_rows,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import extract_turn
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import classify_one
+
+        for r in generate_rows(n_convs=40, seed=42, with_family=True):
+            kind = classify_one(r["text"])
+            _, _, action, _ = extract_turn(r["text"], kind)
+            want = expected_action(r["text"], r["family"])
+            assert action == want, (r["conv_id"], r["turn_idx"], r["family"], kind)
