@@ -220,6 +220,140 @@ SELECT CASE WHEN n < {KMV_K} THEN n
 FROM agg
 """
 
+# --- grouped histogram quantile sketch --------------------------------------
+
+def _round6_half_away(x: float) -> float:
+    return float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+
+
+def events_quantiles_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, q, value_estimate): per-group histogram-sketch quantiles
+    — the per-source length/quality-cut shape a training-data pipeline
+    needs. Mergeable by construction: each block emits one B-bin count
+    vector PER GROUP it saw; group vectors add; quantiles read off the
+    group's cumulative distribution (error ≤ its bin width).
+
+    The per-type domain comes from a column-pruned groupby min/max
+    pre-pass (a handful of rows — broadcast, not re-shipped per batch).
+    Bin assignment uses the explicit ``floor((v-lo)/(hi-lo)*B)`` formula
+    (clamped to B-1) so the SQL oracle is bit-identical. A degenerate type
+    (all values equal) reports that value at every quantile.
+    """
+    import ray as ray_core
+    from ray.data.aggregate import Max, Min
+
+    source = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    mm = source.groupby("event_type").aggregate(Min("value"), Max("value")).to_pandas()
+    lo_col = [c for c in mm.columns if c.startswith("min(")][0]
+    hi_col = [c for c in mm.columns if c.startswith("max(")][0]
+    domains = {
+        t: (float(lo), float(hi))
+        for t, lo, hi in zip(mm["event_type"], mm[lo_col], mm[hi_col])
+    }
+    ref = ray_core.put(domains)
+
+    def block_hists(batch: pa.Table) -> pa.Table:
+        doms = ray_core.get(ref)
+        types_out: list[str] = []
+        hists_out: list[list[int]] = []
+        tdf = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        for t, g in tdf.groupby("event_type", sort=True):
+            lo, hi = doms[t]
+            if hi <= lo:
+                continue  # degenerate type: handled at readout from domains
+            idx = np.floor((g["value"].to_numpy() - lo) / (hi - lo) * QUANT_BINS)
+            idx = np.minimum(idx.astype(np.int64), QUANT_BINS - 1)
+            hists_out.append(np.bincount(idx, minlength=QUANT_BINS).tolist())
+            types_out.append(t)
+        return pa.table(
+            {
+                "event_type": pa.array(types_out, type=pa.string()),
+                "hist": pa.array(hists_out, type=pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        doms = ray_core.get(ref)
+        types, qs, vals = [], [], []
+        merged_types = set()
+        for t, g in df.groupby("event_type", sort=True):
+            lo, hi = doms[t]
+            total = np.sum([np.asarray(h, dtype=np.int64) for h in g["hist"]], axis=0)
+            cum = np.cumsum(total)
+            n = cum[-1]
+            for q in QUANTILES:
+                idx = int(np.searchsorted(cum, q * n, side="left"))
+                e = lo + (hi - lo) * min(idx + 1, QUANT_BINS) / QUANT_BINS
+                types.append(t)
+                qs.append(q)
+                vals.append(_round6_half_away(e))
+            merged_types.add(t)
+        # degenerate types never emitted a histogram: constant value
+        for t, (lo, hi) in sorted(doms.items()):
+            if hi <= lo and t not in merged_types:
+                for q in QUANTILES:
+                    types.append(t)
+                    qs.append(q)
+                    vals.append(_round6_half_away(hi))
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(types, dtype="object"),
+                "q": pd.Series(qs, dtype="float64"),
+                "value_estimate": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+    ds = source.map_batches(block_hists, batch_format="pyarrow")
+    # B-bin vectors per (block, type): tiny — one reduce row merges them all
+    return ds.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+
+
+EVENTS_QUANTILES_BY_TYPE_SQL = f"""
+WITH mm AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         least(CAST(floor((e.value - mm.lo) / (mm.hi - mm.lo) * {QUANT_BINS}) AS INT),
+               {QUANT_BINS} - 1) AS bin
+  FROM events e JOIN mm USING (event_type)
+  WHERE mm.hi > mm.lo
+),
+hist AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM hist
+),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILES)}),
+pick AS (
+  SELECT c.event_type, q, min(bin) AS idx
+  FROM qs JOIN cum c ON c.cum >= q * (SELECT n FROM mm WHERE mm.event_type = c.event_type)
+  GROUP BY 1, 2
+)
+SELECT p.event_type, q,
+       round(mm.lo + (mm.hi - mm.lo) * least(idx + 1, {QUANT_BINS}) / {QUANT_BINS}, 6)
+         AS value_estimate
+FROM pick p JOIN mm USING (event_type)
+UNION ALL
+SELECT mm.event_type, q, round(mm.hi, 6) AS value_estimate
+FROM mm, qs WHERE mm.hi <= mm.lo
+"""
+
+
 register("events_distinct_users", events_distinct_users, sql=EVENTS_DISTINCT_USERS_SQL)
 register("docs_distinct_shingles_kmv", docs_distinct_shingles_kmv, sql=DOCS_KMV_SQL)
 register("events_value_quantiles", events_value_quantiles, sql=EVENTS_QUANTILES_SQL)
+register(
+    "events_quantiles_by_type",
+    events_quantiles_by_type,
+    sql=EVENTS_QUANTILES_BY_TYPE_SQL,
+)

@@ -331,6 +331,34 @@ class TestSketches:
             ).fetchone()[0]
             assert abs(r.value_estimate - true) <= bin_w + 1e-9, (r.q, r.value_estimate, true)
 
+    def test_grouped_quantiles_match_oracle_and_bin_bound(self, ray_session, oracle_con):
+        """Per-type quantile sketch: value-exact vs the SQL oracle AND within
+        one (per-type) bin width of the true per-type quantile."""
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches as sk
+
+        df = _check_against_oracle("events_quantiles_by_type", oracle_con)
+        assert set(df.q.unique()) == set(sk.QUANTILES)
+        import math
+
+        for _, r in df.iterrows():
+            n, lo, hi = oracle_con.execute(
+                f"""SELECT count(*), min(value), max(value)
+                    FROM events WHERE event_type = '{r.event_type}'"""
+            ).fetchone()
+            # the sketch reads the bin's UPPER edge for the rank-⌈q·n⌉ order
+            # statistic (same float product as the engine) — compare against
+            # THAT value, not quantile_cont's interpolation, whose distance
+            # to an order stat is unbounded on sparse groups
+            k = math.ceil(r.q * n)
+            true_k = oracle_con.execute(
+                f"""SELECT value FROM events WHERE event_type = '{r.event_type}'
+                    ORDER BY value LIMIT 1 OFFSET {k - 1}"""
+            ).fetchone()[0]
+            bin_w = (hi - lo) / sk.QUANT_BINS
+            assert true_k - 1e-6 <= r.value_estimate <= true_k + bin_w + 1e-6, (
+                r.event_type, r.q, r.value_estimate, true_k,
+            )
+
 
 class TestAsofJoin:
     def test_asof_matches_oracle(self, ray_session, oracle_con):
@@ -851,6 +879,7 @@ class TestAdversarialEventsParity:
             "events_asof_view_click",
             "user_funnel_counts",
             "events_distinct_users",
+            "events_quantiles_by_type",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
