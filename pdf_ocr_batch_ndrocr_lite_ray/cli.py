@@ -92,17 +92,14 @@ def _prepare_output_dir(args: argparse.Namespace) -> Path | None:
     conflict = "overwrite" if getattr(args, "overwrite", False) else args.on_conflict
     try:
         out = make_output_dir(Path(args.output), conflict)
-    except FileExistsError:
+    except FileExistsError as exc:
+        # non-empty dir under fail, or a FILE at the target under any policy
         print(
-            f"output directory {args.output} is not empty; use --on-conflict "
-            "overwrite|rename (or --overwrite)",
+            f"{exc}; use --on-conflict overwrite|rename (or --overwrite) "
+            "against a directory target",
             file=sys.stderr,
         )
         return None
-    if conflict == "overwrite" and out.exists() and any(out.iterdir()):
-        import shutil
-
-        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     return out
 

@@ -298,6 +298,24 @@ class TestOutputPaths:
         (base / "f").touch()
         with pytest.raises(FileExistsError):
             make_output_dir(base, "fail")
+        # overwrite CLEARS the stale contents (ADVICE r2: the clear must live
+        # in the library, not the CLI wrapper, so no caller double-counts
+        # stale parquet)
         assert make_output_dir(base, "overwrite") == base
+        assert not base.exists()
         with pytest.raises(ValueError):
             make_output_dir(base, "bogus")
+
+    def test_file_target(self, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.state.output_paths import make_output_dir
+
+        f = tmp_path / "out"
+        f.touch()
+        # a plain FILE at the target is a clean policy error, never rmtree'd
+        with pytest.raises(FileExistsError, match="not a directory"):
+            make_output_dir(f, "overwrite")
+        with pytest.raises(FileExistsError, match="not a directory"):
+            make_output_dir(f, "fail")
+        assert f.exists()
+        # rename treats the file as taken and probes onward
+        assert make_output_dir(f, "rename") == tmp_path / "out_001"
