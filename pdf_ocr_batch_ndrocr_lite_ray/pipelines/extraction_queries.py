@@ -304,10 +304,15 @@ def q_extract_paged(sf_dir: str):
 def q_extract_fallback_turns(sf_dir: str):
     """Per-turn VALUES of the M7 fallback rule: pdfish turns whose JSON does
     not decode re-route through the plain extractor — (conv_id, turn_idx,
-    extracted_text, action ∈ {extracted_fallback, empty}). Python's
-    ``json.loads`` accept/reject matches DuckDB ``json_valid`` on this
-    corpus (checked row-for-row), so the subset and the values are both
-    oracle-able."""
+    extracted_text, action ∈ {extracted_fallback, empty}). The engine keeps
+    the reference's ``json.loads`` accept set (app.py ``_parse_json_file``);
+    DuckDB's ``json_valid`` (yyjson) is strictly laxer in general (accepts
+    lowercase nan/inf and trailing commas; it DOES accept NaN/Infinity, same
+    as Python — contra ADVICE r2). The two agree on every payload this corpus
+    family produces — pinned row-for-row by
+    ``tests/test_extraction_oracle.py::TestJsonAcceptParity``, which also
+    documents the measured divergence frontier so a DuckDB upgrade that
+    moves it fails loudly."""
     import json as _json
 
     path = transcripts_for_sf(sf_dir)

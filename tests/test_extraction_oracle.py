@@ -158,6 +158,13 @@ class TestAdversarialTranscriptParity:
         "123 abc 456 def ¥ 100",
         "日本語テキスト" * 40,
         "dup seg\fdup seg\funique",
+        # Non-standard JSON constants (ADVICE r2): BOTH Python json.loads and
+        # this DuckDB build's json_valid (yyjson) ACCEPT NaN/Infinity, so
+        # these sniff pdfish, parse successfully in both systems, and take
+        # the structured (non-fallback) route — agreement pinned by
+        # test_fallback_cte_matches_engine running over them.
+        "[NaN]",
+        '{"a": Infinity}',
     ]
 
     @pytest.fixture(scope="class")
@@ -263,6 +270,73 @@ SELECT turn_idx, {SNIFF_CASE_SQL} AS kind FROM p ORDER BY turn_idx
 """
         want = [k for _, k in duckdb.connect().execute(sql).fetchall()]
         assert got == want
+
+
+class TestJsonAcceptParity:
+    """The fallback oracle's precondition: the engine's JSON accept set
+    (Python ``json.loads`` — the reference's loader, app.py `_parse_json_file`)
+    must agree with DuckDB ``json_valid`` on every pdfish payload the corpus
+    can produce. The two parsers are NOT equal in general — this DuckDB
+    build's yyjson is strictly laxer — so the invariant is pinned two ways:
+    the frontier is documented (so a DuckDB upgrade that moves it fails
+    loudly) and the synthesized corpus is scanned row-for-row."""
+
+    # Measured divergence frontier (DuckDB 1.0.0 yyjson): every divergence is
+    # duckdb-accepts / python-rejects. ADVICE r2 assumed json_valid rejects
+    # NaN/Infinity — empirically FALSE in this build (see AGREE_ACCEPT), which
+    # is why the engine keeps reference json.loads semantics instead of a
+    # parse_constant-strict loader that would diverge from BOTH systems.
+    DUCKDB_LAXER = ["[nan]", "[NAN]", "[inf]", "[-inf]", "[infinity]", "[1,]", '{"a":1,}']
+    AGREE_ACCEPT = ["[NaN]", "[Infinity]", "[-Infinity]", '{"a": NaN}', "[1e999]"]
+    AGREE_REJECT = ["[+1]", "[.5]", "[01]", "['a']", "[0x10]", "{trunc", ""]
+
+    @staticmethod
+    def _py_accepts(s: str) -> bool:
+        import json as _json
+
+        try:
+            _json.loads(s)
+            return True
+        except Exception:
+            return False
+
+    @staticmethod
+    def _duck_accepts(con, s: str) -> bool:
+        return bool(con.execute("SELECT json_valid(?)", [s]).fetchone()[0])
+
+    def test_divergence_frontier_is_where_we_measured_it(self):
+        con = duckdb.connect()
+        for s in self.DUCKDB_LAXER:
+            assert self._duck_accepts(con, s) and not self._py_accepts(s), s
+        for s in self.AGREE_ACCEPT:
+            assert self._duck_accepts(con, s) and self._py_accepts(s), s
+        for s in self.AGREE_REJECT:
+            assert not self._duck_accepts(con, s) and not self._py_accepts(s), s
+
+    def test_corpus_agrees_row_for_row(self, tmp_path_factory):
+        """Scan EVERY pdfish turn the generator emits (including the planted
+        malformed-JSON fallback rows) and assert json.loads-accept ==
+        json_valid — the exact subset-pick the fallback oracle relies on."""
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import write_transcripts
+        from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import classify_one
+
+        out = tmp_path_factory.mktemp("jsonparity") / "t.parquet"
+        write_transcripts(out, n_convs=120, seed=7)
+        texts = pq.read_table(out, columns=["text"])["text"].to_pylist()
+        con = duckdb.connect()
+        pdfish = [t for t in texts if classify_one(t or "") == "pdfish"]
+        assert len(pdfish) > 50
+        disagree = [
+            t
+            for t in pdfish
+            if self._py_accepts(t or "") != self._duck_accepts(con, t or "")
+        ]
+        assert disagree == []
+        # both branches of the pick are exercised
+        assert any(self._py_accepts(t or "") for t in pdfish)
+        assert any(not self._py_accepts(t or "") for t in pdfish)
 
 
 class TestExpectedActionOracle:
