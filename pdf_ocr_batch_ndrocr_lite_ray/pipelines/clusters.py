@@ -1,0 +1,303 @@
+"""Duplicate-cluster connected components and canonical-document selection.
+
+The pair generators in :mod:`.dedup` (MinHash/SimHash/embedding-LSH) emit
+near-duplicate PAIRS; a real training-data prep flow needs one more step —
+group the pairs into duplicate CLUSTERS and keep one canonical document per
+cluster. That grouping is connected components over the pair graph.
+
+Distributed shape (hash-min label propagation, the MapReduce-CC classic):
+
+- nodes = doc_ids appearing in >=1 pair; initial label(v) = min(v, its
+  direct neighbors) — the groupby that derives the node set gives the
+  first hop for free.
+- each round co-partitions the static directed-edge set with the current
+  labels on the node id (one exchange), propagates each node's label to
+  its neighbors in-partition, and min-reduces per node (second exchange).
+  Labels only ever DECREASE, and a round that changes nothing is the
+  fixpoint, so the loop runs O(graph diameter) rounds — near-dup clusters
+  are shallow (a handful of hops), far below the safety cap.
+- per-round state is (node, label) int64 rows for pair-participating docs
+  only — a small derived set, safe to ``materialize()`` between rounds
+  (the corpus itself never materializes). The edge set is materialized
+  ONCE so iterations never re-execute the MinHash generator.
+- convergence is detected exactly, without comparing datasets: each
+  node's previous label rides the propagation rows (``old``, sentinel -1
+  on emitted copies, so ``max(old)`` per node recovers it) and a round
+  with ``min(label) < old`` for zero nodes is the fixpoint. No label-sum
+  overflow risk at any id range.
+
+Canonical selection then left-merges the labels onto the corpus id set by
+the same hash co-partition (no driver-side collect, no broadcast of a set
+whose size scales with the dup rate): ``cluster_id = label`` when the doc
+is in the pair graph else ``doc_id``; ``keep = (cluster_id == doc_id)`` —
+exactly one kept doc per cluster (the min id) plus every singleton.
+
+Oracle: connected components is SQL-expressible with a recursive CTE —
+``reach(node, lab)`` saturates reachable-label facts (UNION dedup bounds it)
+and ``min(lab)`` per node is the component representative; the pair set is
+the full MinHash oracle embedded as a subquery, so the ENTIRE
+generate->cluster->select flow is value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Min
+
+from .dedup import (
+    CORPUS_SQL,
+    EXACT_DUP_OFFSET,
+    NEAR_DUP_OFFSET,
+    _minhash_oracle_sql,
+    minhash_duplicate_pairs,
+)
+from .exchange import hash_partitioned as _hash_partitioned
+from .exchange import int64_array as _int64_array
+from .exchange import rename as _rename
+from .queryset import register, table_path
+
+#: hard cap on propagation rounds. Hash-min needs O(diameter) rounds and a
+#: duplicate cluster's diameter is tiny (docs chained through shared
+#: near-dup partners); hitting the cap means the graph is pathological, and
+#: returning partially-merged clusters would silently under-dedup — raise.
+_MAX_CC_ROUNDS = 50
+
+_NO_LABEL = -1  # sentinel: doc ids are non-negative by construction
+
+
+def _directed_edges(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, nbr) in both directions from undirected (doc_a, doc_b) pairs."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].combine_chunks() if isinstance(batch["doc_a"], pa.ChunkedArray) else batch["doc_a"]
+        b = batch["doc_b"].combine_chunks() if isinstance(batch["doc_b"], pa.ChunkedArray) else batch["doc_b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    return pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        both, batch_format="pyarrow"
+    )
+
+
+def _propagate(df: pd.DataFrame) -> pd.DataFrame:
+    """One in-partition hop: every edge row learns its source node's label
+    (all rows for a node land in one partition) and forwards it to the
+    neighbor; label rows pass through carrying their previous label."""
+    is_label = df["lbl"] >= 0
+    labels = df.loc[is_label, ["node", "lbl"]]
+    edges = df.loc[~is_label, ["node", "nbr"]]
+    fwd = edges.merge(labels, on="node", how="left")
+    out_node = np.concatenate([fwd["nbr"].to_numpy(), labels["node"].to_numpy()])
+    out_label = np.concatenate([fwd["lbl"].to_numpy(), labels["lbl"].to_numpy()])
+    # previous label rides only on the node's OWN row; emitted copies carry
+    # the sentinel so max(old) per node recovers it after the shuffle
+    out_old = np.concatenate(
+        [np.full(len(fwd), _NO_LABEL, dtype=np.int64), labels["lbl"].to_numpy()]
+    )
+    return pd.DataFrame(
+        {
+            "node": out_node.astype(np.int64),
+            "label": out_label.astype(np.int64),
+            "old": out_old,
+        }
+    )
+
+
+def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, label) with label = min doc_id in the node's component.
+
+    ``pairs`` must have int64-castable ``doc_a``/``doc_b`` columns; any of
+    the dedup pair generators qualifies.
+    """
+    edges = _directed_edges(pairs).materialize()  # small derived set; reused every round
+
+    # initial labels: label0(v) = min(v, direct neighbors) — one hop free
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": pc.min_element_wise(
+                        t["node"].combine_chunks().cast(pa.int64()),
+                        t["min(nbr)"].combine_chunks().cast(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "nbr": t["nbr"],
+                "lbl": pa.array([_NO_LABEL] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "nbr": pa.array([_NO_LABEL] * t.num_rows, type=pa.int64()),
+                "lbl": t["label"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    for _ in range(_MAX_CC_ROUNDS):
+        combined = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+        )
+        reduced = (
+            _hash_partitioned(combined, "node", _propagate)
+            .groupby("node")
+            .aggregate(Min("label"), Max("old"))
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            new = t["min(label)"].combine_chunks().cast(pa.int64())
+            old = t["max(old)"].combine_chunks().cast(pa.int64())
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "label": new,
+                    "changed": pc.cast(pc.less(new, old), pa.int64()),
+                }
+            )
+
+        state = reduced.map_batches(finish, batch_format="pyarrow").materialize()
+        labels = state.select_columns(["node", "label"])
+        # Dataset.sum returns None on an empty dataset (no pairs at all)
+        if not state.sum("changed"):
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {_MAX_CC_ROUNDS} rounds; "
+        "the pair graph's diameter is pathological for a dedup workload"
+    )
+
+
+def _corpus_ids(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id set of the planted near-duplicate corpus, WITHOUT reading the
+    text column — the id arithmetic mirrors ``dedup._corpus_batch``."""
+
+    def ids(batch: pa.Table) -> pa.Table:
+        base = _int64_array(batch["doc_id"])
+        near = base[base % 5 == 0] + NEAR_DUP_OFFSET
+        exact = base[base % 7 == 0] + EXACT_DUP_OFFSET
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([base, near, exact]), type=pa.int64())}
+        )
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id"]
+    ).map_batches(ids, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_minhash_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """Near-duplicate clusters over the planted corpus: (doc_id, cluster_id)
+    for every doc in the MinHash pair graph, cluster_id = min member id."""
+    labels = connected_components(minhash_duplicate_pairs(sf_dir))
+    return _rename(labels, {"node": "doc_id", "label": "cluster_id"})
+
+
+def dedup_canonical_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical-doc selection over the FULL corpus: (doc_id, cluster_id,
+    keep) — keep the min id of each duplicate cluster plus all singletons."""
+    labels = dedup_minhash_clusters(sf_dir)
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["doc_id"],
+                "lbl": pa.array([_NO_LABEL] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["doc_id"],
+                "lbl": t["cluster_id"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    combined = _corpus_ids(sf_dir).map_batches(tag_corpus, batch_format="pyarrow").union(
+        labels.map_batches(tag_labels, batch_format="pyarrow")
+    )
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        # per node: one corpus row (lbl=-1) and at most one label row, so
+        # max(lbl) is the label when present else the sentinel — a single
+        # C-path groupby, no per-group Python
+        lbl = df.groupby("node")["lbl"].max()
+        node = lbl.index.to_numpy(dtype=np.int64)
+        lab = lbl.to_numpy(dtype=np.int64)
+        cluster = np.where(lab >= 0, lab, node)
+        return pd.DataFrame(
+            {
+                "doc_id": node,
+                "cluster_id": cluster,
+                "keep": cluster == node,
+            }
+        )
+
+    return _hash_partitioned(combined, "node", select)
+
+
+# --- oracles ---------------------------------------------------------------
+
+def _cc_reach_sql() -> str:
+    """Recursive-CTE connected components over the MinHash oracle's pairs."""
+    return f"""
+pairs AS ({_minhash_oracle_sql()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+def _clusters_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _cc_reach_sql()
+        + "\nSELECT node AS doc_id, cluster_id FROM cc"
+    )
+
+
+def _canonical_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _cc_reach_sql()
+        + f""",
+{CORPUS_SQL.strip().lstrip()}
+SELECT c.doc_id,
+       coalesce(cc.cluster_id, c.doc_id) AS cluster_id,
+       coalesce(cc.cluster_id, c.doc_id) = c.doc_id AS keep
+FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
+"""
+    )
+
+
+register("dedup_minhash_clusters", dedup_minhash_clusters, sql=_clusters_oracle_sql())
+register("dedup_canonical_docs", dedup_canonical_docs, sql=_canonical_oracle_sql())

@@ -156,6 +156,58 @@ class TestDedup:
         assert len(planted) > 0
 
 
+class TestClusters:
+    """Connected components over dup pairs + canonical-doc selection."""
+
+    def _cc(self, pairs):
+        import ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
+            connected_components,
+        )
+
+        ds = ray.data.from_items(
+            [{"doc_a": a, "doc_b": b, "est_jaccard": 1.0} for a, b in pairs]
+        )
+        out = connected_components(ds).to_pandas()
+        return dict(zip(out["node"], out["label"]))
+
+    def test_handbuilt_graphs(self, ray_session):
+        # two components + a pair, min-id labels
+        assert self._cc([(1, 2), (2, 3), (4, 5)]) == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+        # a 10-node path exercises MULTI-ROUND propagation (diameter 9,
+        # label0 gives one hop free -> several real iterations)
+        path = [(i, i + 1) for i in range(9)]
+        assert self._cc(path) == {i: 0 for i in range(10)}
+        # two chains merged through a shared node
+        merged = [(10, 11), (11, 12), (20, 21), (21, 12)]
+        assert self._cc(merged) == {10: 10, 11: 10, 12: 10, 20: 10, 21: 10}
+
+    def test_clusters_match_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import clusters  # noqa: F401
+
+        df = _check_against_oracle("dedup_minhash_clusters", oracle_con)
+        assert (df["cluster_id"] <= df["doc_id"]).all()
+        # every cluster representative is a member of its own cluster
+        assert set(df["cluster_id"]) <= set(df["doc_id"])
+
+    def test_canonical_docs_match_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import clusters  # noqa: F401
+
+        df = _check_against_oracle("dedup_canonical_docs", oracle_con)
+        # exactly one kept doc per cluster, and it is the min member id
+        kept = df[df["keep"]]
+        assert kept["doc_id"].equals(kept["cluster_id"])
+        assert len(kept) == df["cluster_id"].nunique()
+        mins = df.groupby("cluster_id")["doc_id"].min()
+        assert set(zip(mins.values, mins.index)) == set(
+            zip(kept["doc_id"], kept["cluster_id"])
+        )
+        # planted exact copies (doc_id % 7 == 0 -> +200000) are never kept
+        exact_copies = df[df["doc_id"] >= 200_000]
+        assert len(exact_copies) > 0 and not exact_copies["keep"].any()
+
+
 class TestSimilarity:
     def test_brute_force_topk_matches_oracle(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import similarity  # noqa: F401

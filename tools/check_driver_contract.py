@@ -1,6 +1,9 @@
 """Simulate the evaluation driver: run entry(), then each queries() entry at
 sf=0.01 and compare against its oracle_sql() via DuckDB (row count + schema +
-order-insensitive value hash). Usage: python tools/check_driver_contract.py [sf_dir]
+order-insensitive value hash).
+Usage: python tools/check_driver_contract.py [sf_dir] [only_substr ...]
+Extra args filter the checked queries by substring (faster iteration); with
+filters active, entry() is skipped.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import pyarrow as pa
 import ray
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -43,9 +47,10 @@ def main() -> int:
     ray.init(address="local", num_cpus=8, include_dashboard=False, log_to_driver=False)
     import __ray_entry__ as e
 
-    res = e.entry()
-    n = res.count() if hasattr(res, "count") else len(res)
-    print(f"entry(): OK, {n} rows, schema: {res.schema() if hasattr(res, 'schema') else list(res.columns)}")
+    if not ONLY:
+        res = e.entry()
+        n = res.count() if hasattr(res, "count") else len(res)
+        print(f"entry(): OK, {n} rows, schema: {res.schema() if hasattr(res, 'schema') else list(res.columns)}")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +59,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     failures = 0
     for name, fn in qs.items():
         try:
