@@ -208,6 +208,24 @@ class TestClusters:
         assert len(exact_copies) > 0 and not exact_copies["keep"].any()
 
 
+class TestQualityFilter:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import quality
+
+        df = _check_against_oracle("docs_quality_filter", oracle_con)
+        # keep <=> no reason; drop <=> first-failing-rule reason
+        assert (df.loc[df["keep"], "reason"] == "").all()
+        assert (df.loc[~df["keep"], "reason"] != "").all()
+        assert set(df["reason"].unique()) <= set(quality.RULE_ORDER) | {""}
+        # corpus thresholds chosen so BOTH outcomes occur
+        assert df["keep"].any() and (~df["keep"]).any()
+        # top_2gram_frac can exceed 1 on pathological repetition (overlapping
+        # occurrences each contribute their full char span) — only >= 0 is
+        # a true invariant
+        assert (df["top_2gram_frac"] >= 0).all()
+        assert ((df["dup_line_frac"] >= 0) & (df["dup_line_frac"] < 1)).all()
+
+
 class TestSimilarity:
     def test_brute_force_topk_matches_oracle(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import similarity  # noqa: F401
@@ -802,6 +820,8 @@ class TestAdversarialCorpusParity:
         ("repeat me often " * 50).strip(),
         "punctuation, heavy! text? with; lots: of. marks",
         "🙂 emoji 🚀 tokens 🙂",
+        "dup line\ndup line\ndup line\nunique line",
+        "a\n\n\na\n\nb",  # duplicate EMPTY lines count too
     ]
 
     @pytest.fixture(scope="class")
@@ -836,6 +856,7 @@ class TestAdversarialCorpusParity:
             "docs_length_histogram",
             "docs_stratified_sample",
             "docs_top_bigrams_pmi",
+            "docs_quality_filter",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -843,6 +864,7 @@ class TestAdversarialCorpusParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
