@@ -208,6 +208,56 @@ class TestClusters:
         assert len(exact_copies) > 0 and not exact_copies["keep"].any()
 
 
+class TestDuplicateSpans:
+    def test_matches_oracle(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans  # noqa: F401
+
+        df = _check_against_oracle("docs_duplicate_spans", oracle_con)
+        # exact planted copies (every 7th doc) share their ENTIRE text →
+        # both sides carry one full-width span starting at token 0
+        assert (df[df.doc_id >= 200_000].span_start == 0).all()
+        assert (df.span_end - df.span_start + 1 >= 8).all()
+        assert (df.n_grams >= 1).all()
+
+    def test_handbuilt_shared_window(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans import (
+            docs_duplicate_spans,
+        )
+
+        shared = " ".join(f"s{i}" for i in range(10))
+        texts = {
+            1: " ".join(f"u{i}" for i in range(5))
+            + f" {shared} "
+            + " ".join(f"v{i}" for i in range(5)),
+            2: f"x0 x1 x2 {shared} y0 y1 y2",
+            3: "no overlap here at all with anything else whatsoever",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(texts), type=pa.int64()),
+                    "text": pa.array(list(texts.values())),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        df = (
+            docs_duplicate_spans(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # ids 1-3 get no planted copies (not ≡0 mod 5/7) → only the shared
+        # 10-token window produces spans: grams at 3 start positions each
+        assert df.to_dict("records") == [
+            {"doc_id": 1, "span_start": 5, "span_end": 14, "n_grams": 3},
+            {"doc_id": 2, "span_start": 3, "span_end": 12, "n_grams": 3},
+        ]
+
+
 class TestQualityFilter:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import quality
@@ -857,6 +907,7 @@ class TestAdversarialCorpusParity:
             "docs_stratified_sample",
             "docs_top_bigrams_pmi",
             "docs_quality_filter",
+            "docs_duplicate_spans",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -865,6 +916,7 @@ class TestAdversarialCorpusParity:
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
