@@ -258,6 +258,55 @@ class TestDuplicateSpans:
         ]
 
 
+class TestKMeans:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import kmeans
+
+        df = _check_against_oracle("emb_kmeans_assign", oracle_con)
+        assert df["cluster_id"].between(0, kmeans.K_CLUSTERS - 1).all()
+        assert (df["dist2"] >= 0).all()
+        # the seed vector of every non-empty cluster stays closest to its
+        # own mean more often than not — weak sanity, strong is the oracle
+        assert df["cluster_id"].nunique() >= 2
+
+    def test_converges_on_separated_blobs(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.kmeans import (
+            kmeans_assignments,
+        )
+
+        rng = np.random.default_rng(3)
+        dim = 64
+        centers = rng.standard_normal((2, dim)) * 50
+        # seeds 0..7 alternate blobs so init spans both; the rest cluster
+        rows = [centers[i % 2] + rng.standard_normal(dim) for i in range(100)]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(100), type=pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in rows],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0] * 100, type=pa.int32()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        df = kmeans_assignments(str(tmp_path)).to_pandas()
+        # K=8 seeds split 4-and-4 across the two blobs, so each blob
+        # partitions among ITS seeds — the separation invariant is that no
+        # cluster ever spans both blobs (parity is constant per cluster)
+        per_cluster = df.groupby("cluster_id")[df.columns[0]].count()
+        parity_per_cluster = df.groupby("cluster_id").apply(
+            lambda g: (g["vec_id"] % 2).nunique(), include_groups=False
+        )
+        assert (parity_per_cluster == 1).all()
+        assert per_cluster.sum() == 100
+
+
 class TestQualityFilter:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import quality
@@ -1115,12 +1164,14 @@ class TestAdversarialEmbeddingsParity:
             "ann_brute_force_topk",
             "ann_ivf_topk",
             "ann_ivf_topk_partitioned",
+            "emb_kmeans_assign",
         ],
     )
     def test_matches_oracle_on_nasty_embeddings(self, ray_session, nasty_emb_dir, name):
         import duckdb
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.kmeans  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.similarity  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
