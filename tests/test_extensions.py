@@ -258,6 +258,47 @@ class TestDuplicateSpans:
         ]
 
 
+class TestPacking:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing as packing
+
+        df = _check_against_oracle("docs_pack_greedy", oracle_con)
+        assert df["doc_id"].is_unique
+        fills = df.groupby("bin_id")["n_tokens"].sum()
+        sizes = df.groupby("bin_id")["n_tokens"].count()
+        # a bin overflows the budget only when a single oversized doc owns it
+        over = fills[fills > packing.PACK_BUDGET]
+        assert (sizes[over.index] == 1).all()
+
+    def test_handbuilt_greedy_sequence(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import packing
+
+        # all ids ≡ 0 mod 32 → one partition, doc_id order, known counts
+        counts = [100, 100, 100, 100, 300]
+        ids = [32 * i for i in range(len(counts))]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(["w " * c for c in counts]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        df = (
+            packing.docs_pack_greedy(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # budget 256: [100+100], [100+100], [300 alone in its own bin]
+        assert list(df["bin_id"]) == [0, 0, 1, 1, 2]
+        assert list(df["n_tokens"]) == counts
+
+
 class TestKMeans:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import kmeans
@@ -957,6 +998,7 @@ class TestAdversarialCorpusParity:
             "docs_top_bigrams_pmi",
             "docs_quality_filter",
             "docs_duplicate_spans",
+            "docs_pack_greedy",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -964,6 +1006,7 @@ class TestAdversarialCorpusParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
