@@ -199,6 +199,41 @@ def q_asof_join(sf_dir: str) -> int:
     return _consume(events_asof_view_before_click(sf_dir))
 
 
+def q_dedup_canonical(sf_dir: str) -> int:
+    """MinHash pairs -> connected components -> canonical-doc selection."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import dedup_canonical_docs
+
+    return _consume(dedup_canonical_docs(sf_dir))
+
+
+def q_quality_filter(sf_dir: str) -> int:
+    """Gopher-style rule filter with repetition ratios (shuffle-free)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality import docs_quality_filter
+
+    return _consume(docs_quality_filter(sf_dir))
+
+
+def q_duplicate_spans(sf_dir: str) -> int:
+    """Cross-doc duplicate 8-gram span detection (substring dedup)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans import docs_duplicate_spans
+
+    return _consume(docs_duplicate_spans(sf_dir))
+
+
+def q_kmeans(sf_dir: str) -> int:
+    """Distributed Lloyd k-means assignments over embeddings."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.kmeans import kmeans_assignments
+
+    return _consume(kmeans_assignments(sf_dir))
+
+
+def q_pack_greedy(sf_dir: str) -> int:
+    """Greedy token-budget document packing (32 parallel streams)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing import docs_pack_greedy
+
+    return _consume(docs_pack_greedy(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_ordered": q_extract_ordered,
@@ -209,6 +244,11 @@ BENCH_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_canonical": q_dedup_canonical,
+    "duplicate_spans": q_duplicate_spans,
+    "quality_filter": q_quality_filter,
+    "kmeans": q_kmeans,
+    "pack_greedy": q_pack_greedy,
     "conversation_texts": q_conversation_texts,
     "prep_corpus": q_prep_corpus,
     "prep_plain_corpus": q_prep_plain_corpus,
