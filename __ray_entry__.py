@@ -30,6 +30,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import clusters as _cl  # noqa: F40
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import quality as _q  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import spans as _sp  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import kmeans as _km  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import semdedup as _sd  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import packing as _pk  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -74,18 +74,16 @@ def _init_centroids(sf_dir: str) -> np.ndarray:
     return _list_matrix(tbl["embedding"])
 
 
-def kmeans_assignments(
-    sf_dir: str, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
-) -> "ray.data.Dataset":
-    """(vec_id, cluster_id, dist2) after ``iters`` Lloyd assignment passes."""
-    cent = _init_centroids(sf_dir)
+def lloyd_centroids(source, cent: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Run ``iters - 1`` Lloyd update passes over ``source()`` (a Dataset
+    factory yielding (vec_id, embedding) rows) starting from ``cent``;
+    returns the centroids the FINAL assignment pass should use.
+
+    Shared by :func:`kmeans_assignments` and the SemDeDup pipeline
+    (:mod:`.semdedup`) so both train bit-identically to the unrolled SQL
+    oracle CTEs from :func:`lloyd_cte_sql`.
+    """
     dim = cent.shape[1]
-
-    def source() -> "ray.data.Dataset":
-        return ray.data.read_parquet(
-            table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-        )
-
     for _ in range(iters - 1):
         ref = ray.put(cent)
 
@@ -129,7 +127,20 @@ def kmeans_assignments(
             sums[nonempty] / counts[nonempty, None], 6
         )
         cent = new_cent
+    return cent
 
+
+def kmeans_assignments(
+    sf_dir: str, k: int = K_CLUSTERS, iters: int = KMEANS_ITERS
+) -> "ray.data.Dataset":
+    """(vec_id, cluster_id, dist2) after ``iters`` Lloyd assignment passes."""
+
+    def source() -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+
+    cent = lloyd_centroids(source, _init_centroids(sf_dir), k, iters)
     ref = ray.put(cent)
 
     def final_assign(batch: pa.Table) -> pa.Table:
@@ -157,14 +168,19 @@ def kmeans_assignments(
     )
 
 
-def _kmeans_oracle_sql(
-    k: int = K_CLUSTERS, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
+def lloyd_cte_sql(
+    corpus_body: str,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+    dim: int = EMB_DIM,
 ) -> str:
-    """Unrolled-Lloyd oracle: iteration t assigns with cent{t-1}, means
-    form cent{t}; empty clusters coalesce to the previous centroid."""
-    sql = f"""
-WITH ecorpus AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    """Unrolled-Lloyd CTE chain (no leading WITH, no final SELECT):
+    ``ecorpus`` is defined by ``corpus_body`` (must yield ``vec_id, e``);
+    iteration t assigns with cent{t-1}, means form cent{t}; empty clusters
+    coalesce to the previous centroid. The caller appends its own SELECT
+    over ``a{iters}`` (vec_id, cid, d2) and may reuse ``ecorpus``."""
+    sql = f"""ecorpus AS (
+  {corpus_body}
 ),
 dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
 cent0 AS (SELECT vec_id AS cid, e AS c FROM ecorpus WHERE vec_id < {k})"""
@@ -199,8 +215,22 @@ cent{t} AS (
     SELECT cid, list(mv ORDER BY d) AS c FROM m{t} GROUP BY cid
   ) m USING (cid)
 )"""
-    sql += f"\nSELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM a{iters}"
     return sql
+
+
+def _kmeans_oracle_sql(
+    k: int = K_CLUSTERS, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
+) -> str:
+    body = lloyd_cte_sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+        k,
+        iters,
+        dim,
+    )
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM a{iters}"
+    )
 
 
 register("emb_kmeans_assign", kmeans_assignments, sql=_kmeans_oracle_sql())

@@ -348,6 +348,28 @@ class TestKMeans:
         assert per_cluster.sum() == 100
 
 
+class TestSemDedup:
+    def test_matches_oracle_and_drops_planted(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup, kmeans
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import semdedup  # noqa: F401
+
+        df = _check_against_oracle("semantic_dedup", oracle_con)
+        assert df["cluster_id"].between(0, kmeans.K_CLUSTERS - 1).all()
+        # every planted exact-copy vector (vec_id >= offset) has an identical
+        # earlier-id cluster-mate (cos == 1 >= tau) → dropped, original kept
+        planted = df["vec_id"] >= dedup.EMB_DUP_OFFSET
+        assert planted.any()
+        assert (~df.loc[planted, "kept"]).all()
+        assert df.loc[~planted, "kept"].all()
+        # planted copy lands in the same cluster as its source
+        merged = df[planted].assign(src=lambda d: d.vec_id - dedup.EMB_DUP_OFFSET)
+        src_cluster = df.set_index("vec_id")["cluster_id"]
+        assert (
+            merged["cluster_id"].to_numpy()
+            == src_cluster.loc[merged["src"]].to_numpy()
+        ).all()
+
+
 class TestQualityFilter:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import quality
