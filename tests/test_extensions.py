@@ -348,6 +348,32 @@ class TestKMeans:
         assert per_cluster.sum() == 100
 
 
+class TestLmScore:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import lm_score  # noqa: F401
+
+        df = _check_against_oracle("docs_lm_score", oracle_con)
+        # add-one bigram probabilities are < 1 → strictly negative mean
+        # log-likelihood wherever the doc has at least one bigram
+        scored = df[df.n_bigrams > 0]
+        assert (scored.lm_logprob < 0).all()
+        assert (df.loc[df.n_bigrams == 0, "lm_logprob"] == 0.0).all()
+
+    def test_in_sample_docs_score_higher(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.lm_score import docs_lm_score
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import _hash_bucket
+
+        import pyarrow as pa
+
+        df = docs_lm_score(SF).to_pandas()
+        buckets = _hash_bucket(pa.array(df.doc_id.tolist(), type=pa.int64()))
+        in_sample = df[(buckets < 20) & (df.n_bigrams > 0)]
+        out_sample = df[(buckets >= 20) & (df.n_bigrams > 0)]
+        # the model saw the in-sample docs — their mean likelihood must beat
+        # the held-out mean (weak but direction-pinning sanity check)
+        assert in_sample.lm_logprob.mean() > out_sample.lm_logprob.mean()
+
+
 class TestSemDedup:
     def test_matches_oracle_and_drops_planted(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup, kmeans
