@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Min
 
 from .dedup import (
     CORPUS_SQL,
@@ -157,28 +157,35 @@ def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
+    # Partition count scales with the edge volume: every round pays
+    # 2 exchanges × parts tasks of FIXED (~10 ms) overhead, so a small
+    # pair graph at 64 partitions is pure task-launch latency (measured
+    # 17 s at sf0.001 vs 14 s at sf0.01 — inverted!). ~50k edge rows per
+    # partition keeps the in-partition pandas work comfortably in-memory
+    # at any scale while the cap restores full width for big graphs.
+    parts = min(64, max(4, -(-edges.count() // 50_000)))
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        # min-reduce in-partition (all rows for a node are co-located) —
+        # replaces a second sort-based Ray groupby().aggregate() exchange
+        g = (
+            df.groupby("node", sort=False)
+            .agg(label=("label", "min"), old=("old", "max"))
+            .reset_index()
+        )
+        g["changed"] = (g["label"] < g["old"]).astype(np.int64)
+        return g
+
     for _ in range(_MAX_CC_ROUNDS):
         combined = edges.map_batches(tag_edges, batch_format="pyarrow").union(
             labels.map_batches(tag_labels, batch_format="pyarrow")
         )
-        reduced = (
-            _hash_partitioned(combined, "node", _propagate)
-            .groupby("node")
-            .aggregate(Min("label"), Max("old"))
-        )
-
-        def finish(t: pa.Table) -> pa.Table:
-            new = t["min(label)"].combine_chunks().cast(pa.int64())
-            old = t["max(old)"].combine_chunks().cast(pa.int64())
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "label": new,
-                    "changed": pc.cast(pc.less(new, old), pa.int64()),
-                }
-            )
-
-        state = reduced.map_batches(finish, batch_format="pyarrow").materialize()
+        state = _hash_partitioned(
+            _hash_partitioned(combined, "node", _propagate, num_partitions=parts),
+            "node",
+            reduce_part,
+            num_partitions=parts,
+        ).materialize()
         labels = state.select_columns(["node", "label"])
         # Dataset.sum returns None on an empty dataset (no pairs at all)
         if not state.sum("changed"):
