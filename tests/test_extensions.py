@@ -348,6 +348,62 @@ class TestKMeans:
         assert per_cluster.sum() == 100
 
 
+class TestDecontam:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import decontam  # noqa: F401
+
+        df = _check_against_oracle("docs_decontaminate", oracle_con)
+        assert (df.n_hits <= df.n_grams).all()
+        assert (df.contaminated == (df.n_hits > 0)).all()
+        # eval-bucket docs never appear in the training-side output
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.decontam import BENCH_BUCKET_MIN
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import _hash_bucket
+
+        import pyarrow as pa
+
+        buckets = _hash_bucket(pa.array(df.doc_id.tolist(), type=pa.int64()))
+        assert (buckets < BENCH_BUCKET_MIN).all()
+
+    def test_planted_eval_copy_is_flagged(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.decontam import (
+            BENCH_BUCKET_MIN,
+            docs_decontaminate,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import _hash_bucket
+
+        # find one doc_id that hashes into the eval bucket and one that
+        # doesn't, give them the same 10-token text, plus a clean doc
+        ids = pa.array(range(1000), type=pa.int64())
+        buckets = _hash_bucket(ids)
+        eval_id = int(np.flatnonzero(buckets >= BENCH_BUCKET_MIN)[0])
+        train_id, clean_id = (
+            int(i) for i in np.flatnonzero(buckets < BENCH_BUCKET_MIN)[:2]
+        )
+        leaked = "the quick brown fox jumps over the lazy dog again"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([eval_id, train_id, clean_id], type=pa.int64()),
+                    "text": pa.array(
+                        [leaked, leaked, "completely different words " * 4]
+                    ),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        df = (
+            docs_decontaminate(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(df.loc[train_id, "contaminated"])
+        assert not bool(df.loc[clean_id, "contaminated"])
+        assert eval_id not in df.index
+
+
 class TestLmScore:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import lm_score  # noqa: F401
