@@ -348,6 +348,21 @@ class TestKMeans:
         assert per_cluster.sum() == 100
 
 
+class TestMixtureCap:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import mixture
+
+        df = _check_against_oracle("docs_mixture_cap", oracle_con)
+        per_src = df[df.picked].groupby("source").size()
+        assert (per_src <= mixture.MIX_QUOTA).all()
+        # ranks are a 1..n permutation within every source
+        for _, g in df.groupby("source"):
+            assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        # corpus has sources both above and below the quota? at sf0.01
+        # every source exceeds it — all groups capped exactly
+        assert (per_src == per_src.max()).any()
+
+
 class TestDecontam:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import decontam  # noqa: F401
