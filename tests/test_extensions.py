@@ -348,6 +348,51 @@ class TestKMeans:
         assert per_cluster.sum() == 100
 
 
+class TestChunking:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import chunking
+
+        df = _check_against_oracle("docs_chunks", oracle_con)
+        assert (df.n_tokens <= chunking.CHUNK_TOKENS).all()
+        assert (df.n_tokens > 0).all()
+        # chunk 0 always exists; consecutive chunk_idx per doc
+        for _, g in df.groupby("doc_id"):
+            assert sorted(g.chunk_idx) == list(range(len(g)))
+        # every non-final chunk is full-width
+        last = df.groupby("doc_id")["chunk_idx"].transform("max")
+        assert (df.loc[df.chunk_idx < last, "n_tokens"] == chunking.CHUNK_TOKENS).all()
+
+    def test_coverage_and_overlap(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.chunking import docs_chunks
+
+        text = " ".join(f"w{i}" for i in range(70))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array([text, "one two", ""]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        df = docs_chunks(str(tmp_path), max_tokens=32, stride=24).to_pandas()
+        d1 = df[df.doc_id == 1].sort_values("chunk_idx")
+        # windows: [0,32) [24,56) [48,70) — reconstruction covers every token
+        covered = set()
+        for _, r in d1.iterrows():
+            covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+        assert covered == set(range(70))
+        # overlap region repeats verbatim
+        assert d1.iloc[0].chunk_text.split()[24:] == d1.iloc[1].chunk_text.split()[:8]
+        # 2-token doc → single chunk; empty doc → no chunks
+        assert len(df[df.doc_id == 2]) == 1
+        assert df[df.doc_id == 2].iloc[0].chunk_text == "one two"
+        assert len(df[df.doc_id == 3]) == 0
+
+
 class TestMixtureCap:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import mixture
