@@ -348,6 +348,27 @@ class TestKMeans:
         assert per_cluster.sum() == 100
 
 
+class TestRedactPii:
+    def test_matches_oracle_and_scrubs_planted(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import redact  # noqa: F401
+
+        df = _check_against_oracle("docs_redact_pii", oracle_con)
+        planted = df[df.doc_id % 10 == 0]
+        assert (planted.n_emails >= 1).all()
+        assert (planted.n_phones >= 1).all()
+        assert (planted.n_ips >= 1).all()
+        # nothing PII-shaped survives in the clean text
+        assert not planted.clean_text.str.contains("@example.com").any()
+        assert not planted.clean_text.str.contains("555-123-4567").any()
+        assert not planted.clean_text.str.contains("10.0.0.1").any()
+        assert planted.clean_text.str.contains("<EMAIL>").all()
+        assert planted.clean_text.str.contains("<PHONE>").all()
+        assert planted.clean_text.str.contains("<IP>").all()
+        # unplanted synthetic docs carry no organic PII
+        rest = df[df.doc_id % 10 != 0]
+        assert (rest[["n_emails", "n_phones", "n_ips"]].to_numpy() == 0).all()
+
+
 class TestChunking:
     def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import chunking
