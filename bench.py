@@ -234,6 +234,48 @@ def q_pack_greedy(sf_dir: str) -> int:
     return _consume(docs_pack_greedy(sf_dir))
 
 
+def q_semantic_dedup(sf_dir: str) -> int:
+    """SemDeDup: k-means clusters -> within-cluster cosine keep/drop."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.semdedup import semantic_dedup
+
+    return _consume(semantic_dedup(sf_dir))
+
+
+def q_lm_score(sf_dir: str) -> int:
+    """CCNet-style bigram-LM scoring (sample-trained broadcast model)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.lm_score import docs_lm_score
+
+    return _consume(docs_lm_score(sf_dir))
+
+
+def q_decontaminate(sf_dir: str) -> int:
+    """Eval-set n-gram decontamination (broadcast semi-join)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.decontam import docs_decontaminate
+
+    return _consume(docs_decontaminate(sf_dir))
+
+
+def q_mixture_cap(sf_dir: str) -> int:
+    """Per-source quota capping by hash priority."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.mixture import docs_mixture_cap
+
+    return _consume(docs_mixture_cap(sf_dir))
+
+
+def q_redact_pii(sf_dir: str) -> int:
+    """Vectorized RE2 PII scrub (email/phone/ip placeholders)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.redact import docs_redact_pii
+
+    return _consume(docs_redact_pii(sf_dir))
+
+
+def q_chunks(sf_dir: str) -> int:
+    """Overlapping context-window chunking (shuffle-free row expansion)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.chunking import docs_chunks
+
+    return _consume(docs_chunks(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_ordered": q_extract_ordered,
@@ -249,6 +291,12 @@ BENCH_QUERIES = {
     "quality_filter": q_quality_filter,
     "kmeans": q_kmeans,
     "pack_greedy": q_pack_greedy,
+    "semantic_dedup": q_semantic_dedup,
+    "lm_score": q_lm_score,
+    "decontaminate": q_decontaminate,
+    "mixture_cap": q_mixture_cap,
+    "chunks": q_chunks,
+    "redact_pii": q_redact_pii,
     "conversation_texts": q_conversation_texts,
     "prep_corpus": q_prep_corpus,
     "prep_plain_corpus": q_prep_plain_corpus,
