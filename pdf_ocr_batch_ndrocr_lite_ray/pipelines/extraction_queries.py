@@ -154,17 +154,20 @@ def normalize_text_sql(col: str, iters: int = _NORM_SQL_ITERS) -> str:
     return f"trim({expr})"
 
 
-def _plain_turns_cte(path: str, turn_filter: str | None = None) -> str:
+def _plain_turns_cte(
+    path: str, turn_filter: str | None = None, reader: str = "read_parquet"
+) -> str:
     """CTE chain computing the plain-path extraction over a transcript file.
 
     ``turn_filter`` selects which turns go through the plain pipeline
     (default: sniffed-plain turns); the fallback oracle reuses the same
     chain over undecodable pdfish turns — the M7 rule runs the identical
-    plain extractor on them.
+    plain extractor on them. ``reader`` swaps the DuckDB table function so
+    the same chain also oracles the NDJSON source (``read_json_auto``).
     """
     turn_filter = turn_filter or f"{SNIFF_CASE_SQL} = 'plain'"
     return f"""
-WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')),
+WITH t AS (SELECT conv_id, turn_idx, text FROM {reader}('{path}')),
 p AS (SELECT conv_id, turn_idx, text, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre FROM t),
 plain AS (SELECT conv_id, turn_idx, text FROM p WHERE {turn_filter}),
 sl AS (SELECT conv_id, turn_idx, text,
@@ -215,6 +218,34 @@ def q_extract_plain_action_counts(sf_dir: str):
     return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
 
 
+def q_extract_plain_turns_jsonl(sf_dir: str):
+    """Plain-path extraction over the NDJSON twin of the transcript table.
+
+    Source-format interchangeability (reference S1 reads heterogeneous
+    inputs, app.py:1144-1152): ``ray.data.read_json`` replaces
+    ``read_parquet``, everything downstream — sniffer, kernels, output
+    schema — is byte-identical to ``extract_plain_turns``. The oracle runs
+    the same CTE chain over DuckDB's ``read_json_auto``.
+    """
+    from .extraction import build_extraction
+    from .queryset import jsonl_transcripts_for_sf
+
+    path = jsonl_transcripts_for_sf(sf_dir)
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # JSON infers int64/utf8; the engine contract is int32 turn_idx
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "text": t["text"],
+            }
+        )
+
+    ds = ray.data.read_json(path).map_batches(coerce, batch_format="pyarrow")
+    return build_extraction(ds).map_batches(_plain_filter, batch_format="pyarrow")
+
+
 def q_extract_kind_counts(sf_dir: str):
     """Sniffed content-kind counts over the transcript table (all kinds)."""
     path = transcripts_for_sf(sf_dir)
@@ -248,6 +279,16 @@ _ORACLE_TRANSCRIPTS = transcripts_path_for_sf("/root/testdata/sf0.01")
 
 EXTRACT_PLAIN_TURNS_SQL = (
     _plain_turns_cte(_ORACLE_TRANSCRIPTS)
+    + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
+)
+
+from .queryset import jsonl_transcripts_for_sf as _jsonl_for_sf
+from .queryset import jsonl_transcripts_path_for_sf as _jsonl_path_for_sf
+
+_ORACLE_TRANSCRIPTS_JSONL = _jsonl_path_for_sf("/root/testdata/sf0.01")
+
+EXTRACT_PLAIN_TURNS_JSONL_SQL = (
+    _plain_turns_cte(_ORACLE_TRANSCRIPTS_JSONL, reader="read_json_auto")
     + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
 )
 
@@ -421,6 +462,14 @@ register(
     "extract_action_counts", q_extract_action_counts, sql=EXTRACT_ACTION_COUNTS_SQL
 )
 register("extract_plain_turns", q_extract_plain_turns, sql=EXTRACT_PLAIN_TURNS_SQL)
+register(
+    "extract_plain_turns_jsonl",
+    q_extract_plain_turns_jsonl,
+    sql=EXTRACT_PLAIN_TURNS_JSONL_SQL,
+)
+MATERIALIZERS.append(
+    lambda: _jsonl_for_sf("/root/testdata/sf0.01")
+)
 register(
     "extract_plain_action_counts",
     q_extract_plain_action_counts,

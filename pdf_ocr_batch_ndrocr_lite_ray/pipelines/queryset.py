@@ -71,6 +71,31 @@ def transcripts_for_sf(sf_dir: str) -> str:
     return str(path)
 
 
+def jsonl_transcripts_path_for_sf(sf_dir: str) -> str:
+    """Deterministic NDJSON twin of the transcript cache (pure path math)."""
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(
+        _CACHE_DIR
+        / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}-v{_SYNTH_VERSION}.jsonl"
+    )
+
+
+def jsonl_transcripts_for_sf(sf_dir: str) -> str:
+    """Materialize the NDJSON transcript twin for a scale dir (cached)."""
+    from ..sources.transcripts import write_transcript_jsonl
+
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    path = Path(jsonl_transcripts_path_for_sf(sf_dir))
+    if not path.exists():
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.jsonl")
+        write_transcript_jsonl(tmp, n_convs=n_convs, seed=_SYNTH_SEED)
+        tmp.replace(path)
+    return str(path)
+
+
 def table_path(sf_dir: str, table: str) -> str:
     return str(Path(sf_dir) / f"{table}.parquet")
 

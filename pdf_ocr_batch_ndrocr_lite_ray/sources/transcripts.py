@@ -354,6 +354,30 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=TRANSCRIPT_SCHEMA)
 
 
+def write_transcript_jsonl(
+    path: str | Path,
+    n_convs: int,
+    seed: int,
+    first_conv: int = 0,
+) -> int:
+    """Write the same deterministic rows as NDJSON (one object per line).
+
+    Byte-for-byte the same payloads as the parquet writer — only the
+    container differs (``ts`` serialized as ISO-8601). Exists to prove
+    source-format interchangeability: ``ray.data.read_json`` over this file
+    must extract identically to ``read_parquet`` over the parquet twin.
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rows = generate_rows(n_convs, seed, first_conv)
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            rec = dict(r)
+            rec["ts"] = rec["ts"].isoformat()
+            f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+    return len(rows)
+
+
 def write_transcripts(
     path: str | Path,
     n_convs: int,

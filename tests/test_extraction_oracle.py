@@ -137,6 +137,80 @@ class TestPlainTurnsCte:
         assert counts.get("skipped_clean", 0) > 0  # idempotence probes exist
 
 
+class TestJsonlSource:
+    """The NDJSON transcript twin must extract identically to parquet —
+    source-format interchangeability of the whole plain path."""
+
+    @pytest.fixture(scope="class")
+    def twins(self, tmp_path_factory):
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import (
+            write_transcript_jsonl,
+            write_transcripts,
+        )
+
+        d = tmp_path_factory.mktemp("jsonl")
+        pq_path, js_path = str(d / "t.parquet"), str(d / "t.jsonl")
+        write_transcripts(pq_path, n_convs=30, seed=31)
+        write_transcript_jsonl(js_path, n_convs=30, seed=31)
+        return pq_path, js_path
+
+    def test_oracle_cte_identical_across_containers(self, twins):
+        pq_path, js_path = twins
+        sel = (
+            "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
+            "\nORDER BY conv_id, turn_idx"
+        )
+        con = duckdb.connect()
+        a = con.execute(_plain_turns_cte(pq_path) + sel).df()
+        b = con.execute(
+            _plain_turns_cte(js_path, reader="read_json_auto") + sel
+        ).df()
+        assert len(a) == len(b) > 0
+        assert a.astype(str).equals(b.astype(str))
+
+    def test_ray_read_json_route_matches_parquet_route(self, ray_session, twins):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            build_extraction,
+            extract_transcripts,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries import (
+            _plain_filter,
+        )
+
+        pq_path, js_path = twins
+
+        def coerce(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                    "text": t["text"],
+                }
+            )
+
+        src = ray.data.read_json(js_path).map_batches(coerce, batch_format="pyarrow")
+        via_json = (
+            build_extraction(src)
+            .map_batches(_plain_filter, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        via_parquet = (
+            extract_transcripts(pq_path)
+            .map_batches(_plain_filter, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(via_json) == len(via_parquet) > 0
+        assert via_json.astype(str).equals(via_parquet.astype(str))
+
+
 class TestAdversarialTranscriptParity:
     """Plain-path / fallback / sniff CTEs on a NASTY transcript table —
     CRLF, form feeds, unicode whitespace, CJK adjacency (fixpoint rules),
