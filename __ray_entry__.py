@@ -37,6 +37,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import mixture as _mx  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import chunking as _ch  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import redact as _rd  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import packing as _pk  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import delta as _dl  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

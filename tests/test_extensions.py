@@ -47,6 +47,23 @@ def _check_against_oracle(name: str, oracle_con) -> pd.DataFrame:
     return ours
 
 
+class TestIncrementalDedup:
+    def test_matches_oracle_and_invariants(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import delta  # noqa: F401
+
+        df = _check_against_oracle("docs_dedup_incremental", oracle_con)
+        assert set(df["status"]) <= {"new", "dup_of_existing", "dup_in_batch"}
+        # planted exact dups guarantee cross-side collisions at any sf
+        assert (df["status"] == "dup_of_existing").any()
+        # admitted docs are unique by content
+        new = df[df["status"] == "new"]
+        assert new["fingerprint"].is_unique
+        # nothing admitted twice: a fingerprint with an admitted doc has all
+        # its other incoming twins labeled dup_in_batch (or dup_of_existing)
+        dup_in_batch = df[df["status"] == "dup_in_batch"]
+        assert set(dup_in_batch["fingerprint"]) <= set(df["fingerprint"])
+
+
 class TestTextAnalysis:
     def test_textstats_matches_oracle(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
