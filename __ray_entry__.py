@@ -38,6 +38,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import chunking as _ch  # noqa: F40
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import redact as _rd  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import packing as _pk  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import delta as _dl  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import selection as _sel  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -64,6 +64,35 @@ class TestIncrementalDedup:
         assert set(dup_in_batch["fingerprint"]) <= set(df["fingerprint"])
 
 
+class TestSelection:
+    def test_source_quantile_gate_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import selection  # noqa: F401
+
+        df = _check_against_oracle("docs_filter_by_source_quantile", oracle_con)
+        assert 0 < len(df) < 500  # a median gate keeps a strict subset
+        # strictly-above-median: each kept source's min beats its median
+        med = oracle_con.execute(
+            "SELECT source, median(n_chars) AS med FROM documents GROUP BY source"
+        ).df()
+        merged = df.merge(med, on="source")
+        assert (merged["n_chars"] > merged["med"]).all()
+
+    def test_budget_selection_matches_oracle_and_is_maximal(
+        self, ray_session, oracle_con
+    ):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.selection import (
+            SELECT_BUDGET_TOKENS,
+        )
+
+        df = _check_against_oracle("docs_select_budget", oracle_con)
+        assert 0 < len(df) < 500  # the budget boundary actually bites
+        assert df["n_tokens_ws"].sum() <= SELECT_BUDGET_TOKENS
+        # admitted scores dominate: every admitted score_e6 >= every
+        # excluded one except within the boundary tie-group (greedy prefix
+        # property; exactness vs the cum<=budget window is the oracle match)
+        assert df["score_e6"].min() >= 0
+
+
 class TestTextAnalysis:
     def test_textstats_matches_oracle(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
