@@ -1,0 +1,147 @@
+"""Transcript-native corpus operators: cross-conversation boilerplate-turn
+detection and per-conversation metadata stats.
+
+Agent/conversation corpora repeat themselves in a way documents don't:
+system prompts, tool-call headers, and canned assistant prefaces recur
+verbatim across thousands of conversations. Detecting those (to strip or
+down-weight before training) is a turn-level groupby over the SAME
+fingerprint normalization the dedup family uses — and per-conversation
+metadata (turn counts, role mix, wall-clock span) is the partitioning/
+skew-planning input for every conversation-level stage.
+
+Scale shapes: both ops exchange METADATA columns only (fingerprints, 8-byte
+ids, timestamps) — raw turn text never shuffles. Boilerplate counting
+collapses (fingerprint, conv_id) duplicates per batch before the exchange,
+so a hot boilerplate string contributes one row per (batch, conv), not one
+per turn.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .exchange import hash_partitioned as _hash_partitioned
+from .queryset import register, transcripts_for_sf, transcripts_path_for_sf
+
+#: a turn payload seen in at least this many distinct conversations is
+#: boilerplate (tune per corpus; 3 keeps the gate conservative)
+BOILERPLATE_MIN_CONVS = 3
+
+
+def _norm_fingerprint(text_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    # same whitespace-normalized md5 as the document dedup family — md5
+    # because the DuckDB oracle must reproduce the value
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(text_col, pattern=r"\s+", replacement=" ")
+    )
+    return pa.array(
+        [
+            hashlib.md5(s.encode("utf-8")).hexdigest() if s else None
+            for s in norm.to_pylist()
+        ],
+        type=pa.string(),
+    )
+
+
+def turns_boilerplate(
+    sf_dir: str, min_convs: int = BOILERPLATE_MIN_CONVS
+) -> "ray.data.Dataset":
+    """Turn payloads recurring across conversations:
+    (fingerprint, n_convs, n_turns) for ≥ ``min_convs`` distinct convs."""
+    path = transcripts_for_sf(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fp = _norm_fingerprint(batch["text"])
+        t = pa.table({"fingerprint": fp, "conv_id": batch["conv_id"]})
+        t = t.filter(pc.is_valid(t["fingerprint"]))  # empty-normalized turns out
+        g = t.group_by(["fingerprint", "conv_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["fingerprint", "conv_id", "n"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("fingerprint", sort=False)
+            .agg(n_convs=("conv_id", "nunique"), n_turns=("n", "sum"))
+            .reset_index()
+        )
+        g = g[g["n_convs"] >= min_convs]
+        g["n_turns"] = g["n_turns"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g[["fingerprint", "n_convs", "n_turns"]]
+
+    return _hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "fingerprint",
+        per_partition,
+    )
+
+
+def _boilerplate_sql(path: str, min_convs: int = BOILERPLATE_MIN_CONVS) -> str:
+    return f"""
+WITH fp AS (
+  SELECT conv_id,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM read_parquet('{path}')
+  WHERE trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''
+)
+SELECT fingerprint,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_turns
+FROM fp GROUP BY fingerprint HAVING count(DISTINCT conv_id) >= {min_convs}
+"""
+
+
+def conversation_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-conversation metadata: (conv_id, n_turns, n_roles, n_tool_turns,
+    duration_s). The planning table for conversation-level partitioning —
+    turn-count skew (hot conversations) reads directly off ``n_turns``."""
+    path = transcripts_for_sf(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "role", "ts"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(is_tool=(df["role"] == "tool").astype("int64"))
+        g = (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("role", "size"),
+                n_roles=("role", "nunique"),
+                n_tool_turns=("is_tool", "sum"),
+                ts_min=("ts", "min"),
+                ts_max=("ts", "max"),
+            )
+            .reset_index()
+        )
+        g["duration_s"] = (
+            (g["ts_max"] - g["ts_min"]).dt.total_seconds().astype("int64")
+        )
+        for c in ("n_turns", "n_roles", "n_tool_turns"):
+            g[c] = g[c].astype("int64")
+        return g[["conv_id", "n_turns", "n_roles", "n_tool_turns", "duration_s"]]
+
+    return _hash_partitioned(ds, "conv_id", per_partition)
+
+
+def _conversation_stats_sql(path: str) -> str:
+    return f"""
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(DISTINCT role) AS n_roles,
+       count(*) FILTER (WHERE role = 'tool') AS n_tool_turns,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM read_parquet('{path}')
+GROUP BY conv_id
+"""
+
+
+_ORACLE_PATH = transcripts_path_for_sf("/root/testdata/sf0.01")
+
+register("turns_boilerplate", turns_boilerplate, sql=_boilerplate_sql(_ORACLE_PATH))
+register(
+    "conversation_stats", conversation_stats, sql=_conversation_stats_sql(_ORACLE_PATH)
+)

@@ -93,6 +93,43 @@ class TestSelection:
         assert df["score_e6"].min() >= 0
 
 
+class TestTranscriptStats:
+    def _gold(self, sql: str) -> pd.DataFrame:
+        return duckdb.connect().execute(sql).df()
+
+    def test_boilerplate_matches_oracle(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import (
+            transcripts_for_sf,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            _boilerplate_sql,
+            turns_boilerplate,
+        )
+
+        ours = turns_boilerplate(SF).to_pandas()
+        gold = self._gold(_boilerplate_sql(transcripts_for_sf(SF)))
+        assert len(ours) == len(gold) > 0
+        assert _value_hash(ours) == _value_hash(gold)
+        assert (ours["n_convs"] >= 3).all()
+        assert (ours["n_turns"] >= ours["n_convs"]).all()
+
+    def test_conversation_stats_match_oracle(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import (
+            transcripts_for_sf,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            _conversation_stats_sql,
+            conversation_stats,
+        )
+
+        ours = conversation_stats(SF).to_pandas()
+        gold = self._gold(_conversation_stats_sql(transcripts_for_sf(SF)))
+        assert len(ours) == len(gold) > 0
+        assert _value_hash(ours) == _value_hash(gold)
+        # hot conversations (1 in 25, 50x median turns) surface as skew
+        assert ours["n_turns"].max() >= 10 * ours["n_turns"].median()
+
+
 class TestTextAnalysis:
     def test_textstats_matches_oracle(self, ray_session, oracle_con):
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
