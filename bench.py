@@ -276,6 +276,47 @@ def q_chunks(sf_dir: str) -> int:
     return _consume(docs_chunks(sf_dir))
 
 
+def q_dedup_incremental(sf_dir: str) -> int:
+    """Delta dedup: admit incoming batch against existing corpus."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import docs_dedup_incremental
+
+    return _consume(docs_dedup_incremental(sf_dir))
+
+
+def q_select_budget(sf_dir: str) -> int:
+    """Quality-ranked greedy selection under a global token budget."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.selection import docs_select_budget
+
+    return _consume(docs_select_budget(sf_dir))
+
+
+def q_source_quantile_gate(sf_dir: str) -> int:
+    """Per-source median length gate (broadcast thresholds)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.selection import (
+        docs_filter_by_source_quantile,
+    )
+
+    return _consume(docs_filter_by_source_quantile(sf_dir))
+
+
+def q_turns_boilerplate(sf_dir: str) -> int:
+    """Cross-conversation boilerplate-turn detection."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+        turns_boilerplate,
+    )
+
+    return _consume(turns_boilerplate(sf_dir))
+
+
+def q_conversation_stats(sf_dir: str) -> int:
+    """Per-conversation metadata stats (skew planning table)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+        conversation_stats,
+    )
+
+    return _consume(conversation_stats(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_ordered": q_extract_ordered,
@@ -287,6 +328,11 @@ BENCH_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_incremental": q_dedup_incremental,
+    "select_budget": q_select_budget,
+    "source_quantile_gate": q_source_quantile_gate,
+    "turns_boilerplate": q_turns_boilerplate,
+    "conversation_stats": q_conversation_stats,
     "duplicate_spans": q_duplicate_spans,
     "quality_filter": q_quality_filter,
     "kmeans": q_kmeans,
