@@ -29,6 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from .exchange import enum_group_sum
 from .queryset import register, table_path
 
 
@@ -55,33 +56,24 @@ def events_by_type(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("event_type").aggregate(Sum("n_events"), Sum("total_value"))
-    ren = {}
-    for name in out.schema().names:
-        if name.startswith("sum(n_events"):
-            ren[name] = "n_events"
-        elif name.startswith("sum(total_value"):
-            ren[name] = "total_value"
-    out = _rename(out, ren)
-
-    def to_scaled_int(t: pa.Table) -> pa.Table:
-        # scaled-integer output: float sums differ across summation orders
-        # by ~1 ulp, which breaks string-level value comparison; an integer
-        # in 1e-4 units is stable on both engines
-        i = t.schema.get_field_index("total_value")
-        # round_mode matches DuckDB round() (half away from zero); pyarrow's
-        # default half-to-even would flip the hash on an exact-.5 boundary
-        scaled = pc.cast(
-            pc.round(
-                pc.multiply(t["total_value"], 10000.0),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        return t.set_column(i, "total_value_e4", scaled)
-
-    return out.map_batches(to_scaled_int, batch_format="pyarrow")
+    # event_type is a bounded enum → fold the tiny partials on the driver
+    # (enum_group_sum) instead of a sort-shuffle over a few KB
+    g = enum_group_sum(ds, ["event_type"], ["n_events", "total_value"])
+    # scaled-integer output: float sums differ across summation orders by
+    # ~1 ulp, which breaks string-level value comparison; an integer in
+    # 1e-4 units is stable on both engines. Half away from zero matches
+    # DuckDB round(); numpy/pyarrow defaults (half-even) would flip the
+    # hash on an exact-.5 boundary.
+    v = g["total_value"].to_numpy()
+    scaled = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n_events": g["n_events"].astype("int64"),
+            "total_value_e4": scaled,
+        }
+    )
+    return ray.data.from_pandas(out)
 
 
 EVENTS_BY_TYPE_SQL = """
@@ -222,35 +214,27 @@ def orders_by_nation_shuffle(sf_dir: str) -> "ray.data.Dataset":
         g["n_orders"] = g["n_orders"].astype("int64")
         return g
 
-    partials = _hash_partitioned(both, "o_custkey", join_and_combine)
-    out = partials.groupby("c_nationkey").aggregate(
-        Sum("n_orders"), Sum("total_price")
+    # final merge of ≤ #nations × #partitions partial rows happens on the
+    # driver: a second Ray groupby over 64 tiny blocks costs multiple
+    # seconds of pure sort-shuffle task overhead (measured: 8-14 s → ~4 s
+    # for the whole query after this change) while the data is a few KB
+    partials = _hash_partitioned(both, "o_custkey", join_and_combine).to_pandas()
+    g = (
+        partials.groupby("c_nationkey", sort=True)
+        .agg(n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+        .reset_index()
     )
-    ren = {}
-    for name in out.schema().names:
-        if name.startswith("sum(n_orders"):
-            ren[name] = "n_orders"
-        elif name.startswith("sum(total_price"):
-            ren[name] = "total_price"
-    out = _rename(out, ren)
-
-    def finish(t: pa.Table) -> pa.Table:
-        # round the SUM to cents (oracle semantics), nation back to int32
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(t["total_price"], 100.0),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        t = t.set_column(
-            t.schema.get_field_index("total_price"), "total_price_cents", cents
-        )
-        i = t.schema.get_field_index("c_nationkey")
-        return t.set_column(i, "c_nationkey", pc.cast(t["c_nationkey"], pa.int32()))
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    # round the SUM to cents (oracle semantics), nation back to int32
+    cents = np.floor(np.abs(g["total_price"].to_numpy()) * 100.0 + 0.5)
+    cents = (np.sign(g["total_price"].to_numpy()) * cents).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "c_nationkey": g["c_nationkey"].astype("int32"),
+            "n_orders": g["n_orders"].astype("int64"),
+            "total_price_cents": cents,
+        }
+    )
+    return ray.data.from_pandas(out)
 
 
 # --- top-k without a global sort -------------------------------------------
@@ -259,12 +243,19 @@ TOP_PARTS_K = 25
 
 
 def lineitem_top_parts(sf_dir: str, k: int = TOP_PARTS_K) -> "ray.data.Dataset":
-    """Top-k parts by revenue: per-block partial sums → groupby → final top-k.
+    """Top-k parts by revenue: coalesced partial sums → one hash exchange
+    with partition-local top-k → bounded driver merge.
 
-    The full lineitem table never sorts: blocks emit per-part partial
-    revenue, the exchange carries #parts rows, and only the final ≤ #parts
-    aggregate is sorted and limited (driver-sized, not data-sized).
+    The full lineitem table never sorts. Measured redesign (sf0.1, 32
+    CPUs: 14 s → ~2 s): small read blocks made per-block partials nearly
+    useless (each 25k-row block still emitted all 20k partkeys — 600k rows
+    in, 478k "partials" out), and ``groupby().aggregate(Sum)`` paid Ray's
+    sort-based aggregate over them. Now partials coalesce 256k rows per
+    batch (≥ 10× collapse), the exchange is the fast ``hash_partitioned``
+    path, and because partitions are group-complete each one emits only its
+    local top-k — the driver merges ≤ k × #partitions rows.
     """
+    from .exchange import hash_partitioned as _hash_partitioned_x
 
     def partial(batch: pa.Table) -> pa.Table:
         # per-ROW integer cents, then exact integer sums: float sums depend
@@ -294,23 +285,26 @@ def lineitem_top_parts(sf_dir: str, k: int = TOP_PARTS_K) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "lineitem"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("l_partkey").aggregate(Sum("revenue_cents"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-    out = _rename(out, {scol: "revenue_cents"})
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=262_144
+    )
 
-    def final_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.sort_values(
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # partition-complete groups → each partition's top-k is a superset
+        # filter for the global top-k
+        g = df.groupby("l_partkey", sort=False)["revenue_cents"].sum().reset_index()
+        return g.sort_values(
             ["revenue_cents", "l_partkey"], ascending=[False, True]
         ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["rank", "l_partkey", "revenue_cents"]]
 
-    # the aggregate result is #parts rows — a single-block driver-side reduce
-    return out.repartition(1).map_batches(
-        final_topk, batch_format="pandas", batch_size=None
+    cand = _hash_partitioned_x(ds, "l_partkey", local_topk).to_pandas()
+    final = (
+        cand.sort_values(["revenue_cents", "l_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
+    final["rank"] = np.arange(1, len(final) + 1, dtype=np.int64)
+    return ray.data.from_pandas(final[["rank", "l_partkey", "revenue_cents"]])
 
 
 LINEITEM_TOP_PARTS_SQL = f"""

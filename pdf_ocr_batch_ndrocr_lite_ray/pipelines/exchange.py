@@ -19,6 +19,33 @@ def rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def enum_group_sum(ds: "ray.data.Dataset", keys: list[str], sums: list[str]):
+    """Final merge for BOUNDED-cardinality grouped sums → pandas DataFrame.
+
+    ``ds`` holds per-batch partial rows (≤ #groups per input block). Ray's
+    sort-based ``groupby().aggregate(Sum)`` pays seconds of fixed all-to-all
+    task overhead to shuffle a few KB of enum-keyed partials (measured:
+    2-6 s per query on counts over ≤ 25 groups). When the key cardinality
+    is bounded (enums: action, content kind, split, lang, nation, funnel
+    step), streaming the partials to the driver and folding them is both
+    faster and scale-safe: the driver holds the running merged frame plus
+    one batch — ≤ #groups × (64 + 1) rows at any moment, independent of
+    corpus size. NOT for unbounded keys (use ``hash_partitioned``).
+    """
+    import pandas as pd
+
+    parts: list = []
+    for b in ds.iter_batches(batch_size=65_536, batch_format="pandas"):
+        parts.append(b.groupby(keys, sort=False)[sums].sum().reset_index())
+        if len(parts) >= 64:  # re-fold so driver memory stays ~#groups rows
+            parts = [
+                pd.concat(parts).groupby(keys, sort=False)[sums].sum().reset_index()
+            ]
+    if not parts:
+        return pd.DataFrame(columns=[*keys, *sums])
+    return pd.concat(parts).groupby(keys, sort=True)[sums].sum().reset_index()
+
+
 def int64_array(col: "pa.Array | pa.ChunkedArray"):
     """Zero-copy-ish int64 numpy view of an Arrow integer column."""
     import numpy as np

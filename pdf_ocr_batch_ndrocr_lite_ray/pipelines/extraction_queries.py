@@ -51,12 +51,21 @@ def q_extract_flagship(sf_dir: str):
     return ds.drop_columns(["spans"])  # list<struct> hashes poorly across drivers
 
 
+def _action_partial(batch: pa.Table) -> pa.Table:
+    vc = pc.value_counts(batch["action"])
+    return pa.table(
+        {"action": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
 def q_extract_action_counts(sf_dir: str):
-    """Per-action row counts of the flagship extraction (small aggregate)."""
+    """Per-action row counts of the flagship extraction (bounded enum →
+    per-batch partial counts folded on the driver)."""
+    from .exchange import enum_group_sum
+
     path = transcripts_for_sf(sf_dir)
-    ds = extract_transcripts(path)
-    out = ds.groupby("action").count()
-    return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
+    ds = extract_transcripts(path).map_batches(_action_partial, batch_format="pyarrow")
+    return ray.data.from_pandas(enum_group_sum(ds, ["action"], ["n"]))
 
 
 def q_docs_normalize_space(sf_dir: str):
@@ -212,10 +221,15 @@ def q_extract_plain_turns(sf_dir: str):
 
 def q_extract_plain_action_counts(sf_dir: str):
     """Per-action counts of the plain path (skip/extract/empty rule check)."""
+    from .exchange import enum_group_sum
+
     path = transcripts_for_sf(sf_dir)
-    ds = extract_transcripts(path).map_batches(_plain_filter, batch_format="pyarrow")
-    out = ds.groupby("action").count()
-    return out.rename_columns({"count()": "n"}) if "count()" in out.schema().names else out
+    ds = (
+        extract_transcripts(path)
+        .map_batches(_plain_filter, batch_format="pyarrow")
+        .map_batches(_action_partial, batch_format="pyarrow")
+    )
+    return ray.data.from_pandas(enum_group_sum(ds, ["action"], ["n"]))
 
 
 def q_extract_plain_turns_jsonl(sf_dir: str):
@@ -260,18 +274,12 @@ def q_extract_kind_counts(sf_dir: str):
             }
         )
 
+    from .exchange import enum_group_sum
+
     ds = ray.data.read_parquet(path, columns=["text"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Sum
-
-    out = ds.groupby("content_kind").aggregate(Sum("n"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-
-    def ren(t: pa.Table) -> pa.Table:
-        return t.rename_columns([("n" if c == scol else c) for c in t.column_names])
-
-    return out.map_batches(ren, batch_format="pyarrow")
+    return ray.data.from_pandas(enum_group_sum(ds, ["content_kind"], ["n"]))
 
 
 # the driver compares at sf0.01; embed that deterministic cache path

@@ -57,11 +57,17 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
 
 
 def media_kind_counts(sf_dir: str) -> "ray.data.Dataset":
-    """Rows per decoded kind/action — the decode health report."""
-    out = media_features(sf_dir).groupby(["kind", "action"]).count()
-    if "count()" in out.schema().names:
-        out = out.rename_columns({"count()": "n"})
-    return out
+    """Rows per decoded kind/action — the decode health report. Both keys
+    are bounded enums → per-batch partial counts folded on the driver."""
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["kind", "action"])
+        g = t.group_by(["kind", "action"]).aggregate([([], "count_all")])
+        return g.rename_columns(["kind", "action", "n"])
+
+    ds = media_features(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ray.data.from_pandas(enum_group_sum(ds, ["kind", "action"], ["n"]))
 
 
 def media_resized_features(sf_dir: str) -> "ray.data.Dataset":

@@ -79,9 +79,9 @@ def docs_split_counts(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "documents"), columns=["doc_id"]
     ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("split").aggregate(Sum("n_docs"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-    return rename(out, {scol: "n_docs"})
+    from .exchange import enum_group_sum
+
+    return ray.data.from_pandas(enum_group_sum(ds, ["split"], ["n_docs"]))
 
 
 DOCS_SPLIT_SQL = f"""
@@ -109,9 +109,10 @@ def docs_length_histogram(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "documents"), columns=["text"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("bucket_lo").aggregate(Sum("n_docs"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-    return rename(out, {scol: "n_docs"})
+    # bucket count = max-tokens / width — bounded, so fold on the driver
+    from .exchange import enum_group_sum
+
+    return ray.data.from_pandas(enum_group_sum(ds, ["bucket_lo"], ["n_docs"]))
 
 
 DOCS_HISTOGRAM_SQL = f"""

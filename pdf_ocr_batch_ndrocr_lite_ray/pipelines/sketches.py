@@ -42,25 +42,32 @@ QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     """(event_type, n_users): exact distinct user count per event type.
 
-    Per-block distinct pairs collapse duplicates early; the exchange then
-    carries unique (event_type, user_id) pairs — bounded by the true
-    distinct count, not the event count.
-    """
+    Per-block distinct pairs collapse duplicates early; ONE hash exchange
+    on ``user_id`` then makes the per-partition dedup global (each user
+    lives in exactly one partition, so per-partition distinct counts sum
+    to the true distinct count). The bounded (event_type, n) partials fold
+    on the driver. Replaces a multi-key ``groupby().aggregate(Count())``
+    chain that paid two sort shuffles for the same answer (7.3 s → ~1.5 s
+    at sf0.1)."""
+    from .dedup import _hash_partitioned
+    from .exchange import enum_group_sum
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         t = pa.table({"event_type": batch["event_type"], "user_id": batch["user_id"]})
         g = t.group_by(["event_type", "user_id"]).aggregate([])
         return g
 
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["event_type", "user_id"])
+        g = u.groupby("event_type", sort=False).size().reset_index(name="n_users")
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
     ds = ray.data.read_parquet(
         table_path(sf_dir, "events"), columns=["event_type", "user_id"]
     ).map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count())
-    ccol = [c for c in pairs.schema().names if c.startswith("count")][0]
-    pairs = pairs.drop_columns([ccol])
-    out = pairs.groupby("event_type").aggregate(Count())
-    ccol = [c for c in out.schema().names if c.startswith("count")][0]
-    return rename(out, {ccol: "n_users"})
+    partials = _hash_partitioned(ds, "user_id", per_partition)
+    return ray.data.from_pandas(enum_group_sum(partials, ["event_type"], ["n_users"]))
 
 
 EVENTS_DISTINCT_USERS_SQL = """

@@ -43,11 +43,16 @@ def doc_lang_counts(sf_dir: str) -> "ray.data.Dataset":
     compiles to, since ``lang`` is computed before the exchange and only
     (doc_id, lang) columns flow into it.
     """
-    ds = doc_text_stats(sf_dir).select_columns(["doc_id", "lang"])
-    out = ds.groupby("lang").count()
-    if "count()" in out.schema().names:
-        out = out.rename_columns({"count()": "n_docs"})
-    return out
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["lang"])
+        return pa.table(
+            {"lang": vc.field("values"), "n_docs": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    ds = doc_text_stats(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ray.data.from_pandas(enum_group_sum(ds, ["lang"], ["n_docs"]))
 
 
 register(

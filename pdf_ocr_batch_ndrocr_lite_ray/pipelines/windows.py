@@ -379,9 +379,10 @@ def user_funnel_counts(sf_dir: str) -> "ray.data.Dataset":
         table_path(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
     )
     partials = _hash_partitioned(ds, "user_id", per_user)
-    out = partials.groupby("step").aggregate(Sum("n_users"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-    return _rename(out, {scol: "n_users"})
+    # funnel steps are a bounded enum → fold partials on the driver
+    from .exchange import enum_group_sum
+
+    return ray.data.from_pandas(enum_group_sum(partials, ["step"], ["n_users"]))
 
 
 USER_FUNNEL_SQL = f"""
