@@ -112,13 +112,61 @@ def _propagate(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def connected_components(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+#: edge-count ceiling for the driver union-find fast path. The pair graph
+#: is a DERIVED set (near-dup pairs, not the corpus); below this it fits
+#: the driver trivially and label propagation would pay ~2.5 s/round of
+#: fixed exchange overhead to shuffle a few MB (measured: 13 s of CC for a
+#: 3.6k-pair graph). Above it, the O(diameter)-round distributed loop runs.
+_DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Path-compressing union-find over (node, nbr) rows → (node, label)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(
+        edges_df["node"].to_numpy(), edges_df["nbr"].to_numpy()
+    ):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by MIN id: the component label contract (min doc_id)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = np.unique(
+        np.concatenate([edges_df["node"].to_numpy(), edges_df["nbr"].to_numpy()])
+    ).astype(np.int64)
+    labels = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
+    return pd.DataFrame({"node": nodes, "label": labels})
+
+
+def connected_components(
+    pairs: "ray.data.Dataset", *, force_distributed: bool = False
+) -> "ray.data.Dataset":
     """(node, label) with label = min doc_id in the node's component.
 
     ``pairs`` must have int64-castable ``doc_a``/``doc_b`` columns; any of
-    the dedup pair generators qualifies.
+    the dedup pair generators qualifies. Graphs under
+    ``_DRIVER_CC_MAX_EDGES`` directed edges resolve with a driver
+    union-find (the graph is derived and tiny relative to the corpus);
+    larger graphs run the distributed hash-min loop
+    (``force_distributed=True`` pins that path for tests).
     """
     edges = _directed_edges(pairs).materialize()  # small derived set; reused every round
+    if not force_distributed and edges.count() <= _DRIVER_CC_MAX_EDGES:
+        df = edges.to_pandas()
+        if df.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")})
+            )
+        return ray.data.from_pandas(_driver_union_find(df))
 
     # initial labels: label0(v) = min(v, direct neighbors) — one hop free
     labels = (

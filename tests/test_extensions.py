@@ -242,7 +242,7 @@ class TestDedup:
 class TestClusters:
     """Connected components over dup pairs + canonical-doc selection."""
 
-    def _cc(self, pairs):
+    def _cc(self, pairs, force_distributed=False):
         import ray
 
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
@@ -252,7 +252,9 @@ class TestClusters:
         ds = ray.data.from_items(
             [{"doc_a": a, "doc_b": b, "est_jaccard": 1.0} for a, b in pairs]
         )
-        out = connected_components(ds).to_pandas()
+        out = connected_components(
+            ds, force_distributed=force_distributed
+        ).to_pandas()
         return dict(zip(out["node"], out["label"]))
 
     def test_handbuilt_graphs(self, ray_session):
@@ -265,6 +267,16 @@ class TestClusters:
         # two chains merged through a shared node
         merged = [(10, 11), (11, 12), (20, 21), (21, 12)]
         assert self._cc(merged) == {10: 10, 11: 10, 12: 10, 20: 10, 21: 10}
+
+    def test_distributed_path_matches_union_find(self, ray_session):
+        # the hash-min propagation loop (the at-scale path) must agree with
+        # the driver union-find fast path on every handbuilt graph
+        for pairs in (
+            [(1, 2), (2, 3), (4, 5)],
+            [(i, i + 1) for i in range(9)],
+            [(10, 11), (11, 12), (20, 21), (21, 12)],
+        ):
+            assert self._cc(pairs, force_distributed=True) == self._cc(pairs)
 
     def test_clusters_match_oracle(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import clusters  # noqa: F401
