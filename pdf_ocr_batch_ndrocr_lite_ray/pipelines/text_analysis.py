@@ -371,3 +371,67 @@ register(
     SELECT lang, count(*) AS n_docs FROM s GROUP BY lang
     """,
 )
+
+
+# --- corpus-frequent n-gram list (boilerplate detection) --------------------
+
+TOP_NGRAMS_K = 20
+
+
+def docs_top_ngrams(sf_dir: str, k: int = TOP_NGRAMS_K) -> "ray.data.Dataset":
+    """Top-k word trigrams by document frequency: (ngram, df).
+
+    The C4/RefinedWeb-style corpus-frequent-phrase list — the input to
+    boilerplate stripping and contamination screens. Shares the dedup
+    family's shingle definition (ASCII \\S+ word trigrams, per-doc
+    distinct). Per-batch rows carry per-doc-distinct shingles; ONE hash
+    exchange co-locates each ngram, the partition emits its local top-k
+    (valid: partitions are group-complete), and the driver merges
+    ≤ k × #partitions rows with the (df DESC, ngram ASC) tie-break that
+    makes the k-th boundary deterministic on both engines.
+    """
+    import pandas as pd
+
+    from .dedup import _doc_shingles
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for text in batch["text"].to_pylist():
+            out.extend(_doc_shingles(text or ""))
+        return pa.table({"ngram": pa.array(out, type=pa.string())})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False).size().reset_index(name="df")
+        g["df"] = g["df"].astype("int64")
+        return g.sort_values(["df", "ngram"], ascending=[False, True]).head(k)
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["text"]
+    ).map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _hash_partitioned(ds, "ngram", local_topk).to_pandas()
+    final = (
+        cand.sort_values(["df", "ngram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(final)
+
+
+DOCS_TOP_NGRAMS_SQL = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+  WHERE len(ws) > 0
+),
+d AS (SELECT DISTINCT doc_id, sh FROM s)
+SELECT sh AS ngram, count(*) AS df
+FROM d GROUP BY 1
+ORDER BY df DESC, ngram LIMIT {TOP_NGRAMS_K}
+"""
+
+register("docs_top_ngrams", docs_top_ngrams, sql=DOCS_TOP_NGRAMS_SQL)

@@ -93,6 +93,22 @@ class TestSelection:
         assert df["score_e6"].min() >= 0
 
 
+class TestTopNgrams:
+    def test_matches_oracle_and_boundary_is_deterministic(
+        self, ray_session, oracle_con
+    ):
+        df = _check_against_oracle("docs_top_ngrams", oracle_con)
+        assert len(df) == 20
+        # the k-th boundary tie-break (df DESC, ngram ASC) is what makes
+        # the top-k SET deterministic: re-sorting reproduces the frame
+        s = df.sort_values(["df", "ngram"], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        assert s.equals(df.reset_index(drop=True)) or set(
+            map(tuple, s.values)
+        ) == set(map(tuple, df.values))
+
+
 class TestTranscriptStats:
     def _gold(self, sql: str) -> pd.DataFrame:
         return duckdb.connect().execute(sql).df()
