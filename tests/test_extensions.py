@@ -97,6 +97,8 @@ class TestTopNgrams:
     def test_matches_oracle_and_boundary_is_deterministic(
         self, ray_session, oracle_con
     ):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import text_analysis  # noqa: F401
+
         df = _check_against_oracle("docs_top_ngrams", oracle_con)
         assert len(df) == 20
         # the k-th boundary tie-break (df DESC, ngram ASC) is what makes
