@@ -39,7 +39,7 @@ import ray.data
 
 from .dedup import CORPUS_SQL, corpus
 from .exchange import hash_partitioned as _hash_partitioned
-from .queryset import register
+from .queryset import register, table_path
 from .sampling import _bucket_sql, _hash_bucket
 
 #: share of the planted-dup corpus treated as the "incoming" delivery
@@ -120,3 +120,139 @@ FROM inc
 """
 
 register("docs_dedup_incremental", docs_dedup_incremental, sql=DEDUP_INCREMENTAL_SQL)
+
+
+# --- corpus version diff ----------------------------------------------------
+#
+# The id-based complement to the content-based incremental dedup above:
+# given two corpus versions keyed by doc_id, report added / removed /
+# changed docs (changed = same id, different content fingerprint). The
+# dataset-versioning primitive behind incremental corpus refreshes.
+#
+# Version B is synthesized deterministically from the documents table, the
+# same pattern as dedup.CORPUS_SQL's planted duplicates: every 11th doc is
+# dropped (removed), every 7th surviving doc gets its text rewritten
+# (changed), and every 13th doc reappears with doc_id+300000 (added).
+
+VERSION_ADD_OFFSET = 300_000
+
+
+def _version_b_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"]
+    text = batch["text"]
+    keep = pc.invert(_mod0(ids, 11))
+    kept_ids, kept_text = ids.filter(keep), text.filter(keep)
+    changed = _mod0(kept_ids, 7)
+    new_text = pa.array(
+        [
+            ("v2: " + t) if c else t
+            for t, c in zip(kept_text.to_pylist(), changed.to_pylist())
+        ],
+        type=pa.string(),
+    )
+    added_mask = _mod0(ids, 13)
+    return pa.concat_tables(
+        [
+            pa.table({"doc_id": kept_ids, "text": new_text}),
+            pa.table(
+                {
+                    "doc_id": pc.add(ids.filter(added_mask), VERSION_ADD_OFFSET),
+                    "text": text.filter(added_mask),
+                }
+            ),
+        ]
+    )
+
+
+def _mod0(ids: pa.ChunkedArray | pa.Array, mod: int) -> pa.Array:
+    vals = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array((vals % mod) == 0)
+
+
+def docs_version_diff(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, status ∈ added | removed | changed) between corpus versions.
+
+    One pass reads version A and synthesizes version B; one hash exchange
+    on ``doc_id`` co-locates each doc's (side, fingerprint) rows; the
+    per-partition compare is vectorized pandas. Unchanged docs are dropped
+    in-partition, so the result is diff-sized, not corpus-sized.
+    """
+    base = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch if side == "a" else _version_b_batch(batch)
+            norm = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(b["text"], pattern=r"\s+", replacement=" ")
+            )
+            fp = pa.array(
+                [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()],
+                type=pa.string(),
+            )
+            return pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "fingerprint": fp,
+                    "side": pa.array([side] * b.num_rows, type=pa.string()),
+                }
+            )
+
+        return f
+
+    both = base.map_batches(tag("a"), batch_format="pyarrow").union(
+        base.map_batches(tag("b"), batch_format="pyarrow")
+    )
+
+    def diff_partition(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == "a"].set_index("doc_id")["fingerprint"]
+        b = df[df["side"] == "b"].set_index("doc_id")["fingerprint"]
+        added = b.index.difference(a.index)
+        removed = a.index.difference(b.index)
+        common = a.index.intersection(b.index)
+        changed = common[(a.loc[common] != b.loc[common]).to_numpy()]
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [
+                        added.to_numpy(dtype=np.int64),
+                        removed.to_numpy(dtype=np.int64),
+                        changed.to_numpy(dtype=np.int64),
+                    ]
+                ),
+                "status": ["added"] * len(added)
+                + ["removed"] * len(removed)
+                + ["changed"] * len(changed),
+            }
+        )
+
+    return _hash_partitioned(both, "doc_id", diff_partition)
+
+
+VERSION_DIFF_SQL = f"""
+WITH a AS (
+  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+b_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+b AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+           CASE WHEN doc_id % 7 = 0 THEN 'v2: ' || text ELSE text END,
+           '\\s+', ' ', 'g'))) AS fp
+  FROM b_src
+  UNION ALL
+  SELECT doc_id + {VERSION_ADD_OFFSET} AS doc_id,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b USING (doc_id)
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+"""
+
+register("docs_version_diff", docs_version_diff, sql=VERSION_DIFF_SQL)

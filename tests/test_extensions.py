@@ -64,6 +64,23 @@ class TestIncrementalDedup:
         assert set(dup_in_batch["fingerprint"]) <= set(df["fingerprint"])
 
 
+class TestVersionDiff:
+    def test_matches_oracle_and_planted_statuses(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import delta  # noqa: F401
+
+        df = _check_against_oracle("docs_version_diff", oracle_con)
+        counts = df["status"].value_counts().to_dict()
+        # the synthetic version B plants all three statuses
+        assert set(counts) == {"added", "removed", "changed"}
+        # every removed id is a multiple of 11; every added id carries the
+        # version offset; changed ids are multiples of 7 (surviving docs)
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import VERSION_ADD_OFFSET
+
+        assert (df.loc[df["status"] == "removed", "doc_id"] % 11 == 0).all()
+        assert (df.loc[df["status"] == "added", "doc_id"] >= VERSION_ADD_OFFSET).all()
+        assert (df.loc[df["status"] == "changed", "doc_id"] % 7 == 0).all()
+
+
 class TestSelection:
     def test_source_quantile_gate_matches_oracle(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import selection  # noqa: F401
