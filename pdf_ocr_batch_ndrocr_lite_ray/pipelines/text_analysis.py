@@ -435,3 +435,50 @@ ORDER BY df DESC, ngram LIMIT {TOP_NGRAMS_K}
 """
 
 register("docs_top_ngrams", docs_top_ngrams, sql=DOCS_TOP_NGRAMS_SQL)
+
+
+# --- character-distribution entropy (gibberish / repetition signal) ---------
+
+
+def docs_char_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, entropy): Shannon entropy (nats) of each document's
+    character distribution — near 0 for repeated-char junk, high for
+    natural text; a standard quality-filter input alongside the Gopher
+    repetition ratios. Embarrassingly parallel, no shuffle."""
+
+    def ent_batch(batch: pa.Table) -> pa.Table:
+        vals = []
+        for text in batch["text"].to_pylist():
+            if not text:
+                vals.append(0.0)
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            counts = np.unique(cp, return_counts=True)[1].astype(np.float64)
+            p = counts / counts.sum()
+            vals.append(float(-(p * np.log(p)).sum()))
+        ent = pc.round(pa.array(vals, type=pa.float64()), ndigits=6)
+        return pa.table({"doc_id": batch["doc_id"], "entropy": ent})
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(ent_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_CHAR_ENTROPY_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+chars AS (
+  SELECT doc_id, substr(tx, CAST(i AS INT), 1) AS ch
+  FROM t, LATERAL UNNEST(generate_series(1, len(tx))) u(i)
+  WHERE len(tx) > 0
+),
+freq AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1),
+e AS (
+  SELECT f.doc_id, round(-sum((c / n) * ln(c / n)), 6) AS entropy
+  FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id
+)
+SELECT t.doc_id, coalesce(e.entropy, 0.0) AS entropy
+FROM t LEFT JOIN e USING (doc_id)
+"""
+
+register("docs_char_entropy", docs_char_entropy, sql=DOCS_CHAR_ENTROPY_SQL)

@@ -1314,12 +1314,17 @@ class TestAdversarialCorpusParity:
             "docs_quality_filter",
             "docs_duplicate_spans",
             "docs_pack_greedy",
+            "docs_char_entropy",
+            "docs_top_ngrams",
+            "docs_dedup_incremental",
+            "docs_version_diff",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
         import duckdb
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
