@@ -423,20 +423,34 @@ def run_scaling(sf_dir: str, lo: int, hi: int, attempts: int = 1) -> dict:
     return best
 
 
-def _run_scaling_once(sf_dir: str, lo: int, hi: int) -> dict:
+def _run_scaling_once(sf_dir: str, lo: int, hi: int, runs_per_leg: int = 2) -> dict:
+    """One attempt = each leg measured ``runs_per_leg`` times in fresh
+    processes, keeping the FASTEST run per leg. Same one-sided-noise
+    rationale as max-of-attempts, applied where the variance actually
+    lives: a leg's wall time is the pipeline's cost plus whatever the box
+    adds (co-tenant steal, page-cache state), and the noise only ever ADDS
+    time — so per-leg min is the least-biased cost estimate, and the
+    efficiency ratio of two mins cancels the noise instead of sampling it
+    twice (observed leg spread on this box: ±15%, which alone swings a
+    one-shot ratio across the whole 0.59-1.02 band)."""
     results = {}
     for cpus in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", "--num-cpus", str(cpus), "--sf-dir", sf_dir],
-            capture_output=True,
-            text=True,
-            cwd=str(REPO_ROOT),
-            timeout=1800,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            raise RuntimeError(f"child num_cpus={cpus} failed: {out.stderr[-2000:]}")
-        results[cpus] = json.loads(line[-1])
+        best = None
+        for _ in range(max(1, runs_per_leg)):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", "--num-cpus", str(cpus), "--sf-dir", sf_dir],
+                capture_output=True,
+                text=True,
+                cwd=str(REPO_ROOT),
+                timeout=1800,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                raise RuntimeError(f"child num_cpus={cpus} failed: {out.stderr[-2000:]}")
+            one = json.loads(line[-1])
+            if best is None or one["sec"] < best["sec"]:
+                best = one
+        results[cpus] = best
     thr_lo, thr_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
