@@ -64,6 +64,32 @@ class TestIncrementalDedup:
         assert set(dup_in_batch["fingerprint"]) <= set(df["fingerprint"])
 
 
+class TestEnumGroupSum:
+    def test_folds_across_many_batches_with_refold(self, ray_session):
+        import ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import enum_group_sum
+
+        # 300 single-row blocks force >64 partial frames → the in-loop
+        # refold path runs; values chosen so every group's total is unique
+        rows = [{"k": f"g{i % 7}", "n": i} for i in range(300)]
+        ds = ray.data.from_items(rows)
+        out = enum_group_sum(ds, ["k"], ["n"]).set_index("k")["n"].to_dict()
+        expected: dict = {}
+        for r in rows:
+            expected[r["k"]] = expected.get(r["k"], 0) + r["n"]
+        assert out == expected
+
+    def test_empty_dataset(self, ray_session):
+        import ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import enum_group_sum
+
+        ds = ray.data.from_items([{"k": "a", "n": 1}]).filter(lambda r: False)
+        out = enum_group_sum(ds, ["k"], ["n"])
+        assert list(out.columns) == ["k", "n"] and len(out) == 0
+
+
 class TestVersionDiff:
     def test_matches_oracle_and_planted_statuses(self, ray_session, oracle_con):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import delta  # noqa: F401
