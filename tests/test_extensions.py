@@ -120,6 +120,17 @@ class TestSelection:
         merged = df.merge(med, on="source")
         assert (merged["n_chars"] > merged["med"]).all()
 
+    def test_curriculum_order_matches_oracle_and_is_total(
+        self, ray_session, oracle_con
+    ):
+        df = _check_against_oracle("docs_curriculum_order", oracle_con)
+        # pos is a permutation of 0..N-1 (a genuine global total order)
+        assert sorted(df["pos"]) == list(range(len(df)))
+        # buckets are non-decreasing along the curriculum
+        s = df.sort_values("pos")
+        assert (np.diff(s["bucket"].to_numpy()) >= 0).all()
+        assert s["bucket"].nunique() > 1  # multiple difficulty phases exist
+
     def test_budget_selection_matches_oracle_and_is_maximal(
         self, ray_session, oracle_con
     ):
