@@ -181,11 +181,21 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOPK) -> "ray.data.Dataset"
     ).map_batches(_term_count_rows, batch_format="pyarrow", zero_copy_batch=True)
     tf = tf.materialize()  # used twice: df aggregate + scoring
 
-    df_tbl = tf.groupby("term").count()
-    ccol = [c for c in df_tbl.schema().names if c.startswith("count")][0]
-    df_map: dict[str, int] = {}
-    for b in df_tbl.iter_batches(batch_format="pyarrow"):
-        df_map.update(zip(b["term"].to_pylist(), b[ccol].to_pylist()))
+    # document frequencies fold on the driver (the map was ALREADY pulled
+    # driver-side for the broadcast — the prior Ray groupby only added a
+    # sort shuffle before the same collect); vocab-bounded like the map
+    from .exchange import enum_group_sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["term"])
+        return pa.table(
+            {"term": vc.field("values"), "df": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    df_frame = enum_group_sum(
+        tf.map_batches(df_partial, batch_format="pyarrow"), ["term"], ["df"]
+    )
+    df_map: dict[str, int] = dict(zip(df_frame["term"], df_frame["df"]))
     ref = _ray.put((df_map, float(n_docs)))
 
     def topk_partition(pdf):
