@@ -32,18 +32,25 @@ def enum_group_sum(ds: "ray.data.Dataset", keys: list[str], sums: list[str]):
     one batch — ≤ #groups × (64 + 1) rows at any moment, independent of
     corpus size. NOT for unbounded keys (use ``hash_partitioned``).
     """
+    return enum_group_agg(ds, keys, {c: "sum" for c in sums})
+
+
+def enum_group_agg(ds: "ray.data.Dataset", keys: list[str], aggs: dict):
+    """``enum_group_sum`` generalized to any fold-associative pandas agg
+    per column (``{"n": "sum", "lo": "min", "hi": "max"}``)."""
     import pandas as pd
 
+    cols = list(aggs)
     parts: list = []
     for b in ds.iter_batches(batch_size=65_536, batch_format="pandas"):
-        parts.append(b.groupby(keys, sort=False)[sums].sum().reset_index())
+        parts.append(b.groupby(keys, sort=False)[cols].agg(aggs).reset_index())
         if len(parts) >= 64:  # re-fold so driver memory stays ~#groups rows
             parts = [
-                pd.concat(parts).groupby(keys, sort=False)[sums].sum().reset_index()
+                pd.concat(parts).groupby(keys, sort=False)[cols].agg(aggs).reset_index()
             ]
     if not parts:
-        return pd.DataFrame(columns=[*keys, *sums])
-    return pd.concat(parts).groupby(keys, sort=True)[sums].sum().reset_index()
+        return pd.DataFrame(columns=[*keys, *cols])
+    return pd.concat(parts).groupby(keys, sort=True)[cols].agg(aggs).reset_index()
 
 
 def int64_array(col: "pa.Array | pa.ChunkedArray"):

@@ -247,17 +247,33 @@ def events_quantiles_by_type(sf_dir: str) -> "ray.data.Dataset":
     (all values equal) reports that value at every quantile.
     """
     import ray as ray_core
-    from ray.data.aggregate import Max, Min
 
     source = ray.data.read_parquet(
         table_path(sf_dir, "events"), columns=["event_type", "value"]
     )
-    mm = source.groupby("event_type").aggregate(Min("value"), Max("value")).to_pandas()
-    lo_col = [c for c in mm.columns if c.startswith("min(")][0]
-    hi_col = [c for c in mm.columns if c.startswith("max(")][0]
+    # per-batch partial min/max folded on the driver (enum-bounded types) —
+    # the prior Ray groupby sort-shuffled every event row for a 5-row answer
+    from .exchange import enum_group_agg
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "lo": batch["value"],
+                "hi": batch["value"],
+            }
+        )
+        g = t.group_by("event_type").aggregate([("lo", "min"), ("hi", "max")])
+        return g.rename_columns(["event_type", "lo", "hi"])
+
+    mm = enum_group_agg(
+        source.map_batches(mm_partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"lo": "min", "hi": "max"},
+    )
     domains = {
         t: (float(lo), float(hi))
-        for t, lo, hi in zip(mm["event_type"], mm[lo_col], mm[hi_col])
+        for t, lo, hi in zip(mm["event_type"], mm["lo"], mm["hi"])
     }
     ref = ray_core.put(domains)
 
