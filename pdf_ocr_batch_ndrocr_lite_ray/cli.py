@@ -208,9 +208,20 @@ def cmd_prep(args: argparse.Namespace) -> int:
     if out is None:
         return 2
 
-    ext = extract_transcripts(inputs, batch_size=_resolve(args, config, "batch_size"))
-    convs = reassemble_conversations(ext.map_batches(quality_gate, batch_format="pyarrow"))
-    result = dedup_stats_split(convs)
+    if getattr(args, "checkpoint_dir", None):
+        # durable extraction checkpoint: a killed prep rerun skips every
+        # committed fragment instead of re-extracting from scratch
+        from .pipelines.prep import prep_corpus_resumable
+
+        result = prep_corpus_resumable(inputs, args.checkpoint_dir)
+    else:
+        ext = extract_transcripts(
+            inputs, batch_size=_resolve(args, config, "batch_size")
+        )
+        convs = reassemble_conversations(
+            ext.map_batches(quality_gate, batch_format="pyarrow")
+        )
+        result = dedup_stats_split(convs)
     result.write_parquet(str(out))
 
     import pyarrow.compute as pc
@@ -298,6 +309,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--on-conflict", choices=["fail", "overwrite", "rename"],
                    default="fail")
+    p.add_argument("--checkpoint-dir", dest="checkpoint_dir", default=None,
+                   help="durable extraction checkpoint: rerunning a killed "
+                        "prep skips committed fragments")
     p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("report", help="report of a checkpointed run")

@@ -52,6 +52,29 @@ def prep_corpus(sf_dir: str) -> "ray.data.Dataset":
     return dedup_stats_split(convs)
 
 
+def prep_corpus_resumable(
+    input_paths, ckpt_dir, *, max_partitions: int | None = None
+) -> "ray.data.Dataset":
+    """Composed prep with a durable extraction checkpoint.
+
+    Phase 1 runs (or resumes) the wave-committed extraction into
+    ``ckpt_dir`` — a killed job re-skips every committed fragment on the
+    next invocation. Phase 2 streams the committed output through
+    gate → reassembly → dedup/stats/split. The checkpoint boundary sits
+    just before the composition's first shuffle, the only place a resume
+    is cheap: everything after it is one streaming job over durable input.
+    ``max_partitions`` bounds phase-1 work (tests simulate a kill with it).
+    """
+    from ..state.checkpoint import read_extracted, run_resumable_extraction
+
+    run_resumable_extraction(input_paths, ckpt_dir, max_partitions=max_partitions)
+    ext = read_extracted(ckpt_dir)
+    convs = reassemble_conversations(
+        ext.map_batches(quality_gate, batch_format="pyarrow")
+    )
+    return dedup_stats_split(convs)
+
+
 def dedup_stats_split(convs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact-dedup reassembled conversations, attach stats + split."""
 

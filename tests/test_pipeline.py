@@ -97,6 +97,49 @@ class TestResume:
             paths.append(str(p))
         return paths
 
+    def test_prep_resumable_kill_equals_direct(self, ray_session, tmp_path):
+        """The composed prep flow through the extraction checkpoint —
+        killed after 2 fragments and resumed — equals the direct
+        (non-checkpointed) composition on the same shards."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+            reassemble_conversations,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            extract_transcripts,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.prep import (
+            dedup_stats_split,
+            prep_corpus_resumable,
+            quality_gate,
+        )
+
+        paths = self._write_shards(tmp_path)
+        ckpt = tmp_path / "prep_ckpt"
+
+        # phase 1 "killed" after 2 fragments (result reflects partial input)
+        partial = prep_corpus_resumable(paths, ckpt, max_partitions=2).to_pandas()
+        # resumed: remaining fragments extract, composition sees everything
+        resumed = (
+            prep_corpus_resumable(paths, ckpt)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert len(resumed) > len(partial)
+
+        ext = extract_transcripts(paths)
+        direct = (
+            dedup_stats_split(
+                reassemble_conversations(
+                    ext.map_batches(quality_gate, batch_format="pyarrow")
+                )
+            )
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert resumed[direct.columns.tolist()].astype(str).equals(direct.astype(str))
+
     def test_kill_and_resume_equals_uninterrupted(self, ray_session, tmp_path):
         import ray
         from pdf_ocr_batch_ndrocr_lite_ray.state.checkpoint import (
