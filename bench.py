@@ -299,6 +299,34 @@ def q_source_quantile_gate(sf_dir: str) -> int:
     return _consume(docs_filter_by_source_quantile(sf_dir))
 
 
+def q_top_ngrams(sf_dir: str) -> int:
+    """Corpus-frequent n-gram list (boilerplate detection)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import docs_top_ngrams
+
+    return _consume(docs_top_ngrams(sf_dir))
+
+
+def q_char_entropy(sf_dir: str) -> int:
+    """Per-doc character-distribution entropy (quality signal)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import docs_char_entropy
+
+    return _consume(docs_char_entropy(sf_dir))
+
+
+def q_version_diff(sf_dir: str) -> int:
+    """Corpus version diff: added/removed/changed docs."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import docs_version_diff
+
+    return _consume(docs_version_diff(sf_dir))
+
+
+def q_curriculum_order(sf_dir: str) -> int:
+    """Global curriculum total order via counting (no global sort)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.selection import docs_curriculum_order
+
+    return _consume(docs_curriculum_order(sf_dir))
+
+
 def q_turns_boilerplate(sf_dir: str) -> int:
     """Cross-conversation boilerplate-turn detection."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
@@ -329,6 +357,10 @@ BENCH_QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_canonical": q_dedup_canonical,
     "dedup_incremental": q_dedup_incremental,
+    "version_diff": q_version_diff,
+    "top_ngrams": q_top_ngrams,
+    "char_entropy": q_char_entropy,
+    "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,
     "source_quantile_gate": q_source_quantile_gate,
     "turns_boilerplate": q_turns_boilerplate,
