@@ -125,28 +125,17 @@ def orders_by_nation(sf_dir: str) -> "ray.data.Dataset":
         table_path(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("c_nationkey").aggregate(Sum("n_orders"), Sum("total_price"))
-    ren = {}
-    for name in out.schema().names:
-        if name.startswith("sum(n_orders"):
-            ren[name] = "n_orders"
-        elif name.startswith("sum(total_price"):
-            ren[name] = "total_price"
-    out = _rename(out, ren)
-
-    def to_cents(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("total_price")
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(t["total_price"], 100.0),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        return t.set_column(i, "total_price_cents", cents)
-
-    return out.map_batches(to_cents, batch_format="pyarrow")
+    g = enum_group_sum(ds, ["c_nationkey"], ["n_orders", "total_price"])
+    v = g["total_price"].to_numpy()
+    cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "c_nationkey": g["c_nationkey"],
+            "n_orders": g["n_orders"].astype("int64"),
+            "total_price_cents": cents,
+        }
+    )
+    return ray.data.from_pandas(out)
 
 
 ORDERS_BY_NATION_SQL = """

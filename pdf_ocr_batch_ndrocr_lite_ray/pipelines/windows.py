@@ -56,9 +56,13 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "events"), columns=["event_id", "ts", "event_type"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["window_start", "event_type"]).aggregate(Sum("n_events"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-    return _rename(out, {scol: "n_events"})
+    # (#hours × #types) partials — time-range-bounded, fold on the driver
+    # (a multi-key Ray aggregate here is pure sort-shuffle overhead)
+    from .exchange import enum_group_sum
+
+    return ray.data.from_pandas(
+        enum_group_sum(ds, ["window_start", "event_type"], ["n_events"])
+    )
 
 
 EVENTS_HOURLY_SQL = """
@@ -163,9 +167,12 @@ def events_sliding(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "events"), columns=["ts", "event_type"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["window_start", "event_type"]).aggregate(Sum("n_events"))
-    scol = [c for c in out.schema().names if c.startswith("sum(")][0]
-    return _rename(out, {scol: "n_events"})
+    # windows × types is time-range-bounded → driver fold, same as hourly
+    from .exchange import enum_group_sum
+
+    return ray.data.from_pandas(
+        enum_group_sum(ds, ["window_start", "event_type"], ["n_events"])
+    )
 
 
 EVENTS_SLIDING_SQL = f"""
