@@ -140,18 +140,12 @@ def docs_select_budget(
         g = t.group_by("score_e6").aggregate([("tok", "sum")])
         return g.rename_columns(["score_e6", "tok_sum"])
 
-    from ray.data.aggregate import Sum
+    from .exchange import enum_group_sum
 
-    hist = (
-        scored.map_batches(partial, batch_format="pyarrow")
-        .groupby("score_e6")
-        .aggregate(Sum("tok_sum"))
-        .to_pandas()
-    )
-    scol = [c for c in hist.columns if c.startswith("sum(")][0]
-    hist = hist.rename(columns={scol: "tok_sum"}).sort_values(
-        "score_e6", ascending=False
-    )
+    # the fixed-point score bounds distinct keys at 1e6+1 → driver fold
+    hist = enum_group_sum(
+        scored.map_batches(partial, batch_format="pyarrow"), ["score_e6"], ["tok_sum"]
+    ).sort_values("score_e6", ascending=False)
     cum = hist["tok_sum"].cumsum()
     full = hist[cum <= budget]
     spent = int(full["tok_sum"].sum())
