@@ -119,8 +119,21 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
         _fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     out = ds.groupby("fingerprint").aggregate(Min("doc_id"), Count())
+    schema = out.schema()
+    if schema is None:  # empty input: Ray's aggregate yields no schema
+        import pandas as _pd
+
+        return ray.data.from_pandas(
+            _pd.DataFrame(
+                {
+                    "fingerprint": _pd.Series(dtype="object"),
+                    "keep_doc_id": _pd.Series(dtype="int64"),
+                    "n_dups": _pd.Series(dtype="int64"),
+                }
+            )
+        )
     renames = {}
-    for name in out.schema().names:
+    for name in schema.names:
         if name.startswith("min("):
             renames[name] = "keep_doc_id"
         elif name.startswith("count"):

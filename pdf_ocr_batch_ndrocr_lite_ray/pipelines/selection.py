@@ -61,6 +61,8 @@ def docs_filter_by_source_quantile(sf_dir: str) -> "ray.data.Dataset":
     med = _hash_partitioned(
         ds.select_columns(["source", "n_chars"]), "source", median_partition
     ).to_pandas()
+    if med.empty:  # empty corpus: nothing to gate
+        return ds
     # bounded by #sources — the broadcast-small-side pattern, not a join
     med_ref = ray.put(dict(zip(med["source"], med["med"])))
 

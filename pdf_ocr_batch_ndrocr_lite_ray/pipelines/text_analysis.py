@@ -420,6 +420,10 @@ def docs_top_ngrams(sf_dir: str, k: int = TOP_NGRAMS_K) -> "ray.data.Dataset":
         table_path(sf_dir, "documents"), columns=["text"]
     ).map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
     cand = _hash_partitioned(ds, "ngram", local_topk).to_pandas()
+    if cand.empty:  # empty corpus: map_groups never ran, no columns exist
+        cand = pd.DataFrame(
+            {"ngram": pd.Series(dtype="object"), "df": pd.Series(dtype="int64")}
+        )
     final = (
         cand.sort_values(["df", "ngram"], ascending=[False, True])
         .head(k)

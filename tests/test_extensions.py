@@ -64,6 +64,59 @@ class TestIncrementalDedup:
         assert set(dup_in_batch["fingerprint"]) <= set(df["fingerprint"])
 
 
+class TestEmptyCorpus:
+    """Every selection/dedup/analysis op must return an empty result — not
+    raise — on a zero-row documents table (schema intact): the shape of a
+    filtered-to-nothing partition in a real run."""
+
+    @pytest.fixture(scope="class")
+    def empty_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("empty")
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+        pq.write_table(tbl, d / "documents.parquet")
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "dedup_exact",
+            "docs_top_ngrams",
+            "docs_char_entropy",
+            "docs_dedup_incremental",
+            "docs_version_diff",
+            "docs_select_budget",
+            "docs_curriculum_order",
+            "docs_filter_by_source_quantile",
+            "docs_textstats",
+            "docs_quality_filter",
+        ],
+    )
+    def test_empty_input_yields_empty_output(self, ray_session, empty_dir, name):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
+            dedup,
+            delta,
+            quality,
+            selection,
+            text_analysis,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        res = queryset.QUERIES[name](empty_dir)
+        n = res.count() if hasattr(res, "count") else len(res)
+        assert n == 0
+
+
 class TestEnumGroupSum:
     def test_folds_across_many_batches_with_refold(self, ray_session):
         import ray
