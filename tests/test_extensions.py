@@ -117,6 +117,57 @@ class TestEmptyCorpus:
         assert n == 0
 
 
+class TestEmptyEvents:
+    """Windowed/ordered ops must come back empty — not raise — on a
+    zero-row events table."""
+
+    @pytest.fixture(scope="class")
+    def empty_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("empty_events")
+        tbl = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "events_by_type",
+            "events_hourly",
+            "events_sliding",
+            "user_sessions",
+            "user_funnel_counts",
+            "events_distinct_users",
+            "events_asof_view_click",
+            "events_median_value_by_type",
+            "events_quantiles_by_type",
+        ],
+    )
+    def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
+            analytics,
+            asof,
+            sketches,
+            windows,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        res = queryset.QUERIES[name](empty_dir)
+        n = res.count() if hasattr(res, "count") else len(res)
+        assert n == 0
+
+
 class TestEnumGroupSum:
     def test_folds_across_many_batches_with_refold(self, ray_session):
         import ray
