@@ -327,6 +327,13 @@ def q_curriculum_order(sf_dir: str) -> int:
     return _consume(docs_curriculum_order(sf_dir))
 
 
+def q_heavy_hitters(sf_dir: str) -> int:
+    """Two-pass Misra-Gries heavy hitters (exact recount)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import docs_heavy_hitters
+
+    return _consume(docs_heavy_hitters(sf_dir))
+
+
 def q_turns_boilerplate(sf_dir: str) -> int:
     """Cross-conversation boilerplate-turn detection."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
@@ -359,6 +366,7 @@ BENCH_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "version_diff": q_version_diff,
     "top_ngrams": q_top_ngrams,
+    "heavy_hitters": q_heavy_hitters,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -1,0 +1,132 @@
+"""Distributed heavy hitters over document tokens.
+
+"Which tokens exceed a 1/K share of the corpus?" is the canonical
+unknown-cardinality frequency question (stop-phrase discovery, boilerplate
+token lists, vocabulary pruning). The exact group-by answer shuffles every
+distinct token; this operator never does — it is the standard two-pass
+candidates-then-recount shape built from mergeable Misra-Gries summaries
+(Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+1. **Candidates**: each input block folds its tokens into a Misra-Gries
+   summary of ``_MG_COUNTERS`` counters (compression subtracts the
+   (m+1)-th largest count and drops non-positives). Summaries are
+   mergeable: the driver folds the ≤ m-row block summaries pairwise with
+   the same compression, so any token with true frequency > N/(m+1)
+   is guaranteed to survive with a positive counter. With m = 2K and the
+   report threshold n·K > N, the surviving set is a strict superset of
+   every reportable token. Driver memory: ≤ m rows + one block summary.
+2. **Recount**: the ≤ m candidate tokens broadcast via ``ray.put``; a
+   second pass counts ONLY candidates exactly per block (bounded key set
+   → driver fold), and the strict threshold ``n * K > N`` filters on
+   exact counts — so the output is EXACT, not approximate, and the SQL
+   oracle is a plain group-by + HAVING.
+
+Wall-clock at 100 TB: two embarrassingly-parallel passes over the text
+column, zero all-to-all exchanges; everything that moves is ≤ 2K counter
+rows per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .exchange import enum_group_sum
+from .queryset import register, table_path
+
+#: report tokens with count * HH_K > total tokens (a 1/64 corpus share)
+HH_K = 64
+
+#: Misra-Gries counters per summary; m = 2K keeps the candidate superset
+#: guarantee (error ≤ N/(m+1) < N/K) with margin
+_MG_COUNTERS = 2 * HH_K
+
+#: sentinel token carrying each block's EXACT token total through the same
+#: partial-row stream ('' cannot collide: tokens match \S+)
+_TOTAL_KEY = ""
+
+
+def _compress(counts: "pd.Series", m: int = _MG_COUNTERS) -> "pd.Series":
+    """Misra-Gries reduction to ≤ m counters: subtract the (m+1)-th largest
+    count from all, drop non-positives. Undercounts only — never loses a
+    token whose remaining share clears the error bound."""
+    if len(counts) <= m:
+        return counts
+    arr = counts.to_numpy()
+    # (m+1)-th largest value via partition (O(n), no full sort)
+    kth = np.partition(arr, len(arr) - (m + 1))[len(arr) - (m + 1)]
+    out = counts - kth
+    return out[out > 0]
+
+
+def _tokens(texts: "pd.Series") -> "pd.Series":
+    """Whitespace tokens, exploded; pairs with SQL
+    ``regexp_extract_all(text, '\\S+')`` (same contract as the SimHash
+    word split)."""
+    return texts.fillna("").str.split().explode().dropna()
+
+
+def docs_heavy_hitters(sf_dir: str, k: int = HH_K) -> "pa.Table":
+    """(token, n): tokens whose EXACT corpus count n satisfies n·k > N
+    where N = total whitespace tokens. Two streaming passes, no shuffle."""
+    ds = ray.data.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
+
+    # --- pass 1: per-block Misra-Gries summaries → driver fold -------------
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"])
+        total = int(len(toks))
+        vc = _compress(toks.value_counts()) if total else pd.Series(dtype="int64")
+        return pd.DataFrame(
+            {
+                "token": np.append(vc.index.to_numpy(dtype=object), [_TOTAL_KEY]),
+                "cnt": np.append(vc.to_numpy(dtype=np.int64), [total]),
+            }
+        )
+
+    summaries = ds.map_batches(summarize, batch_format="pandas")
+    merged = pd.Series(dtype="int64")
+    total = 0
+    for b in summaries.iter_batches(batch_size=65_536, batch_format="pandas"):
+        g = b.groupby("token", sort=False)["cnt"].sum()
+        total += int(g.pop(_TOTAL_KEY)) if _TOTAL_KEY in g.index else 0
+        merged = _compress(merged.add(g, fill_value=0).astype("int64"))
+    if total == 0 or merged.empty:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+
+    # --- pass 2: exact recount of the ≤ 2K candidates ----------------------
+    cand_ref = ray.put(set(merged.index))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        toks = _tokens(df["text"])
+        vc = toks[toks.isin(cands)].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    exact = enum_group_sum(
+        ds.map_batches(recount, batch_format="pandas"), ["token"], ["n"]
+    )
+    out = exact[exact["n"] * k > total].reset_index(drop=True)
+    return pa.table(
+        {"token": pa.array(out["token"], type=pa.string()),
+         "n": pa.array(out["n"], type=pa.int64())}
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+tot AS (SELECT count(*) AS n_tot FROM toks),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT token, n FROM c, tot WHERE n * {HH_K} > n_tot
+"""
+
+register("docs_heavy_hitters", docs_heavy_hitters, sql=HEAVY_HITTERS_SQL)

@@ -91,6 +91,7 @@ class TestEmptyCorpus:
         "name",
         [
             "dedup_exact",
+            "docs_heavy_hitters",
             "docs_top_ngrams",
             "docs_char_entropy",
             "docs_dedup_incremental",
@@ -106,6 +107,7 @@ class TestEmptyCorpus:
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
             dedup,
             delta,
+            heavy,
             quality,
             selection,
             text_analysis,
@@ -1459,6 +1461,7 @@ class TestAdversarialCorpusParity:
             "docs_top_ngrams",
             "docs_dedup_incremental",
             "docs_version_diff",
+            "docs_heavy_hitters",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -1466,6 +1469,7 @@ class TestAdversarialCorpusParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
@@ -1777,3 +1781,57 @@ class TestAdversarialRelationalParity:
         b2 = customers_without_orders(nasty_rel_dir).to_pandas()
         s2 = customers_without_orders(nasty_rel_dir, max_broadcast_keys=0).to_pandas()
         assert _value_hash(b2) == _value_hash(s2)
+
+
+class TestHeavyHitters:
+    """Two-pass Misra-Gries heavy hitters: exact output, candidate-superset
+    guarantee, selectivity on skewed corpora."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import heavy  # noqa: F401
+
+        df = _check_against_oracle("docs_heavy_hitters", oracle_con)
+        # exactness invariant: every reported n clears the strict threshold
+        import duckdb
+
+        n_tot = oracle_con.execute(
+            "SELECT count(*) FROM (SELECT unnest(regexp_extract_all(text,"
+            " '\\S+')) FROM documents)"
+        ).fetchone()[0]
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import HH_K
+
+        assert (df["n"] * HH_K > n_tot).all()
+
+    def test_compress_is_misra_gries(self):
+        """Compression subtracts the (m+1)-th largest count: survivors ≤ m,
+        undercount per key ≤ that value, and a dominant key always survives."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import _compress
+
+        counts = pd.Series({f"t{i}": i + 1 for i in range(100)})
+        out = _compress(counts, m=10)
+        assert len(out) <= 10
+        kth = sorted(counts.to_numpy(), reverse=True)[10]
+        for tok, c in out.items():
+            assert c == counts[tok] - kth
+
+    def test_selective_on_skewed_corpus(self, ray_session, tmp_path):
+        """A corpus with one dominant token and a long unique tail reports
+        exactly the dominant token, with its exact count."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import heavy
+
+        texts = ["hot " * 50] * 20 + [f"cold{i} rare{i} once{i}" for i in range(400)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = heavy.docs_heavy_hitters(str(tmp_path)).to_pandas()
+        assert set(out["token"]) == {"hot"}
+        assert int(out["n"].iloc[0]) == 1000
