@@ -334,6 +334,13 @@ def q_heavy_hitters(sf_dir: str) -> int:
     return _consume(docs_heavy_hitters(sf_dir))
 
 
+def q_inverted_index(sf_dir: str) -> int:
+    """Inverted-index build (term -> df + capped postings)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.index import docs_inverted_index
+
+    return _consume(docs_inverted_index(sf_dir))
+
+
 def q_turns_boilerplate(sf_dir: str) -> int:
     """Cross-conversation boilerplate-turn detection."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
@@ -367,6 +374,7 @@ BENCH_QUERIES = {
     "version_diff": q_version_diff,
     "top_ngrams": q_top_ngrams,
     "heavy_hitters": q_heavy_hitters,
+    "inverted_index": q_inverted_index,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -92,6 +92,7 @@ class TestEmptyCorpus:
         [
             "dedup_exact",
             "docs_heavy_hitters",
+            "docs_inverted_index",
             "docs_top_ngrams",
             "docs_char_entropy",
             "docs_dedup_incremental",
@@ -108,6 +109,7 @@ class TestEmptyCorpus:
             dedup,
             delta,
             heavy,
+            index,
             quality,
             selection,
             text_analysis,
@@ -1462,6 +1464,7 @@ class TestAdversarialCorpusParity:
             "docs_dedup_incremental",
             "docs_version_diff",
             "docs_heavy_hitters",
+            "docs_inverted_index",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -1470,6 +1473,7 @@ class TestAdversarialCorpusParity:
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.index  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
@@ -1835,3 +1839,38 @@ class TestHeavyHitters:
         out = heavy.docs_heavy_hitters(str(tmp_path)).to_pandas()
         assert set(out["token"]) == {"hot"}
         assert int(out["n"].iloc[0]) == 1000
+
+
+class TestInvertedIndex:
+    """Term → (df, capped postings) build: oracle parity plus cap semantics."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import index  # noqa: F401
+
+        df = _check_against_oracle("docs_inverted_index", oracle_con)
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.index import POSTINGS_CAP
+
+        n_posted = df["postings"].str.count(",") + 1
+        assert (n_posted == df["df"].clip(upper=POSTINGS_CAP)).all()
+
+    def test_cap_keeps_first_ids_ascending(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.index import docs_inverted_index
+
+        # 10 docs all containing "common"; doc 3 and 7 also "rare"
+        texts = ["common word" if i not in (3, 7) else "common rare" for i in range(10)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(10), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_inverted_index(str(tmp_path), cap=4).to_pandas().set_index("term")
+        assert out.loc["common", "df"] == 10
+        assert out.loc["common", "postings"] == "0,1,2,3"  # first 4 ascending
+        assert out.loc["rare", "postings"] == "3,7"
