@@ -42,6 +42,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import selection as _sel  # noqa: F
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import transcript_stats as _ts  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import heavy as _hh  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import index as _idx  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dsir as _dsir  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_importance_resample(sf_dir: str) -> int:
+    """DSIR-style hashed-feature importance resampling."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dsir import docs_importance_resample
+
+    return len(docs_importance_resample(sf_dir))
+
+
 def q_turns_boilerplate(sf_dir: str) -> int:
     """Cross-conversation boilerplate-turn detection."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
@@ -375,6 +382,7 @@ BENCH_QUERIES = {
     "top_ngrams": q_top_ngrams,
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
+    "importance_resample": q_importance_resample,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -93,6 +93,7 @@ class TestEmptyCorpus:
             "dedup_exact",
             "docs_heavy_hitters",
             "docs_inverted_index",
+            "docs_importance_weights",
             "docs_top_ngrams",
             "docs_char_entropy",
             "docs_dedup_incremental",
@@ -108,6 +109,7 @@ class TestEmptyCorpus:
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
             dedup,
             delta,
+            dsir,
             heavy,
             index,
             quality,
@@ -1874,3 +1876,84 @@ class TestInvertedIndex:
         assert out.loc["common", "df"] == 10
         assert out.loc["common", "postings"] == "0,1,2,3"  # first 4 ascending
         assert out.loc["rare", "postings"] == "3,7"
+
+
+class TestDSIR:
+    """Hashed-feature importance weighting: oracle parity, integer-exact
+    weights, resample consistency, lang-column adversarial corpus."""
+
+    def test_weights_match_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dsir  # noqa: F401
+
+        df = _check_against_oracle("docs_importance_weights", oracle_con)
+        assert df["weight_e9"].dtype == np.int64
+
+    def test_resample_is_top_m_of_weights(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dsir
+
+        _check_against_oracle("docs_importance_resample", oracle_con)
+        w = dsir.docs_importance_weights(SF).to_pandas()
+        expect = (
+            w.sort_values(["weight_e9", "doc_id"], ascending=[False, True])
+            .head(dsir.DSIR_TOP_M)
+            .reset_index(drop=True)
+        )
+        got = (
+            dsir.docs_importance_resample(SF)
+            .to_pandas()
+            .sort_values(["weight_e9", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect)
+
+    def test_adversarial_lang_corpus(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dsir
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        texts = [
+            "english english shared tokens here",
+            "english words appear in target docs",
+            "autre langue mots partages shared",
+            None,
+            "",
+            "123 !!! 456 ???",
+            "shared shared shared",
+        ]
+        langs = ["en", "en", "fr", "en", "fr", "de", "zh"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(langs),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        ours = (
+            dsir.docs_importance_weights(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = (
+            con.execute(ORACLE_SQL["docs_importance_weights"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (ours["weight_e9"].to_numpy() == gold["weight_e9"].to_numpy()).all()
+        # token-free docs carry exactly weight 0
+        assert set(ours.loc[[3, 4, 5], "weight_e9"]) == {0}
+        # docs made of target-heavy tokens outweigh the non-target-only doc
+        en_heavy = ours.loc[0, "weight_e9"]
+        fr_only = ours.loc[2, "weight_e9"]
+        assert en_heavy > fr_only
