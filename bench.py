@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_temperature_mixture(sf_dir: str) -> int:
+    """sqrt-temperature per-source mixture sampling."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.mixture import docs_temperature_mixture
+
+    return _consume(docs_temperature_mixture(sf_dir))
+
+
 def q_importance_resample(sf_dir: str) -> int:
     """DSIR-style hashed-feature importance resampling."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dsir import docs_importance_resample
@@ -383,6 +390,7 @@ BENCH_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
+    "temperature_mixture": q_temperature_mixture,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -106,3 +106,100 @@ SELECT doc_id, source, rank, rank <= {quota} AS picked FROM (
 
 
 register("docs_mixture_cap", docs_mixture_cap, sql=_mixture_oracle_sql())
+
+
+# --- temperature-scaled mixture sampling ------------------------------------
+
+#: scale constant: quota_s = max(1, floor(TEMP_C * sqrt(n_s)))
+TEMP_C = 3.0
+
+
+def docs_temperature_mixture(sf_dir: str, c: float = TEMP_C) -> "ray.data.Dataset":
+    """(doc_id, source): sqrt-temperature mixture sample — keep
+    ``max(1, floor(c·√n_s))`` docs per source, hash-priority order.
+
+    The α=0.5 temperature flattens a Zipfian source mix (the multilingual/
+    multi-source reweighting every large training mix publishes): a source
+    4× larger contributes only 2× the documents. Quotas are UNNORMALIZED
+    (per-source only — no cross-source share sum), which is what makes the
+    float path SQL-parity-safe: ``sqrt`` is correctly rounded on both
+    sides, the product with the integer-valued constant is one rounded op,
+    and no order-dependent float accumulation exists anywhere.
+
+    Shape: one bounded (#sources) count fold → broadcast quota dict → the
+    same single hash exchange as :func:`docs_mixture_cap`.
+    """
+    from .exchange import enum_group_sum
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "source"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("source", sort=False, dropna=False).size()
+        return pd.DataFrame({"source": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    counts = enum_group_sum(
+        ds.map_batches(count_partial, batch_format="pandas"), ["source"], ["n"]
+    )
+    quotas = {
+        s: max(1, int(np.floor(c * np.sqrt(float(n)))))
+        for s, n in zip(counts["source"], counts["n"])
+    }
+    quota_ref = ray.put(quotas)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "source": batch["source"],
+                "priority": pa.array(_priority(batch["doc_id"]), type=pa.int64()),
+            }
+        )
+
+    def pick_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="object"),
+                }
+            )
+        q = ray.get(quota_ref)
+        df = df.sort_values(["source", "priority", "doc_id"], kind="mergesort")
+        rank = df.groupby("source", sort=False, dropna=False).cumcount().to_numpy() + 1
+        cap = df["source"].map(q).to_numpy()
+        keep = df[rank <= cap]
+        return pd.DataFrame(
+            {"doc_id": keep["doc_id"].to_numpy(), "source": keep["source"].to_numpy()}
+        )
+
+    return hash_partitioned(
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True),
+        "source",
+        pick_partition,
+    )
+
+
+def _temperature_oracle_sql(c: float = TEMP_C) -> str:
+    return f"""
+WITH q AS (
+  SELECT source, greatest(1, CAST(floor({c} * sqrt(count(*))) AS BIGINT)) AS quota
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rk <= quota
+"""
+
+
+register(
+    "docs_temperature_mixture", docs_temperature_mixture, sql=_temperature_oracle_sql()
+)

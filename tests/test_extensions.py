@@ -94,6 +94,7 @@ class TestEmptyCorpus:
             "docs_heavy_hitters",
             "docs_inverted_index",
             "docs_importance_weights",
+            "docs_temperature_mixture",
             "docs_top_ngrams",
             "docs_char_entropy",
             "docs_dedup_incremental",
@@ -112,6 +113,7 @@ class TestEmptyCorpus:
             dsir,
             heavy,
             index,
+            mixture,
             quality,
             selection,
             text_analysis,
@@ -1957,3 +1959,42 @@ class TestDSIR:
         en_heavy = ours.loc[0, "weight_e9"]
         fr_only = ours.loc[2, "weight_e9"]
         assert en_heavy > fr_only
+
+
+class TestTemperatureMixture:
+    """sqrt-temperature per-source sampling: oracle parity + flattening."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import mixture  # noqa: F401
+
+        _check_against_oracle("docs_temperature_mixture", oracle_con)
+
+    def test_flattens_skewed_sources(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.mixture import (
+            docs_temperature_mixture,
+        )
+
+        sources = ["big"] * 100 + ["small"] * 4 + ["tiny"] * 1
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(sources)), type=pa.int64()),
+                    "source": pa.array(sources),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_temperature_mixture(str(tmp_path)).to_pandas()
+        got = out["source"].value_counts().to_dict()
+        # quotas floor(3·√n): big 30 of 100; small 6 but only 4 exist;
+        # tiny 3 but only 1 exists — availability caps the quota
+        assert got == {"big": 30, "small": 4, "tiny": 1}
+        # 25x source skew became 5x sample skew — the α=0.5 flattening
+        run2 = docs_temperature_mixture(str(tmp_path)).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("doc_id").reset_index(drop=True),
+            run2.sort_values("doc_id").reset_index(drop=True),
+        )
