@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_bm25_topk(sf_dir: str) -> int:
+    """Okapi BM25 global top-k retrieval."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bm25 import docs_bm25_topk
+
+    return len(docs_bm25_topk(sf_dir))
+
+
 def q_temperature_mixture(sf_dir: str) -> int:
     """sqrt-temperature per-source mixture sampling."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.mixture import docs_temperature_mixture
@@ -391,6 +398,7 @@ BENCH_QUERIES = {
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,
+    "bm25_topk": q_bm25_topk,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -32,6 +32,8 @@ def _value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         df[c] = df[c].astype(str)
+    if len(df) == 0:  # apply() on an empty frame returns a DataFrame
+        return "empty"
     rows = sorted(df.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
@@ -1469,6 +1471,7 @@ class TestAdversarialCorpusParity:
             "docs_version_diff",
             "docs_heavy_hitters",
             "docs_inverted_index",
+            "docs_bm25_topk",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -1476,6 +1479,7 @@ class TestAdversarialCorpusParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.bm25  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.index  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
@@ -1998,3 +2002,58 @@ class TestTemperatureMixture:
             out.sort_values("doc_id").reset_index(drop=True),
             run2.sort_values("doc_id").reset_index(drop=True),
         )
+
+
+class TestBM25:
+    """Okapi BM25 global top-k: oracle parity + hand-checked ranking."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import bm25  # noqa: F401
+
+        df = _check_against_oracle("docs_bm25_topk", oracle_con)
+        assert (df["score_e6"] > 0).all()
+
+    def test_ranking_semantics(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bm25 import docs_bm25_topk
+
+        texts = [
+            "data data data data",              # high tf, short doc
+            "data filler filler filler filler " * 20,  # tf=20 but long doc
+            "nothing relevant here",            # no match -> excluded
+            "data",                             # tf=1, shortest
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_bm25_topk(str(tmp_path), query=("data",), k=10).to_pandas()
+        # non-matching doc never reported; matches ranked by BM25
+        assert set(out["doc_id"]) == {0, 1, 3}
+        # doc 0 (saturated tf, short) beats doc 3 (tf=1, shortest)
+        ranks = out.sort_values("score_e6", ascending=False)["doc_id"].tolist()
+        assert ranks[0] == 0
+
+    def test_empty_and_no_match_corpus(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bm25 import docs_bm25_topk
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        assert len(docs_bm25_topk(str(tmp_path))) == 0

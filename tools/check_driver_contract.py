@@ -39,6 +39,8 @@ def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         df[c] = df[c].astype(str)
+    if len(df) == 0:  # apply() on an empty frame returns a DataFrame
+        return "empty"
     rows = sorted(df.apply(lambda r: "\x1f".join(r.values), axis=1).tolist())
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
