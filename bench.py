@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_novelty(sf_dir: str) -> int:
+    """Per-doc df=1 trigram novelty counts."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.novelty import docs_novelty
+
+    return _consume(docs_novelty(sf_dir))
+
+
 def q_bm25_topk(sf_dir: str) -> int:
     """Okapi BM25 global top-k retrieval."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bm25 import docs_bm25_topk
@@ -399,6 +406,7 @@ BENCH_QUERIES = {
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,
     "bm25_topk": q_bm25_topk,
+    "novelty": q_novelty,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -97,6 +97,7 @@ class TestEmptyCorpus:
             "docs_inverted_index",
             "docs_importance_weights",
             "docs_temperature_mixture",
+            "docs_novelty",
             "docs_top_ngrams",
             "docs_char_entropy",
             "docs_dedup_incremental",
@@ -116,6 +117,7 @@ class TestEmptyCorpus:
             heavy,
             index,
             mixture,
+            novelty,
             quality,
             selection,
             text_analysis,
@@ -1472,6 +1474,7 @@ class TestAdversarialCorpusParity:
             "docs_heavy_hitters",
             "docs_inverted_index",
             "docs_bm25_topk",
+            "docs_novelty",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -1482,6 +1485,7 @@ class TestAdversarialCorpusParity:
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.bm25  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.index  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.novelty  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction_queries  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
@@ -2057,3 +2061,41 @@ class TestBM25:
             tmp_path / "documents.parquet",
         )
         assert len(docs_bm25_topk(str(tmp_path))) == 0
+
+
+class TestNovelty:
+    """df=1 trigram novelty: oracle parity + planted-unique semantics."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import novelty  # noqa: F401
+
+        df = _check_against_oracle("docs_novelty", oracle_con)
+        assert (df["n_novel"] <= df["n_grams"]).all()
+
+    def test_planted_unique_and_shared(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.novelty import docs_novelty
+
+        texts = [
+            "alpha beta gamma delta",        # grams: 2, both shared with doc 1
+            "alpha beta gamma delta",        # exact twin -> 0 novel
+            "unique words only here now",    # 3 grams, all df=1
+            "",                              # token-free -> not reported
+            "ab",                            # <3 words -> one whole-text shingle
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_novelty(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert 3 not in out.index  # token-free excluded
+        assert out.loc[0, "n_novel"] == 0 and out.loc[1, "n_novel"] == 0
+        assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_novel"] == 3
+        assert out.loc[4, "n_grams"] == 1 and out.loc[4, "n_novel"] == 1
