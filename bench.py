@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_winsorized(sf_dir: str) -> int:
+    """Per-type quantile clipping of event values."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_winsorized
+
+    return _consume(events_winsorized(sf_dir))
+
+
 def q_novelty(sf_dir: str) -> int:
     """Per-doc df=1 trigram novelty counts."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.novelty import docs_novelty
@@ -407,6 +414,7 @@ BENCH_QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "bm25_topk": q_bm25_topk,
     "novelty": q_novelty,
+    "winsorized": q_winsorized,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -415,3 +415,91 @@ UNION ALL SELECT '{">".join(FUNNEL_STEPS)}', (SELECT count(*) FROM s3)
 """
 
 register("user_funnel_counts", user_funnel_counts, sql=USER_FUNNEL_SQL)
+
+
+# --- per-group winsorization (quantile clipping) ----------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def events_winsorized(sf_dir: str) -> "ray.data.Dataset":
+    """(event_id, event_type, value_w): values clipped to the per-type
+    [p05, p95] band — the outlier-clipping normalizer a metrics/quality
+    pipeline applies before averaging heavy-tailed signals.
+
+    Two stages, no all-to-all of the fact rows: the per-type quantile pair
+    comes from the same complete-group hash partition as the grouped
+    median (exchange carries (event_type, value) only), broadcasts via
+    ``ray.put`` (#types-bounded), and the clip pass is embarrassingly
+    parallel.
+
+    Float parity contract: the quantile is computed EXPLICITLY as
+    ``v[floor(h)] + (v[floor(h)+1] - v[floor(h)]) * (h - floor(h))`` with
+    ``h = (n-1)·q`` — the same linear-interpolation shape DuckDB's
+    ``quantile_cont`` uses — then rounded to 6 decimals half-away-from-zero
+    on both sides, as is the clipped output value.
+    """
+    import ray as _ray
+
+    def _round6(v: np.ndarray) -> np.ndarray:
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    def _qcont(sorted_vals: np.ndarray, q: float) -> float:
+        h = (len(sorted_vals) - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, len(sorted_vals) - 1)
+        return float(
+            sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (h - lo)
+        )
+
+    def quantile_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            v = np.sort(g["value"].to_numpy(dtype=np.float64))
+            rows.append((et, _qcont(v, WINSOR_LO), _qcont(v, WINSOR_HI)))
+        out = pd.DataFrame(rows, columns=["event_type", "lo", "hi"])
+        out["lo"] = _round6(out["lo"].to_numpy())
+        out["hi"] = _round6(out["hi"].to_numpy())
+        return out
+
+    ds_kv = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    bounds = _hash_partitioned(ds_kv, "event_type", quantile_partition).to_pandas()
+    ref = _ray.put(
+        {r.event_type: (r.lo, r.hi) for r in bounds.itertuples(index=False)}
+    )
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        b = _ray.get(ref)
+        lo = df["event_type"].map(lambda t: b[t][0]).to_numpy(dtype=np.float64)
+        hi = df["event_type"].map(lambda t: b[t][1]).to_numpy(dtype=np.float64)
+        v = np.minimum(np.maximum(df["value"].to_numpy(dtype=np.float64), lo), hi)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "value_w": _round6(v),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return ds.map_batches(clip, batch_format="pandas")
+
+
+EVENTS_WINSORIZED_SQL = f"""
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+         round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, q.lo), q.hi), 6) AS value_w
+FROM events e JOIN q USING (event_type)
+"""
+
+register("events_winsorized", events_winsorized, sql=EVENTS_WINSORIZED_SQL)

@@ -164,6 +164,7 @@ class TestEmptyEvents:
             "events_asof_view_click",
             "events_median_value_by_type",
             "events_quantiles_by_type",
+            "events_winsorized",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1579,6 +1580,7 @@ class TestAdversarialEventsParity:
             "user_funnel_counts",
             "events_distinct_users",
             "events_quantiles_by_type",
+            "events_winsorized",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -2099,3 +2101,40 @@ class TestNovelty:
         assert out.loc[0, "n_novel"] == 0 and out.loc[1, "n_novel"] == 0
         assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_novel"] == 3
         assert out.loc[4, "n_grams"] == 1 and out.loc[4, "n_novel"] == 1
+
+
+class TestWinsorize:
+    """Per-type quantile clipping: oracle parity + hand-checked band."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import windows  # noqa: F401
+
+        df = _check_against_oracle("events_winsorized", oracle_con)
+        assert len(df)
+
+    def test_clips_to_known_band(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_winsorized
+
+        # 21 values 0..20 → h_lo=(20)(.05)=1.0 → p05=1.0; p95=19.0
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            {
+                "event_id": i,
+                "ts": base,
+                "user_id": 1,
+                "event_type": "t",
+                "value": float(i),
+                "props": "",
+            }
+            for i in range(21)
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), tmp_path / "events.parquet")
+        out = events_winsorized(str(tmp_path)).to_pandas().set_index("event_id")
+        assert out.loc[0, "value_w"] == 1.0    # clipped up to p05
+        assert out.loc[20, "value_w"] == 19.0  # clipped down to p95
+        assert out.loc[10, "value_w"] == 10.0  # interior untouched
