@@ -1832,6 +1832,24 @@ class TestHeavyHitters:
         for tok, c in out.items():
             assert c == counts[tok] - kth
 
+
+    def test_mg_fold_superset_guarantee_on_zipf_stream(self):
+        """Folding per-block MG summaries with compression never loses a
+        token above the 1/K share threshold (mergeable-summaries property),
+        even across adversarial block splits."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import HH_K, _compress
+
+        rng = np.random.default_rng(7)
+        tokens = [f"t{int(z)}" for z in rng.zipf(1.3, size=200_000) if z < 5000]
+        merged = pd.Series(dtype="int64")
+        for blk in np.array_split(np.array(tokens), 40):
+            g = pd.Series(blk).value_counts()
+            merged = _compress(merged.add(_compress(g), fill_value=0).astype("int64"))
+        true = pd.Series(tokens).value_counts()
+        reportable = set(true[true * HH_K > len(tokens)].index)
+        assert reportable  # the stream actually has heavy hitters
+        assert reportable <= set(merged.index)
+
     def test_selective_on_skewed_corpus(self, ray_session, tmp_path):
         """A corpus with one dominant token and a long unique tail reports
         exactly the dominant token, with its exact count."""
