@@ -341,6 +341,15 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_distinct_users_kmv(sf_dir: str) -> int:
+    """Per-group KMV distinct-user sketch."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+        events_distinct_users_kmv,
+    )
+
+    return _consume(events_distinct_users_kmv(sf_dir))
+
+
 def q_winsorized(sf_dir: str) -> int:
     """Per-type quantile clipping of event values."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_winsorized
@@ -415,6 +424,7 @@ BENCH_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "novelty": q_novelty,
     "winsorized": q_winsorized,
+    "distinct_users_kmv": q_distinct_users_kmv,
     "char_entropy": q_char_entropy,
     "curriculum_order": q_curriculum_order,
     "select_budget": q_select_budget,

@@ -79,6 +79,8 @@ def dedup_stats_split(convs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact-dedup reassembled conversations, attach stats + split."""
 
     def fingerprint(batch: pa.Table) -> pa.Table:
+        # md5 (not a faster hash) is the contract: the DuckDB oracle
+        # recomputes these exact digests via md5(full_text) / md5(conv_id)
         fps = pa.array(
             [
                 hashlib.md5((t or "").encode("utf-8")).hexdigest()

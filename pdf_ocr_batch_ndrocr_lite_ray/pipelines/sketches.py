@@ -380,3 +380,80 @@ register(
     events_quantiles_by_type,
     sql=EVENTS_QUANTILES_BY_TYPE_SQL,
 )
+
+
+# --- grouped KMV distinct sketch --------------------------------------------
+
+def events_distinct_users_kmv(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, estimate, k): per-group KMV distinct-user estimate.
+
+    The mergeable-sketch-per-group shape that replaces
+    ``events_distinct_users`` at scale: the exact version must exchange
+    every distinct (type, user) pair, while each KMV summary is ≤ k
+    hashes per group REGARDLESS of group cardinality — per-block
+    summaries stream to a bounded driver fold (#types × k values held),
+    the same merge law as the global shingle sketch. As there, the
+    sketch VALUE is deterministic (md5-derived k-min), so the oracle is
+    exact; only the estimate↔truth relation is approximate.
+    """
+
+    def block_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            ids = g["user_id"].drop_duplicates()
+            # str(int) pairs with SQL md5(CAST(user_id AS VARCHAR))
+            h = np.unique(_kmv_hash([str(int(u)) for u in ids]))[:KMV_K]
+            rows.append((et, h.tolist()))
+        return pd.DataFrame(rows, columns=["event_type", "min_hashes"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+    ).map_batches(block_sketch, batch_format="pandas")
+
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        for et, mh in zip(b["event_type"], b["min_hashes"]):
+            prev = merged.get(et, np.empty(0, dtype=np.uint64))
+            cat = np.concatenate([prev, np.asarray(mh, dtype=np.uint64)])
+            merged[et] = np.unique(cat)[:KMV_K]
+    rows = []
+    for et in sorted(merged):
+        est = kmv_estimate(merged[et])
+        rows.append((et, int(np.floor(est + 0.5)), KMV_K))
+    out = pd.DataFrame(rows, columns=["event_type", "estimate", "k"])
+    return ray.data.from_pandas(
+        out.astype({"estimate": "int64", "k": "int64"})
+        if len(out)
+        else pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "estimate": pd.Series(dtype="int64"),
+                "k": pd.Series(dtype="int64"),
+            }
+        )
+    )
+
+
+EVENTS_KMV_SQL = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM d
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+k AS (SELECT event_type, hv FROM r WHERE rn <= {KMV_K}),
+agg AS (SELECT event_type, count(*) AS n, max(hv) AS kth FROM k GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n < {KMV_K} THEN n
+            ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
+       END AS estimate,
+       {KMV_K} AS k
+FROM agg
+"""
+
+register("events_distinct_users_kmv", events_distinct_users_kmv, sql=EVENTS_KMV_SQL)

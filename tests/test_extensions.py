@@ -165,6 +165,7 @@ class TestEmptyEvents:
             "events_median_value_by_type",
             "events_quantiles_by_type",
             "events_winsorized",
+            "events_distinct_users_kmv",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1581,6 +1582,7 @@ class TestAdversarialEventsParity:
             "events_distinct_users",
             "events_quantiles_by_type",
             "events_winsorized",
+            "events_distinct_users_kmv",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -2156,3 +2158,21 @@ class TestWinsorize:
         assert out.loc[0, "value_w"] == 1.0    # clipped up to p05
         assert out.loc[20, "value_w"] == 19.0  # clipped down to p95
         assert out.loc[10, "value_w"] == 10.0  # interior untouched
+
+
+class TestGroupedKMV:
+    """Per-group KMV sketch: oracle parity + accuracy vs exact distinct."""
+
+    def test_matches_oracle_and_tracks_exact(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import sketches  # noqa: F401
+
+        df = _check_against_oracle("events_distinct_users_kmv", oracle_con)
+        exact = oracle_con.execute(
+            "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY event_type"
+        ).df().set_index("event_type")["n"]
+        for r in df.itertuples(index=False):
+            true = int(exact[r.event_type])
+            if true < 1024:  # below k the sketch IS the exact count
+                assert r.estimate == true
+            else:  # standard KMV error band (~1/sqrt(k) ≈ 3%; allow 10%)
+                assert abs(r.estimate - true) / true < 0.10
