@@ -331,7 +331,7 @@ def q_heavy_hitters(sf_dir: str) -> int:
     """Two-pass Misra-Gries heavy hitters (exact recount)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import docs_heavy_hitters
 
-    return _consume(docs_heavy_hitters(sf_dir))
+    return len(docs_heavy_hitters(sf_dir))
 
 
 def q_inverted_index(sf_dir: str) -> int:
