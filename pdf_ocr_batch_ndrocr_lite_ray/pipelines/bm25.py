@@ -99,19 +99,17 @@ def docs_bm25_topk(
                 norm = np.where(tf > 0, tf / denom, 0.0)
             total += np.floor(idf_m[t] * norm * 1e6 + 0.5).astype(np.int64)
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "score_e6": total})
-        out = out[out["score_e6"] > 0]
-        return out.sort_values(["score_e6", "doc_id"], ascending=[False, True]).head(k)
+        return out[out["score_e6"] > 0]
 
-    best = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                         "score_e6": pd.Series(dtype="int64")})
-    for b in ds.map_batches(score, batch_format="pandas").iter_batches(
-        batch_size=65_536, batch_format="pandas"
-    ):
-        best = (
-            pd.concat([best, b])
-            .sort_values(["score_e6", "doc_id"], ascending=[False, True])
-            .head(k)
-        )
+    from .exchange import driver_topk_fold
+
+    best = driver_topk_fold(
+        ds.map_batches(score, batch_format="pandas"),
+        ["score_e6", "doc_id"], [False, True], k,
+    )
+    if best is None:
+        best = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score_e6": pd.Series(dtype="int64")})
     return pa.table(
         {
             "doc_id": pa.array(best["doc_id"].to_numpy(), type=pa.int64()),
@@ -137,11 +135,10 @@ corpus AS (
   FROM tl
 ),
 tf AS (
-  SELECT t.doc_id, u.term, count(*) AS tf
+  SELECT u.doc_id, u.term, count(*) AS tf
   FROM (SELECT doc_id, unnest(terms) AS term FROM tl) u
-  JOIN tl t ON t.doc_id = u.doc_id
   JOIN q ON q.term = u.term
-  GROUP BY t.doc_id, u.term
+  GROUP BY u.doc_id, u.term
 ),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 parts AS (

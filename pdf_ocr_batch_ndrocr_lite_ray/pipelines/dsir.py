@@ -73,34 +73,27 @@ def _ratio_table(sf_dir: str) -> np.ndarray:
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for target_only in (False, True):
-            sub = df[df["lang"] == _TARGET_LANG] if target_only else df
-            t = _terms(sub["text"])
-            if len(t) == 0:
-                continue
-            b = np.fromiter((_bucket_of(x) for x in t), dtype=np.int64, count=len(t))
-            cnt = np.bincount(b, minlength=DSIR_BUCKETS)
-            nz = np.nonzero(cnt)[0]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "bucket": nz,
-                        "r_cnt": np.where(target_only, 0, cnt[nz]),
-                        "t_cnt": np.where(target_only, cnt[nz], 0),
-                    }
-                )
-            )
-        return (
-            pd.concat(out, ignore_index=True)
-            if out
-            else pd.DataFrame(
+        # one tokenize + one bucket-hash pass; the target slice is a row
+        # mask gathered through the exploded index, not a second pass
+        df = df.reset_index(drop=True)
+        t = _terms(df["text"])
+        if len(t) == 0:
+            return pd.DataFrame(
                 {
                     "bucket": pd.Series(dtype="int64"),
                     "r_cnt": pd.Series(dtype="int64"),
                     "t_cnt": pd.Series(dtype="int64"),
                 }
             )
+        b = np.fromiter((_bucket_of(x) for x in t), dtype=np.int64, count=len(t))
+        is_target = (df["lang"] == _TARGET_LANG).to_numpy()[
+            t.index.to_numpy(dtype=np.int64)
+        ]
+        r_cnt = np.bincount(b, minlength=DSIR_BUCKETS)
+        t_cnt = np.bincount(b[is_target], minlength=DSIR_BUCKETS)
+        nz = np.nonzero(r_cnt)[0]
+        return pd.DataFrame(
+            {"bucket": nz, "r_cnt": r_cnt[nz], "t_cnt": t_cnt[nz]}
         )
 
     hist = enum_group_sum(
@@ -151,23 +144,13 @@ def docs_importance_weights(sf_dir: str) -> "ray.data.Dataset":
 def docs_importance_resample(sf_dir: str, m: int = DSIR_TOP_M) -> "pa.Table":
     """Top-m docs by (weight_e9 DESC, doc_id ASC) — the resampled keep-set.
     Per-block partial top-m folds on the driver; no global sort."""
+    from .exchange import driver_topk_fold
+
     ds = docs_importance_weights(sf_dir)
-
-    def local_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["weight_e9", "doc_id"], ascending=[False, True]
-        ).head(m)
-
-    best = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                         "weight_e9": pd.Series(dtype="int64")})
-    for b in ds.map_batches(local_top, batch_format="pandas").iter_batches(
-        batch_size=65_536, batch_format="pandas"
-    ):
-        best = (
-            pd.concat([best, b])
-            .sort_values(["weight_e9", "doc_id"], ascending=[False, True])
-            .head(m)
-        )
+    best = driver_topk_fold(ds, ["weight_e9", "doc_id"], [False, True], m)
+    if best is None:
+        best = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "weight_e9": pd.Series(dtype="int64")})
     return pa.table(
         {
             "doc_id": pa.array(best["doc_id"].to_numpy(), type=pa.int64()),

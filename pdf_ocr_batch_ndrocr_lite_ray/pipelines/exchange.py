@@ -204,3 +204,23 @@ def hash_partitioned(
         .groupby("_pid")
         .map_groups(run_partition, batch_format="pandas")
     )
+
+
+def driver_topk_fold(ds: "ray.data.Dataset", by: list, ascending: list, k: int):
+    """Global top-k rows under a total sort key, WITHOUT a global sort:
+    each block emits its local top-k (mergeable — the global top-k is a
+    subset of the union of local top-ks), and the driver folds the ≤
+    k × blocks candidate rows keeping only k. Returns a pandas DataFrame.
+    Driver memory: ≤ k + one block's k at any moment."""
+    import pandas as pd
+
+    def local_top(df):
+        return df.sort_values(by, ascending=ascending).head(k)
+
+    best = None
+    for b in ds.map_batches(local_top, batch_format="pandas").iter_batches(
+        batch_size=65_536, batch_format="pandas"
+    ):
+        best = b if best is None else pd.concat([best, b])
+        best = best.sort_values(by, ascending=ascending).head(k)
+    return best

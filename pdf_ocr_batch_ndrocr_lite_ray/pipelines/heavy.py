@@ -65,9 +65,13 @@ def _compress(counts: "pd.Series", m: int = _MG_COUNTERS) -> "pd.Series":
 
 def _tokens(texts: "pd.Series") -> "pd.Series":
     """Whitespace tokens, exploded; pairs with SQL
-    ``regexp_extract_all(text, '\\S+')`` (same contract as the SimHash
-    word split)."""
-    return texts.fillna("").str.split().explode().dropna()
+    ``regexp_extract_all(text, '\\S+')``. Reuses the dedup family's
+    ASCII-pinned ``\\S+`` regex — ``str.split()`` would split on Unicode
+    whitespace (NBSP, U+3000) that RE2's ASCII ``\\s`` does not, silently
+    desynchronizing counts and the threshold total from the oracle."""
+    from .dedup import _WORDS_RE
+
+    return texts.fillna("").str.findall(_WORDS_RE).explode().dropna()
 
 
 def docs_heavy_hitters(sf_dir: str, k: int = HH_K) -> "pa.Table":

@@ -12,12 +12,11 @@ exact by construction; consumers derive the novelty ratio. Token-free
 documents have no shingles and are not reported (mirrors the SQL, where
 they produce no shingle rows).
 
-Distributed shape — the signature-riding trick from MinHash applied to
-counts: each shingle row carries its doc's total distinct-shingle count
-(+8 bytes), so the gram-partitioned stage can emit complete per-doc
-partials and NO join back to a per-doc table is ever needed:
+Distributed shape — per-doc partials need NO join back to a per-doc
+table, because each doc's distinct-gram total is just the sum of its
+per-partition group sizes:
 
-1. (doc_id, sh, n_sh) rows — per-block, text never leaves stage 1;
+1. distinct (doc_id, sh) rows — per-block, text never leaves stage 1;
 2. hash exchange on ``sh``: df within the partition is total (a gram
    lives in exactly one partition) → per-doc partial (doc_id, n_grams,
    n_novel) rows, ≤ one per (doc, partition);
@@ -40,9 +39,15 @@ from .queryset import register, table_path
 def docs_novelty(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_grams, n_novel): distinct trigram count and the number
     with corpus df=1, per document with ≥ 1 token."""
+    def pairs_only(batch):
+        # _shingle_rows also emits the per-doc n_sh count (MinHash's
+        # ride-along); novelty recomputes totals from group sizes, so
+        # drop it before it rides the exchange for nothing
+        return _shingle_rows(batch).select(["doc_id", "sh"])
+
     ds = ray.data.read_parquet(
         table_path(sf_dir, "documents"), columns=["doc_id", "text"]
-    ).map_batches(_shingle_rows, batch_format="pyarrow")
+    ).map_batches(pairs_only, batch_format="pyarrow")
 
     def per_gram_partition(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
