@@ -1835,6 +1835,37 @@ class TestHeavyHitters:
             assert c == counts[tok] - kth
 
 
+    def test_unicode_whitespace_tokenization_matches_oracle(self, ray_session, tmp_path):
+        """Regression: ``str.split()`` splits on NBSP/U+3000 while RE2's
+        ASCII \\S+ does not — with the pinned ASCII regex, a corpus whose
+        heavy hitter CONTAINS unicode whitespace reports identically to
+        the SQL oracle (the old code split it into two different rows)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import heavy
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        texts = ["hot\u00a0pair " * 30] * 5  # literal NBSP inside the hitter + [f"f{i} g{i}" for i in range(40)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        ours = heavy.docs_heavy_hitters(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["docs_heavy_hitters"]).df()
+        assert set(ours["token"]) == set(gold["token"]) == {"hot pair"}
+        assert int(ours["n"].iloc[0]) == int(gold["n"].iloc[0]) == 150
+
     def test_mg_fold_superset_guarantee_on_zipf_stream(self):
         """Folding per-block MG summaries with compression never loses a
         token above the 1/K share threshold (mergeable-summaries property),
