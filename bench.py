@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_dedup_containment(sf_dir: str) -> int:
+    """Exact n-gram containment pairs (quote/excerpt detection)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_ngram_containment
+
+    return _consume(dedup_ngram_containment(sf_dir))
+
+
 def q_distinct_users_kmv(sf_dir: str) -> int:
     """Per-group KMV distinct-user sketch."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
@@ -411,6 +418,7 @@ BENCH_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_canonical": q_dedup_canonical,

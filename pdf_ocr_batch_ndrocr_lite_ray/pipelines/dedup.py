@@ -303,6 +303,79 @@ WHERE round(m::DOUBLE / (ca.n_sh + cb.n_sh - m), 6) >= 0.5
 """
 
 
+# --- exact n-gram CONTAINMENT (asymmetric near-superset detection) ----------
+
+#: containment threshold: |A∩B| / min(|A|,|B|) ≥ this reports the pair
+CONTAINMENT_TAU = 0.8
+
+
+def dedup_ngram_containment(
+    sf_dir: str, tau: float = CONTAINMENT_TAU
+) -> "ray.data.Dataset":
+    """EXACT trigram containment pairs ≥ tau: (doc_a, doc_b, containment).
+
+    Containment = m / min(n_a, n_b) — the asymmetric complement of
+    Jaccard: a short document fully quoted inside a long one scores ~1.0
+    here while its Jaccard can be arbitrarily low, which is why corpus
+    hygiene needs both (quote/excerpt detection vs near-twin detection).
+    Same two-exchange shape and df-cap as :func:`dedup_ngram_jaccard` —
+    the set sizes ride with the shingle rows, so containment finishes in
+    the pair partition with no join.
+    """
+    sh = corpus(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    pairs = _hash_partitioned(sh, "sh", _shingle_partition_pairs)
+
+    def finish_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "containment": pd.Series([], dtype="float64"),
+                }
+            )
+        g = (
+            df.groupby(["doc_a", "doc_b"], sort=True)
+            .agg(m=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first"))
+            .reset_index()
+        )
+        c = np.round(g["m"] / np.minimum(g["n_a"], g["n_b"]), 6)
+        out = pd.DataFrame(
+            {"doc_a": g["doc_a"], "doc_b": g["doc_b"], "containment": c}
+        )
+        return out[out["containment"] >= tau].reset_index(drop=True)
+
+    return _hash_partitioned(pairs, "doc_a", finish_partition)
+
+
+DEDUP_NGRAM_CONTAINMENT_SQL = f"""
+WITH {CORPUS_SQL},
+w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM corpus),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+),
+d AS (SELECT DISTINCT doc_id, sh FROM s),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY 1),
+lowdf AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
+d2 AS (SELECT d.doc_id, d.sh FROM d JOIN lowdf USING (sh)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+  FROM d2 a JOIN d2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(m::DOUBLE / least(ca.n_sh, cb.n_sh), 6) AS containment
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE round(m::DOUBLE / least(ca.n_sh, cb.n_sh), 6) >= {CONTAINMENT_TAU}
+"""
+
+
 # --- MinHash + LSH (rows-only: not SQL-expressible) ------------------------
 
 N_PERMS = 64
@@ -825,6 +898,9 @@ HAVING est_jaccard >= {MINHASH_TAU}
 
 register("dedup_exact", dedup_exact, sql=DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, sql=DEDUP_NGRAM_JACCARD_SQL)
+register(
+    "dedup_ngram_containment", dedup_ngram_containment, sql=DEDUP_NGRAM_CONTAINMENT_SQL
+)
 def _simhash_oracle_sql() -> str:
     """Value-level DuckDB oracle for the SimHash pipeline.
 

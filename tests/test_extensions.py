@@ -1454,6 +1454,7 @@ class TestAdversarialCorpusParity:
         [
             "dedup_exact",
             "dedup_ngram_jaccard",
+            "dedup_ngram_containment",
             "dedup_minhash",
             "dedup_simhash",
             "docs_winnow_fingerprints",
@@ -2207,3 +2208,46 @@ class TestGroupedKMV:
                 assert r.estimate == true
             else:  # standard KMV error band (~1/sqrt(k) ≈ 3%; allow 10%)
                 assert abs(r.estimate - true) / true < 0.10
+
+
+class TestContainment:
+    """Asymmetric n-gram containment: oracle parity + quote detection."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import dedup  # noqa: F401
+
+        df = _check_against_oracle("dedup_ngram_containment", oracle_con)
+        assert (df["containment"] <= 1.0).all()
+
+    def test_detects_quote_that_jaccard_misses(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import (
+            dedup_ngram_containment,
+            dedup_ngram_jaccard,
+        )
+
+        quote = "the exact quoted passage lives here verbatim"
+        # use doc_ids that trigger no planted-dup replication (avoid %5/%7)
+        texts = {
+            1: quote,
+            2: quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40)),
+            3: "unrelated content entirely different words",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(texts), type=pa.int64()),
+                    "text": pa.array(list(texts.values())),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        cont = dedup_ngram_containment(str(tmp_path)).to_pandas()
+        jac = dedup_ngram_jaccard(str(tmp_path)).to_pandas()
+        pair = cont[(cont["doc_a"] == 1) & (cont["doc_b"] == 2)]
+        assert len(pair) == 1 and pair["containment"].iloc[0] == 1.0
+        # the same quote pair is invisible to jaccard at tau=0.5 (no pair
+        # on this corpus clears it at all)
+        assert jac.empty
