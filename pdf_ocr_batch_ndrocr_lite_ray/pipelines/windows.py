@@ -434,11 +434,13 @@ def events_winsorized(sf_dir: str) -> "ray.data.Dataset":
     ``ray.put`` (#types-bounded), and the clip pass is embarrassingly
     parallel.
 
-    Float parity contract: the quantile is computed EXPLICITLY as
-    ``v[floor(h)] + (v[floor(h)+1] - v[floor(h)]) * (h - floor(h))`` with
-    ``h = (n-1)·q`` — the same linear-interpolation shape DuckDB's
-    ``quantile_cont`` uses — then rounded to 6 decimals half-away-from-zero
-    on both sides, as is the clipped output value.
+    Float parity contract: the quantile is computed EXPLICITLY with
+    DuckDB's own interpolation shape ``v[FRN]·(CRN−RN) + v[CRN]·(RN−FRN)``
+    (RN = (n−1)·q; exact element when RN is integral) — NOT the
+    algebraically-equal ``a + (b−a)·f``, which rounds differently in the
+    last ulp and flips the 6th decimal on ~0.4% of random inputs (found
+    by the interpolation fuzz in tests) — then rounded to 6 decimals
+    half-away-from-zero on both sides, as is the clipped output value.
     """
     import ray as _ray
 
@@ -446,12 +448,11 @@ def events_winsorized(sf_dir: str) -> "ray.data.Dataset":
         return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
 
     def _qcont(sorted_vals: np.ndarray, q: float) -> float:
-        h = (len(sorted_vals) - 1) * q
-        lo = int(np.floor(h))
-        hi = min(lo + 1, len(sorted_vals) - 1)
-        return float(
-            sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (h - lo)
-        )
+        rn = (len(sorted_vals) - 1) * q
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        if crn == frn:
+            return float(sorted_vals[frn])
+        return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
 
     def quantile_partition(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

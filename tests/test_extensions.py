@@ -2251,3 +2251,37 @@ class TestContainment:
         # the same quote pair is invisible to jaccard at tau=0.5 (no pair
         # on this corpus clears it at all)
         assert jac.empty
+
+
+class TestQuantileInterpolationParity:
+    """The winsorize quantile must reproduce DuckDB's quantile_cont
+    bit-for-bit after 6-decimal rounding. The naive ``a + (b-a)·f``
+    interpolation — algebraically equal — flips the 6th decimal on ~0.4%
+    of random inputs; DuckDB's ``a·(CRN−RN) + b·(RN−FRN)`` shape is the
+    contract. 1,500 random arrays × 3 quantiles, zero divergence."""
+
+    def test_fuzz_against_duckdb(self):
+        import duckdb
+
+        def qcont(sorted_vals, q):
+            rn = (len(sorted_vals) - 1) * q
+            frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+            if crn == frn:
+                return float(sorted_vals[frn])
+            return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
+
+        def round6(v):
+            return float(np.sign(v) * np.floor(abs(v) * 1e6 + 0.5) / 1e6)
+
+        con = duckdb.connect()
+        rng = np.random.default_rng(0)
+        for _ in range(1500):
+            n = int(rng.integers(1, 40))
+            vals = np.sort(np.round(rng.normal(0, 100, n), int(rng.integers(0, 8))))
+            for q in (0.05, 0.5, 0.95):
+                mine = round6(qcont(vals, q))
+                theirs = con.execute(
+                    f"SELECT round(quantile_cont(v, {q}), 6) FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+                    [list(map(float, vals))],
+                ).fetchone()[0]
+                assert mine == theirs, (n, q, mine, theirs)
