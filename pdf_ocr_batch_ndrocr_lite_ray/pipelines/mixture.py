@@ -36,6 +36,7 @@ import pyarrow as pa
 import ray.data
 
 from .exchange import hash_partitioned
+from .exchange import int64_array as _int64_array
 from .queryset import register, table_path
 from .sampling import _hash_bucket
 
@@ -149,11 +150,29 @@ def docs_temperature_mixture(sf_dir: str, c: float = TEMP_C) -> "ray.data.Datase
     quota_ref = ray.put(quotas)
 
     def rows(batch: pa.Table) -> pa.Table:
+        # two-phase order statistic: each block pre-prunes to its LOCAL
+        # top-quota per source before the exchange (the global top-Q is a
+        # subset of the union of block top-Qs), so a pathologically
+        # dominant source ships ≤ quota × blocks rows instead of n_s —
+        # the escalation the docs_mixture_cap docstring describes,
+        # applicable here because only the kept rows are emitted
+        q = ray.get(quota_ref)
+        df = pd.DataFrame(
+            {
+                "doc_id": _int64_array(batch["doc_id"]),
+                "source": batch["source"].to_pandas(),
+                "priority": _priority(batch["doc_id"]),
+            }
+        )
+        df = df.sort_values(["source", "priority", "doc_id"], kind="mergesort")
+        rank = df.groupby("source", sort=False, dropna=False).cumcount().to_numpy() + 1
+        cap = df["source"].map(q).to_numpy()
+        keep = df[rank <= cap]
         return pa.table(
             {
-                "doc_id": batch["doc_id"].cast(pa.int64()),
-                "source": batch["source"],
-                "priority": pa.array(_priority(batch["doc_id"]), type=pa.int64()),
+                "doc_id": pa.array(keep["doc_id"].to_numpy(), type=pa.int64()),
+                "source": pa.array(keep["source"]),
+                "priority": pa.array(keep["priority"].to_numpy(), type=pa.int64()),
             }
         )
 
