@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_pca_project(sf_dir: str) -> int:
+    """Distributed Gram fold + PCA projection."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import emb_pca_project
+
+    return _consume(emb_pca_project(sf_dir))
+
+
 def q_dedup_containment(sf_dir: str) -> int:
     """Exact n-gram containment pairs (quote/excerpt detection)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_ngram_containment
@@ -442,6 +449,7 @@ BENCH_QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "quality_filter": q_quality_filter,
     "kmeans": q_kmeans,
+    "pca_project": q_pca_project,
     "pack_greedy": q_pack_greedy,
     "semantic_dedup": q_semantic_dedup,
     "lm_score": q_lm_score,

@@ -1,0 +1,193 @@
+"""Distributed PCA over the embedding corpus.
+
+Dimensionality reduction ahead of ANN/clustering is a standard
+training-data step; its distributed core is just a bounded partial fold:
+the d×d second-moment (Gram) matrix and the column-sum vector are
+mergeable sums, so each block emits one d×d partial and the driver holds
+≤ d² + d values — no all-to-all, no materialized corpus. Covariance,
+eigenvectors, and the projection follow on the driver from those
+sufficient statistics (Tropp-style streaming PCA without the sketching,
+exact because d is small).
+
+Numeric contract: embeddings quantize to int64 1e-6 fixed point FIRST,
+so every Gram/sum entry is an EXACT integer — reduction-order-free and
+value-oracle-able in SQL (`emb_gram`). The eigendecomposition itself is
+not SQL-expressible, so `emb_pca_project` registers without an oracle
+(rows-only in the driver) and is pinned instead by invariant tests:
+projected variance equals the eigenvalue, components are orthonormal,
+and the projection is deterministic under a fixed sign convention.
+
+Magnitude safety: |q| ≤ ~2^21 for unit-scale embeddings (1e-6 units),
+so a Gram entry grows ~2^42 per row — int64 overflows past ~2M rows per
+PARTIAL and float64 loses exactness past 2^53 in the FOLD. Blocks are
+far below the former; the fold guards the latter explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .exchange import enum_group_sum, list_matrix
+from .queryset import register, table_path
+
+#: fixed-point scale for embedding coordinates
+EMB_E6 = 1_000_000
+
+#: principal components emitted by the projection query
+PCA_K = 2
+
+
+def _quantized(batch: pa.Table) -> np.ndarray:
+    """int64 1e-6 fixed-point matrix; pairs with SQL
+    ``CAST(floor(e * 1000000 + 0.5) AS BIGINT)`` (float32 widens to
+    double exactly on both engines)."""
+    m = list_matrix(batch["embedding"])
+    return np.floor(m * EMB_E6 + 0.5).astype(np.int64)
+
+
+def _gram_fold(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """(gram int64[d,d], col_sum int64[d], n): exact sufficient stats in
+    one streaming pass."""
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized(batch)
+        if q.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], type=pa.int64()),
+                    "j": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                }
+            )
+        d = q.shape[1]
+        g = q.T @ q  # int64-exact: |q| ≤ 2^21, rows per block ≤ 2^20
+        iu = np.triu_indices(d)
+        sums = q.sum(axis=0)
+        # ride the column sums and the row count as extra rows (j = -1 / -2)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([iu[0], np.arange(d), [0]]), type=pa.int64()
+                ),
+                "j": pa.array(
+                    np.concatenate([iu[1], np.full(d, -1), [-2]]), type=pa.int64()
+                ),
+                "s": pa.array(
+                    np.concatenate([g[iu], sums, [len(q)]]), type=pa.int64()
+                ),
+            }
+        )
+
+    rows = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["i", "j"], ["s"]
+    )
+    if len(rows) == 0:
+        return np.zeros((0, 0), dtype=np.int64), np.zeros(0, dtype=np.int64), 0
+    n = int(rows.loc[(rows["i"] == 0) & (rows["j"] == -2), "s"].sum())
+    sums_rows = rows[rows["j"] == -1]
+    d = len(sums_rows)
+    col_sum = np.zeros(d, dtype=np.int64)
+    col_sum[sums_rows["i"].to_numpy()] = sums_rows["s"].to_numpy()
+    gram = np.zeros((d, d), dtype=np.int64)
+    gm = rows[rows["j"] >= 0]
+    gram[gm["i"].to_numpy(), gm["j"].to_numpy()] = gm["s"].to_numpy()
+    gram = gram + np.triu(gram, 1).T  # mirror the upper triangle
+    # int64-exactness guard for the driver fold (documented escalation:
+    # hierarchical int128 fold): entries stay far below 2^62 here
+    assert np.abs(gram).max() < 2**62, "gram fold approaching int64 range"
+    return gram, col_sum, n
+
+
+def emb_gram(sf_dir: str) -> "pa.Table":
+    """(i, j, s): the exact upper-triangle int64 Gram matrix of the
+    1e-6-quantized embeddings — the distributed sufficient statistic
+    PCA/covariance reduces to. One streaming pass, d²-bounded fold."""
+    gram, _, _ = _gram_fold(sf_dir)
+    if gram.size == 0:
+        return pa.table(
+            {
+                "i": pa.array([], type=pa.int64()),
+                "j": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+            }
+        )
+    iu = np.triu_indices(gram.shape[0])
+    return pa.table(
+        {
+            "i": pa.array(iu[0], type=pa.int64()),
+            "j": pa.array(iu[1], type=pa.int64()),
+            "s": pa.array(gram[iu], type=pa.int64()),
+        }
+    )
+
+
+def emb_pca_project(sf_dir: str, k: int = PCA_K) -> "ray.data.Dataset":
+    """(vec_id, pc1, pc2): project every embedding onto the top-k
+    principal components of the corpus (covariance from the exact Gram
+    fold; eigendecomposition on the driver; components broadcast).
+
+    Not SQL-expressible (eigendecomposition); pinned by invariant tests:
+    per-component projected variance ≈ eigenvalue, orthonormal
+    components, deterministic sign (largest-|coordinate| positive).
+    """
+    gram, col_sum, n = _gram_fold(sf_dir)
+    if n == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    **{f"pc{c + 1}": pd.Series(dtype="float64") for c in range(k)},
+                }
+            )
+        )
+    mean = col_sum.astype(np.float64) / n
+    cov = gram.astype(np.float64) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :k]  # top-k columns
+    # deterministic sign: make the largest-|x| coordinate positive
+    for c in range(comps.shape[1]):
+        arg = int(np.argmax(np.abs(comps[:, c])))
+        if comps[arg, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean_b, comps_b = ray.get(ref)
+        q = _quantized(batch).astype(np.float64)
+        proj = (q - mean_b) @ comps_b / EMB_E6  # back to unit scale
+        cols = {"vec_id": batch["vec_id"].cast(pa.int64())}
+        for c in range(comps_b.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(proj[:, c], type=pa.float64())
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+#: the inner CAST AS DOUBLE is load-bearing: without it DuckDB multiplies
+#: in FLOAT (the column type) and the float32-rounded product lands on the
+#: other side of floor() for ~half of all coordinates
+EMB_GRAM_SQL = f"""
+WITH x AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {EMB_E6} + 0.5) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+register("emb_gram", emb_gram, sql=EMB_GRAM_SQL)
+register("emb_pca_project", emb_pca_project)

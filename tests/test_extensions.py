@@ -2285,3 +2285,43 @@ class TestQuantileInterpolationParity:
                     [list(map(float, vals))],
                 ).fetchone()[0]
                 assert mine == theirs, (n, q, mine, theirs)
+
+
+class TestPCA:
+    """Distributed Gram fold + driver eigenprojection."""
+
+    def test_gram_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import pca  # noqa: F401
+
+        df = _check_against_oracle("emb_gram", oracle_con)
+        # diagonal entries are sums of squares: non-negative
+        diag = df[df["i"] == df["j"]]
+        assert (diag["s"] >= 0).all()
+
+    def test_projection_invariants(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import (
+            EMB_E6,
+            emb_pca_project,
+        )
+
+        out = emb_pca_project(SF).to_pandas().sort_values("vec_id")
+        # ground truth: numpy PCA over the same quantized corpus
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        x = np.stack(emb["embedding"].to_numpy())
+        q = np.floor(x.astype(np.float64) * EMB_E6 + 0.5)
+        qc = q - q.mean(axis=0)
+        cov = qc.T @ qc / len(q)
+        evals = np.linalg.eigvalsh(cov)[::-1]
+        # projected variance per component equals the eigenvalue
+        v1 = out["pc1"].var(ddof=0) * EMB_E6**2
+        v2 = out["pc2"].var(ddof=0) * EMB_E6**2
+        assert abs(v1 - evals[0]) / evals[0] < 1e-6
+        assert abs(v2 - evals[1]) / evals[1] < 1e-6
+        # components are uncorrelated in projection space
+        c12 = np.cov(out["pc1"], out["pc2"], ddof=0)[0, 1]
+        assert abs(c12) * EMB_E6**2 / evals[0] < 1e-6
+        # deterministic across runs (sign convention pins the direction)
+        again = emb_pca_project(SF).to_pandas().sort_values("vec_id")
+        assert (again["pc1"].to_numpy() == out["pc1"].to_numpy()).all()
