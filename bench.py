@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_pagerank(sf_dir: str) -> int:
+    """Fixed-point PageRank over the near-dup graph."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.graphrank import docs_pagerank
+
+    return len(docs_pagerank(sf_dir))
+
+
 def q_pca_project(sf_dir: str) -> int:
     """Distributed Gram fold + PCA projection."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import emb_pca_project
@@ -450,6 +457,7 @@ BENCH_QUERIES = {
     "quality_filter": q_quality_filter,
     "kmeans": q_kmeans,
     "pca_project": q_pca_project,
+    "pagerank": q_pagerank,
     "pack_greedy": q_pack_greedy,
     "semantic_dedup": q_semantic_dedup,
     "lm_score": q_lm_score,

@@ -2325,3 +2325,64 @@ class TestPCA:
         # deterministic across runs (sign convention pins the direction)
         again = emb_pca_project(SF).to_pandas().sort_values("vec_id")
         assert (again["pc1"].to_numpy() == out["pc1"].to_numpy()).all()
+
+
+class TestPageRank:
+    """Fixed-point power iteration over the near-dup graph."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import graphrank  # noqa: F401
+
+        df = _check_against_oracle("docs_pagerank", oracle_con)
+        # mass conservation: Σ rank ≈ 1e9 (damping leak is re-injected via
+        # the base term; rounding drift stays < 1 unit per node per iter)
+        total = df["rank_e9"].sum()
+        assert abs(total - 1_000_000_000) < len(df) * 10
+
+    def test_hub_outranks_leaves(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.graphrank import docs_pagerank
+
+        # star of near-identical docs: doc 1 pairs with every leaf (all
+        # share the same long text => complete graph actually; instead
+        # craft hub-dominant structure: leaves share text ONLY with hub)
+        hub = "alpha beta gamma delta epsilon zeta eta theta"
+        texts = {1: hub}
+        # each leaf: hub text + distinct long tail (jaccard with hub >= .5
+        # needs the shared prefix to dominate; tails differ pairwise)
+        for i in range(3):
+            texts[2 + i] = hub + f" tail{i}"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(texts), type=pa.int64()),
+                    "text": pa.array(list(texts.values())),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_pagerank(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert 1 in out.index
+        leaves = [i for i in out.index if i != 1]
+        assert leaves
+        # the hub is every leaf's best (often only) neighbor → max rank
+        assert out.loc[1, "rank_e9"] == out["rank_e9"].max()
+
+    def test_empty_graph(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.graphrank import docs_pagerank
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "text": pa.array(["solitary document with no twin"]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        assert len(docs_pagerank(str(tmp_path))) == 0
