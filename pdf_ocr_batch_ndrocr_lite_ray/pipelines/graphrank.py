@@ -63,7 +63,11 @@ def docs_pagerank(sf_dir: str, iters: int = PAGERANK_ITERS) -> "pa.Table":
             }
         )
 
-    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    # materialize ONCE: the edge list is the small derived output of the
+    # jaccard pipeline (pairs only, never text); leaving it lazy would
+    # re-execute both jaccard exchanges on every one of the iters+1
+    # passes below
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
 
     # degree fold: per-block src counts → driver dict (node-bounded state)
     deg: dict[int, int] = {}
