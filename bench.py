@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_zorder_key(sf_dir: str) -> int:
+    """Morton layout keys over (n_chars, source)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.zorder import docs_zorder_key
+
+    return _consume(docs_zorder_key(sf_dir))
+
+
 def q_pagerank(sf_dir: str) -> int:
     """Fixed-point PageRank over the near-dup graph."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.graphrank import docs_pagerank
@@ -458,6 +465,7 @@ BENCH_QUERIES = {
     "kmeans": q_kmeans,
     "pca_project": q_pca_project,
     "pagerank": q_pagerank,
+    "zorder_key": q_zorder_key,
     "pack_greedy": q_pack_greedy,
     "semantic_dedup": q_semantic_dedup,
     "lm_score": q_lm_score,

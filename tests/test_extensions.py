@@ -2386,3 +2386,35 @@ class TestPageRank:
             tmp_path / "documents.parquet",
         )
         assert len(docs_pagerank(str(tmp_path))) == 0
+
+
+class TestZOrder:
+    """Morton layout keys: oracle parity + locality property."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import zorder  # noqa: F401
+
+        _check_against_oracle("docs_zorder_key", oracle_con)
+
+    def test_interleave_roundtrip_and_locality(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.zorder import _interleave
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 65536, 500).astype(np.int64)
+        y = rng.integers(0, 65536, 500).astype(np.int64)
+        z = _interleave(x, y)
+        # bijective: de-interleave recovers both dimensions
+        def extract(z, off):
+            out = np.zeros(len(z), dtype=np.int64)
+            for b in range(16):
+                out |= ((z >> (2 * b + off)) & 1) << b
+            return out
+        assert (extract(z, 0) == x).all() and (extract(z, 1) == y).all()
+        # locality: sorting by zkey clusters BOTH dims — the mean |Δx| and
+        # |Δy| between zkey-adjacent rows is far below the random-order mean
+        order = np.argsort(z)
+        dx = np.abs(np.diff(x[order])).mean()
+        dy = np.abs(np.diff(y[order])).mean()
+        rand_dx = np.abs(np.diff(x)).mean()
+        rand_dy = np.abs(np.diff(y)).mean()
+        assert dx < rand_dx / 2 and dy < rand_dy / 2
