@@ -2418,3 +2418,36 @@ class TestZOrder:
         rand_dx = np.abs(np.diff(x)).mean()
         rand_dy = np.abs(np.diff(y)).mean()
         assert dx < rand_dx / 2 and dy < rand_dy / 2
+
+
+class TestDriverTopkFold:
+    """driver_topk_fold == global sort + head, on any block layout."""
+
+    def test_equals_global_sort(self, ray_session):
+        import ray as _ray
+        import ray.data as rd
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import driver_topk_fold
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(1000, dtype=np.int64),
+                "w": rng.integers(-50, 50, 1000),  # heavy ties
+            }
+        )
+        ds = rd.from_pandas([df.iloc[i : i + 37] for i in range(0, 1000, 37)])
+        got = driver_topk_fold(ds, ["w", "doc_id"], [False, True], 25)
+        want = df.sort_values(["w", "doc_id"], ascending=[False, True]).head(25)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_empty_dataset_returns_none(self, ray_session):
+        import ray.data as rd
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import driver_topk_fold
+
+        ds = rd.from_pandas(pd.DataFrame({"w": pd.Series(dtype="int64")}))
+        out = driver_topk_fold(ds, ["w"], [False], 5)
+        assert out is None or len(out) == 0
