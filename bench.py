@@ -341,6 +341,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_customer_order_counts(sf_dir: str) -> int:
+    """Left join with zero-extension (union + co-partition merge)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import customer_order_counts
+
+    return _consume(customer_order_counts(sf_dir))
+
+
 def q_zorder_key(sf_dir: str) -> int:
     """Morton layout keys over (n_chars, source)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.zorder import docs_zorder_key
@@ -466,6 +473,7 @@ BENCH_QUERIES = {
     "pca_project": q_pca_project,
     "pagerank": q_pagerank,
     "zorder_key": q_zorder_key,
+    "customer_order_counts": q_customer_order_counts,
     "pack_greedy": q_pack_greedy,
     "semantic_dedup": q_semantic_dedup,
     "lm_score": q_lm_score,

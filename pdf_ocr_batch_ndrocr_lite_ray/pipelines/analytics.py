@@ -540,3 +540,72 @@ register(
     top_customers_per_nation,
     sql=TOP_CUSTOMERS_PER_NATION_SQL,
 )
+
+
+# --- LEFT join with zero-extension: per-customer order counts ---------------
+
+def customer_order_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(c_custkey, n_orders): every customer with their order count,
+    INCLUDING order-less customers at 0 — the left-outer-join primitive.
+
+    Shape is the union + co-partition merge (no broadcast, no driver
+    key set, both sides arbitrarily large): the customer side emits
+    (key, 0) seed rows, the orders side emits per-block partial counts,
+    ONE hash exchange co-locates each key's rows, and the partition sums —
+    a seed row guarantees presence, so customers with no orders surface
+    with exactly 0. Each exchanged row is 16 bytes regardless of table
+    width.
+    """
+    from .exchange import hash_partitioned
+
+    cust = ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey"]
+    )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "n": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["o_custkey"])
+        return pa.table(
+            {
+                "c_custkey": vc.field("values").cast(pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    both = cust.map_batches(seed, batch_format="pyarrow").union(
+        orders.map_batches(partial, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby("c_custkey", sort=True)["n"].sum().reset_index()
+        return g.rename(columns={"n": "n_orders"}).astype(
+            {"c_custkey": "int64", "n_orders": "int64"}
+        )
+
+    return hash_partitioned(both, "c_custkey", merge)
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+register("customer_order_counts", customer_order_counts, sql=CUSTOMER_ORDER_COUNTS_SQL)

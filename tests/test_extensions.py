@@ -2451,3 +2451,40 @@ class TestDriverTopkFold:
         ds = rd.from_pandas(pd.DataFrame({"w": pd.Series(dtype="int64")}))
         out = driver_topk_fold(ds, ["w"], [False], 5)
         assert out is None or len(out) == 0
+
+
+class TestLeftJoinCounts:
+    """Union + co-partition left join: zero-extension semantics."""
+
+    def test_matches_oracle_and_zero_extends(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import analytics  # noqa: F401
+
+        df = _check_against_oracle("customer_order_counts", oracle_con)
+        n_cust = oracle_con.execute("SELECT count(*) FROM customer").fetchone()[0]
+        assert len(df) == n_cust  # every customer present
+
+    def test_zero_extension(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            customer_order_counts,
+        )
+
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2, 3], type=pa.int64())}),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+                    "o_custkey": pa.array([1, 1, 3], type=pa.int64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = (
+            customer_order_counts(str(tmp_path)).to_pandas().set_index("c_custkey")
+        )
+        assert out["n_orders"].to_dict() == {1: 2, 2: 0, 3: 1}
