@@ -98,6 +98,8 @@ class TestEmptyCorpus:
             "docs_importance_weights",
             "docs_temperature_mixture",
             "docs_novelty",
+            "docs_zorder_key",
+            "docs_importance_resample",
             "docs_top_ngrams",
             "docs_char_entropy",
             "docs_dedup_incremental",
@@ -118,6 +120,7 @@ class TestEmptyCorpus:
             index,
             mixture,
             novelty,
+            zorder,
             quality,
             selection,
             text_analysis,
@@ -2488,3 +2491,28 @@ class TestLeftJoinCounts:
             customer_order_counts(str(tmp_path)).to_pandas().set_index("c_custkey")
         )
         assert out["n_orders"].to_dict() == {1: 2, 2: 0, 3: 1}
+
+
+class TestEmptyEmbeddings:
+    """Embedding-family ops must return empty — not raise — on a zero-row
+    embeddings table."""
+
+    def test_pca_and_gram_on_empty(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import emb_gram, emb_pca_project
+
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32())),
+                    "label": pa.array([], type=pa.int32()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        assert len(emb_gram(str(tmp_path))) == 0
+        res = emb_pca_project(str(tmp_path))
+        assert (res.count() if hasattr(res, "count") else len(res)) == 0
