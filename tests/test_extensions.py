@@ -2342,6 +2342,27 @@ class TestPageRank:
         total = df["rank_e9"].sum()
         assert abs(total - 1_000_000_000) < len(df) * 10
 
+    def test_broadcast_cap_raises_with_direction(self, ray_session, tmp_path, monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import graphrank
+
+        hub = "alpha beta gamma delta epsilon zeta eta theta"
+        texts = {1: hub, 2: hub + " tail0", 3: hub + " tail1"}
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(texts), type=pa.int64()),
+                    "text": pa.array(list(texts.values())),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        monkeypatch.setattr(graphrank, "_MAX_BROADCAST_NODES", 2)
+        with pytest.raises(ValueError, match="hash-partition-aligned"):
+            graphrank.docs_pagerank(str(tmp_path))
+
     def test_hub_outranks_leaves(self, ray_session, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
