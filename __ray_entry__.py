@@ -61,9 +61,86 @@ def entry() -> Any:
     return extract_transcripts(path, order=True)
 
 
+# The driver's CORRECTNESS run checks exactly the first 50 entries of
+# ``queries()``.  Rotate so the 50-entry window carries (a) the flagship +
+# extraction family, (b) queries never driver-verdicted (all round-3
+# additions), and (c) queries last verdicted in r01/r02.  Long-green stable
+# queries rotate out of the window — they stay covered by pytest's oracle loop
+# and ``tools/check_driver_contract.py``.
+_DRIVER_WINDOW: list[str] = [
+    # flagship + extraction family (keep in-window every round)
+    "extract_flagship",
+    "extract_paged",
+    "extract_fallback_turns",
+    "extract_action_counts",
+    "extract_plain_turns",
+    "extract_plain_turns_jsonl",
+    "extract_kind_counts",
+    # newly value-oracled composed flow (rows-only through r03)
+    "conversation_texts",
+    # never driver-verdicted before r04 (registered past entry 50 in r03)
+    "events_quantiles_by_type",
+    "events_distinct_users_kmv",
+    "prep_corpus",
+    "prep_plain_corpus",
+    "dedup_minhash_clusters",
+    "dedup_canonical_docs",
+    "docs_quality_filter",
+    "docs_duplicate_spans",
+    "emb_kmeans_assign",
+    "semantic_dedup",
+    "docs_lm_score",
+    "docs_decontaminate",
+    "docs_mixture_cap",
+    "docs_temperature_mixture",
+    "docs_chunks",
+    "docs_redact_pii",
+    "docs_pack_greedy",
+    "docs_dedup_incremental",
+    "docs_version_diff",
+    "docs_filter_by_source_quantile",
+    "docs_select_budget",
+    "docs_curriculum_order",
+    "turns_boilerplate",
+    "conversation_stats",
+    "docs_heavy_hitters",
+    "docs_inverted_index",
+    "docs_importance_weights",
+    "docs_importance_resample",
+    "docs_bm25_topk",
+    "docs_novelty",
+    "emb_gram",
+    "emb_pca_project",
+    "docs_pagerank",
+    "docs_zorder_key",
+    # last driver-verdicted in r01/r02 (dropped out of the r03 window)
+    "docs_sample",
+    "docs_split_counts",
+    "docs_length_histogram",
+    "docs_stratified_sample",
+    "events_asof_view_click",
+    "events_distinct_users",
+    "docs_distinct_shingles_kmv",
+    "events_value_quantiles",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline (SURVEY.md §2 + extensions)."""
-    return dict(_queryset.QUERIES)
+    """One entry per implemented operator/pipeline (SURVEY.md §2 + extensions).
+
+    Ordered so the driver's 50-entry CORRECTNESS window (the dict's first 50
+    keys) covers the queries most in need of an external verdict this round;
+    the rest follow in registration order.
+    """
+    all_queries = dict(_queryset.QUERIES)
+    missing = [name for name in _DRIVER_WINDOW if name not in all_queries]
+    if missing:  # a rename would silently shrink the window — fail loud
+        raise KeyError(f"_DRIVER_WINDOW names not registered: {missing}")
+    ordered = {name: all_queries[name] for name in _DRIVER_WINDOW}
+    ordered.update(
+        (name, fn) for name, fn in all_queries.items() if name not in ordered
+    )
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
