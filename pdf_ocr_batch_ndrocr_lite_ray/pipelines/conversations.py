@@ -187,7 +187,96 @@ FROM plain_turns GROUP BY conv_id
 """
 
 
-register("conversation_texts", q_conversation_texts)  # rows-only: all-kind extraction
+# Bump when the expected-reassembly computation (join rule, separator,
+# empty-turn handling) or any extraction kernel changes — the cache file is
+# content-addressed by (sf, n_convs, seed, synth version, this version).
+_EXPECTED_CONV_VERSION = 1
+
+
+def expected_conversation_texts_path(sf_dir: str) -> str:
+    from pathlib import Path as _P
+
+    from .queryset import _CACHE_DIR, _SF_CONVS, _SYNTH_SEED, _SYNTH_VERSION
+
+    name = _P(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(
+        _CACHE_DIR
+        / (
+            f"expected-conv-texts-{name}-c{n_convs}-s{_SYNTH_SEED}"
+            f"-v{_SYNTH_VERSION}.{_EXPECTED_CONV_VERSION}.parquet"
+        )
+    )
+
+
+def materialize_expected_conversation_texts(sf_dir: str) -> str:
+    """Golden (conv_id, full_text, n_turns) via the single-process oracle.
+
+    ``oracle.py`` runs the exact extraction semantics with a plain Python
+    loop (no Ray, no exchange); the reassembly here is an equally-plain
+    per-conversation accumulation over its already-(conv_id, turn_idx)-sorted
+    output. What the materialized table therefore pins about the distributed
+    query is precisely the distribution: the salted two-level exchange, batch
+    boundaries, and ordering restoration — the parts that can silently break.
+    """
+    from pathlib import Path as _P
+
+    from .queryset import _CACHE_DIR
+
+    path = _P(expected_conversation_texts_path(sf_dir))
+    if path.exists():
+        return str(path)
+
+    import pyarrow.parquet as _pq
+
+    from ..oracle import oracle_extract_parquet
+
+    golden = oracle_extract_parquet(transcripts_for_sf(sf_dir))
+    conv_ids, texts, counts = [], [], []
+    cur_id, cur_parts, cur_n = None, [], 0
+    for conv_id, text in zip(
+        golden["conv_id"].to_pylist(), golden["extracted_text"].to_pylist()
+    ):
+        if conv_id != cur_id:
+            if cur_id is not None:
+                conv_ids.append(cur_id)
+                texts.append(TURN_SEP.join(cur_parts))
+                counts.append(cur_n)
+            cur_id, cur_parts, cur_n = conv_id, [], 0
+        cur_n += 1
+        if text:
+            cur_parts.append(text)
+    if cur_id is not None:
+        conv_ids.append(cur_id)
+        texts.append(TURN_SEP.join(cur_parts))
+        counts.append(cur_n)
+
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "full_text": pa.array(texts, type=pa.string()),
+            "n_turns": pa.array(counts, type=pa.int64()),
+        }
+    )
+    tmp = path.with_suffix(".tmp.parquet")
+    _pq.write_table(tbl, tmp)
+    tmp.replace(path)
+    return str(path)
+
+
+CONVERSATION_TEXTS_SQL = (
+    "SELECT conv_id, full_text, n_turns FROM read_parquet("
+    f"'{expected_conversation_texts_path('/root/testdata/sf0.01')}')"
+)
+
+from .queryset import MATERIALIZERS  # noqa: E402
+
+MATERIALIZERS.append(
+    lambda: materialize_expected_conversation_texts("/root/testdata/sf0.01")
+)
+
+register("conversation_texts", q_conversation_texts, sql=CONVERSATION_TEXTS_SQL)
 register(
     "conversation_plain_texts", q_conversation_plain_texts, sql=_conversation_plain_sql()
 )

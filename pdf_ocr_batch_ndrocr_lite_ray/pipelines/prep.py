@@ -171,5 +171,103 @@ FROM stats
     )
 
 
-register("prep_corpus", prep_corpus)  # rows-only: all-kind extraction
+# Bump when the expected-prep computation (gate, dedup rule, stats, split)
+# or any extraction kernel changes.
+_EXPECTED_PREP_VERSION = 1
+
+
+def expected_prep_corpus_path(sf_dir: str) -> str:
+    from pathlib import Path as _P
+
+    from .queryset import _CACHE_DIR, _SF_CONVS, _SYNTH_SEED, _SYNTH_VERSION
+
+    name = _P(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(
+        _CACHE_DIR
+        / (
+            f"expected-prep-corpus-{name}-c{n_convs}-s{_SYNTH_SEED}"
+            f"-v{_SYNTH_VERSION}.{_EXPECTED_PREP_VERSION}.parquet"
+        )
+    )
+
+
+def materialize_expected_prep_corpus(sf_dir: str) -> str:
+    """Golden (conv_id, n_turns, n_tokens, lang, split) via the oracle.
+
+    Single process, plain loops: gate the ``oracle.py`` per-turn golden table
+    by the same keep rule, accumulate each conversation's kept turns in
+    (conv_id, turn_idx) order, first-wins dedup on md5(full_text), then the
+    shared (itself green-oracled via ``docs_textstats``) stats kernel and the
+    hash split. No Ray and no exchange anywhere — so the materialized table
+    pins the distributed composition: gate placement, the salted reassembly,
+    the fingerprint exchange, and split stability under partitioning.
+    """
+    from pathlib import Path as _P
+
+    from .queryset import _CACHE_DIR
+
+    path = _P(expected_prep_corpus_path(sf_dir))
+    if path.exists():
+        return str(path)
+
+    import pyarrow.parquet as _pq
+
+    from ..oracle import oracle_extract_parquet
+    from .conversations import TURN_SEP
+
+    golden = oracle_extract_parquet(transcripts_for_sf(sf_dir))
+    kept: dict[str, list[str]] = {}
+    for conv_id, text, action in zip(
+        golden["conv_id"].to_pylist(),
+        golden["extracted_text"].to_pylist(),
+        golden["action"].to_pylist(),
+    ):
+        if action in KEEP_ACTIONS and text:
+            kept.setdefault(conv_id, []).append(text)
+
+    first_for_fp: dict[str, tuple[str, str, int]] = {}
+    for conv_id in sorted(kept):
+        turns = kept[conv_id]
+        full_text = TURN_SEP.join(turns)
+        fp = hashlib.md5(full_text.encode("utf-8")).hexdigest()
+        if fp not in first_for_fp:  # first-wins in conv_id order
+            first_for_fp[fp] = (conv_id, full_text, len(turns))
+
+    rows = sorted(first_for_fp.values())
+    conv_ids = [r[0] for r in rows]
+    stats = text_stats_columns(pa.array([r[1] for r in rows], type=pa.string()))
+    split = [
+        "val"
+        if int(hashlib.md5(str(c).encode()).hexdigest()[:8], 16) % 100 < VAL_PCT
+        else "train"
+        for c in conv_ids
+    ]
+
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "n_turns": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_tokens": stats["n_tokens_ws"],
+            "lang": stats["lang"],
+            "split": pa.array(split, type=pa.string()),
+        }
+    )
+    tmp = path.with_suffix(".tmp.parquet")
+    _pq.write_table(tbl, tmp)
+    tmp.replace(path)
+    return str(path)
+
+
+PREP_CORPUS_SQL = (
+    "SELECT conv_id, n_turns, n_tokens, lang, split FROM read_parquet("
+    f"'{expected_prep_corpus_path('/root/testdata/sf0.01')}')"
+)
+
+from .queryset import MATERIALIZERS  # noqa: E402
+
+MATERIALIZERS.append(lambda: materialize_expected_prep_corpus("/root/testdata/sf0.01"))
+
+register("prep_corpus", prep_corpus, sql=PREP_CORPUS_SQL)
 register("prep_plain_corpus", prep_plain_corpus, sql=_prep_plain_sql())
