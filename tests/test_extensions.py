@@ -2342,9 +2342,13 @@ class TestPageRank:
         total = df["rank_e9"].sum()
         assert abs(total - 1_000_000_000) < len(df) * 10
 
-    def test_broadcast_cap_raises_with_direction(self, ray_session, tmp_path, monkeypatch):
+    def test_broadcast_cap_autoswitches_to_partitioned(self, ray_session, tmp_path):
+        """Past the node cap docs_pagerank no longer raises — it reroutes to
+        the partition-aligned join and returns the same rows."""
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        import ray.data
 
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import graphrank
 
@@ -2359,9 +2363,44 @@ class TestPageRank:
             ),
             tmp_path / "documents.parquet",
         )
-        monkeypatch.setattr(graphrank, "_MAX_BROADCAST_NODES", 2)
-        with pytest.raises(ValueError, match="hash-partition-aligned"):
-            graphrank.docs_pagerank(str(tmp_path))
+        bc = graphrank.docs_pagerank(str(tmp_path), iters=1).to_pandas()
+        pt = graphrank.docs_pagerank(str(tmp_path), iters=1, max_broadcast_nodes=1)
+        assert isinstance(pt, ray.data.Dataset)  # the escalation path ran
+        pt = pt.to_pandas()
+        pd.testing.assert_frame_equal(
+            bc.sort_values("doc_id").reset_index(drop=True),
+            pt.sort_values("doc_id").reset_index(drop=True).astype({c: bc[c].dtype for c in bc}),
+        )
+
+    def test_partitioned_path_equals_broadcast_on_synthetic_graph(self, ray_session):
+        """2-iteration parity of the two paths on a ring + hub graph fed
+        directly as a symmetric edge Dataset (no jaccard pipeline)."""
+        import pyarrow as pa
+
+        import ray.data
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import graphrank as gr
+
+        pairs = [(i, (i + 1) % 8) for i in range(8)] + [(i, 99) for i in range(0, 8, 2)]
+        src = [a for a, b in pairs] + [b for a, b in pairs]
+        dst = [b for a, b in pairs] + [a for a, b in pairs]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                }
+            )
+        ).materialize()
+        bc = gr.pagerank_over_edges(edges, iters=2, max_broadcast_nodes=10**6)
+        pt = gr.pagerank_over_edges(edges, iters=2, max_broadcast_nodes=1)
+        bc_df = bc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pt_df = pt.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            bc_df, pt_df.astype({c: bc_df[c].dtype for c in bc_df})
+        )
+        # the hub gathers contributions from every even ring node → top rank
+        assert bc_df.set_index("doc_id")["rank_e9"].idxmax() == 99
 
     def test_hub_outranks_leaves(self, ray_session, tmp_path):
         import pyarrow as pa
