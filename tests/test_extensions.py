@@ -2482,6 +2482,69 @@ class TestZOrder:
         rand_dy = np.abs(np.diff(y)).mean()
         assert dx < rand_dx / 2 and dy < rand_dy / 2
 
+    def test_layout_write_prunes_row_groups(self, ray_session, tmp_path):
+        """The operator's purpose: a 2-D predicate overlaps strictly fewer
+        row-group footer stats in the z-ordered layout than in the same data
+        written in insertion order — and both layouts return identical rows."""
+        import duckdb as _duckdb
+
+        import ray.data
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.zorder import (
+            matching_row_groups,
+            write_zordered_layout,
+        )
+
+        zdir, pdir = str(tmp_path / "zordered"), str(tmp_path / "plain")
+        write_zordered_layout(SF, zdir)
+        ray.data.read_parquet(SF + "/documents.parquet").write_parquet(
+            pdir, min_rows_per_file=256, row_group_size=64
+        )
+        pred = ((100, 400), "src3")
+        mz, tz = matching_row_groups(zdir, *pred)
+        mp, tp = matching_row_groups(pdir, *pred)
+        # block boundaries may split the writes into ±1 row group; compare
+        # the matched FRACTION, which is what pruning actually buys
+        assert mz / tz < mp / tp  # the z-order layout prunes
+        assert mz < tz  # and not vacuously (some groups are skipped)
+        rows = lambda d: _duckdb.sql(  # noqa: E731
+            f"SELECT doc_id FROM read_parquet('{d}/*.parquet') "
+            "WHERE n_chars BETWEEN 100 AND 400 AND source = 'src3' ORDER BY doc_id"
+        ).df()
+        assert rows(zdir).equals(rows(pdir))
+
+    def test_null_source_matches_oracle(self, ray_session, tmp_path):
+        """NULL sources bucket identically in both engines (ADVICE r3): the
+        SQL coalesces to 'None' to mirror Python's str(None)."""
+        import duckdb as _duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.zorder import (
+            _zorder_sql,
+            docs_zorder_key,
+        )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(["a", "b", "c"]),
+                    "lang": pa.array(["en", "en", "en"]),
+                    "source": pa.array(["src1", None, "src2"]),
+                    "n_chars": pa.array([10, 20, 30], type=pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = docs_zorder_key(str(tmp_path)).to_pandas().sort_values("doc_id")
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        want = con.execute(_zorder_sql() + " ORDER BY doc_id").df()
+        assert (got["zkey"].to_numpy() == want["zkey"].to_numpy()).all()
+
 
 class TestDriverTopkFold:
     """driver_topk_fold == global sort + head, on any block layout."""
