@@ -553,8 +553,11 @@ def customer_order_counts(sf_dir: str) -> "ray.data.Dataset":
     (key, 0) seed rows, the orders side emits per-block partial counts,
     ONE hash exchange co-locates each key's rows, and the partition sums —
     a seed row guarantees presence, so customers with no orders surface
-    with exactly 0. Each exchanged row is 16 bytes regardless of table
-    width.
+    with exactly 0, and a key is emitted ONLY if a seed row reached it, so
+    orphan orders (o_custkey absent from customer — impossible under
+    TPC-H FK integrity but legal input) are dropped exactly like the SQL
+    LEFT JOIN drops them. Each exchanged row is 16 bytes regardless of
+    table width.
     """
     from .exchange import hash_partitioned
 
@@ -594,9 +597,15 @@ def customer_order_counts(sf_dir: str) -> "ray.data.Dataset":
                     "n_orders": pd.Series(dtype="int64"),
                 }
             )
-        g = df.groupby("c_custkey", sort=True)["n"].sum().reset_index()
-        return g.rename(columns={"n": "n_orders"}).astype(
-            {"c_custkey": "int64", "n_orders": "int64"}
+        g = df.groupby("c_custkey", sort=True)["n"].agg(["sum", "min"]).reset_index()
+        # LEFT-join semantics: only seeded keys (a customer seed carries
+        # n == 0; order partials are ≥ 1) — orphan orders never emit
+        g = g[g["min"] == 0]
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].astype("int64").to_numpy(),
+                "n_orders": g["sum"].astype("int64").to_numpy(),
+            }
         )
 
     return hash_partitioned(both, "c_custkey", merge)

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .exchange import enum_group_sum, list_matrix
+from .exchange import enum_group_agg, list_matrix
 from .queryset import register, table_path
 
 #: fixed-point scale for embedding coordinates
@@ -65,33 +65,60 @@ def _gram_fold(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
                     "i": pa.array([], type=pa.int64()),
                     "j": pa.array([], type=pa.int64()),
                     "s": pa.array([], type=pa.int64()),
+                    "m": pa.array([], type=pa.int64()),
                 }
             )
+        # overflow pre-check in FLOAT, before any int64 product can wrap:
+        # every entry of q.T @ q is bounded by n_rows * max|q|^2
+        qmax = int(np.abs(q).max())
+        if len(q) * float(qmax) ** 2 >= 2.0**63:
+            raise ValueError(
+                f"gram partial over {len(q)} rows with max|q|={qmax} can "
+                "exceed int64 — lower the block size or switch to the "
+                "hierarchical int128 fold"
+            )
         d = q.shape[1]
-        g = q.T @ q  # int64-exact: |q| ≤ 2^21, rows per block ≤ 2^20
+        g = q.T @ q  # int64-exact per the pre-check above
         iu = np.triu_indices(d)
         sums = q.sum(axis=0)
-        # ride the column sums and the row count as extra rows (j = -1 / -2)
+        # ride the column sums, the row count, and max|q| as extra rows
+        # (j = -1 / -2 / -3); "m" is the max-folded channel (0 elsewhere)
+        n_rows = len(iu[0]) + d + 2
+        m_col = np.zeros(n_rows, dtype=np.int64)
+        m_col[-1] = qmax
         return pa.table(
             {
                 "i": pa.array(
-                    np.concatenate([iu[0], np.arange(d), [0]]), type=pa.int64()
+                    np.concatenate([iu[0], np.arange(d), [0, 0]]), type=pa.int64()
                 ),
                 "j": pa.array(
-                    np.concatenate([iu[1], np.full(d, -1), [-2]]), type=pa.int64()
+                    np.concatenate([iu[1], np.full(d, -1), [-2, -3]]), type=pa.int64()
                 ),
                 "s": pa.array(
-                    np.concatenate([g[iu], sums, [len(q)]]), type=pa.int64()
+                    np.concatenate([g[iu], sums, [len(q), 0]]), type=pa.int64()
                 ),
+                "m": pa.array(m_col, type=pa.int64()),
             }
         )
 
-    rows = enum_group_sum(
-        ds.map_batches(partial, batch_format="pyarrow"), ["i", "j"], ["s"]
+    rows = enum_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"],
+        {"s": "sum", "m": "max"},
     )
     if len(rows) == 0:
         return np.zeros((0, 0), dtype=np.int64), np.zeros(0, dtype=np.int64), 0
     n = int(rows.loc[(rows["i"] == 0) & (rows["j"] == -2), "s"].sum())
+    # int64-exactness check for the WHOLE fold, from the ridden row count
+    # and global max|q| — never from the already-summed entries, which wrap
+    # silently on overflow (a doubly-wrapped sum can land back under any
+    # threshold). Documented escalation: hierarchical int128 fold.
+    qmax = int(rows.loc[rows["j"] == -3, "m"].max())
+    if float(n) * float(qmax) ** 2 >= 2.0**63:
+        raise ValueError(
+            f"gram fold over n={n} rows with max|q|={qmax} can exceed "
+            "int64 — switch to the hierarchical int128 fold"
+        )
     sums_rows = rows[rows["j"] == -1]
     d = len(sums_rows)
     col_sum = np.zeros(d, dtype=np.int64)
@@ -100,9 +127,6 @@ def _gram_fold(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
     gm = rows[rows["j"] >= 0]
     gram[gm["i"].to_numpy(), gm["j"].to_numpy()] = gm["s"].to_numpy()
     gram = gram + np.triu(gram, 1).T  # mirror the upper triangle
-    # int64-exactness guard for the driver fold (documented escalation:
-    # hierarchical int128 fold): entries stay far below 2^62 here
-    assert np.abs(gram).max() < 2**62, "gram fold approaching int64 range"
     return gram, col_sum, n
 
 

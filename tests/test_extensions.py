@@ -2615,6 +2615,34 @@ class TestLeftJoinCounts:
         )
         assert out["n_orders"].to_dict() == {1: 2, 2: 0, 3: 1}
 
+    def test_orphan_orders_dropped_like_left_join(self, ray_session, tmp_path):
+        """An o_custkey absent from customer never emits a row — exactly the
+        SQL LEFT JOIN's behavior (no FK-integrity assumption, ADVICE r3)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            customer_order_counts,
+        )
+
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2], type=pa.int64())}),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+                    "o_custkey": pa.array([1, 999, 999], type=pa.int64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = (
+            customer_order_counts(str(tmp_path)).to_pandas().set_index("c_custkey")
+        )
+        assert out["n_orders"].to_dict() == {1: 1, 2: 0}
+
 
 class TestEmptyEmbeddings:
     """Embedding-family ops must return empty — not raise — on a zero-row
