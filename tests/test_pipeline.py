@@ -44,6 +44,28 @@ class TestGoldenPipeline:
         ours = pa.concat_tables([ray.get(r) for r in ours])
         _assert_tables_equal(ours, golden)
 
+    def test_pipeline_matches_oracle_second_seed(self, ray_session, tmp_path):
+        """Full-output golden parity on a second corpus seed (VERDICT r3 #6):
+        the flagship query is rows-only forever by oracle floor, so this is
+        its end-to-end drift net — a different seed and corpus size than both
+        the registry corpus (seed 42) and the tiny fixture (seed 7), catching
+        kernel drift the per-family oracles can't see composed."""
+        import ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            extract_transcripts,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import (
+            write_transcripts,
+        )
+
+        path = tmp_path / "seed1234.parquet"
+        write_transcripts(path, n_convs=60, seed=1234)
+        golden = oracle_extract_parquet(path)
+        refs = extract_transcripts(str(path), order=True).to_arrow_refs()
+        ours = pa.concat_tables([ray.get(r) for r in refs])
+        _assert_tables_equal(ours, golden)
+
     def test_all_actions_present(self, tiny_transcripts):
         golden = oracle_extract_parquet(tiny_transcripts)
         actions = set(golden["action"].to_pylist())
