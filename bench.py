@@ -73,6 +73,15 @@ def q_extract(sf_dir: str) -> int:
     return _consume(extract_transcripts(_bench_input(sf_dir)))
 
 
+def q_extract_actors(sf_dir: str) -> int:
+    """Flagship via the ACTOR-POOL form (TurnExtractor, per-actor state in
+    __init__) — the documented shape for model-heavy extractors; this row
+    keeps its concurrency caps honest vs the task-pool path."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
+
+    return _consume(extract_transcripts(_bench_input(sf_dir), use_actors=True))
+
+
 def q_extract_ordered(sf_dir: str) -> int:
     """Flagship + canonical (conv_id, turn_idx) order restoration (sort shuffle)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
@@ -440,6 +449,7 @@ def q_conversation_stats(sf_dir: str) -> int:
 
 BENCH_QUERIES = {
     "extract": q_extract,
+    "extract_actors": q_extract_actors,
     "extract_ordered": q_extract_ordered,
     "extract_resume": q_extract_resume,
     "docs_textstats": q_docs_textstats,
@@ -491,6 +501,38 @@ BENCH_QUERIES = {
 }
 
 
+def kernel_microbench(n_convs: int = 60, seed: int = 42) -> dict:
+    """Single-threaded per-kind kernel cost in µs/turn — no Ray, no I/O.
+
+    This is the host factor: the sandbox gets re-provisioned between rounds
+    and single-thread speed moves (measured 1.55× end of round 3), so BENCH
+    artifacts embed this block to make cross-round wall-time ratios
+    mechanically normalizable (VERDICT r3 #9) instead of via prose.
+    """
+    from collections import defaultdict
+
+    from pdf_ocr_batch_ndrocr_lite_ray.sources.transcripts import generate_rows
+    from pdf_ocr_batch_ndrocr_lite_ray.stages.extract import extract_turn
+    from pdf_ocr_batch_ndrocr_lite_ray.stages.sniffer import classify_one
+
+    by_kind: dict[str, list[str]] = defaultdict(list)
+    for r in generate_rows(n_convs=n_convs, seed=seed):
+        by_kind[classify_one(r["text"])].append(r["text"])
+    out: dict[str, float] = {}
+    for kind, texts in sorted(by_kind.items()):
+        # repeat until the sample costs ≥50 ms so the per-turn quotient is
+        # stable against timer noise
+        reps, el = 0, 0.0
+        t0 = time.perf_counter()
+        while el < 0.05:
+            for text in texts:
+                extract_turn(text, kind)
+            reps += 1
+            el = time.perf_counter() - t0
+        out[kind] = round(el / (reps * len(texts)) * 1e6, 1)
+    return out
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     paths = _bench_input(sf_dir)  # warm the input cache outside the timed region
@@ -519,6 +561,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "turns_per_sec": round(extract_rows / extract_sec, 1) if extract_sec else None,
         "extract_rows": extract_rows,
+        "kernel_us": kernel_microbench(),
         **({"errors": errors} if errors else {}),
     }
 
