@@ -194,19 +194,9 @@ _EXPECTED_CONV_VERSION = 1
 
 
 def expected_conversation_texts_path(sf_dir: str) -> str:
-    from pathlib import Path as _P
+    from .queryset import expected_table_path
 
-    from .queryset import _CACHE_DIR, _SF_CONVS, _SYNTH_SEED, _SYNTH_VERSION
-
-    name = _P(sf_dir).name or "sf0.001"
-    n_convs = _SF_CONVS.get(name, 40)
-    return str(
-        _CACHE_DIR
-        / (
-            f"expected-conv-texts-{name}-c{n_convs}-s{_SYNTH_SEED}"
-            f"-v{_SYNTH_VERSION}.{_EXPECTED_CONV_VERSION}.parquet"
-        )
-    )
+    return expected_table_path("expected-conv-texts", sf_dir, _EXPECTED_CONV_VERSION)
 
 
 def materialize_expected_conversation_texts(sf_dir: str) -> str:
@@ -219,16 +209,14 @@ def materialize_expected_conversation_texts(sf_dir: str) -> str:
     query is precisely the distribution: the salted two-level exchange, batch
     boundaries, and ordering restoration — the parts that can silently break.
     """
-    from pathlib import Path as _P
+    from .queryset import materialize_expected_table
 
-    from .queryset import _CACHE_DIR
+    return materialize_expected_table(
+        "expected-conv-texts", sf_dir, _EXPECTED_CONV_VERSION, _build_expected_conversation_texts
+    )
 
-    path = _P(expected_conversation_texts_path(sf_dir))
-    if path.exists():
-        return str(path)
 
-    import pyarrow.parquet as _pq
-
+def _build_expected_conversation_texts(sf_dir: str) -> pa.Table:
     from ..oracle import oracle_extract_parquet
 
     golden = oracle_extract_parquet(transcripts_for_sf(sf_dir))
@@ -251,18 +239,13 @@ def materialize_expected_conversation_texts(sf_dir: str) -> str:
         texts.append(TURN_SEP.join(cur_parts))
         counts.append(cur_n)
 
-    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    tbl = pa.table(
+    return pa.table(
         {
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "full_text": pa.array(texts, type=pa.string()),
             "n_turns": pa.array(counts, type=pa.int64()),
         }
     )
-    tmp = path.with_suffix(".tmp.parquet")
-    _pq.write_table(tbl, tmp)
-    tmp.replace(path)
-    return str(path)
 
 
 CONVERSATION_TEXTS_SQL = (

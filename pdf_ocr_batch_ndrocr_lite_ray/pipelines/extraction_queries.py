@@ -33,10 +33,8 @@ from ..stages.sniffer import SNIFF_PREFIX_BYTES, classify_text_array, sniff_batc
 from .extraction import extract_transcripts
 from .queryset import (
     MATERIALIZERS,
-    _CACHE_DIR,
     _SF_CONVS,
     _SYNTH_SEED,
-    _SYNTH_VERSION,
     register,
     table_path,
     transcripts_for_sf,
@@ -401,17 +399,9 @@ _EXPECTED_ACTIONS_VERSION = 1
 
 
 def expected_action_counts_path(sf_dir: str) -> str:
-    from pathlib import Path as _P
+    from .queryset import expected_table_path
 
-    name = _P(sf_dir).name or "sf0.001"
-    n_convs = _SF_CONVS.get(name, 40)
-    return str(
-        _CACHE_DIR
-        / (
-            f"expected-actions-{name}-c{n_convs}-s{_SYNTH_SEED}"
-            f"-v{_SYNTH_VERSION}.{_EXPECTED_ACTIONS_VERSION}.parquet"
-        )
-    )
+    return expected_table_path("expected-actions", sf_dir, _EXPECTED_ACTIONS_VERSION)
 
 
 def materialize_expected_action_counts(sf_dir: str) -> str:
@@ -423,33 +413,31 @@ def materialize_expected_action_counts(sf_dir: str) -> str:
     the plain kernel (itself green-oracled) — never from running the
     html/xml/pdfish extractors whose parse decisions this oracle pins.
     """
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-actions", sf_dir, _EXPECTED_ACTIONS_VERSION, _build_expected_action_counts
+    )
+
+
+def _build_expected_action_counts(sf_dir: str) -> pa.Table:
     from collections import Counter as _Counter
     from pathlib import Path as _P
 
     from ..sources.transcripts import expected_action, generate_rows
 
-    path = _P(expected_action_counts_path(sf_dir))
-    if path.exists():
-        return str(path)
     name = _P(sf_dir).name or "sf0.001"
     n_convs = _SF_CONVS.get(name, 40)
     counts: _Counter = _Counter(
         expected_action(r["text"], r["family"])
         for r in generate_rows(n_convs=n_convs, seed=_SYNTH_SEED, with_family=True)
     )
-    import pyarrow.parquet as _pq
-
-    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    tbl = pa.table(
+    return pa.table(
         {
             "action": pa.array(sorted(counts), type=pa.string()),
             "n": pa.array([counts[a] for a in sorted(counts)], type=pa.int64()),
         }
     )
-    tmp = path.with_suffix(".tmp.parquet")
-    _pq.write_table(tbl, tmp)
-    tmp.replace(path)
-    return str(path)
 
 
 EXTRACT_ACTION_COUNTS_SQL = (

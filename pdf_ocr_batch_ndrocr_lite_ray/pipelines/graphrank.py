@@ -134,12 +134,24 @@ def pagerank_over_edges(
         u_parts[:] = [nodes_]
         c_parts[:] = [deg_]
 
-    for b in edges.iter_batches(batch_size=65_536, batch_format="pyarrow"):
+    def degree_partials(t: pa.Table) -> pa.Table:
+        # uniques computed CLUSTER-SIDE so only (node, count) partials reach
+        # the driver — never the raw O(|E|) edge rows
+        u, c = np.unique(int64_array(t["src"]), return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(u, type=pa.int64()),
+                "c": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    for b in edges.map_batches(degree_partials, batch_format="pyarrow").iter_batches(
+        batch_size=65_536, batch_format="pyarrow"
+    ):
         if b.num_rows == 0:
             continue
-        u, c = np.unique(int64_array(b["src"]), return_counts=True)
-        u_parts.append(u)
-        c_parts.append(c.astype(np.int64))
+        u_parts.append(int64_array(b["u"]))
+        c_parts.append(int64_array(b["c"]))
         if len(u_parts) >= 64:
             _refold()
         if len(u_parts[0]) > max_broadcast_nodes:
@@ -178,8 +190,19 @@ def pagerank_over_edges(
         ):
             if b.num_rows == 0:
                 continue
-            # every dst is also a src (symmetrized graph) → always found
-            np.add.at(sums, np.searchsorted(nodes, int64_array(b["dst"])), int64_array(b["c"]))
+            dst = int64_array(b["dst"])
+            idx = np.searchsorted(nodes, dst)
+            # guard the probe: symmetrized input means every dst is a src;
+            # a miss here means the caller passed a directed edge list, and
+            # silently attributing the contribution to a neighboring node
+            # would be far worse than failing
+            hit = (idx < n) & (nodes[np.minimum(idx, n - 1)] == dst)
+            if not hit.all():
+                raise ValueError(
+                    "edge dst not in the source-node set — pagerank_over_edges "
+                    "requires a symmetrized edge list (every dst also a src)"
+                )
+            np.add.at(sums, idx, int64_array(b["c"]))
         ranks = base + sums
 
     return pa.table(
@@ -204,34 +227,37 @@ def _pagerank_partitioned(edges: "ray.data.Dataset", iters: int) -> "ray.data.Da
 
     Only scalars (N, base) touch the driver.
     """
-    n = int(
-        hash_partitioned(
-            edges,
-            "src",
-            lambda df: pd.DataFrame({"n": [df["src"].nunique()]}),
-        )
-        .to_pandas()["n"]
-        .sum()
-    )
-    if n == 0:
-        return ray.data.from_arrow(_empty_ranks())
-    base = int(np.floor(0.15 * 1e9 / n + 0.5))
-    r0 = int(np.floor(1e9 / n + 0.5))
-
     def degrees(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("src", sort=False).size()
         return pd.DataFrame(
             {
                 "key": g.index.to_numpy(np.int64),
                 "dst": np.int64(-1),
-                "r": np.int64(r0),
+                "r": np.int64(0),  # placeholder — r0 patched in below once N is known
                 "deg": g.to_numpy(np.int64),
                 "c": np.int64(0),
                 "is_state": True,
             }
         )
 
+    # ONE edge exchange builds the state; the node count (one state row per
+    # node) comes from counting it — not from a second full exchange of the
+    # edge set just to count distinct sources
     state = hash_partitioned(edges, "src", degrees).materialize()
+    n = state.count()
+    if n == 0:
+        return ray.data.from_arrow(_empty_ranks())
+    base = int(np.floor(0.15 * 1e9 / n + 0.5))
+    r0 = int(np.floor(1e9 / n + 0.5))
+
+    def seed_rank(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("r"),
+            "r",
+            pa.array(np.full(t.num_rows, r0, dtype=np.int64)),
+        )
+
+    state = state.map_batches(seed_rank, batch_format="pyarrow").materialize()
 
     def edge_rows(t: pa.Table) -> pa.Table:
         m = t.num_rows
@@ -266,7 +292,15 @@ def _pagerank_partitioned(edges: "ray.data.Dataset", iters: int) -> "ray.data.Da
             skeys = skeys[order]
             r = st["r"].to_numpy(np.int64)[order]
             d = st["deg"].to_numpy(np.int64)[order]
-            idx = np.searchsorted(skeys, ed["key"].to_numpy(np.int64))
+            ekeys = ed["key"].to_numpy(np.int64)
+            idx = np.searchsorted(skeys, ekeys)
+            hit = (idx < len(skeys)) & (skeys[np.minimum(idx, len(skeys) - 1)] == ekeys)
+            if not hit.all():  # src without a state row: impossible for
+                # symmetrized input (state is built from the same srcs)
+                raise ValueError(
+                    "edge src missing its state row — co-partitioning broke "
+                    "or the edge list changed between iterations"
+                )
             contrib = _contrib_e9(r[idx], d[idx])
             g = pd.DataFrame(
                 {"key": ed["dst"].to_numpy(np.int64), "c": contrib}
@@ -297,6 +331,15 @@ def _pagerank_partitioned(edges: "ray.data.Dataset", iters: int) -> "ray.data.Da
             st = df[df["deg"] > 0]
             sums = df.groupby("key", sort=False)["c"].sum()
             keys = st["key"].to_numpy(np.int64)
+            # a contrib keyed to a node with no state row would silently
+            # vanish in the reindex below — only possible for a directed
+            # (non-symmetrized) edge list; fail instead of dropping mass
+            orphans = ~np.isin(sums.index.to_numpy(np.int64), keys)
+            if orphans.any():
+                raise ValueError(
+                    "contribution for a dst with no state row — "
+                    "pagerank requires a symmetrized edge list"
+                )
             new_r = base + sums.reindex(keys, fill_value=0).to_numpy(np.int64)
             return pd.DataFrame(
                 {

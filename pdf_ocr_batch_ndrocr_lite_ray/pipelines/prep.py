@@ -177,19 +177,9 @@ _EXPECTED_PREP_VERSION = 1
 
 
 def expected_prep_corpus_path(sf_dir: str) -> str:
-    from pathlib import Path as _P
+    from .queryset import expected_table_path
 
-    from .queryset import _CACHE_DIR, _SF_CONVS, _SYNTH_SEED, _SYNTH_VERSION
-
-    name = _P(sf_dir).name or "sf0.001"
-    n_convs = _SF_CONVS.get(name, 40)
-    return str(
-        _CACHE_DIR
-        / (
-            f"expected-prep-corpus-{name}-c{n_convs}-s{_SYNTH_SEED}"
-            f"-v{_SYNTH_VERSION}.{_EXPECTED_PREP_VERSION}.parquet"
-        )
-    )
+    return expected_table_path("expected-prep-corpus", sf_dir, _EXPECTED_PREP_VERSION)
 
 
 def materialize_expected_prep_corpus(sf_dir: str) -> str:
@@ -203,16 +193,14 @@ def materialize_expected_prep_corpus(sf_dir: str) -> str:
     pins the distributed composition: gate placement, the salted reassembly,
     the fingerprint exchange, and split stability under partitioning.
     """
-    from pathlib import Path as _P
+    from .queryset import materialize_expected_table
 
-    from .queryset import _CACHE_DIR
+    return materialize_expected_table(
+        "expected-prep-corpus", sf_dir, _EXPECTED_PREP_VERSION, _build_expected_prep_corpus
+    )
 
-    path = _P(expected_prep_corpus_path(sf_dir))
-    if path.exists():
-        return str(path)
 
-    import pyarrow.parquet as _pq
-
+def _build_expected_prep_corpus(sf_dir: str) -> pa.Table:
     from ..oracle import oracle_extract_parquet
     from .conversations import TURN_SEP
 
@@ -244,8 +232,7 @@ def materialize_expected_prep_corpus(sf_dir: str) -> str:
         for c in conv_ids
     ]
 
-    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    tbl = pa.table(
+    return pa.table(
         {
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "n_turns": pa.array([r[2] for r in rows], type=pa.int64()),
@@ -254,10 +241,6 @@ def materialize_expected_prep_corpus(sf_dir: str) -> str:
             "split": pa.array(split, type=pa.string()),
         }
     )
-    tmp = path.with_suffix(".tmp.parquet")
-    _pq.write_table(tbl, tmp)
-    tmp.replace(path)
-    return str(path)
 
 
 PREP_CORPUS_SQL = (

@@ -100,6 +100,43 @@ def table_path(sf_dir: str, table: str) -> str:
     return str(Path(sf_dir) / f"{table}.parquet")
 
 
+def expected_table_path(prefix: str, sf_dir: str, version: int) -> str:
+    """Cache path for a materialized golden table (pure path math).
+
+    Content-addressed by (prefix, scale, corpus params, synth version,
+    the caller's expected-computation version) — bump the caller's version
+    when its golden computation or any kernel it rides changes.
+    """
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(
+        _CACHE_DIR
+        / (
+            f"{prefix}-{name}-c{n_convs}-s{_SYNTH_SEED}"
+            f"-v{_SYNTH_VERSION}.{version}.parquet"
+        )
+    )
+
+
+def materialize_expected_table(
+    prefix: str, sf_dir: str, version: int, build_table
+) -> str:
+    """Write ``build_table(sf_dir) -> pyarrow.Table`` to its cache path
+    (atomic tmp+rename, skip if present) — the ONE copy of the golden-table
+    cache contract shared by every materialized oracle."""
+    import pyarrow.parquet as _pq
+
+    path = Path(expected_table_path(prefix, sf_dir, version))
+    if path.exists():
+        return str(path)
+    tbl = build_table(sf_dir)
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.parquet")
+    _pq.write_table(tbl, tmp)
+    tmp.replace(path)
+    return str(path)
+
+
 # bench-scale transcript tables: sharded (parallel read + per-fragment
 # checkpointing) and big enough that per-turn compute dominates actor startup
 _BENCH_CONVS = {"sf0.001": 256, "sf0.01": 1024, "sf0.1": 32768}

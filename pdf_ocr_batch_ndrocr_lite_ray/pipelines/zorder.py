@@ -69,9 +69,10 @@ def _key_columns(df: pd.DataFrame) -> pd.DataFrame:
     srcs = {s: int(hashlib.md5(str(s).encode()).hexdigest()[:2], 16) * 256
             for s in df["source"].unique()}
     y = df["source"].map(srcs).to_numpy(dtype=np.int64)
-    out = df.copy()
-    out["zkey"] = _interleave(x, y)
-    return out
+    # the map owns its pandas batch — assign in place rather than deep-copy
+    # the full text payload just to append one int column
+    df["zkey"] = _interleave(x, y)
+    return df
 
 
 def write_zordered_layout(
@@ -120,8 +121,19 @@ def matching_row_groups(
             total += 1
             st_n = meta.row_group(g).column(i_n).statistics
             st_s = meta.row_group(g).column(i_s).statistics
-            n_overlaps = st_n is None or (st_n.min <= hi and st_n.max >= lo)
-            s_overlaps = st_s is None or (st_s.min <= source <= st_s.max)
+            # a stats object can exist with NO min/max (all-null group —
+            # e.g. 64+ NULL sources z-cluster together); treat it like
+            # missing stats, exactly as a parquet reader would
+            n_overlaps = (
+                st_n is None
+                or not st_n.has_min_max
+                or (st_n.min <= hi and st_n.max >= lo)
+            )
+            s_overlaps = (
+                st_s is None
+                or not st_s.has_min_max
+                or (st_s.min <= source <= st_s.max)
+            )
             if n_overlaps and s_overlaps:
                 matching += 1
     return matching, total

@@ -2513,6 +2513,26 @@ class TestZOrder:
         ).df()
         assert rows(zdir).equals(rows(pdir))
 
+    def test_matching_row_groups_survives_all_null_stats(self, tmp_path):
+        """An all-null source row group has a stats object WITHOUT min/max;
+        the pruning counter must treat it as unprunable, not crash."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.zorder import matching_row_groups
+
+        pq.write_table(
+            pa.table(
+                {
+                    "n_chars": pa.array([None, None, None], type=pa.int64()),
+                    "source": pa.array([None, None, None], type=pa.string()),
+                }
+            ),
+            tmp_path / "layout.parquet",
+        )
+        m, t = matching_row_groups(str(tmp_path), (0, 100), "src1")
+        assert (m, t) == (1, 1)  # unprunable → counted as matching
+
     def test_null_source_matches_oracle(self, ray_session, tmp_path):
         """NULL sources bucket identically in both engines (ADVICE r3): the
         SQL coalesces to 'None' to mirror Python's str(None)."""
