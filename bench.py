@@ -350,6 +350,13 @@ def q_inverted_index(sf_dir: str) -> int:
     return _consume(docs_inverted_index(sf_dir))
 
 
+def q_docs_profile(sf_dir: str) -> int:
+    """Per-column table profile (nulls, KMV distincts, min/max) in one pass."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import docs_profile
+
+    return len(docs_profile(sf_dir))
+
+
 def q_customer_order_counts(sf_dir: str) -> int:
     """Left join with zero-extension (union + co-partition merge)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import customer_order_counts
@@ -483,6 +490,7 @@ BENCH_QUERIES = {
     "pca_project": q_pca_project,
     "pagerank": q_pagerank,
     "zorder_key": q_zorder_key,
+    "docs_profile": q_docs_profile,
     "customer_order_counts": q_customer_order_counts,
     "pack_greedy": q_pack_greedy,
     "semantic_dedup": q_semantic_dedup,

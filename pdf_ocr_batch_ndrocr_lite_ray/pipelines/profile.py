@@ -1,0 +1,164 @@
+"""Distributed table profiling: per-column nulls, distincts, min/max.
+
+The data-validation primitive every 100 TB ingest runs before training
+(the Deequ / TFDV "column statistics" pass, cf. Schelter et al., VLDB
+2018): one streaming pass over the table producing, for every column,
+the row count, null count, a deterministic KMV distinct-count sketch,
+and typed min/max. No reference analog (the reference profiles nothing);
+this is a §2.11 extension operator.
+
+Shape: per-block partials → bounded driver fold. Each block emits ONE
+row per column carrying (counts, k-min hash sketch, typed min/max) — all
+mergeable — so the exchange volume is #columns × (k + constants) per
+block and the driver holds #columns × k values, independent of table
+size. No shuffle at all.
+
+Numeric contract: the KMV sketch hashes the STRINGIFIED value with md5
+(→ first 8 bytes as uint64), exactly reproducible in DuckDB as
+``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT``; min/max
+merge on TYPED values (numeric for int columns, lexicographic for
+strings — identical to SQL ``min``/``max`` because memcmp over UTF-8
+preserves code-point order) and stringify only in the final row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .queryset import register, table_path
+from .sketches import KMV_K, _kmv_hash, kmv_estimate
+
+#: documents-table columns profiled, with their merge type
+PROFILE_COLUMNS: dict[str, str] = {
+    "doc_id": "int",
+    "text": "str",
+    "lang": "str",
+    "source": "str",
+    "n_chars": "int",
+}
+
+
+def _empty_profile() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "col": pd.Series(list(PROFILE_COLUMNS), dtype="object"),
+            "n_rows": pd.Series([0] * len(PROFILE_COLUMNS), dtype="int64"),
+            "n_nulls": pd.Series([0] * len(PROFILE_COLUMNS), dtype="int64"),
+            "n_distinct_kmv": pd.Series([0] * len(PROFILE_COLUMNS), dtype="int64"),
+            "min_val": pd.Series([None] * len(PROFILE_COLUMNS), dtype="object"),
+            "max_val": pd.Series([None] * len(PROFILE_COLUMNS), dtype="object"),
+        }
+    )
+
+
+def _block_profile(t: pa.Table) -> pa.Table:
+    cols, n_rows, n_nulls, sketches, min_i, max_i, min_s, max_s = (
+        [], [], [], [], [], [], [], [],
+    )
+    for col, kind in PROFILE_COLUMNS.items():
+        c = t[col]
+        vals = [v for v in c.to_pylist() if v is not None]
+        distinct = sorted({str(v) for v in vals})
+        smallest = np.unique(_kmv_hash(distinct))[:KMV_K]
+        cols.append(col)
+        n_rows.append(len(c))
+        n_nulls.append(len(c) - len(vals))
+        sketches.append(smallest.tolist())
+        if kind == "int":
+            min_i.append(min(vals) if vals else None)
+            max_i.append(max(vals) if vals else None)
+            min_s.append(None)
+            max_s.append(None)
+        else:
+            min_i.append(None)
+            max_i.append(None)
+            min_s.append(min(vals) if vals else None)
+            max_s.append(max(vals) if vals else None)
+    return pa.table(
+        {
+            "col": pa.array(cols, type=pa.string()),
+            "n_rows": pa.array(n_rows, type=pa.int64()),
+            "n_nulls": pa.array(n_nulls, type=pa.int64()),
+            "min_hashes": pa.array(sketches, type=pa.list_(pa.uint64())),
+            "min_int": pa.array(min_i, type=pa.int64()),
+            "max_int": pa.array(max_i, type=pa.int64()),
+            "min_str": pa.array(min_s, type=pa.string()),
+            "max_str": pa.array(max_s, type=pa.string()),
+        }
+    )
+
+
+def docs_profile(sf_dir: str) -> pd.DataFrame:
+    """(col, n_rows, n_nulls, n_distinct_kmv, min_val, max_val) per column."""
+    ds = ray.data.read_parquet(table_path(sf_dir, "documents")).map_batches(
+        _block_profile, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # bounded driver fold: one running partial per column (#cols × k state)
+    acc: dict[str, dict] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            col = b["col"][i].as_py()
+            a = acc.setdefault(
+                col,
+                {
+                    "n_rows": 0,
+                    "n_nulls": 0,
+                    "hashes": np.empty(0, dtype=np.uint64),
+                    "min": None,
+                    "max": None,
+                },
+            )
+            a["n_rows"] += b["n_rows"][i].as_py()
+            a["n_nulls"] += b["n_nulls"][i].as_py()
+            h = np.asarray(b["min_hashes"][i].as_py(), dtype=np.uint64)
+            a["hashes"] = np.unique(np.concatenate([a["hashes"], h]))[:KMV_K]
+            kind = PROFILE_COLUMNS[col]
+            lo = (b["min_int"] if kind == "int" else b["min_str"])[i].as_py()
+            hi = (b["max_int"] if kind == "int" else b["max_str"])[i].as_py()
+            if lo is not None:
+                a["min"] = lo if a["min"] is None else min(a["min"], lo)
+            if hi is not None:
+                a["max"] = hi if a["max"] is None else max(a["max"], hi)
+    if not acc:
+        return _empty_profile()
+    out = _empty_profile()
+    for j, col in enumerate(PROFILE_COLUMNS):
+        a = acc[col]
+        est = kmv_estimate(a["hashes"])
+        out.loc[j, "n_rows"] = a["n_rows"]
+        out.loc[j, "n_nulls"] = a["n_nulls"]
+        out.loc[j, "n_distinct_kmv"] = int(np.floor(est + 0.5))
+        out.loc[j, "min_val"] = None if a["min"] is None else str(a["min"])
+        out.loc[j, "max_val"] = None if a["max"] is None else str(a["max"])
+    return out
+
+
+def _profile_sql() -> str:
+    # one UNION ALL branch per column; the KMV replay is the same
+    # md5-substring trick the oracled sketches already use
+    parts = []
+    for col, kind in PROFILE_COLUMNS.items():
+        sval = f"CAST({col} AS VARCHAR)" if kind == "int" else col
+        parts.append(f"""
+SELECT '{col}' AS col,
+       (SELECT count(*) FROM documents) AS n_rows,
+       (SELECT count(*) - count({col}) FROM documents) AS n_nulls,
+       (SELECT CASE WHEN n = 0 THEN 0
+                    WHEN n < {KMV_K} THEN n
+                    ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
+               END
+        FROM (SELECT count(*) AS n, max(hv) AS kth
+              FROM (SELECT ('0x' || substr(md5({sval}), 1, 16))::UBIGINT AS hv
+                    FROM (SELECT DISTINCT {col} FROM documents WHERE {col} IS NOT NULL)
+                    ORDER BY hv LIMIT {KMV_K}))) AS n_distinct_kmv,
+       (SELECT CAST(min({col}) AS VARCHAR) FROM documents) AS min_val,
+       (SELECT CAST(max({col}) AS VARCHAR) FROM documents) AS max_val
+""")
+    return " UNION ALL ".join(parts)
+
+
+register("docs_profile", docs_profile, sql=_profile_sql())

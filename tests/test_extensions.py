@@ -2566,6 +2566,75 @@ class TestZOrder:
         assert (got["zkey"].to_numpy() == want["zkey"].to_numpy()).all()
 
 
+class TestProfile:
+    """One-pass table profiler: oracle parity lives in the blanket loop;
+    here the edges — empty table, null-heavy columns, lexicographic-vs-
+    numeric min/max — get pinned directly."""
+
+    def test_empty_table_yields_zeroed_rows(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            PROFILE_COLUMNS,
+            docs_profile,
+        )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                    "lang": pa.array([], type=pa.string()),
+                    "source": pa.array([], type=pa.string()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        df = docs_profile(str(tmp_path))
+        assert list(df["col"]) == list(PROFILE_COLUMNS)
+        assert (df["n_rows"] == 0).all() and (df["n_distinct_kmv"] == 0).all()
+        assert df["min_val"].isna().all() and df["max_val"].isna().all()
+
+    def test_nulls_and_typed_minmax_match_duckdb(self, ray_session, tmp_path):
+        import duckdb as _duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            _profile_sql,
+            docs_profile,
+        )
+
+        # doc_id values chosen so numeric min/max differs from the
+        # lexicographic order of their strings ('100' < '9'); nulls in
+        # every column type
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([9, 100, None, 3], type=pa.int64()),
+                    "text": pa.array(["b", None, "a", "a"]),
+                    "lang": pa.array(["en", "ja", None, "en"]),
+                    "source": pa.array([None, None, "s1", "s0"]),
+                    "n_chars": pa.array([5, None, 1, 400], type=pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = docs_profile(str(tmp_path)).sort_values("col").reset_index(drop=True)
+        con = _duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        want = con.execute(_profile_sql()).df().sort_values("col").reset_index(drop=True)
+        assert got.astype(str).values.tolist() == want.astype(str).values.tolist()
+        row = got.set_index("col")
+        assert row.loc["doc_id", "min_val"] == "3"  # numeric, not lexicographic
+        assert row.loc["doc_id", "max_val"] == "100"
+        assert row.loc["source", "n_nulls"] == 2
+
+
 class TestDriverTopkFold:
     """driver_topk_fold == global sort + head, on any block layout."""
 
