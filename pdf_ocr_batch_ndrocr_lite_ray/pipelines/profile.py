@@ -42,24 +42,24 @@ PROFILE_COLUMNS: dict[str, str] = {
 }
 
 
-def _empty_profile() -> pd.DataFrame:
+def _empty_profile(columns: dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame(
         {
-            "col": pd.Series(list(PROFILE_COLUMNS), dtype="object"),
-            "n_rows": pd.Series([0] * len(PROFILE_COLUMNS), dtype="int64"),
-            "n_nulls": pd.Series([0] * len(PROFILE_COLUMNS), dtype="int64"),
-            "n_distinct_kmv": pd.Series([0] * len(PROFILE_COLUMNS), dtype="int64"),
-            "min_val": pd.Series([None] * len(PROFILE_COLUMNS), dtype="object"),
-            "max_val": pd.Series([None] * len(PROFILE_COLUMNS), dtype="object"),
+            "col": pd.Series(list(columns), dtype="object"),
+            "n_rows": pd.Series([0] * len(columns), dtype="int64"),
+            "n_nulls": pd.Series([0] * len(columns), dtype="int64"),
+            "n_distinct_kmv": pd.Series([0] * len(columns), dtype="int64"),
+            "min_val": pd.Series([None] * len(columns), dtype="object"),
+            "max_val": pd.Series([None] * len(columns), dtype="object"),
         }
     )
 
 
-def _block_profile(t: pa.Table) -> pa.Table:
+def _block_profile(t: pa.Table, columns: dict[str, str]) -> pa.Table:
     cols, n_rows, n_nulls, sketches, min_i, max_i, min_s, max_s = (
         [], [], [], [], [], [], [], [],
     )
-    for col, kind in PROFILE_COLUMNS.items():
+    for col, kind in columns.items():
         c = t[col]
         vals = [v for v in c.to_pylist() if v is not None]
         distinct = sorted({str(v) for v in vals})
@@ -92,10 +92,21 @@ def _block_profile(t: pa.Table) -> pa.Table:
     )
 
 
-def docs_profile(sf_dir: str) -> pd.DataFrame:
-    """(col, n_rows, n_nulls, n_distinct_kmv, min_val, max_val) per column."""
-    ds = ray.data.read_parquet(table_path(sf_dir, "documents")).map_batches(
-        _block_profile, batch_format="pyarrow", zero_copy_batch=True
+def profile_table(sf_dir: str, table: str, columns: dict[str, str]) -> pd.DataFrame:
+    """(col, n_rows, n_nulls, n_distinct_kmv, min_val, max_val) per column.
+
+    ``columns`` maps column name → merge kind: ``"int"`` (numeric min/max)
+    or ``"str"`` (lexicographic). Float/timestamp columns are rejected —
+    their stringification differs between Python and DuckDB, so they need a
+    quantization contract before they can join the value-oracle surface.
+    """
+    bad = {c: k for c, k in columns.items() if k not in ("int", "str")}
+    if bad:
+        raise ValueError(f"unsupported profile column kinds: {bad}")
+    ds = ray.data.read_parquet(table_path(sf_dir, table)).map_batches(
+        lambda t: _block_profile(t, columns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     # bounded driver fold: one running partial per column (#cols × k state)
     acc: dict[str, dict] = {}
@@ -116,7 +127,7 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
             a["n_nulls"] += b["n_nulls"][i].as_py()
             h = np.asarray(b["min_hashes"][i].as_py(), dtype=np.uint64)
             a["hashes"] = np.unique(np.concatenate([a["hashes"], h]))[:KMV_K]
-            kind = PROFILE_COLUMNS[col]
+            kind = columns[col]
             lo = (b["min_int"] if kind == "int" else b["min_str"])[i].as_py()
             hi = (b["max_int"] if kind == "int" else b["max_str"])[i].as_py()
             if lo is not None:
@@ -124,9 +135,9 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
             if hi is not None:
                 a["max"] = hi if a["max"] is None else max(a["max"], hi)
     if not acc:
-        return _empty_profile()
-    out = _empty_profile()
-    for j, col in enumerate(PROFILE_COLUMNS):
+        return _empty_profile(columns)
+    out = _empty_profile(columns)
+    for j, col in enumerate(columns):
         a = acc[col]
         est = kmv_estimate(a["hashes"])
         out.loc[j, "n_rows"] = a["n_rows"]
@@ -135,6 +146,12 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
         out.loc[j, "min_val"] = None if a["min"] is None else str(a["min"])
         out.loc[j, "max_val"] = None if a["max"] is None else str(a["max"])
     return out
+
+
+def docs_profile(sf_dir: str) -> pd.DataFrame:
+    """The registered documents-table profile (driver-oracled instance of
+    the generic ``profile_table``)."""
+    return profile_table(sf_dir, "documents", PROFILE_COLUMNS)
 
 
 def _profile_sql() -> str:

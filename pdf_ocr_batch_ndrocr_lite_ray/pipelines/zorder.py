@@ -84,7 +84,10 @@ def write_zordered_layout(
     design: a layout rewrite IS a shuffle, run once so that every later read
     prunes. Bounded row groups (``rows_per_group``) give the parquet footer
     stats the granularity pruning needs; output is a partitioned directory
-    (multiple files), so a failed rewrite can resume per file.
+    of bounded files rather than one giant file. (A failed rewrite re-runs
+    whole — resumable writes belong to the checkpointed extraction sink,
+    ``state/checkpoint.py``; a layout rewrite is idempotent so re-running
+    is safe, just not incremental.)
     """
     ds = ray.data.read_parquet(table_path(sf_dir, "documents"))
     (
