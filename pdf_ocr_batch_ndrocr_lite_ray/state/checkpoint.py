@@ -96,13 +96,21 @@ def _add_part_id_column(batch: pa.Table) -> pa.Table:
 
 
 def _default_wave_size() -> int:
-    """Fragments per streaming job: enough to keep every CPU busy, small
-    enough that a kill loses at most one wave's work."""
+    """Fragments per streaming job — the durability-granularity knob.
+
+    Each wave boundary costs a fixed ~6-7 s (pipeline startup + drain
+    barrier + manifest commit; measured on the 64-shard bench corpus:
+    wave=16 → 25.2 s, wave=32 → 19.3 s, wave=64/single-wave → 12.6 s, equal
+    to extract + write). 4× the CPU count keeps that overhead ≤ a few
+    percent of any wave that saturates the machine, while a kill still
+    loses at most one wave — negligible against a 10^12-turn job's
+    fragment count. Callers needing finer recovery granularity pass
+    ``wave_size`` explicitly."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(8, cpus)
+    return max(8, 4 * cpus)
 
 
 def run_resumable_extraction(
