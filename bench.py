@@ -574,8 +574,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_child(sf_dir: str, num_cpus: int) -> dict:
-    """One flagship extraction run in this process (for --scaling)."""
+def run_child(sf_dir: str, num_cpus: int, query: str = "extract") -> dict:
+    """One timed pipeline run in this process (for --scaling).
+
+    ``query`` is any BENCH_QUERIES key; the default is the flagship
+    extraction. ``extract_ordered`` gives the all-to-all (sort) pipeline's
+    scaling, the interesting second data point for the N→4N criterion.
+    """
     _init_ray(num_cpus)
     paths = _bench_input(sf_dir)
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
@@ -584,12 +589,14 @@ def run_child(sf_dir: str, num_cpus: int) -> dict:
     # pipeline, not cold-start (both cluster sizes get the same treatment)
     _consume(extract_transcripts(paths[:2]))
     t0 = time.perf_counter()
-    n = _consume(extract_transcripts(paths))
+    n = BENCH_QUERIES[query](sf_dir)
     el = time.perf_counter() - t0
     return {"rows": n, "sec": round(el, 3), "turns_per_sec": round(n / el, 1), "num_cpus": num_cpus}
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int, attempts: int = 1) -> dict:
+def run_scaling(
+    sf_dir: str, lo: int, hi: int, attempts: int = 1, query: str = "extract"
+) -> dict:
     """One or more two-parallelism measurements; reports every attempt and
     takes the MAX efficiency as the headline value. Rationale: transient
     contention (another process, page-cache churn) can only DEFLATE the
@@ -600,7 +607,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, attempts: int = 1) -> dict:
     best: dict | None = None
     values: list[float] = []
     for _ in range(max(1, attempts)):
-        one = _run_scaling_once(sf_dir, lo, hi)
+        one = _run_scaling_once(sf_dir, lo, hi, query=query)
         values.append(one["value"])
         if best is None or one["value"] > best["value"]:
             best = one
@@ -612,7 +619,9 @@ def run_scaling(sf_dir: str, lo: int, hi: int, attempts: int = 1) -> dict:
     return best
 
 
-def _run_scaling_once(sf_dir: str, lo: int, hi: int, runs_per_leg: int = 2) -> dict:
+def _run_scaling_once(
+    sf_dir: str, lo: int, hi: int, runs_per_leg: int = 2, query: str = "extract"
+) -> dict:
     """One attempt = each leg measured ``runs_per_leg`` times in fresh
     processes, keeping the FASTEST run per leg. Same one-sided-noise
     rationale as max-of-attempts, applied where the variance actually
@@ -627,7 +636,8 @@ def _run_scaling_once(sf_dir: str, lo: int, hi: int, runs_per_leg: int = 2) -> d
         best = None
         for _ in range(max(1, runs_per_leg)):
             out = subprocess.run(
-                [sys.executable, __file__, "--child", "--num-cpus", str(cpus), "--sf-dir", sf_dir],
+                [sys.executable, __file__, "--child", "--num-cpus", str(cpus),
+                 "--sf-dir", sf_dir, "--scaling-query", query],
                 capture_output=True,
                 text=True,
                 cwd=str(REPO_ROOT),
@@ -643,12 +653,12 @@ def _run_scaling_once(sf_dir: str, lo: int, hi: int, runs_per_leg: int = 2) -> d
     thr_lo, thr_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
-        "metric": f"scaling efficiency {lo}->{hi} cpus (flagship extraction)",
+        "metric": f"scaling efficiency {lo}->{hi} cpus ({query})",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
-            f"extract@{lo}cpus_sec": results[lo]["sec"],
-            f"extract@{hi}cpus_sec": results[hi]["sec"],
+            f"{query}@{lo}cpus_sec": results[lo]["sec"],
+            f"{query}@{hi}cpus_sec": results[hi]["sec"],
             f"throughput@{lo}cpus": thr_lo,
             f"throughput@{hi}cpus": thr_hi,
         },
@@ -672,13 +682,17 @@ def main() -> int:
     ap.add_argument("--scaling-lo", type=int, default=4)
     ap.add_argument("--scaling-hi", type=int, default=16)
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--scaling-query", default="extract",
+                    help="BENCH_QUERIES key the scaling legs time (e.g. extract_ordered)")
     args = ap.parse_args()
 
     try:
         if args.child:
-            report = run_child(args.sf_dir, args.num_cpus)
+            report = run_child(args.sf_dir, args.num_cpus, query=args.scaling_query)
         elif args.scaling:
-            report = run_scaling(args.sf_dir, args.scaling_lo, args.scaling_hi)
+            report = run_scaling(
+                args.sf_dir, args.scaling_lo, args.scaling_hi, query=args.scaling_query
+            )
         else:
             report = run_suite(args.sf_dir, args.num_cpus)
             # Embed the two-parallelism scaling measurement in the default
