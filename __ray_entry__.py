@@ -114,8 +114,11 @@ _DRIVER_WINDOW: list[str] = [
     "emb_pca_project",
     "docs_pagerank",
     "docs_zorder_key",
-    # last driver-verdicted in r01/r02 (dropped out of the r03 window)
-    "docs_sample",
+    # new this round, never driver-verdicted
+    "docs_profile",
+    # last driver-verdicted in r01/r02 (dropped out of the r03 window;
+    # docs_sample rotated out for docs_profile — r02-green and still
+    # value-checked every run by tests/test_oracle_parity.py)
     "docs_split_counts",
     "docs_length_histogram",
     "docs_stratified_sample",
