@@ -62,13 +62,20 @@ def _block_profile(t: pa.Table, columns: dict[str, str]) -> pa.Table:
     for col, kind in columns.items():
         c = t[col]
         vals = [v for v in c.to_pylist() if v is not None]
+        if kind == "float_e6":
+            # 1e-6 fixed point, round half AWAY from zero — the exact op
+            # chain DuckDB's round(x * 1000000) performs on DOUBLE, so the
+            # quantized ints (and everything derived: distincts, min/max)
+            # are engine-identical. numpy's own round is half-even; don't.
+            a = np.asarray(vals, dtype=np.float64) * 1e6
+            vals = (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64).tolist()
         distinct = sorted({str(v) for v in vals})
         smallest = np.unique(_kmv_hash(distinct))[:KMV_K]
         cols.append(col)
         n_rows.append(len(c))
         n_nulls.append(len(c) - len(vals))
         sketches.append(smallest.tolist())
-        if kind == "int":
+        if kind in ("int", "float_e6"):
             min_i.append(min(vals) if vals else None)
             max_i.append(max(vals) if vals else None)
             min_s.append(None)
@@ -95,12 +102,14 @@ def _block_profile(t: pa.Table, columns: dict[str, str]) -> pa.Table:
 def profile_table(sf_dir: str, table: str, columns: dict[str, str]) -> pd.DataFrame:
     """(col, n_rows, n_nulls, n_distinct_kmv, min_val, max_val) per column.
 
-    ``columns`` maps column name → merge kind: ``"int"`` (numeric min/max)
-    or ``"str"`` (lexicographic). Float/timestamp columns are rejected —
-    their stringification differs between Python and DuckDB, so they need a
-    quantization contract before they can join the value-oracle surface.
+    ``columns`` maps column name → merge kind: ``"int"`` (numeric min/max),
+    ``"str"`` (lexicographic), or ``"float_e6"`` (profiled at 1e-6
+    fixed-point resolution — raw float/timestamp stringification differs
+    between Python and DuckDB, so floats join the value-oracle surface
+    through the quantization contract and timestamps stay rejected until
+    they have one).
     """
-    bad = {c: k for c, k in columns.items() if k not in ("int", "str")}
+    bad = {c: k for c, k in columns.items() if k not in ("int", "str", "float_e6")}
     if bad:
         raise ValueError(f"unsupported profile column kinds: {bad}")
     ds = ray.data.read_parquet(table_path(sf_dir, table)).map_batches(
@@ -127,9 +136,9 @@ def profile_table(sf_dir: str, table: str, columns: dict[str, str]) -> pd.DataFr
             a["n_nulls"] += b["n_nulls"][i].as_py()
             h = np.asarray(b["min_hashes"][i].as_py(), dtype=np.uint64)
             a["hashes"] = np.unique(np.concatenate([a["hashes"], h]))[:KMV_K]
-            kind = columns[col]
-            lo = (b["min_int"] if kind == "int" else b["min_str"])[i].as_py()
-            hi = (b["max_int"] if kind == "int" else b["max_str"])[i].as_py()
+            numeric = columns[col] in ("int", "float_e6")
+            lo = (b["min_int"] if numeric else b["min_str"])[i].as_py()
+            hi = (b["max_int"] if numeric else b["max_str"])[i].as_py()
             if lo is not None:
                 a["min"] = lo if a["min"] is None else min(a["min"], lo)
             if hi is not None:
@@ -154,28 +163,50 @@ def docs_profile(sf_dir: str) -> pd.DataFrame:
     return profile_table(sf_dir, "documents", PROFILE_COLUMNS)
 
 
-def _profile_sql() -> str:
+#: events-table profile: value joins via the float_e6 quantization contract;
+#: ts (timestamp) stays out until a stringification contract exists
+EVENTS_PROFILE_COLUMNS: dict[str, str] = {
+    "event_id": "int",
+    "user_id": "int",
+    "event_type": "str",
+    "value": "float_e6",
+}
+
+
+def events_profile(sf_dir: str) -> pd.DataFrame:
+    return profile_table(sf_dir, "events", EVENTS_PROFILE_COLUMNS)
+
+
+def _profile_sql(table: str, columns: dict[str, str]) -> str:
     # one UNION ALL branch per column; the KMV replay is the same
-    # md5-substring trick the oracled sketches already use
+    # md5-substring trick the oracled sketches already use. float_e6
+    # columns profile the quantized BIGINT (round() on DOUBLE is half-away
+    # in DuckDB — the engine mirrors it with sign*floor(abs+0.5)).
     parts = []
-    for col, kind in PROFILE_COLUMNS.items():
-        sval = f"CAST({col} AS VARCHAR)" if kind == "int" else col
+    for col, kind in columns.items():
+        expr = f"CAST(round({col} * 1000000) AS BIGINT)" if kind == "float_e6" else col
+        # `qv` below already holds the (possibly quantized) distinct value —
+        # hash its stringification, never re-apply expr to the alias
+        hv = "md5(CAST(qv AS VARCHAR))" if kind in ("int", "float_e6") else "md5(qv)"
         parts.append(f"""
 SELECT '{col}' AS col,
-       (SELECT count(*) FROM documents) AS n_rows,
-       (SELECT count(*) - count({col}) FROM documents) AS n_nulls,
+       (SELECT count(*) FROM {table}) AS n_rows,
+       (SELECT count(*) - count({col}) FROM {table}) AS n_nulls,
        (SELECT CASE WHEN n = 0 THEN 0
                     WHEN n < {KMV_K} THEN n
                     ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
                END
         FROM (SELECT count(*) AS n, max(hv) AS kth
-              FROM (SELECT ('0x' || substr(md5({sval}), 1, 16))::UBIGINT AS hv
-                    FROM (SELECT DISTINCT {col} FROM documents WHERE {col} IS NOT NULL)
+              FROM (SELECT ('0x' || substr({hv}, 1, 16))::UBIGINT AS hv
+                    FROM (SELECT DISTINCT {expr} AS qv FROM {table} WHERE {col} IS NOT NULL)
                     ORDER BY hv LIMIT {KMV_K}))) AS n_distinct_kmv,
-       (SELECT CAST(min({col}) AS VARCHAR) FROM documents) AS min_val,
-       (SELECT CAST(max({col}) AS VARCHAR) FROM documents) AS max_val
+       (SELECT CAST(min({expr}) AS VARCHAR) FROM {table}) AS min_val,
+       (SELECT CAST(max({expr}) AS VARCHAR) FROM {table}) AS max_val
 """)
     return " UNION ALL ".join(parts)
 
 
-register("docs_profile", docs_profile, sql=_profile_sql())
+register("docs_profile", docs_profile, sql=_profile_sql("documents", PROFILE_COLUMNS))
+register(
+    "events_profile", events_profile, sql=_profile_sql("events", EVENTS_PROFILE_COLUMNS)
+)
