@@ -2627,7 +2627,14 @@ class TestProfile:
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
         )
-        want = con.execute(_profile_sql()).df().sort_values("col").reset_index(drop=True)
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import PROFILE_COLUMNS
+
+        want = (
+            con.execute(_profile_sql("documents", PROFILE_COLUMNS))
+            .df()
+            .sort_values("col")
+            .reset_index(drop=True)
+        )
         assert got.astype(str).values.tolist() == want.astype(str).values.tolist()
         row = got.set_index("col")
         assert row.loc["doc_id", "min_val"] == "3"  # numeric, not lexicographic
