@@ -585,9 +585,13 @@ def run_child(sf_dir: str, num_cpus: int, query: str = "extract") -> dict:
     paths = _bench_input(sf_dir)
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import extract_transcripts
 
-    # warmup pass primes worker processes so the timed pass measures the
-    # pipeline, not cold-start (both cluster sizes get the same treatment)
+    # warmup primes worker processes + the TARGET query's read path so the
+    # timed pass measures the pipeline, not cold-start (both cluster sizes
+    # get the same treatment). The flagship keeps its historical 2-shard
+    # warmup; other queries warm with one untimed full run of themselves.
     _consume(extract_transcripts(paths[:2]))
+    if query != "extract":
+        BENCH_QUERIES[query](sf_dir)
     t0 = time.perf_counter()
     n = BENCH_QUERIES[query](sf_dir)
     el = time.perf_counter() - t0
@@ -651,7 +655,10 @@ def _run_scaling_once(
                 best = one
         results[cpus] = best
     thr_lo, thr_hi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    # efficiency from the RAW leg times (rows are identical, so they cancel)
+    # — the reported turns_per_sec is rounded to 1 decimal, which quantizes
+    # or even zeroes the ratio for small-row queries
+    eff = (results[lo]["sec"] / results[hi]["sec"]) / (hi / lo)
     return {
         "metric": f"scaling efficiency {lo}->{hi} cpus ({query})",
         "value": round(eff, 3),

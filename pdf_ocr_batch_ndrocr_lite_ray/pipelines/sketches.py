@@ -97,6 +97,27 @@ def kmv_estimate(min_hashes: np.ndarray, k: int = KMV_K) -> float:
     return (k - 1) / (kth / float(2**64))
 
 
+def kmv_merge(*arrays) -> np.ndarray:
+    """Merge k-min sketches: union the hash arrays, keep the K smallest.
+
+    THE one copy of the merge contract — every KMV site (corpus shingles,
+    grouped users, table profiler) folds through this."""
+    return np.unique(
+        np.concatenate([np.asarray(a, dtype=np.uint64) for a in arrays])
+    )[:KMV_K]
+
+
+def kmv_estimate_sql(n: str = "n", kth: str = "kth") -> str:
+    """SQL twin of ``kmv_estimate`` — the CASE fragment over a (count,
+    max-of-k-min-hashes) pair; shared by every KMV oracle so the estimator
+    constant and rounding rule live in one place."""
+    return (
+        f"CASE WHEN {n} < {KMV_K} THEN {n} "
+        f"ELSE CAST(round(({KMV_K} - 1) / ({kth} / 18446744073709551616.0), 0) AS BIGINT) "
+        "END"
+    )
+
+
 def docs_distinct_shingles_kmv(sf_dir: str) -> "ray.data.Dataset":
     """One-row result: (estimate, k) — approx distinct word-trigram count."""
 
@@ -106,14 +127,13 @@ def docs_distinct_shingles_kmv(sf_dir: str) -> "ray.data.Dataset":
         smallest = np.empty(0, dtype=np.uint64)
         for text in batch["text"].to_pylist():
             doc_hashes = _kmv_hash(sorted(_doc_shingles(text or "")))
-            smallest = np.unique(np.concatenate([smallest, doc_hashes]))[:KMV_K]
+            smallest = kmv_merge(smallest, doc_hashes)
         return pa.table(
             {"min_hashes": pa.array([smallest.tolist()], type=pa.list_(pa.uint64()))}
         )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        merged = np.sort(np.concatenate([np.asarray(x, dtype=np.uint64) for x in df["min_hashes"]]))
-        merged = np.unique(merged)[:KMV_K]
+        merged = kmv_merge(*df["min_hashes"])
         est = kmv_estimate(merged)
         # half-away rounding matches DuckDB round(); est is positive
         return pd.DataFrame({"estimate": pd.Series([int(np.floor(est + 0.5))], dtype="int64"),
@@ -220,9 +240,7 @@ d AS (SELECT DISTINCT sh FROM s),
 h AS (SELECT ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS hv FROM d),
 k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
 agg AS (SELECT count(*) AS n, max(hv) AS kth FROM k)
-SELECT CASE WHEN n < {KMV_K} THEN n
-       ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
-       END AS estimate,
+SELECT {kmv_estimate_sql()} AS estimate,
        {KMV_K} AS k
 FROM agg
 """
@@ -449,9 +467,7 @@ r AS (
 k AS (SELECT event_type, hv FROM r WHERE rn <= {KMV_K}),
 agg AS (SELECT event_type, count(*) AS n, max(hv) AS kth FROM k GROUP BY event_type)
 SELECT event_type,
-       CASE WHEN n < {KMV_K} THEN n
-            ELSE CAST(round(({KMV_K} - 1) / (kth / 18446744073709551616.0), 0) AS BIGINT)
-       END AS estimate,
+       {kmv_estimate_sql()} AS estimate,
        {KMV_K} AS k
 FROM agg
 """
