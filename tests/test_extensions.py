@@ -2597,6 +2597,50 @@ class TestProfile:
         assert (df["n_rows"] == 0).all() and (df["n_distinct_kmv"] == 0).all()
         assert df["min_val"].isna().all() and df["max_val"].isna().all()
 
+    def test_float_e6_quantization_parity_fuzz(self):
+        """The engine's sign*floor(abs*1e6+0.5) chain == DuckDB's
+        round(CAST(v AS DOUBLE) * 1000000) on random doubles, exact halves,
+        negatives, and subnormal-ish magnitudes."""
+        import duckdb as _duckdb
+
+        rng = np.random.default_rng(11)
+        vals = np.concatenate(
+            [
+                rng.normal(0, 100, 500),
+                rng.uniform(-1e-5, 1e-5, 200),
+                np.arange(-50, 50) / 2 * 1e-6,  # exact .5 ties at e6 scale
+            ]
+        )
+        a = vals * 1e6
+        engine = (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+        con = _duckdb.connect()
+        con.register("v", pd.DataFrame({"x": vals}))
+        duck = con.execute(
+            "SELECT CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FROM v"
+        ).df().iloc[:, 0].to_numpy(np.int64)
+        assert (engine == duck).all()
+
+    def test_float_e6_rejects_nonfinite(self, ray_session, tmp_path):
+        """NaN/inf must fail loud (the SQL oracle errors there too) — a
+        validator that coerces anomalies to INT64_MIN lies about the data."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import profile_table
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], type=pa.int64()),
+                    "value": pa.array([1.5, float("nan")], type=pa.float64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        with pytest.raises(Exception, match="float_e6|NaN|RayTaskError") as exc:
+            profile_table(str(tmp_path), "events", {"value": "float_e6"})
+        assert "float_e6" in str(exc.value)
+
     def test_nulls_and_typed_minmax_match_duckdb(self, ray_session, tmp_path):
         import duckdb as _duckdb
         import pyarrow as pa
