@@ -49,6 +49,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import pca as _pca  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import graphrank as _gr  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import zorder as _zo  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import profile as _prof  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import rollup as _ru  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

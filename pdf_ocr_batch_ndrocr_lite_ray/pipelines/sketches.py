@@ -473,3 +473,126 @@ FROM agg
 """
 
 register("events_distinct_users_kmv", events_distinct_users_kmv, sql=EVENTS_KMV_SQL)
+
+
+# --- HyperLogLog distinct sketch --------------------------------------------
+
+HLL_M = 256  # 2^8 registers; bucket = first md5 byte
+HLL_RHO_BITS = 48  # rank read from the next 12 hex chars (< 2^53: exact DOUBLE)
+#: alpha_m * m^2 for m = 256 (Flajolet et al. 2007) — ONE Python float,
+#: inlined into the SQL via repr so both engines multiply the identical
+#: constant
+HLL_C = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def hll_rho(v: int) -> int:
+    """Rank of a 48-bit hash slice: leading zeros + 1 (v == 0 → 49).
+
+    SQL twin: ``49 - length(ltrim(bin(v), '0'))`` — ``bin`` drops leading
+    zeros, so its length IS the bit length, and ``ltrim`` maps v = 0 to
+    length 0 (rho 49) exactly like ``int.bit_length``.
+    """
+    return HLL_RHO_BITS + 1 - v.bit_length()
+
+
+def events_distinct_users_hll(sf_dir: str) -> "pa.Table":
+    """One-row (n_users_hll): HyperLogLog distinct-user estimate.
+
+    The third distinct-count shape next to the exact pair exchange and
+    the KMV k-min fold: HLL's summary is a FIXED 256-byte register file
+    per block — strictly smaller than KMV's k hashes and mergeable by
+    element-wise max, which is what makes it the sketch of choice for
+    per-key cardinalities over 10^12 rows. Per block: distinct users →
+    md5 → (bucket = first byte, rho = leading-zero rank of the next 48
+    bits) → local register max; the ≤ 256-row partials fold on the
+    driver (bounded enum — same contract as ``enum_group_agg``).
+
+    Like the KMV ops, the sketch VALUE is deterministic (md5-derived), so
+    the oracle is exact; only the estimate↔truth relation is approximate
+    (tests assert the error bound). Float parity: the raw estimate is
+    ``C · (2^49 / S)`` where S = Σ 2^(49−rho_j) over all 256 registers is
+    an EXACT integer (empty register → 2^49) — both engines convert the
+    two exact integers to DOUBLE and perform the identical
+    divide-multiply-round chain. The small-range branch (V empty
+    registers, E ≤ 2.5m) is linear counting ``m·ln(m/V)`` — ln over the
+    same exact-integer ratio in both engines (glibc libm on both sides;
+    parity pinned by the blanket oracle loop).
+    """
+    import math
+
+    from .exchange import enum_group_agg
+
+    def block_registers(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        for u in np.unique(users):
+            hx = hashlib.md5(str(int(u)).encode("utf-8")).hexdigest()
+            bucket = int(hx[0:2], 16)
+            rho = hll_rho(int(hx[2:14], 16))
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+        filled = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(filled.astype(np.int64)),
+                "rho": pa.array(regs[filled]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id"]
+    ).map_batches(block_registers, batch_format="pyarrow", zero_copy_batch=True)
+    regs = enum_group_agg(ds, ["bucket"], {"rho": "max"})
+
+    v_empty = HLL_M - len(regs)
+    # S as an exact integer over the 2^-49 grid; then ONE convert-divide-
+    # multiply chain — float(S) FIRST, mirroring DuckDB's int→DOUBLE cast
+    # before the division (Python's exact-int true division would round
+    # differently past 2^53)
+    s_num = v_empty * (1 << (HLL_RHO_BITS + 1)) + int(
+        np.sum(1 << (HLL_RHO_BITS + 1 - regs["rho"].to_numpy()))
+    )
+    e_raw = HLL_C * (float(1 << (HLL_RHO_BITS + 1)) / float(s_num))
+    if v_empty > 0 and e_raw <= 2.5 * HLL_M:
+        est = HLL_M * math.log(HLL_M / v_empty)
+    else:
+        est = e_raw
+    return pa.table(
+        {"n_users_hll": pa.array([int(np.floor(est + 0.5))], type=pa.int64())}
+    )
+
+
+EVENTS_HLL_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+r AS (
+  SELECT ('0x' || substr(hx, 1, 2))::INT AS bucket,
+         {HLL_RHO_BITS + 1}
+           - length(ltrim(bin(('0x' || substr(hx, 3, 12))::BIGINT), '0')) AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+s AS (
+  SELECT ({HLL_M} - count(*)) AS v_empty,
+         CAST(
+           ({HLL_M} - count(*)) * (1::BIGINT << {HLL_RHO_BITS + 1})
+           + coalesce(sum(1::BIGINT << ({HLL_RHO_BITS + 1} - rho)), 0)
+         AS DOUBLE) AS s_num
+  FROM regs
+),
+e AS (
+  SELECT v_empty,
+         {HLL_C!r} * (CAST(1::BIGINT << {HLL_RHO_BITS + 1} AS DOUBLE) / s_num)
+           AS e_raw
+  FROM s
+)
+SELECT CASE
+         WHEN v_empty > 0 AND e_raw <= {2.5 * HLL_M!r}
+         THEN CAST(round({HLL_M} * ln({HLL_M} / v_empty), 0) AS BIGINT)
+         ELSE CAST(round(e_raw, 0) AS BIGINT)
+       END AS n_users_hll
+FROM e
+"""
+
+register("events_distinct_users_hll", events_distinct_users_hll, sql=EVENTS_HLL_SQL)

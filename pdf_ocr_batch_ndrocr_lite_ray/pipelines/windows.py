@@ -504,3 +504,150 @@ FROM events e JOIN q USING (event_type)
 """
 
 register("events_winsorized", events_winsorized, sql=EVENTS_WINSORIZED_SQL)
+
+
+# --- ordered window function: lag / time-since-previous ----------------------
+
+
+def events_time_delta(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, event_id, delta_us): microseconds since the user's
+    previous event — the ``lag()`` window function, the building block of
+    dwell-time / inter-arrival features.
+
+    Same shape as ``user_running_value``: hash-partition by ``user_id``
+    (each partition holds complete users), ONE stable in-partition sort
+    over the total order ``(ts, event_id)``, then a vectorized diff per
+    user. No global sort; the exchange carries 3 columns. A user's first
+    event has no predecessor — emitted as ``delta_us = -1`` (not NULL) so
+    both engines hash an integer, mirroring the zorder NULL-sentinel rule.
+    """
+
+    def lag_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        prev = np.empty(len(df), dtype=np.int64)
+        prev[1:] = ts_us[:-1]
+        prev[0] = -1
+        delta = ts_us - prev
+        # first row of each user: no predecessor within the frame
+        first = np.concatenate(
+            [[True], df["user_id"].to_numpy()[1:] != df["user_id"].to_numpy()[:-1]]
+        )
+        delta[first] = -1
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "delta_us": delta,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+    return _hash_partitioned(ds, "user_id", lag_partition)
+
+
+EVENTS_TIME_DELTA_SQL = """
+SELECT user_id, event_id,
+       coalesce(
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ),
+         -1
+       ) AS delta_us
+FROM events
+"""
+
+register("events_time_delta", events_time_delta, sql=EVENTS_TIME_DELTA_SQL)
+
+
+# --- per-group robust scaling (median / IQR standardization) -----------------
+
+ROBUST_Q_LO = 0.25
+ROBUST_Q_HI = 0.75
+
+
+def events_robust_scaled(sf_dir: str) -> "ray.data.Dataset":
+    """(event_id, event_type, value_r): per-type robust standardization
+    ``(value - median) / IQR`` — the outlier-insensitive feature scaler
+    (scikit-learn's RobustScaler) a heavy-tailed metrics pipeline applies
+    instead of z-scoring, which would need order-dependent float moment
+    sums.
+
+    Same two-stage shape as ``events_winsorized``: exact per-type order
+    statistics from a complete-group hash partition (exchange carries
+    (event_type, value) only), a #types-bounded ``ray.put`` broadcast,
+    then an embarrassingly-parallel scale pass. Median/IQR use DuckDB's
+    own ``quantile_cont`` interpolation shape (see winsorize docstring),
+    both rounded to 6 decimals before the scale so each engine divides
+    identical doubles; a degenerate IQR of 0 (constant group) emits 0.
+    """
+    import ray as _ray
+
+    def _round6(v: np.ndarray) -> np.ndarray:
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    def _qcont(sorted_vals: np.ndarray, q: float) -> float:
+        rn = (len(sorted_vals) - 1) * q
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        if crn == frn:
+            return float(sorted_vals[frn])
+        return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
+
+    def stats_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            v = np.sort(g["value"].to_numpy(dtype=np.float64))
+            med = _qcont(v, 0.5)
+            iqr = _qcont(v, ROBUST_Q_HI) - _qcont(v, ROBUST_Q_LO)
+            rows.append((et, med, iqr))
+        out = pd.DataFrame(rows, columns=["event_type", "med", "iqr"])
+        out["med"] = _round6(out["med"].to_numpy())
+        out["iqr"] = _round6(out["iqr"].to_numpy())
+        return out
+
+    ds_kv = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "value"]
+    )
+    stats = _hash_partitioned(ds_kv, "event_type", stats_partition).to_pandas()
+    ref = _ray.put(
+        {r.event_type: (r.med, r.iqr) for r in stats.itertuples(index=False)}
+    )
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        b = _ray.get(ref)
+        med = df["event_type"].map(lambda t: b[t][0]).to_numpy(dtype=np.float64)
+        iqr = df["event_type"].map(lambda t: b[t][1]).to_numpy(dtype=np.float64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(iqr == 0.0, 0.0, (v - med) / iqr)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "value_r": _round6(z),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return ds.map_batches(scale, batch_format="pandas")
+
+
+EVENTS_ROBUST_SCALED_SQL = f"""
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS med,
+         round(quantile_cont(value, {ROBUST_Q_HI})
+               - quantile_cont(value, {ROBUST_Q_LO}), 6) AS iqr
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN q.iqr = 0 THEN 0.0
+            ELSE round((e.value - q.med) / q.iqr, 6) END AS value_r
+FROM events e JOIN q USING (event_type)
+"""
+
+register("events_robust_scaled", events_robust_scaled, sql=EVENTS_ROBUST_SCALED_SQL)
