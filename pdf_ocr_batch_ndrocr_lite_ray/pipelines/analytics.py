@@ -618,3 +618,128 @@ GROUP BY c.c_custkey
 """
 
 register("customer_order_counts", customer_order_counts, sql=CUSTOMER_ORDER_COUNTS_SQL)
+
+
+# --- semi join: orders whose customer is in a market segment ------------------
+
+SEMI_SEGMENT = "BUILDING"
+
+
+def _orders_in_segment_shuffle(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-shape semi join (past-the-broadcast-ceiling path): tag both
+    sides, union, hash-partition on the customer key, keep order rows whose
+    partition holds a segment-customer row — the mirror image of the
+    anti-join fallback."""
+    import pandas as pd
+
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], SEMI_SEGMENT))
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["c_custkey"],
+                "o_orderkey": pa.array([-1] * n, type=pa.int64()),
+                "o_totalprice": pa.array([0.0] * n, type=pa.float64()),
+                "is_cust": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+                "is_cust": pa.array([False] * batch.num_rows, type=pa.bool_()),
+            }
+        )
+
+    custs = ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def semi_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        have = set(df.loc[df["is_cust"], "key"])
+        out = df[~df["is_cust"] & df["key"].isin(have)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64").to_numpy(),
+                "o_custkey": out["key"].astype("int64").to_numpy(),
+                "o_totalprice": out["o_totalprice"].astype("float64").to_numpy(),
+            }
+        )
+
+    return _hash_partitioned(custs.union(orders), "key", semi_partition)
+
+
+def orders_in_segment(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "ray.data.Dataset":
+    """(o_orderkey, o_custkey, o_totalprice) for orders placed by a
+    customer in the target market segment — the SEMI join (EXISTS),
+    completing the join family next to the broadcast/shuffle inner,
+    anti, and left-outer shapes.
+
+    The filter side reduces to a distinct key set at the read (segment
+    predicate + per-block dedup), broadcasts once via ``ray.put``, and
+    the fact table streams through a vectorized ``np.isin`` probe —
+    no shuffle of order rows. Same ceiling discipline as the anti join:
+    past ``max_broadcast_keys`` it reroutes to the union + co-partition
+    shuffle shape instead of materializing an unbounded key set.
+    """
+    from ray.data.aggregate import Count as _Count
+
+    from .exchange import int64_array
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], SEMI_SEGMENT))
+        return t.select(["c_custkey"]).group_by("c_custkey").aggregate([])
+
+    keys = (
+        ray.data.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+        )
+        .map_batches(seg_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(_Count())
+    )
+    key_arrays = []
+    total = 0
+    for b in keys.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            key_arrays.append(int64_array(b["c_custkey"]))
+            total += b.num_rows
+            if total > max_broadcast_keys:
+                return _orders_in_segment_shuffle(sf_dir)
+    seg = np.sort(np.concatenate(key_arrays)) if key_arrays else np.array([], dtype=np.int64)
+    ref = ray.put(seg)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        probe = ray.get(ref)
+        ok = int64_array(batch["o_custkey"])
+        keep = np.isin(ok, probe)
+        return batch.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORDERS_IN_SEGMENT_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = '{SEMI_SEGMENT}'
+)
+"""
+
+register("orders_in_segment", orders_in_segment, sql=ORDERS_IN_SEGMENT_SQL)

@@ -182,3 +182,68 @@ register("docs_sample", docs_sample, sql=DOCS_SAMPLE_SQL)
 register("docs_split_counts", docs_split_counts, sql=DOCS_SPLIT_SQL)
 register("docs_length_histogram", docs_length_histogram, sql=DOCS_HISTOGRAM_SQL)
 register("docs_stratified_sample", docs_stratified_sample, sql=_stratified_sql())
+
+
+# --- weight-proportional sampling without replacement (priority sampling) ----
+
+WEIGHTED_K = 50
+
+
+def docs_weighted_sample(sf_dir: str, k: int = WEIGHTED_K) -> "ray.data.Dataset":
+    """(doc_id, weight, priority): the k documents with the largest
+    priority ``q = w / u`` where ``w = n_chars`` and ``u = (h+1)/2^48``
+    is the doc's stable md5-derived uniform — Priority Sampling
+    (Duffield, Lund & Thorup 2007), the weight-proportional
+    without-replacement scheme a mixture pipeline uses to oversample
+    long/high-quality documents DETERMINISTICALLY (same k docs every
+    run, resume, and cluster size — no ``random()``).
+
+    The priority map is embarrassingly parallel; the global top-k folds
+    through ``driver_topk_fold`` (mergeable local top-ks, no global
+    sort). Float parity: the whole priority is the three-step chain
+    ``double(w) * 2^48 / double(h+1)`` — each step is one
+    correctly-rounded IEEE op on exact inputs, executed identically by
+    numpy and DuckDB, so the ORDERING (not just the rounded output) is
+    engine-independent.
+    """
+    from .exchange import driver_topk_fold
+
+    def priorities(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) for v in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = batch["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        q = w.astype(np.float64) * float(1 << 48) / (h + 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "weight": pa.array(w, type=pa.int64()),
+                "priority": pa.array(q),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    ).map_batches(priorities, batch_format="pyarrow", zero_copy_batch=True)
+    top = driver_topk_fold(ds, by=["priority", "doc_id"], ascending=[False, True], k=k)
+    v = top["priority"].to_numpy() * 1e6
+    top["priority"] = np.sign(v) * np.floor(np.abs(v) + 0.5) / 1e6
+    return ray.data.from_pandas(top.reset_index(drop=True))
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, n_chars AS weight,
+         (n_chars * {float(1 << 48)!r})
+           / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1
+                  AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, round(priority, 6) AS priority
+FROM p ORDER BY p.priority DESC, doc_id LIMIT {WEIGHTED_K}
+"""
+
+register("docs_weighted_sample", docs_weighted_sample, sql=DOCS_WEIGHTED_SAMPLE_SQL)

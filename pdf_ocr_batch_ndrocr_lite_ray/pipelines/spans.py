@@ -196,3 +196,133 @@ FROM isl GROUP BY doc_id, island
 
 
 register("docs_duplicate_spans", docs_duplicate_spans, sql=DOCS_DUPLICATE_SPANS_SQL)
+
+
+# --- segment-level corpus dedup (C4-style, keep first occurrence) ------------
+
+#: fixed window size: 32-token non-overlapping segments (the C4 paper
+#: dedups three-sentence spans; this corpus has no sentence boundaries,
+#: so the unit is a fixed token window)
+SEG_TOKENS = 32
+
+
+def _segment_rows(batch: pa.Table) -> pa.Table:
+    """(h, doc_id, seg_idx, n_tok) per non-overlapping 32-token segment.
+
+    Same tokenization contract as ``_gram_rows`` (collapse ``\\s+``, trim,
+    split on single space); the md5-60-bit digest of the segment text is
+    the dedup key on both engines. The per-row Python loop is the md5
+    boundary (same adjudication as dedup.py's fingerprint loops): ≤ 4
+    segments per document at this corpus's 10-99-token lengths.
+    """
+    text = pc.fill_null(batch["text"], "")
+    collapsed = pc.replace_substring_regex(text, pattern=r"\s+", replacement=" ")
+    trimmed = pc.utf8_trim(collapsed, " ")
+    tok_lists = pc.split_pattern(trimmed, " ")
+    doc_ids = batch["doc_id"].cast(pa.int64()).to_pylist()
+    hs: list[int] = []
+    docs: list[int] = []
+    segs: list[int] = []
+    ntoks: list[int] = []
+    for doc_id, toks, tr in zip(doc_ids, tok_lists.to_pylist(), trimmed.to_pylist()):
+        if not tr:
+            continue
+        for s in range(0, (len(toks) + SEG_TOKENS - 1) // SEG_TOKENS):
+            window = toks[s * SEG_TOKENS : (s + 1) * SEG_TOKENS]
+            digest = hashlib.md5(" ".join(window).encode("utf-8")).hexdigest()
+            hs.append(int(digest[:15], 16))
+            docs.append(doc_id)
+            segs.append(s)
+            ntoks.append(len(window))
+    return pa.table(
+        {
+            "h": pa.array(hs, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "seg_idx": pa.array(segs, type=pa.int64()),
+            "n_tok": pa.array(ntoks, type=pa.int64()),
+        }
+    )
+
+
+def _mark_first(df: pd.DataFrame) -> pd.DataFrame:
+    """kept = 1 for the first occurrence of each digest under the total
+    order (doc_id, seg_idx) — partition-complete in ``h``, so 'first in
+    this partition' is 'first globally'."""
+    df = df.sort_values(["h", "doc_id", "seg_idx"], kind="stable")
+    first = np.concatenate([[True], df["h"].to_numpy()[1:] != df["h"].to_numpy()[:-1]])
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_segs": np.ones(len(df), dtype=np.int64),
+            "n_kept": first.astype(np.int64),
+            "kept_tokens": np.where(first, df["n_tok"].to_numpy(), 0).astype(np.int64),
+        }
+    )
+
+
+def docs_dedup_segments(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_segs, n_kept, kept_tokens): corpus-wide segment-level
+    exact dedup — C4-style duplicate-span REMOVAL (where
+    ``docs_duplicate_spans`` only marks). Every 32-token segment keeps
+    its first occurrence under the total order (doc_id, seg_idx);
+    repeats — within a document or across documents — are dropped, and
+    each document reports how much of it survived.
+
+    Two linear hash exchanges, no joins: segments ride as 32-byte digest
+    rows to the ``h`` partition (winner marking), then the per-segment
+    keep flags fold per document. Documents that tokenize to nothing emit
+    no row (no segments to keep or drop), matching the SQL. Token counts
+    ride the rows, so no text is ever re-joined.
+    """
+    segs = corpus(sf_dir).map_batches(
+        _segment_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    flags = _hash_partitioned(segs, "h", _mark_first)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("doc_id", sort=True)[["n_segs", "n_kept", "kept_tokens"]]
+            .sum()
+            .reset_index()
+        )
+        for c in ("n_segs", "n_kept", "kept_tokens"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return _hash_partitioned(flags, "doc_id", per_doc)
+
+
+DOCS_DEDUP_SEGMENTS_SQL = rf"""
+WITH {CORPUS_SQL.strip().lstrip()},
+toks AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS tr,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tl
+  FROM corpus
+),
+series AS (
+  SELECT unnest(range(0, greatest(
+    (SELECT CAST(ceil(max(len(tl)) / {SEG_TOKENS}.0) AS BIGINT) FROM toks), 1
+  ))) AS s
+),
+segs AS (
+  SELECT doc_id, s AS seg_idx,
+         least(len(tl) - s * {SEG_TOKENS}, {SEG_TOKENS}) AS n_tok,
+         ('0x' || substr(md5(array_to_string(
+            tl[s * {SEG_TOKENS} + 1 : s * {SEG_TOKENS} + {SEG_TOKENS}], ' '
+          )), 1, 15))::UBIGINT::BIGINT AS h
+  FROM toks JOIN series ON tr <> '' AND s * {SEG_TOKENS} < len(tl)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, n_tok,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM ranked GROUP BY doc_id
+"""
+
+register("docs_dedup_segments", docs_dedup_segments, sql=DOCS_DEDUP_SEGMENTS_SQL)
