@@ -107,8 +107,8 @@ ORDERS_ROLLUP_SQL = f"""
 SELECT coalesce(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
        coalesce(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS revenue_e2
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e2
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """

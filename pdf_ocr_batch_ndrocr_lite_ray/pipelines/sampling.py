@@ -229,6 +229,18 @@ def docs_weighted_sample(sf_dir: str, k: int = WEIGHTED_K) -> "ray.data.Dataset"
         table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"]
     ).map_batches(priorities, batch_format="pyarrow", zero_copy_batch=True)
     top = driver_topk_fold(ds, by=["priority", "doc_id"], ascending=[False, True], k=k)
+    if top is None:  # zero input blocks — keep the schema, return no rows
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "weight": pd.Series(dtype="int64"),
+                    "priority": pd.Series(dtype="float64"),
+                }
+            )
+        )
     v = top["priority"].to_numpy() * 1e6
     top["priority"] = np.sign(v) * np.floor(np.abs(v) + 0.5) / 1e6
     return ray.data.from_pandas(top.reset_index(drop=True))

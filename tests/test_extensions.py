@@ -109,6 +109,8 @@ class TestEmptyCorpus:
             "docs_filter_by_source_quantile",
             "docs_textstats",
             "docs_quality_filter",
+            "docs_dedup_segments",
+            "docs_weighted_sample",
         ],
     )
     def test_empty_input_yields_empty_output(self, ray_session, empty_dir, name):
@@ -120,6 +122,8 @@ class TestEmptyCorpus:
             index,
             mixture,
             novelty,
+            sampling,
+            spans,
             zorder,
             quality,
             selection,
@@ -169,12 +173,16 @@ class TestEmptyEvents:
             "events_quantiles_by_type",
             "events_winsorized",
             "events_distinct_users_kmv",
+            "events_time_delta",
+            "events_robust_scaled",
+            "user_event_pivot",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
             analytics,
             asof,
+            rollup,
             sketches,
             windows,
         )
@@ -1481,6 +1489,7 @@ class TestAdversarialCorpusParity:
             "docs_inverted_index",
             "docs_bm25_topk",
             "docs_novelty",
+            "docs_dedup_segments",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -1587,6 +1596,10 @@ class TestAdversarialEventsParity:
             "events_quantiles_by_type",
             "events_winsorized",
             "events_distinct_users_kmv",
+            "events_time_delta",
+            "events_robust_scaled",
+            "events_distinct_users_hll",
+            "user_event_pivot",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -1594,6 +1607,7 @@ class TestAdversarialEventsParity:
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
@@ -1734,6 +1748,9 @@ class TestAdversarialRelationalParity:
                 {
                     "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
                     "c_nationkey": pa.array([10, 10, 20, 30], type=pa.int32()),
+                    "c_mktsegment": pa.array(
+                        ["BUILDING", "MACHINERY", "BUILDING", "AUTOMOBILE"]
+                    ),
                 }
             ),
             d / "customer.parquet",
@@ -1747,6 +1764,10 @@ class TestAdversarialRelationalParity:
                     "o_totalprice": pa.array(
                         [100.005, 250_000.0, 399_999.995, 50.0, 500_000.0]
                     ),
+                    "o_orderpriority": pa.array(
+                        ["1-URGENT", "5-LOW", "1-URGENT", "5-LOW", "3-MEDIUM"]
+                    ),
+                    "o_orderstatus": pa.array(["O", "O", "F", "P", "F"]),
                 }
             ),
             d / "orders.parquet",
@@ -1772,12 +1793,15 @@ class TestAdversarialRelationalParity:
             "top_customers_per_nation",
             "customers_without_orders",
             "lineitem_top_parts",
+            "orders_rollup",
+            "orders_in_segment",
         ],
     )
     def test_matches_oracle_on_nasty_relational(self, ray_session, nasty_rel_dir, name):
         import duckdb
 
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
         con = duckdb.connect()
@@ -2807,3 +2831,175 @@ class TestEmptyEmbeddings:
         assert len(emb_gram(str(tmp_path))) == 0
         res = emb_pca_project(str(tmp_path))
         assert (res.count() if hasattr(res, "count") else len(res)) == 0
+
+
+class TestRound4SessionOps:
+    """Invariant pins for the lag / robust-scale / rollup / pivot / HLL /
+    segment-dedup / priority-sample / semi-join family (value parity runs
+    in the blanket oracle loop; these pin semantics the hash can't see)."""
+
+    def test_time_delta_per_user_invariants(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_time_delta
+
+        df = events_time_delta(SF).to_pandas()
+        # exactly one sentinel (-1) per user: the first event of the frame
+        firsts = df[df["delta_us"] == -1].groupby("user_id").size()
+        assert (firsts == 1).all()
+        assert set(firsts.index) == set(df["user_id"].unique())
+        # all real deltas are non-negative (frame order is a total order)
+        assert (df.loc[df["delta_us"] != -1, "delta_us"] >= 0).all()
+
+    def test_robust_scaled_centers_each_group(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            events_robust_scaled,
+        )
+
+        df = events_robust_scaled(SF).to_pandas()
+        # median of the scaled values is ~0 and the IQR is ~1 per group
+        for _, g in df.groupby("event_type"):
+            med = g["value_r"].median()
+            iqr = g["value_r"].quantile(0.75) - g["value_r"].quantile(0.25)
+            assert abs(med) < 1e-4
+            assert abs(iqr - 1.0) < 1e-4
+
+    def test_rollup_levels_are_consistent(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            ROLLUP_ALL,
+            orders_rollup,
+        )
+
+        df = orders_rollup(SF).to_pandas()
+        finest = df[
+            (df["o_orderpriority"] != ROLLUP_ALL) & (df["o_orderstatus"] != ROLLUP_ALL)
+        ]
+        mid = df[
+            (df["o_orderpriority"] != ROLLUP_ALL) & (df["o_orderstatus"] == ROLLUP_ALL)
+        ]
+        grand = df[df["o_orderpriority"] == ROLLUP_ALL]
+        assert len(grand) == 1
+        for col in ("n_orders", "revenue_e2"):
+            assert finest[col].sum() == grand[col].iloc[0]
+            assert mid[col].sum() == grand[col].iloc[0]
+            per_pri = finest.groupby("o_orderpriority")[col].sum()
+            assert per_pri.equals(
+                mid.set_index("o_orderpriority")[col].reindex(per_pri.index)
+            )
+
+    def test_pivot_counts_total_matches_event_count(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import user_event_pivot
+
+        df = user_event_pivot(SF).to_pandas()
+        n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+        count_cols = [c for c in df.columns if c.startswith("n_")]
+        assert int(df[count_cols].to_numpy().sum()) == n_events
+        assert df["user_id"].is_unique
+
+    def test_pivot_rejects_unknown_event_type(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import user_event_pivot
+
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([1], type=pa.int64()),
+                    "event_type": pa.array(["mystery"]),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        with pytest.raises(Exception, match="unknown event_type"):
+            user_event_pivot(str(tmp_path)).to_pandas()
+
+    def test_hll_estimate_within_bound_of_truth(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            events_distinct_users_hll,
+        )
+
+        est = events_distinct_users_hll(SF)["n_users_hll"][0].as_py()
+        true = oracle_con.execute(
+            "SELECT count(DISTINCT user_id) FROM events"
+        ).fetchone()[0]
+        # n << m here → linear-counting regime, much tighter than the
+        # 1.04/sqrt(256) asymptotic bound
+        assert abs(est - true) <= max(3, 0.1 * true)
+
+    def test_hll_rho_edges(self):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            HLL_RHO_BITS,
+            hll_rho,
+        )
+
+        assert hll_rho(0) == HLL_RHO_BITS + 1
+        assert hll_rho(1) == HLL_RHO_BITS
+        assert hll_rho(2**HLL_RHO_BITS - 1) == 1
+
+    def test_segment_dedup_on_handmade_corpus(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans import (
+            SEG_TOKENS,
+            docs_dedup_segments,
+        )
+
+        a = " ".join(f"w{i}" for i in range(SEG_TOKENS * 2))  # 2 full segments
+        first_seg = " ".join(f"w{i}" for i in range(SEG_TOKENS))
+        texts = [a, a, first_seg, "totally unique words here"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([10, 20, 30, 40], type=pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * 4),
+                    "source": pa.array(["s"] * 4),
+                    "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        df = (
+            docs_dedup_segments(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # the planted-duplicate corpus() wrapper adds copies of these docs,
+        # but the ORIGINAL ids keep/lose deterministically:
+        assert df.loc[10, "n_kept"] == 2          # first occurrence keeps all
+        assert df.loc[20, "n_kept"] == 0          # exact copy keeps nothing
+        assert df.loc[30, "n_kept"] == 0          # segment already seen in doc 10
+        assert df.loc[40, "n_kept"] == 1
+        assert (df["n_kept"] <= df["n_segs"]).all()
+
+    def test_weighted_sample_is_exact_topk_of_priorities(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import (
+            WEIGHTED_K,
+            docs_weighted_sample,
+        )
+
+        got = docs_weighted_sample(SF).to_pandas()
+        # local single-process recomputation of the identical float chain
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+        rows = []
+        for doc_id, w in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+            rows.append((doc_id, w, float(w) * float(1 << 48) / float(h + 1)))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        want_ids = [r[0] for r in rows[:WEIGHTED_K]]
+        assert got["doc_id"].tolist() == want_ids
+        # priorities are emitted in rank order and weights ride unmodified
+        assert (got["priority"].to_numpy()[:-1] >= got["priority"].to_numpy()[1:]).all()
+
+    def test_semi_join_reroutes_past_broadcast_cap(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import orders_in_segment
+
+        broadcast = orders_in_segment(SF).to_pandas()
+        shuffled = orders_in_segment(SF, max_broadcast_keys=0).to_pandas()
+        assert _value_hash(broadcast) == _value_hash(shuffled)
+        assert len(broadcast) > 0
