@@ -115,18 +115,19 @@ _DRIVER_WINDOW: list[str] = [
     "emb_pca_project",
     "docs_pagerank",
     "docs_zorder_key",
-    # new this round, never driver-verdicted
+    # new this round, never driver-verdicted (the r01/r02-verdicted block
+    # that held these slots — docs_split_counts, docs_length_histogram,
+    # docs_stratified_sample, events_asof_view_click, events_distinct_users,
+    # docs_distinct_shingles_kmv, events_value_quantiles — rotated out; all
+    # stay value-checked every run by tests/test_oracle_parity.py)
     "docs_profile",
-    # last driver-verdicted in r01/r02 (dropped out of the r03 window;
-    # docs_sample rotated out for docs_profile — r02-green and still
-    # value-checked every run by tests/test_oracle_parity.py)
-    "docs_split_counts",
-    "docs_length_histogram",
-    "docs_stratified_sample",
-    "events_asof_view_click",
-    "events_distinct_users",
-    "docs_distinct_shingles_kmv",
-    "events_value_quantiles",
+    "events_time_delta",
+    "events_robust_scaled",
+    "orders_rollup",
+    "user_event_pivot",
+    "events_distinct_users_hll",
+    "docs_dedup_segments",
+    "docs_weighted_sample",
 ]
 
 

@@ -454,6 +454,64 @@ def q_conversation_stats(sf_dir: str) -> int:
     return _consume(conversation_stats(sf_dir))
 
 
+def q_time_delta(sf_dir: str) -> int:
+    """Per-user lag (time-since-previous-event) window function."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_time_delta
+
+    return _consume(events_time_delta(sf_dir))
+
+
+def q_robust_scaled(sf_dir: str) -> int:
+    """Per-type median/IQR robust standardization."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_robust_scaled
+
+    return _consume(events_robust_scaled(sf_dir))
+
+
+def q_orders_rollup(sf_dir: str) -> int:
+    """Multi-level ROLLUP totals from one bounded partial-agg pass."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import orders_rollup
+
+    return _consume(orders_rollup(sf_dir))
+
+
+def q_user_event_pivot(sf_dir: str) -> int:
+    """Event log pivoted to per-user count vectors."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import user_event_pivot
+
+    return _consume(user_event_pivot(sf_dir))
+
+
+def q_distinct_users_hll(sf_dir: str) -> int:
+    """HyperLogLog distinct-user estimate (256-register fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+        events_distinct_users_hll,
+    )
+
+    return len(events_distinct_users_hll(sf_dir))
+
+
+def q_dedup_segments(sf_dir: str) -> int:
+    """Corpus-wide 32-token segment dedup (C4-style span removal)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans import docs_dedup_segments
+
+    return _consume(docs_dedup_segments(sf_dir))
+
+
+def q_weighted_sample(sf_dir: str) -> int:
+    """Deterministic priority sampling (weight-proportional top-k)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import docs_weighted_sample
+
+    return _consume(docs_weighted_sample(sf_dir))
+
+
+def q_orders_in_segment(sf_dir: str) -> int:
+    """Broadcast semi join: orders with a segment customer."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import orders_in_segment
+
+    return _consume(orders_in_segment(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_actors": q_extract_actors,
@@ -506,6 +564,14 @@ BENCH_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "user_sessions": q_user_sessions,
     "asof_join": q_asof_join,
+    "time_delta": q_time_delta,
+    "robust_scaled": q_robust_scaled,
+    "orders_rollup": q_orders_rollup,
+    "user_event_pivot": q_user_event_pivot,
+    "distinct_users_hll": q_distinct_users_hll,
+    "dedup_segments": q_dedup_segments,
+    "weighted_sample": q_weighted_sample,
+    "orders_in_segment": q_orders_in_segment,
 }
 
 
