@@ -1,9 +1,12 @@
 """Extraction-family queries for the driver's correctness harness.
 
 The FULL extraction pipeline is not SQL-expressible (greedy geometric
-clustering, DOM stripping), so ``extract_flagship`` stays rows-only — but
-large projections of it ARE exactly expressible and get value-level DuckDB
-oracles:
+clustering, DOM stripping) — ``extract_flagship`` / ``extract_paged`` are
+instead value-checked against a MATERIALIZED golden table computed by the
+single-process ``oracle.py`` path (see the materialized-oracle section
+below for what that does and does not pin). Large projections of the
+pipeline additionally ARE exactly expressible and get direct value-level
+DuckDB oracles:
 
 - the content sniff (CASE over regex evidence) — over documents AND over
   the real transcript table;
@@ -449,8 +452,163 @@ MATERIALIZERS.append(
 )
 
 
-register("extract_flagship", q_extract_flagship)  # rows-only: not SQL-expressible
-register("extract_paged", q_extract_paged)  # rows-only: merge kernel fuzz-pinned
+# --- materialized golden oracles: flagship + paged ---------------------------
+#
+# The full multi-format extraction is not SQL-expressible, but its golden
+# table IS materializable: ``oracle.py`` runs the extraction serially in one
+# process (no Ray, no batching, no shuffles) and the SQL oracle reads that
+# parquet. Epistemically this pins DISTRIBUTION-preservation — batching,
+# actor pools, salted repartition, order restoration — the kernels
+# themselves are pinned separately against the imported reference by the
+# hypothesis fuzz suites (test_fuzz_extract / test_paged / test_geometry
+# _parity), and the action labels by the construction-family oracle above,
+# which never runs the extractors it checks.
+
+_EXPECTED_FLAGSHIP_VERSION = 1
+_EXPECTED_PAGED_VERSION = 1
+
+
+def _spans_str_from_lists(spans_lists) -> list[str]:
+    """Serialize list<struct<start,end,kind>> rows to 'start:end:kind|...'
+    strings — flat, hash-stable across drivers (the raw nested column is
+    why the flagship dropped spans from its hashed output)."""
+    return [
+        "|".join(f"{d['start']}:{d['end']}:{d['kind']}" for d in (row or []))
+        for row in spans_lists
+    ]
+
+
+def _build_expected_flagship(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as _pq
+
+    from ..oracle import oracle_extract_table
+
+    src = _pq.read_table(transcripts_for_sf(sf_dir))
+    golden = oracle_extract_table(src)
+    src_sorted = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    spans_str = _spans_str_from_lists(golden["spans"].to_pylist())
+    return pa.table(
+        {
+            "conv_id": src_sorted["conv_id"],
+            "turn_idx": src_sorted["turn_idx"],
+            "role": src_sorted["role"],
+            "text": src_sorted["text"],
+            "tool": src_sorted["tool"],
+            "ts": src_sorted["ts"],
+            "content_kind": golden["content_kind"],
+            "extracted_text": golden["extracted_text"],
+            "action": golden["action"],
+            "error": golden["error"],
+            "spans_str": pa.array(spans_str, type=pa.string()),
+        }
+    )
+
+
+def expected_flagship_path(sf_dir: str) -> str:
+    from .queryset import expected_table_path
+
+    return expected_table_path("expected-flagship", sf_dir, _EXPECTED_FLAGSHIP_VERSION)
+
+
+def materialize_expected_flagship(sf_dir: str) -> str:
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-flagship", sf_dir, _EXPECTED_FLAGSHIP_VERSION, _build_expected_flagship
+    )
+
+
+def q_extract_flagship_spans(sf_dir: str):
+    """(conv_id, turn_idx, spans_str): the flagship's span BOUNDARIES,
+    serialized flat so they hash stably — the north-rule's 'text and span
+    boundaries' checked at value level end-to-end (the flagship query
+    itself hashes everything but spans)."""
+    path = transcripts_for_sf(sf_dir)
+    ds = extract_transcripts(path)
+
+    def ser(batch: pa.Table) -> pa.Table:
+        s = _spans_str_from_lists(batch["spans"].to_pylist())
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "spans_str": pa.array(s, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(ser, batch_format="pyarrow")
+
+
+def _build_expected_paged(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as _pq
+
+    from ..stages.paged import extract_paged_turn
+
+    src = _pq.read_table(
+        transcripts_for_sf(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    kinds = classify_text_array(src["text"])
+    if isinstance(kinds, pa.ChunkedArray):
+        kinds = kinds.combine_chunks()
+    conv_out, turn_out, texts_out, pages_out, hits_out = [], [], [], [], []
+    for conv_id, turn_idx, text, kind in zip(
+        src["conv_id"].to_pylist(),
+        src["turn_idx"].to_pylist(),
+        src["text"].to_pylist(),
+        kinds.to_pylist(),
+    ):
+        if kind != "pdfish":
+            continue
+        text_doc, n_pages, hits = extract_paged_turn(text, src_name=conv_id)
+        conv_out.append(conv_id)
+        turn_out.append(turn_idx)
+        texts_out.append(text_doc)
+        pages_out.append(n_pages)
+        hits_out.append(hits)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_out, type=pa.string()),
+            "turn_idx": pa.array(turn_out, type=pa.int32()),
+            "extracted_text": pa.array(texts_out, type=pa.string()),
+            "n_pages": pa.array(pages_out, type=pa.int64()),
+            "merge_hits": pa.array(hits_out, type=pa.int64()),
+        }
+    )
+
+
+def expected_paged_path(sf_dir: str) -> str:
+    from .queryset import expected_table_path
+
+    return expected_table_path("expected-paged", sf_dir, _EXPECTED_PAGED_VERSION)
+
+
+def materialize_expected_paged(sf_dir: str) -> str:
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-paged", sf_dir, _EXPECTED_PAGED_VERSION, _build_expected_paged
+    )
+
+
+EXTRACT_FLAGSHIP_SQL = (
+    "SELECT conv_id, turn_idx, role, text, tool, ts, content_kind,"
+    " extracted_text, action, error FROM read_parquet("
+    f"'{expected_flagship_path('/root/testdata/sf0.01')}')"
+)
+EXTRACT_FLAGSHIP_SPANS_SQL = (
+    "SELECT conv_id, turn_idx, spans_str FROM read_parquet("
+    f"'{expected_flagship_path('/root/testdata/sf0.01')}')"
+)
+EXTRACT_PAGED_SQL = (
+    "SELECT conv_id, turn_idx, extracted_text, n_pages, merge_hits"
+    f" FROM read_parquet('{expected_paged_path('/root/testdata/sf0.01')}')"
+)
+MATERIALIZERS.append(lambda: materialize_expected_flagship("/root/testdata/sf0.01"))
+MATERIALIZERS.append(lambda: materialize_expected_paged("/root/testdata/sf0.01"))
+
+register("extract_flagship", q_extract_flagship, sql=EXTRACT_FLAGSHIP_SQL)
+register("extract_flagship_spans", q_extract_flagship_spans, sql=EXTRACT_FLAGSHIP_SPANS_SQL)
+register("extract_paged", q_extract_paged, sql=EXTRACT_PAGED_SQL)
 register(
     "extract_fallback_turns", q_extract_fallback_turns, sql=EXTRACT_FALLBACK_TURNS_SQL
 )
