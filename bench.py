@@ -505,6 +505,13 @@ def q_weighted_sample(sf_dir: str) -> int:
     return _consume(docs_weighted_sample(sf_dir))
 
 
+def q_tpch_q3(sf_dir: str) -> int:
+    """Three-table Q3 join: broadcast semi-filter + co-partition join + top-k."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import tpch_q3_topk
+
+    return _consume(tpch_q3_topk(sf_dir))
+
+
 def q_orders_in_segment(sf_dir: str) -> int:
     """Broadcast semi join: orders with a segment customer."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import orders_in_segment
@@ -572,6 +579,7 @@ BENCH_QUERIES = {
     "dedup_segments": q_dedup_segments,
     "weighted_sample": q_weighted_sample,
     "orders_in_segment": q_orders_in_segment,
+    "tpch_q3": q_tpch_q3,
 }
 
 

@@ -743,3 +743,163 @@ WHERE EXISTS (
 """
 
 register("orders_in_segment", orders_in_segment, sql=ORDERS_IN_SEGMENT_SQL)
+
+
+# --- three-table join: TPC-H Q3 shape (segment x date x date, top-k) ---------
+
+Q3_CUTOFF = "1998-01-01"
+Q3_TOPK = 10
+
+
+def tpch_q3_topk(sf_dir: str, k: int = Q3_TOPK) -> "ray.data.Dataset":
+    """(o_orderkey, revenue_e2, o_orderdate_us): the classic shipping-
+    priority query — revenue of not-yet-shipped lineitems for orders
+    placed by segment customers before the cutoff — exercising the
+    composed join plan a reporting pipeline actually runs: broadcast
+    semi-filter (customer), date-pruned fact reads, per-block partial
+    aggregation, ONE co-partition exchange joining the two fact sides,
+    and a mergeable top-k fold.
+
+    Plan shape: the customer side collapses to a broadcast key set (same
+    ceiling discipline as the semi join); orders and lineitem are pruned
+    at the read (columns + date row filter) and never shuffle raw — the
+    lineitem side exchanges per-block (orderkey, cents) partials, the
+    orders side (orderkey, date) stubs; each hash partition inner-joins
+    its complete key groups and emits only its local top-k. Revenue is
+    summed as integer cents (per-row half-away rounding, the
+    ``lineitem_top_parts`` contract) so totals are order-independent.
+    """
+    import datetime as _dt
+
+    from ray.data.aggregate import Count as _Count
+
+    from .exchange import driver_topk_fold, int64_array
+    from .exchange import hash_partitioned as _hash_partitioned_x
+
+    cutoff = _dt.datetime.fromisoformat(Q3_CUTOFF)
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], SEMI_SEGMENT))
+        return t.select(["c_custkey"]).group_by("c_custkey").aggregate([])
+
+    keys = (
+        ray.data.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+        )
+        .map_batches(seg_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(_Count())
+    )
+    arrays = [
+        int64_array(b["c_custkey"])
+        for b in keys.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    seg = np.sort(np.concatenate(arrays)) if arrays else np.array([], dtype=np.int64)
+    ref = ray.put(seg)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        probe = ray.get(ref)
+        batch = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
+        keep = np.isin(int64_array(batch["o_custkey"]), probe)
+        t = batch.filter(pa.array(keep))
+        odate_us = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "odate_us": odate_us,
+                "cents": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "is_order": pa.array([True] * t.num_rows, type=pa.bool_()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+        revenue = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"key": batch["l_orderkey"], "cents": revenue})
+        g = t.group_by("key").aggregate([("cents", "sum")])
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "odate_us": pa.array(np.full(n, -1, dtype=np.int64)),
+                "cents": g["cents_sum"],
+                "is_order": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(
+        line_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=262_144
+    )
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df["is_order"]].drop_duplicates("key").set_index("key")["odate_us"]
+        lins = df[~df["is_order"]].groupby("key", sort=False)["cents"].sum()
+        both = lins.index.intersection(ords.index)
+        out = pd.DataFrame(
+            {
+                "o_orderkey": both.to_numpy(dtype=np.int64),
+                "revenue_e2": lins.loc[both].to_numpy(dtype=np.int64),
+                "o_orderdate_us": ords.loc[both].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.sort_values(
+            ["revenue_e2", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    cand = _hash_partitioned_x(orders.union(lines), "key", join_topk)
+    top = driver_topk_fold(
+        cand, by=["revenue_e2", "o_orderkey"], ascending=[False, True], k=k
+    )
+    if top is None:
+        top = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype="int64"),
+                "revenue_e2": pd.Series(dtype="int64"),
+                "o_orderdate_us": pd.Series(dtype="int64"),
+            }
+        )
+    return ray.data.from_pandas(
+        top[["o_orderkey", "revenue_e2", "o_orderdate_us"]].reset_index(drop=True)
+    )
+
+
+TPCH_Q3_SQL = f"""
+SELECT o.o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2,
+       epoch_us(o.o_orderdate) AS o_orderdate_us
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{SEMI_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_e2 DESC, o.o_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+register("tpch_q3_topk", tpch_q3_topk, sql=TPCH_Q3_SQL)

@@ -3003,3 +3003,31 @@ class TestRound4SessionOps:
         shuffled = orders_in_segment(SF, max_broadcast_keys=0).to_pandas()
         assert _value_hash(broadcast) == _value_hash(shuffled)
         assert len(broadcast) > 0
+
+
+class TestTpchQ3:
+    def test_matches_oracle_and_join_semantics(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import analytics  # noqa: F401
+
+        df = _check_against_oracle("tpch_q3_topk", oracle_con)
+        # inner-join semantics: every surviving order belongs to a segment
+        # customer, predates the cutoff, and has post-cutoff lineitems
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            Q3_CUTOFF,
+            SEMI_SEGMENT,
+        )
+
+        ok = oracle_con.execute(
+            f"""
+            SELECT count(*) FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE o.o_orderkey IN ({",".join(map(str, df["o_orderkey"]))})
+              AND c.c_mktsegment = '{SEMI_SEGMENT}'
+              AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+            """
+        ).fetchone()[0]
+        assert ok == len(df)
+        assert (df["revenue_e2"] > 0).all()
+        # emitted in rank order
+        r = df["revenue_e2"].to_numpy()
+        assert (r[:-1] >= r[1:]).all()
