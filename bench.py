@@ -505,6 +505,31 @@ def q_weighted_sample(sf_dir: str) -> int:
     return _consume(docs_weighted_sample(sf_dir))
 
 
+def q_distinct_users_hll_by_type(sf_dir: str) -> int:
+    """Per-key HyperLogLog register fold (bounded partials)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+        events_distinct_users_hll_by_type,
+    )
+
+    return len(events_distinct_users_hll_by_type(sf_dir))
+
+
+def q_full_outer(sf_dir: str) -> int:
+    """Full outer join via union + co-partition merge."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+        customer_order_full_outer,
+    )
+
+    return _consume(customer_order_full_outer(sf_dir))
+
+
+def q_retention_cohorts(sf_dir: str) -> int:
+    """Cohort retention triangle (per-user fold, bounded partials)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import user_retention_cohorts
+
+    return _consume(user_retention_cohorts(sf_dir))
+
+
 def q_tpch_q3(sf_dir: str) -> int:
     """Three-table Q3 join: broadcast semi-filter + co-partition join + top-k."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import tpch_q3_topk
@@ -580,6 +605,9 @@ BENCH_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "orders_in_segment": q_orders_in_segment,
     "tpch_q3": q_tpch_q3,
+    "distinct_users_hll_by_type": q_distinct_users_hll_by_type,
+    "full_outer": q_full_outer,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 

@@ -903,3 +903,89 @@ LIMIT {Q3_TOPK}
 """
 
 register("tpch_q3_topk", tpch_q3_topk, sql=TPCH_Q3_SQL)
+
+
+# --- full outer join: customers x order counts --------------------------------
+
+
+def customer_order_full_outer(sf_dir: str) -> "ray.data.Dataset":
+    """(custkey, c_nationkey, n_orders): FULL OUTER join of the customer
+    table against per-customer order counts — completing the join family
+    (inner broadcast/shuffle, anti, semi, left outer): customers with no
+    orders surface with 0, and orphan orders (custkey with no customer
+    row — impossible under TPC-H FK integrity but legal input) surface
+    with the -1 nation sentinel instead of being dropped the way the
+    LEFT join's seed-row rule drops them.
+
+    Same union + co-partition shape as ``customer_order_counts``: the
+    customer side ships (key, nation, 0) seed rows, the orders side ships
+    per-block partial counts, ONE hash exchange, and each partition emits
+    every key it saw — neither side is required to be present, which is
+    exactly the full-outer contract.
+    """
+    from .exchange import hash_partitioned as _hash_partitioned_x
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["c_custkey"],
+                "nat": batch["c_nationkey"].cast(pa.int64()),
+                "n": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "is_cust": pa.array([True] * batch.num_rows, type=pa.bool_()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["o_custkey"],
+                "nat": pa.array(np.full(n, -1, dtype=np.int64)),
+                "n": g["count_all"].cast(pa.int64()),
+                "is_cust": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    custs = ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=True)
+        # order-side rows carry the -1 sentinel, real nation keys are >= 0,
+        # so a plain max picks the customer row's nation when one exists —
+        # no per-group Python
+        nat = g["nat"].max()
+        n = g["n"].sum()
+        return pd.DataFrame(
+            {
+                "custkey": nat.index.to_numpy(dtype=np.int64),
+                "c_nationkey": nat.to_numpy(dtype=np.int64),
+                "n_orders": n.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return _hash_partitioned_x(custs.union(orders), "key", merge)
+
+
+CUSTOMER_ORDER_FULL_OUTER_SQL = """
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(c.c_custkey, oc.o_custkey) AS custkey,
+       CAST(coalesce(c.c_nationkey, -1) AS BIGINT) AS c_nationkey,
+       CAST(coalesce(oc.n, 0) AS BIGINT) AS n_orders
+FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+"""
+
+register(
+    "customer_order_full_outer",
+    customer_order_full_outer,
+    sql=CUSTOMER_ORDER_FULL_OUTER_SQL,
+)

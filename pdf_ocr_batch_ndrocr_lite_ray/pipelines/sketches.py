@@ -495,6 +495,29 @@ def hll_rho(v: int) -> int:
     return HLL_RHO_BITS + 1 - v.bit_length()
 
 
+def hll_estimate(v_empty: int, s_num: int) -> float:
+    """Estimate from (empty-register count, exact integer S·2^49) — THE one
+    copy of the estimator chain; ``hll_estimate_sql`` is its SQL twin and
+    must stay op-for-op identical (see ``events_distinct_users_hll``)."""
+    import math
+
+    e_raw = HLL_C * (float(1 << (HLL_RHO_BITS + 1)) / float(s_num))
+    if v_empty > 0 and e_raw <= 2.5 * HLL_M:
+        return HLL_M * math.log(HLL_M / v_empty)
+    return e_raw
+
+
+def hll_estimate_sql(v_empty: str = "v_empty", s_num: str = "s_num") -> str:
+    """SQL twin of ``hll_estimate`` over a (v_empty BIGINT, s_num DOUBLE)
+    pair, rounded to BIGINT — shared by the global and grouped HLL oracles."""
+    e_raw = f"{HLL_C!r} * (CAST(1::BIGINT << {HLL_RHO_BITS + 1} AS DOUBLE) / {s_num})"
+    return (
+        f"CASE WHEN {v_empty} > 0 AND {e_raw} <= {2.5 * HLL_M!r} "
+        f"THEN CAST(round({HLL_M} * ln({HLL_M} / {v_empty}), 0) AS BIGINT) "
+        f"ELSE CAST(round({e_raw}, 0) AS BIGINT) END"
+    )
+
+
 def events_distinct_users_hll(sf_dir: str) -> "pa.Table":
     """One-row (n_users_hll): HyperLogLog distinct-user estimate.
 
@@ -518,8 +541,6 @@ def events_distinct_users_hll(sf_dir: str) -> "pa.Table":
     same exact-integer ratio in both engines (glibc libm on both sides;
     parity pinned by the blanket oracle loop).
     """
-    import math
-
     from .exchange import enum_group_agg
 
     def block_registers(batch: pa.Table) -> pa.Table:
@@ -552,11 +573,7 @@ def events_distinct_users_hll(sf_dir: str) -> "pa.Table":
     s_num = v_empty * (1 << (HLL_RHO_BITS + 1)) + int(
         np.sum(1 << (HLL_RHO_BITS + 1 - regs["rho"].to_numpy()))
     )
-    e_raw = HLL_C * (float(1 << (HLL_RHO_BITS + 1)) / float(s_num))
-    if v_empty > 0 and e_raw <= 2.5 * HLL_M:
-        est = HLL_M * math.log(HLL_M / v_empty)
-    else:
-        est = e_raw
+    est = hll_estimate(v_empty, s_num)
     return pa.table(
         {"n_users_hll": pa.array([int(np.floor(est + 0.5))], type=pa.int64())}
     )
@@ -580,19 +597,90 @@ s AS (
            + coalesce(sum(1::BIGINT << ({HLL_RHO_BITS + 1} - rho)), 0)
          AS DOUBLE) AS s_num
   FROM regs
-),
-e AS (
-  SELECT v_empty,
-         {HLL_C!r} * (CAST(1::BIGINT << {HLL_RHO_BITS + 1} AS DOUBLE) / s_num)
-           AS e_raw
-  FROM s
 )
-SELECT CASE
-         WHEN v_empty > 0 AND e_raw <= {2.5 * HLL_M!r}
-         THEN CAST(round({HLL_M} * ln({HLL_M} / v_empty), 0) AS BIGINT)
-         ELSE CAST(round(e_raw, 0) AS BIGINT)
-       END AS n_users_hll
-FROM e
+SELECT {hll_estimate_sql()} AS n_users_hll
+FROM s
 """
 
 register("events_distinct_users_hll", events_distinct_users_hll, sql=EVENTS_HLL_SQL)
+
+
+def events_distinct_users_hll_by_type(sf_dir: str) -> "pa.Table":
+    """(event_type, n_users_hll): the PER-KEY HyperLogLog — the shape that
+    wins at 10^12 rows, where the exact pair exchange ships every distinct
+    (key, user) pair but each key's HLL summary is a fixed 256-byte
+    register file regardless of group cardinality. Per-block register
+    files fold by (event_type, bucket) max — bounded partials
+    (#types × 256), driver fold, same estimator chain as the global
+    sketch (``hll_estimate`` / ``hll_estimate_sql``)."""
+    from .exchange import enum_group_agg
+
+    def block_registers(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            regs = np.zeros(HLL_M, dtype=np.int64)
+            for u in g["user_id"].drop_duplicates():
+                hx = hashlib.md5(str(int(u)).encode("utf-8")).hexdigest()
+                bucket = int(hx[0:2], 16)
+                rho = hll_rho(int(hx[2:14], 16))
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+            filled = np.nonzero(regs)[0]
+            for b in filled:
+                rows.append((et, int(b), int(regs[b])))
+        return pd.DataFrame(rows, columns=["event_type", "bucket", "rho"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+    ).map_batches(block_registers, batch_format="pandas")
+    regs = enum_group_agg(ds, ["event_type", "bucket"], {"rho": "max"})
+
+    types, ests = [], []
+    for et, g in regs.groupby("event_type", sort=True):
+        v_empty = HLL_M - len(g)
+        s_num = v_empty * (1 << (HLL_RHO_BITS + 1)) + int(
+            np.sum(1 << (HLL_RHO_BITS + 1 - g["rho"].to_numpy()))
+        )
+        est = hll_estimate(v_empty, s_num)
+        types.append(et)
+        ests.append(int(np.floor(est + 0.5)))
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "n_users_hll": pa.array(ests, type=pa.int64()),
+        }
+    )
+
+
+EVENTS_HLL_BY_TYPE_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+),
+r AS (
+  SELECT event_type,
+         ('0x' || substr(hx, 1, 2))::INT AS bucket,
+         {HLL_RHO_BITS + 1}
+           - length(ltrim(bin(('0x' || substr(hx, 3, 12))::BIGINT), '0')) AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY event_type, bucket
+),
+s AS (
+  SELECT event_type,
+         ({HLL_M} - count(*)) AS v_empty,
+         CAST(
+           ({HLL_M} - count(*)) * (1::BIGINT << {HLL_RHO_BITS + 1})
+           + coalesce(sum(1::BIGINT << ({HLL_RHO_BITS + 1} - rho)), 0)
+         AS DOUBLE) AS s_num
+  FROM regs GROUP BY event_type
+)
+SELECT event_type, {hll_estimate_sql()} AS n_users_hll
+FROM s
+"""
+
+register(
+    "events_distinct_users_hll_by_type",
+    events_distinct_users_hll_by_type,
+    sql=EVENTS_HLL_BY_TYPE_SQL,
+)

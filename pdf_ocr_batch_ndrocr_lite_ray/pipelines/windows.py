@@ -651,3 +651,62 @@ FROM events e JOIN q USING (event_type)
 """
 
 register("events_robust_scaled", events_robust_scaled, sql=EVENTS_ROBUST_SCALED_SQL)
+
+
+# --- cohort retention: signup week x activity-week offset --------------------
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
+    """(cohort_week, week_offset, n_users): the retention triangle — users
+    grouped by first-activity week, counted once per later week they came
+    back. The product-analytics staple over an event log.
+
+    One hash partition by ``user_id`` (complete users per partition): the
+    cohort week is an in-partition min, the distinct (cohort, offset,
+    user) triples collapse in-partition, and only bounded (cohort,
+    offset, count) partials — #weeks² rows, independent of user count —
+    reach the driver fold. Weeks are integer ``epoch_us // WEEK_US`` so
+    both engines bucket with exact integer division.
+    """
+    from .exchange import enum_group_sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].values.astype("datetime64[us]").astype(np.int64) // WEEK_US
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "wk": wk})
+        cohort = d.groupby("user_id")["wk"].transform("min")
+        d["cohort_week"] = cohort
+        d["week_offset"] = d["wk"] - cohort
+        u = d.drop_duplicates(["user_id", "cohort_week", "week_offset"])
+        g = (
+            u.groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    partials = _hash_partitioned(ds, "user_id", per_user)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["cohort_week", "week_offset"], ["n_users"])
+    )
+
+
+USER_RETENTION_SQL = f"""
+WITH f AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS wk FROM events
+),
+c AS (SELECT user_id, min(wk) AS cohort_week FROM f GROUP BY user_id),
+d AS (
+  SELECT DISTINCT f.user_id, c.cohort_week, f.wk - c.cohort_week AS week_offset
+  FROM f JOIN c USING (user_id)
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY cohort_week, week_offset
+"""
+
+register("user_retention_cohorts", user_retention_cohorts, sql=USER_RETENTION_SQL)

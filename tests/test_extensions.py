@@ -176,6 +176,8 @@ class TestEmptyEvents:
             "events_time_delta",
             "events_robust_scaled",
             "user_event_pivot",
+            "events_distinct_users_hll_by_type",
+            "user_retention_cohorts",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1599,7 +1601,9 @@ class TestAdversarialEventsParity:
             "events_time_delta",
             "events_robust_scaled",
             "events_distinct_users_hll",
+            "events_distinct_users_hll_by_type",
             "user_event_pivot",
+            "user_retention_cohorts",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -1795,6 +1799,7 @@ class TestAdversarialRelationalParity:
             "lineitem_top_parts",
             "orders_rollup",
             "orders_in_segment",
+            "customer_order_full_outer",
         ],
     )
     def test_matches_oracle_on_nasty_relational(self, ray_session, nasty_rel_dir, name):
@@ -3031,3 +3036,68 @@ class TestTpchQ3:
         # emitted in rank order
         r = df["revenue_e2"].to_numpy()
         assert (r[:-1] >= r[1:]).all()
+
+
+class TestJoinAndCohortFamily:
+    def test_full_outer_surfaces_orphans_with_sentinel(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            customer_order_full_outer,
+        )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2], type=pa.int64()),
+                    "c_nationkey": pa.array([10, 20], type=pa.int32()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table({"o_custkey": pa.array([1, 1, 99], type=pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        df = (
+            customer_order_full_outer(str(tmp_path))
+            .to_pandas()
+            .set_index("custkey")
+            .sort_index()
+        )
+        assert df.loc[1, "n_orders"] == 2 and df.loc[1, "c_nationkey"] == 10
+        assert df.loc[2, "n_orders"] == 0 and df.loc[2, "c_nationkey"] == 20
+        assert df.loc[99, "n_orders"] == 1 and df.loc[99, "c_nationkey"] == -1
+
+    def test_retention_offset_zero_covers_every_user(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            user_retention_cohorts,
+        )
+
+        df = user_retention_cohorts(SF).to_pandas()
+        n_users = oracle_con.execute(
+            "SELECT count(DISTINCT user_id) FROM events"
+        ).fetchone()[0]
+        # every user appears in their own cohort's week 0
+        assert int(df.loc[df["week_offset"] == 0, "n_users"].sum()) == n_users
+        assert (df["week_offset"] >= 0).all()
+        # retention never exceeds the cohort's week-0 size
+        w0 = df[df["week_offset"] == 0].set_index("cohort_week")["n_users"]
+        for _, r in df.iterrows():
+            assert r["n_users"] <= w0[r["cohort_week"]]
+
+    def test_grouped_hll_within_bound_of_truth(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            events_distinct_users_hll_by_type,
+        )
+
+        got = events_distinct_users_hll_by_type(SF).to_pandas().set_index("event_type")
+        true = dict(
+            oracle_con.execute(
+                "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+            ).fetchall()
+        )
+        assert set(got.index) == set(true)
+        for et, t in true.items():
+            assert abs(int(got.loc[et, "n_users_hll"]) - t) <= max(3, 0.12 * t)
