@@ -530,6 +530,20 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_percent_rank(sf_dir: str) -> int:
+    """Per-type percent_rank window function."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_percent_rank
+
+    return _consume(events_percent_rank(sf_dir))
+
+
+def q_hourly_dense(sf_dir: str) -> int:
+    """Gap-filled dense hourly resample grid."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_hourly_dense
+
+    return _consume(events_hourly_dense(sf_dir))
+
+
 def q_tpch_q3(sf_dir: str) -> int:
     """Three-table Q3 join: broadcast semi-filter + co-partition join + top-k."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import tpch_q3_topk
@@ -608,6 +622,8 @@ BENCH_QUERIES = {
     "distinct_users_hll_by_type": q_distinct_users_hll_by_type,
     "full_outer": q_full_outer,
     "retention_cohorts": q_retention_cohorts,
+    "percent_rank": q_percent_rank,
+    "hourly_dense": q_hourly_dense,
 }
 
 

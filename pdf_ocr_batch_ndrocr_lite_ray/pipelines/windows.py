@@ -710,3 +710,136 @@ FROM d GROUP BY cohort_week, week_offset
 """
 
 register("user_retention_cohorts", user_retention_cohorts, sql=USER_RETENTION_SQL)
+
+
+# --- rank window function: per-group percent_rank ----------------------------
+
+
+def events_percent_rank(sf_dir: str) -> "ray.data.Dataset":
+    """(event_id, event_type, pr): ``percent_rank()`` over value within
+    each event type — the rank-family window function (ntile/percentile
+    features for model inputs). Ties take the minimum rank, exactly like
+    SQL's RANK; pr = (rank-1)/(n-1), a single exact-integer division both
+    engines round identically (single-row groups emit 0, the SQL
+    convention).
+
+    Same partition shape as the grouped median: ONE hash exchange on the
+    type key, complete groups per partition, vectorized pandas rank
+    in-process. Output rounded to 6 decimals on both sides.
+    """
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=True):
+            n = len(g)
+            rank = g["value"].rank(method="min").to_numpy(dtype=np.float64)
+            pr = np.zeros(n, dtype=np.float64) if n == 1 else (rank - 1.0) / float(n - 1)
+            pr6 = np.sign(pr) * np.floor(np.abs(pr) * 1e6 + 0.5) / 1e6
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "event_type": et,
+                        "pr": pr6,
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "pr": pd.Series(dtype="float64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return _hash_partitioned(ds, "event_type", rank_partition)
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6) AS pr
+FROM events
+"""
+
+register("events_percent_rank", events_percent_rank, sql=EVENTS_PERCENT_RANK_SQL)
+
+
+# --- gap-filled resample: dense hourly grid with zero fill -------------------
+
+
+def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
+    """(hour_s, event_type, n_events): the tumbling hourly counts
+    RESAMPLED onto the dense [min, max] hour grid per type, zero-filled —
+    the gap-filling step every time-series feature pipeline needs before
+    windowed models (missing hours must be explicit zeros, not absent
+    rows).
+
+    The counts come from the same bounded partial fold as
+    ``events_hourly``; the grid bounds are one cheap min/max aggregate;
+    the reindex happens on the driver over the #hours × #types frame
+    (time-range-bounded, independent of event count). Hours are integer
+    epoch seconds on both engines.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour_s = pc.multiply(pc.divide(us, 3600 * 1_000_000), 3600)
+        t = pa.table({"hour_s": hour_s, "event_type": batch["event_type"]})
+        g = t.group_by(["hour_s", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hour_s", "event_type", "n_events"])
+
+    source = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type"]
+    )
+    counts = enum_group_sum(
+        source.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour_s", "event_type"],
+        ["n_events"],
+    )
+    if counts.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "hour_s": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype="object"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    lo, hi = int(counts["hour_s"].min()), int(counts["hour_s"].max())
+    grid = pd.MultiIndex.from_product(
+        [np.arange(lo, hi + 1, 3600), sorted(counts["event_type"].unique())],
+        names=["hour_s", "event_type"],
+    )
+    dense = (
+        counts.set_index(["hour_s", "event_type"])["n_events"]
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    dense["n_events"] = dense["n_events"].astype("int64")
+    return ray.data.from_pandas(dense)
+
+
+EVENTS_HOURLY_DENSE_SQL = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(hour_s) FROM c),
+                                (SELECT max(hour_s) FROM c), 3600)) AS hour_s
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT g.hour_s, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM grid g CROSS JOIN types t
+LEFT JOIN c ON c.hour_s = g.hour_s AND c.event_type = t.event_type
+"""
+
+register("events_hourly_dense", events_hourly_dense, sql=EVENTS_HOURLY_DENSE_SQL)

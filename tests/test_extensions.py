@@ -178,6 +178,8 @@ class TestEmptyEvents:
             "user_event_pivot",
             "events_distinct_users_hll_by_type",
             "user_retention_cohorts",
+            "events_percent_rank",
+            "events_hourly_dense",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1604,6 +1606,8 @@ class TestAdversarialEventsParity:
             "events_distinct_users_hll_by_type",
             "user_event_pivot",
             "user_retention_cohorts",
+            "events_percent_rank",
+            "events_hourly_dense",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
