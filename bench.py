@@ -530,6 +530,13 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_bloom_gate(sf_dir: str) -> int:
+    """Bloom-filter membership gate over incoming docs (fixed broadcast)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import docs_bloom_gate
+
+    return _consume(docs_bloom_gate(sf_dir))
+
+
 def q_percent_rank(sf_dir: str) -> int:
     """Per-type percent_rank window function."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_percent_rank
@@ -624,6 +631,7 @@ BENCH_QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "percent_rank": q_percent_rank,
     "hourly_dense": q_hourly_dense,
+    "bloom_gate": q_bloom_gate,
 }
 
 

@@ -256,3 +256,115 @@ WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
 """
 
 register("docs_version_diff", docs_version_diff, sql=VERSION_DIFF_SQL)
+
+
+# --- Bloom-filter membership gate (the broadcast-scalable delta path) --------
+
+#: 4 positions, each 20 bits (5 hex chars of the md5 fingerprint) → a
+#: 2^20-bit filter; the broadcast side is ≤ 2^20 distinct positions (8 MB
+#: of int64) REGARDLESS of existing-corpus size — vs the unbounded key-set
+#: broadcast of the exact incremental dedup
+BLOOM_K = 4
+BLOOM_POS_HEX = 5
+
+
+def _bloom_positions(fingerprint_hex: str) -> list[int]:
+    """k bit positions from non-overlapping md5 hex slices — the SQL twin
+    is ``('0x' || substr(h, 1 + 5*j, 5))::BIGINT`` for j in 0..k-1."""
+    return [
+        int(fingerprint_hex[j * BLOOM_POS_HEX : (j + 1) * BLOOM_POS_HEX], 16)
+        for j in range(BLOOM_K)
+    ]
+
+
+def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, status ∈ {definitely_new, maybe_dup}): incoming documents
+    gated by a Bloom filter built from the existing corpus's content
+    fingerprints — the pre-filter a 100 TB delta-dedup runs BEFORE the
+    exact fingerprint exchange, because the filter's broadcast size is
+    fixed by the bit-array width while the exact key set grows with the
+    corpus. ``definitely_new`` is sound (no false negatives — a planted
+    existing duplicate can never pass); ``maybe_dup`` rows proceed to the
+    exact check (``docs_dedup_incremental``).
+
+    Shape: existing side folds to distinct bit positions per block
+    (bounded by 2^20), one driver union, ``ray.put`` broadcast; the
+    incoming side streams through a vectorized all-k-positions probe. The
+    gate decision is a deterministic function of md5 slices, so the SQL
+    oracle reproduces it bit for bit — false positives included.
+    """
+    from .exchange import broadcast_lookup, probe_lookup
+
+    src = corpus(sf_dir).map_batches(
+        _fingerprint_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def existing_positions(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["side"], "existing")
+        fps = batch.filter(mask)["fingerprint"].to_pylist()
+        pos = sorted({p for h in fps for p in _bloom_positions(h)})
+        return pa.table({"p": pa.array(pos, type=pa.int64())})
+
+    bits: set[int] = set()
+    for b in (
+        src.map_batches(existing_positions, batch_format="pyarrow")
+        .iter_batches(batch_size=65_536, batch_format="pyarrow")
+    ):
+        bits.update(b["p"].to_pylist())
+    sorted_bits = np.fromiter(sorted(bits), dtype=np.int64, count=len(bits))
+    keys, vals = broadcast_lookup(sorted_bits, np.ones(len(sorted_bits), dtype=np.int64))
+    import ray as _ray
+
+    ref = _ray.put((keys, vals))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        k, v = _ray.get(ref)
+        mask = pc.equal(batch["side"], "incoming")
+        t = batch.filter(mask)
+        fps = t["fingerprint"].to_pylist()
+        hit = np.ones(len(fps), dtype=bool)
+        for j in range(BLOOM_K):
+            pos = np.fromiter(
+                (int(h[j * BLOOM_POS_HEX : (j + 1) * BLOOM_POS_HEX], 16) for h in fps),
+                dtype=np.int64,
+                count=len(fps),
+            )
+            hit &= probe_lookup(k, v, pos, missing=0).astype(bool)
+        status = np.where(hit, "maybe_dup", "definitely_new")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "status": pa.array(status.tolist(), type=pa.string()),
+            }
+        )
+
+    return src.map_batches(gate, batch_format="pyarrow")
+
+
+_BLOOM_SLICES = " AND ".join(
+    f"('0x' || substr(fingerprint, {1 + j * BLOOM_POS_HEX}, {BLOOM_POS_HEX}))::BIGINT"
+    f" IN (SELECT p FROM existing_pos)"
+    for j in range(BLOOM_K)
+)
+
+DOCS_BLOOM_GATE_SQL = f"""
+WITH {CORPUS_SQL},
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         CASE WHEN {_bucket_sql()} < {INCOMING_PCT}
+              THEN 'incoming' ELSE 'existing' END AS side
+  FROM corpus
+),
+existing_pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(fingerprint, 1 + {BLOOM_POS_HEX} * j, {BLOOM_POS_HEX}))::BIGINT AS p
+  FROM fp, LATERAL UNNEST(generate_series(0, {BLOOM_K - 1})) u(j)
+  WHERE side = 'existing'
+)
+SELECT doc_id,
+       CASE WHEN {_BLOOM_SLICES} THEN 'maybe_dup' ELSE 'definitely_new' END AS status
+FROM fp WHERE side = 'incoming'
+"""
+
+register("docs_bloom_gate", docs_bloom_gate, sql=DOCS_BLOOM_GATE_SQL)

@@ -111,6 +111,7 @@ class TestEmptyCorpus:
             "docs_quality_filter",
             "docs_dedup_segments",
             "docs_weighted_sample",
+            "docs_bloom_gate",
         ],
     )
     def test_empty_input_yields_empty_output(self, ray_session, empty_dir, name):
@@ -1488,6 +1489,7 @@ class TestAdversarialCorpusParity:
             "docs_char_entropy",
             "docs_top_ngrams",
             "docs_dedup_incremental",
+            "docs_bloom_gate",
             "docs_version_diff",
             "docs_heavy_hitters",
             "docs_inverted_index",
@@ -3105,3 +3107,21 @@ class TestJoinAndCohortFamily:
         assert set(got.index) == set(true)
         for et, t in true.items():
             assert abs(int(got.loc[et, "n_users_hll"]) - t) <= max(3, 0.12 * t)
+
+
+class TestBloomGate:
+    def test_sound_against_exact_incremental_dedup(self, ray_session, oracle_con):
+        """The Bloom guarantee: no false negatives — every incoming doc the
+        exact check labels dup_of_existing must be flagged maybe_dup."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import (
+            docs_bloom_gate,
+            docs_dedup_incremental,
+        )
+
+        gate = docs_bloom_gate(SF).to_pandas().set_index("doc_id")["status"]
+        exact = docs_dedup_incremental(SF).to_pandas()
+        dups = exact.loc[exact["status"] == "dup_of_existing", "doc_id"]
+        assert len(dups) > 0
+        assert (gate.loc[dups] == "maybe_dup").all()
+        # and the gate never drops an incoming row
+        assert len(gate) == len(exact)
