@@ -678,21 +678,11 @@ def _orders_in_segment_shuffle(sf_dir: str) -> "ray.data.Dataset":
     return _hash_partitioned(custs.union(orders), "key", semi_partition)
 
 
-def orders_in_segment(
-    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
-) -> "ray.data.Dataset":
-    """(o_orderkey, o_custkey, o_totalprice) for orders placed by a
-    customer in the target market segment — the SEMI join (EXISTS),
-    completing the join family next to the broadcast/shuffle inner,
-    anti, and left-outer shapes.
-
-    The filter side reduces to a distinct key set at the read (segment
-    predicate + per-block dedup), broadcasts once via ``ray.put``, and
-    the fact table streams through a vectorized ``np.isin`` probe —
-    no shuffle of order rows. Same ceiling discipline as the anti join:
-    past ``max_broadcast_keys`` it reroutes to the union + co-partition
-    shuffle shape instead of materializing an unbounded key set.
-    """
+def _segment_keys_or_none(sf_dir: str, max_broadcast_keys: int):
+    """Distinct segment-customer keys as a sorted int64 array, or ``None``
+    once the count crosses the broadcast ceiling — THE one copy of the
+    capped key-set collection shared by the semi join and the Q3 plan
+    (each reroutes to its own co-partition shape on ``None``)."""
     from ray.data.aggregate import Count as _Count
 
     from .exchange import int64_array
@@ -716,8 +706,34 @@ def orders_in_segment(
             key_arrays.append(int64_array(b["c_custkey"]))
             total += b.num_rows
             if total > max_broadcast_keys:
-                return _orders_in_segment_shuffle(sf_dir)
-    seg = np.sort(np.concatenate(key_arrays)) if key_arrays else np.array([], dtype=np.int64)
+                return None
+    return (
+        np.sort(np.concatenate(key_arrays))
+        if key_arrays
+        else np.array([], dtype=np.int64)
+    )
+
+
+def orders_in_segment(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "ray.data.Dataset":
+    """(o_orderkey, o_custkey, o_totalprice) for orders placed by a
+    customer in the target market segment — the SEMI join (EXISTS),
+    completing the join family next to the broadcast/shuffle inner,
+    anti, and left-outer shapes.
+
+    The filter side reduces to a distinct key set at the read (segment
+    predicate + per-block dedup), broadcasts once via ``ray.put``, and
+    the fact table streams through a vectorized ``np.isin`` probe —
+    no shuffle of order rows. Same ceiling discipline as the anti join:
+    past ``max_broadcast_keys`` it reroutes to the union + co-partition
+    shuffle shape instead of materializing an unbounded key set.
+    """
+    from .exchange import int64_array
+
+    seg = _segment_keys_or_none(sf_dir, max_broadcast_keys)
+    if seg is None:
+        return _orders_in_segment_shuffle(sf_dir)
     ref = ray.put(seg)
 
     def semi(batch: pa.Table) -> pa.Table:
@@ -751,7 +767,11 @@ Q3_CUTOFF = "1998-01-01"
 Q3_TOPK = 10
 
 
-def tpch_q3_topk(sf_dir: str, k: int = Q3_TOPK) -> "ray.data.Dataset":
+def tpch_q3_topk(
+    sf_dir: str,
+    k: int = Q3_TOPK,
+    max_broadcast_keys: int = MAX_BROADCAST_KEYS,
+) -> "ray.data.Dataset":
     """(o_orderkey, revenue_e2, o_orderdate_us): the classic shipping-
     priority query — revenue of not-yet-shipped lineitems for orders
     placed by segment customers before the cutoff — exercising the
@@ -760,8 +780,11 @@ def tpch_q3_topk(sf_dir: str, k: int = Q3_TOPK) -> "ray.data.Dataset":
     aggregation, ONE co-partition exchange joining the two fact sides,
     and a mergeable top-k fold.
 
-    Plan shape: the customer side collapses to a broadcast key set (same
-    ceiling discipline as the semi join); orders and lineitem are pruned
+    Plan shape: the customer side collapses to a broadcast key set via
+    the shared capped collector (``_segment_keys_or_none``); past the
+    ceiling it reroutes to a custkey co-partition semi exchange feeding
+    the same orderkey join — never an unbounded driver key set. Orders
+    and lineitem are pruned
     at the read (columns + date row filter) and never shuffle raw — the
     lineitem side exchanges per-block (orderkey, cents) partials, the
     orders side (orderkey, date) stubs; each hash partition inner-joins
@@ -771,41 +794,13 @@ def tpch_q3_topk(sf_dir: str, k: int = Q3_TOPK) -> "ray.data.Dataset":
     """
     import datetime as _dt
 
-    from ray.data.aggregate import Count as _Count
-
     from .exchange import driver_topk_fold, int64_array
     from .exchange import hash_partitioned as _hash_partitioned_x
 
     cutoff = _dt.datetime.fromisoformat(Q3_CUTOFF)
 
-    def seg_keys(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["c_mktsegment"], SEMI_SEGMENT))
-        return t.select(["c_custkey"]).group_by("c_custkey").aggregate([])
-
-    keys = (
-        ray.data.read_parquet(
-            table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
-        )
-        .map_batches(seg_keys, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_custkey")
-        .aggregate(_Count())
-    )
-    arrays = [
-        int64_array(b["c_custkey"])
-        for b in keys.iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    seg = np.sort(np.concatenate(arrays)) if arrays else np.array([], dtype=np.int64)
-    ref = ray.put(seg)
-
-    def order_side(batch: pa.Table) -> pa.Table:
-        probe = ray.get(ref)
-        batch = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
-        keep = np.isin(int64_array(batch["o_custkey"]), probe)
-        t = batch.filter(pa.array(keep))
-        odate_us = (
-            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
-        )
+    def tag_orders(t: pa.Table) -> pa.Table:
+        odate_us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
         return pa.table(
             {
                 "key": t["o_orderkey"],
@@ -814,6 +809,68 @@ def tpch_q3_topk(sf_dir: str, k: int = Q3_TOPK) -> "ray.data.Dataset":
                 "is_order": pa.array([True] * t.num_rows, type=pa.bool_()),
             }
         )
+
+    seg = _segment_keys_or_none(sf_dir, max_broadcast_keys)
+    if seg is None:
+        # past the ceiling: semi-filter orders by a custkey co-partition
+        # exchange instead of a driver-held key set (second exchange, zero
+        # driver state) — then the orderkey exchange below is unchanged
+        def cust_rows(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["c_mktsegment"], SEMI_SEGMENT))
+            return pa.table(
+                {
+                    "ckey": t["c_custkey"],
+                    "o_orderkey": pa.array([-1] * t.num_rows, type=pa.int64()),
+                    "odate_us": pa.array([-1] * t.num_rows, type=pa.int64()),
+                    "is_cust": pa.array([True] * t.num_rows, type=pa.bool_()),
+                }
+            )
+
+        def order_rows(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
+            odate_us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table(
+                {
+                    "ckey": t["o_custkey"],
+                    "o_orderkey": t["o_orderkey"],
+                    "odate_us": odate_us,
+                    "is_cust": pa.array([False] * t.num_rows, type=pa.bool_()),
+                }
+            )
+
+        def semi_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+            have = set(df.loc[df["is_cust"], "ckey"])
+            out = df[~df["is_cust"] & df["ckey"].isin(have)]
+            return pd.DataFrame(
+                {
+                    "key": out["o_orderkey"].astype("int64").to_numpy(),
+                    "odate_us": out["odate_us"].astype("int64").to_numpy(),
+                    "cents": np.zeros(len(out), dtype=np.int64),
+                    "is_order": np.ones(len(out), dtype=bool),
+                }
+            )
+
+        custs = ray.data.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+        ).map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+        ords = ray.data.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+        orders = _hash_partitioned_x(custs.union(ords), "ckey", semi_partition)
+    else:
+        ref = ray.put(seg)
+
+        def order_side(batch: pa.Table) -> pa.Table:
+            probe = ray.get(ref)
+            batch = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
+            keep = np.isin(int64_array(batch["o_custkey"]), probe)
+            return tag_orders(batch.filter(pa.array(keep)))
+
+        orders = ray.data.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
 
     def line_side(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
@@ -843,14 +900,10 @@ def tpch_q3_topk(sf_dir: str, k: int = Q3_TOPK) -> "ray.data.Dataset":
             }
         )
 
-    orders = ray.data.read_parquet(
-        table_path(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
     lines = ray.data.read_parquet(
         table_path(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        ).map_batches(
+    ).map_batches(
         line_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=262_144
     )
 

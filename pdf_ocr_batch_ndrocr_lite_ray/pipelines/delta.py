@@ -295,19 +295,30 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
     """
     from .exchange import broadcast_lookup, probe_lookup
 
-    src = corpus(sf_dir).map_batches(
-        _fingerprint_side, batch_format="pyarrow", zero_copy_batch=True
-    )
-
+    # side-filter BEFORE fingerprinting (the md5 loop is the dominant
+    # cost): each row is hashed exactly once, in whichever side's pass it
+    # belongs to — a single combined pass would either re-execute the lazy
+    # fingerprint pipeline on the second consumption or force a
+    # materialization of the full fingerprint table
     def existing_positions(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch["side"], "existing")
-        fps = batch.filter(mask)["fingerprint"].to_pylist()
-        pos = sorted({p for h in fps for p in _bloom_positions(h)})
+        mask = pa.array(_hash_bucket(batch["doc_id"]) >= INCOMING_PCT)
+        t = batch.filter(mask)
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t["text"], pattern=r"\s+", replacement=" ")
+        )
+        pos = sorted(
+            {
+                p
+                for s in norm.to_pylist()
+                for p in _bloom_positions(hashlib.md5(s.encode("utf-8")).hexdigest())
+            }
+        )
         return pa.table({"p": pa.array(pos, type=pa.int64())})
 
     bits: set[int] = set()
     for b in (
-        src.map_batches(existing_positions, batch_format="pyarrow")
+        corpus(sf_dir)
+        .map_batches(existing_positions, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_size=65_536, batch_format="pyarrow")
     ):
         bits.update(b["p"].to_pylist())
@@ -319,9 +330,12 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
 
     def gate(batch: pa.Table) -> pa.Table:
         k, v = _ray.get(ref)
-        mask = pc.equal(batch["side"], "incoming")
+        mask = pa.array(_hash_bucket(batch["doc_id"]) < INCOMING_PCT)
         t = batch.filter(mask)
-        fps = t["fingerprint"].to_pylist()
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(t["text"], pattern=r"\s+", replacement=" ")
+        )
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
         hit = np.ones(len(fps), dtype=bool)
         for j in range(BLOOM_K):
             pos = np.fromiter(
@@ -338,7 +352,9 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return src.map_batches(gate, batch_format="pyarrow")
+    return corpus(sf_dir).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 _BLOOM_SLICES = " AND ".join(

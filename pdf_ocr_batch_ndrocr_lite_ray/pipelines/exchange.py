@@ -224,3 +224,27 @@ def driver_topk_fold(ds: "ray.data.Dataset", by: list, ascending: list, k: int):
         best = b if best is None else pd.concat([best, b])
         best = best.sort_values(by, ascending=ascending).head(k)
     return best
+
+
+def round6(v):
+    """Half-away-from-zero rounding to 6 decimals — matches DuckDB
+    ``round(x, 6)`` (numpy's own round is half-even). THE one copy of the
+    output-quantization contract shared by every float-emitting operator."""
+    import numpy as np
+
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
+def quantile_cont_duckdb(sorted_vals, q: float) -> float:
+    """DuckDB's own ``quantile_cont`` interpolation shape
+    ``v[FRN]·(CRN−RN) + v[CRN]·(RN−FRN)`` — NOT the algebraically-equal
+    ``a + (b−a)·f``, which rounds differently in the last ulp and flips
+    the 6th decimal on ~0.4% of random inputs (pinned by the
+    interpolation fuzz in tests). THE one copy of the quantile contract."""
+    import numpy as np
+
+    rn = (len(sorted_vals) - 1) * q
+    frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+    if crn == frn:
+        return float(sorted_vals[frn])
+    return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))

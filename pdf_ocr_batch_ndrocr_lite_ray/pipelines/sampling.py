@@ -241,8 +241,9 @@ def docs_weighted_sample(sf_dir: str, k: int = WEIGHTED_K) -> "ray.data.Dataset"
                 }
             )
         )
-    v = top["priority"].to_numpy() * 1e6
-    top["priority"] = np.sign(v) * np.floor(np.abs(v) + 0.5) / 1e6
+    from .exchange import round6
+
+    top["priority"] = round6(top["priority"].to_numpy())
     return ray.data.from_pandas(top.reset_index(drop=True))
 
 

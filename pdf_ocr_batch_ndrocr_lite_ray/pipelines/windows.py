@@ -444,15 +444,8 @@ def events_winsorized(sf_dir: str) -> "ray.data.Dataset":
     """
     import ray as _ray
 
-    def _round6(v: np.ndarray) -> np.ndarray:
-        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
-
-    def _qcont(sorted_vals: np.ndarray, q: float) -> float:
-        rn = (len(sorted_vals) - 1) * q
-        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
-        if crn == frn:
-            return float(sorted_vals[frn])
-        return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
+    from .exchange import quantile_cont_duckdb as _qcont
+    from .exchange import round6 as _round6
 
     def quantile_partition(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -585,15 +578,8 @@ def events_robust_scaled(sf_dir: str) -> "ray.data.Dataset":
     """
     import ray as _ray
 
-    def _round6(v: np.ndarray) -> np.ndarray:
-        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
-
-    def _qcont(sorted_vals: np.ndarray, q: float) -> float:
-        rn = (len(sorted_vals) - 1) * q
-        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
-        if crn == frn:
-            return float(sorted_vals[frn])
-        return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
+    from .exchange import quantile_cont_duckdb as _qcont
+    from .exchange import round6 as _round6
 
     def stats_partition(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -673,7 +659,11 @@ def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
     from .exchange import enum_group_sum
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        wk = df["ts"].values.astype("datetime64[us]").astype(np.int64) // WEEK_US
+        us = df["ts"].values.astype("datetime64[us]").astype(np.int64)
+        # DuckDB // truncates toward zero; numpy // floors — they differ on
+        # pre-epoch timestamps, so truncate explicitly
+        wk = us // WEEK_US
+        wk += ((us < 0) & (us - wk * WEEK_US != 0)).astype(np.int64)
         d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "wk": wk})
         cohort = d.groupby("user_id")["wk"].transform("min")
         d["cohort_week"] = cohort
@@ -733,8 +723,10 @@ def events_percent_rank(sf_dir: str) -> "ray.data.Dataset":
         for et, g in df.groupby("event_type", sort=True):
             n = len(g)
             rank = g["value"].rank(method="min").to_numpy(dtype=np.float64)
+            from .exchange import round6 as _round6
+
             pr = np.zeros(n, dtype=np.float64) if n == 1 else (rank - 1.0) / float(n - 1)
-            pr6 = np.sign(pr) * np.floor(np.abs(pr) * 1e6 + 0.5) / 1e6
+            pr6 = _round6(pr)
             out.append(
                 pd.DataFrame(
                     {

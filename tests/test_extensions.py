@@ -3043,6 +3043,16 @@ class TestTpchQ3:
         r = df["revenue_e2"].to_numpy()
         assert (r[:-1] >= r[1:]).all()
 
+    def test_reroutes_past_broadcast_cap(self, ray_session):
+        """Past the key ceiling the customer filter becomes a custkey
+        co-partition exchange — identical rows, zero driver key state."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import tpch_q3_topk
+
+        broadcast = tpch_q3_topk(SF).to_pandas()
+        rerouted = tpch_q3_topk(SF, max_broadcast_keys=0).to_pandas()
+        assert _value_hash(broadcast) == _value_hash(rerouted)
+        assert len(broadcast) > 0
+
 
 class TestJoinAndCohortFamily:
     def test_full_outer_surfaces_orphans_with_sentinel(self, ray_session, tmp_path):
