@@ -530,6 +530,20 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_anomaly_mad(sf_dir: str) -> int:
+    """Per-type MAD outlier flags (two order stats, one exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_anomaly_mad
+
+    return _consume(events_anomaly_mad(sf_dir))
+
+
+def q_knn_graph(sf_dir: str) -> int:
+    """In-cell k-NN graph over embeddings (assign -> co-locate -> Gram)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.similarity import emb_knn_graph
+
+    return _consume(emb_knn_graph(sf_dir))
+
+
 def q_bloom_gate(sf_dir: str) -> int:
     """Bloom-filter membership gate over incoming docs (fixed broadcast)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import docs_bloom_gate
@@ -632,6 +646,8 @@ BENCH_QUERIES = {
     "percent_rank": q_percent_rank,
     "hourly_dense": q_hourly_dense,
     "bloom_gate": q_bloom_gate,
+    "anomaly_mad": q_anomaly_mad,
+    "knn_graph": q_knn_graph,
 }
 
 

@@ -405,3 +405,110 @@ register("ann_ivf_topk", ivf_topk, sql=IVF_TOPK_SQL)
 # same oracle as ann_ivf_topk: the partitioned layout changes WHERE bytes
 # are read, not what the query computes
 register("ann_ivf_topk_partitioned", ivf_topk_partitioned, sql=IVF_TOPK_SQL)
+
+
+# --- k-NN graph construction (in-cell, the SemDeDup/dedup-graph input) -------
+
+KNN_K = 5
+
+
+def emb_knn_graph(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
+    """(vec_id, nbr_id, score): each vector's top-k cosine neighbors WITHIN
+    its IVF cell — the k-NN graph that feeds SemDeDup, near-dup connected
+    components, and graph-based diversity selection. Cell-scoped (not
+    global) by design: that is what makes graph construction linear-ish
+    instead of N² — at corpus scale the centroid count grows with N so
+    cells stay bounded, and the same assign → co-locate → in-cell matmul
+    shape holds.
+
+    One hash exchange on the assigned centroid id (embeddings ride it
+    once); each partition computes its cells' unit-dot Gram blocks and
+    emits k rows per vector. Assignment uses the IVF round-6 argmax
+    contract; ranking uses the unrounded scores with vec_id tie-break,
+    exactly like the ANN oracles.
+    """
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    c_ids, c_mat = _small_matrix(sf_dir, IVF_CENTROIDS)
+    ref = ray.put(c_mat)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cid": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=batch["embedding"].type),
+                }
+            )
+        cent = ray.get(ref)
+        mat = _unit(list_matrix(batch["embedding"]))
+        cid = np.argmax(np.round(mat @ cent.T, 6), axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cid": pa.array(cid),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_n, out_s = [], [], []
+        for _, g in df.groupby("cid", sort=False):
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            mat = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]]))
+            if len(ids) < 2:
+                continue
+            s = mat @ mat.T
+            for i in range(len(ids)):
+                row = s[i].copy()
+                row[i] = -np.inf  # exclude self
+                # rank: score desc, nbr_id asc — lexsort on (-score, id)
+                sel = np.lexsort((ids, -row))[: min(k, len(ids) - 1)]
+                out_v.extend([int(ids[i])] * len(sel))
+                out_n.extend(int(ids[j]) for j in sel)
+                out_s.extend(float(row[j]) for j in sel)
+        from .exchange import round6
+
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "nbr_id": pd.Series(out_n, dtype="int64"),
+                "score": round6(np.asarray(out_s, dtype=np.float64))
+                if out_s
+                else pd.Series(dtype="float64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return _hash_partitioned(ds, "cid", per_cell)
+
+
+EMB_KNN_GRAPH_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.emb, cent.cemb), 6) DESC, cent.cid
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, b.vec_id AS nbr_id,
+       round(list_cosine_similarity(e1.emb, e2.emb), 6) AS score
+FROM assign a
+JOIN assign b ON a.cid = b.cid AND a.vec_id != b.vec_id
+JOIN e e1 ON e1.vec_id = a.vec_id
+JOIN e e2 ON e2.vec_id = b.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(e1.emb, e2.emb) DESC, b.vec_id
+) <= {KNN_K}
+"""
+
+register("emb_knn_graph", emb_knn_graph, sql=EMB_KNN_GRAPH_SQL)

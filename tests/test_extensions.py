@@ -181,6 +181,7 @@ class TestEmptyEvents:
             "user_retention_cohorts",
             "events_percent_rank",
             "events_hourly_dense",
+            "events_anomaly_mad",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1610,6 +1611,7 @@ class TestAdversarialEventsParity:
             "user_retention_cohorts",
             "events_percent_rank",
             "events_hourly_dense",
+            "events_anomaly_mad",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -1721,6 +1723,7 @@ class TestAdversarialEmbeddingsParity:
             "ann_ivf_topk",
             "ann_ivf_topk_partitioned",
             "emb_kmeans_assign",
+            "emb_knn_graph",
         ],
     )
     def test_matches_oracle_on_nasty_embeddings(self, ray_session, nasty_emb_dir, name):
