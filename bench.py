@@ -530,6 +530,13 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_tpch_q1(sf_dir: str) -> int:
+    """Q1 pricing summary: one partial-agg pass, bounded fold."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import tpch_q1_pricing
+
+    return _consume(tpch_q1_pricing(sf_dir))
+
+
 def q_anomaly_mad(sf_dir: str) -> int:
     """Per-type MAD outlier flags (two order stats, one exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_anomaly_mad
@@ -648,6 +655,7 @@ BENCH_QUERIES = {
     "bloom_gate": q_bloom_gate,
     "anomaly_mad": q_anomaly_mad,
     "knn_graph": q_knn_graph,
+    "tpch_q1": q_tpch_q1,
 }
 
 

@@ -174,3 +174,139 @@ FROM events GROUP BY user_id
 
 register("orders_rollup", orders_rollup, sql=ORDERS_ROLLUP_SQL)
 register("user_event_pivot", user_event_pivot, sql=USER_EVENT_PIVOT_SQL)
+
+
+# --- pricing summary (TPC-H Q1 shape: multi-aggregate scan) -------------------
+
+Q1_SHIP_CUTOFF = "1998-09-02"
+
+
+def tpch_q1_pricing(sf_dir: str) -> "ray.data.Dataset":
+    """(l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2, sum_disc_e2,
+    sum_charge_e4, avg_qty, avg_price, n_lines): the classic pricing
+    summary — the multi-aggregate single-pass scan every columnar engine
+    demos. One ``map_batches`` partial per block over the date-pruned
+    read (bounded 3×2 key grid), driver fold, averages derived from the
+    exact integer sums (one division both engines round identically, then
+    round6).
+
+    Money contract: every product is rounded to fixed point PER ROW
+    before the integer sum (qty and base at cents, the two-factor
+    discounted charge at 1e-4) so group totals are independent of float
+    summation order — the ``lineitem_top_parts`` rule extended to a
+    three-factor product.
+    """
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    from .exchange import round6
+
+    cutoff = _dt.datetime.fromisoformat(Q1_SHIP_CUTOFF)
+
+    def _fixed(col, scale: float):
+        return pc.cast(
+            pc.round(
+                pc.multiply(col, pa.scalar(scale)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        charge = pc.multiply(
+            disc_price, pc.add(pa.scalar(1.0), batch["l_tax"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty_e2": _fixed(batch["l_quantity"], 100.0),
+                "sum_base_e2": _fixed(batch["l_extendedprice"], 100.0),
+                "sum_disc_e2": _fixed(disc_price, 100.0),
+                "sum_charge_e4": _fixed(charge, 10_000.0),
+                "n_lines": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty_e2", "sum"),
+                ("sum_base_e2", "sum"),
+                ("sum_disc_e2", "sum"),
+                ("sum_charge_e4", "sum"),
+                ("n_lines", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty_e2",
+                "sum_base_e2",
+                "sum_disc_e2",
+                "sum_charge_e4",
+                "n_lines",
+            ]
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = enum_group_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_e2", "sum_base_e2", "sum_disc_e2", "sum_charge_e4", "n_lines"],
+    )
+    out["avg_qty"] = round6(
+        out["sum_qty_e2"].to_numpy(dtype=np.float64)
+        / out["n_lines"].to_numpy(dtype=np.float64)
+        / 100.0
+    )
+    out["avg_price"] = round6(
+        out["sum_base_e2"].to_numpy(dtype=np.float64)
+        / out["n_lines"].to_numpy(dtype=np.float64)
+        / 100.0
+    )
+    return ray.data.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    )
+
+
+TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_base_e2,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_e2,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100, 6) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100, 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+register("tpch_q1_pricing", tpch_q1_pricing, sql=TPCH_Q1_SQL)

@@ -1752,6 +1752,8 @@ class TestAdversarialRelationalParity:
 
     @pytest.fixture(scope="class")
     def nasty_rel_dir(self, tmp_path_factory):
+        import datetime as dt
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1792,6 +1794,13 @@ class TestAdversarialRelationalParity:
                     "l_partkey": pa.array([7, 7, 8], type=pa.int64()),
                     "l_extendedprice": pa.array([10.005, 20.0, 5.125]),
                     "l_discount": pa.array([0.0, 0.5, 0.0]),
+                    "l_quantity": pa.array([1.005, 2.0, 3.5]),
+                    "l_tax": pa.array([0.05, 0.0, 0.08]),
+                    "l_returnflag": pa.array(["N", "R", "N"]),
+                    "l_linestatus": pa.array(["O", "F", "O"]),
+                    "l_shipdate": pa.array(
+                        [dt.datetime(1997, 1, 1)] * 3, type=pa.timestamp("us")
+                    ),
                 }
             ),
             d / "lineitem.parquet",
@@ -1809,6 +1818,7 @@ class TestAdversarialRelationalParity:
             "orders_rollup",
             "orders_in_segment",
             "customer_order_full_outer",
+            "tpch_q1_pricing",
         ],
     )
     def test_matches_oracle_on_nasty_relational(self, ray_session, nasty_rel_dir, name):
