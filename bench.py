@@ -530,6 +530,13 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_count_min(sf_dir: str) -> int:
+    """Count-Min frequency sketch fold (bounded d x w partials)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import docs_count_min
+
+    return _consume(docs_count_min(sf_dir))
+
+
 def q_tpch_q1(sf_dir: str) -> int:
     """Q1 pricing summary: one partial-agg pass, bounded fold."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import tpch_q1_pricing
@@ -656,6 +663,7 @@ BENCH_QUERIES = {
     "anomaly_mad": q_anomaly_mad,
     "knn_graph": q_knn_graph,
     "tpch_q1": q_tpch_q1,
+    "count_min": q_count_min,
 }
 
 

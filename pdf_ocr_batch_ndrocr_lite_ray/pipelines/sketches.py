@@ -684,3 +684,94 @@ register(
     events_distinct_users_hll_by_type,
     sql=EVENTS_HLL_BY_TYPE_SQL,
 )
+
+
+# --- Count-Min frequency sketch ----------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 1024  # buckets per row; 2^20-bit md5 slices mod 2^10 stay uniform
+
+
+def docs_count_min(sf_dir: str) -> "ray.data.Dataset":
+    """(row_id, bucket, n): the Count-Min sketch of the corpus token
+    stream — d×w integer counters whose point query
+    ``min_j counter[j][h_j(t)]`` upper-bounds any token's true count
+    (never under), the mergeable frequency summary that answers "how
+    often does X appear" without an unbounded term dictionary. Rounds
+    out the sketch family: KMV/HLL (distinct), Misra-Gries (top-k),
+    Bloom (membership), histogram (quantiles), Count-Min (frequency).
+
+    Per block: tokenize (the ASCII ``\\S+`` contract shared with heavy
+    hitters), one ``np.bincount`` per hash row → ≤ d×w partial rows;
+    driver fold over the bounded (row_id, bucket) grid. Like every
+    sketch here the VALUE is an exact md5 function of the data, so the
+    DuckDB oracle reproduces the counter table cell for cell; only the
+    estimate↔truth relation is approximate (the ≥-true and ≤-true+εN
+    properties are asserted in tests).
+    """
+    from .dedup import _WORDS_RE
+    from .exchange import enum_group_sum
+
+    def block_counters(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.findall(_WORDS_RE).explode().dropna()
+        if toks.empty:
+            return pd.DataFrame(
+                {
+                    "row_id": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        uniq, counts = np.unique(toks.to_numpy(), return_counts=True)
+        rows_out = []
+        digs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in uniq]
+        for j in range(CM_D):
+            buckets = np.fromiter(
+                (int(h[j * 5 : j * 5 + 5], 16) % CM_W for h in digs),
+                dtype=np.int64,
+                count=len(digs),
+            )
+            cnt = np.bincount(buckets, weights=counts, minlength=CM_W).astype(np.int64)
+            nz = np.nonzero(cnt)[0]
+            rows_out.append(
+                pd.DataFrame(
+                    {
+                        "row_id": np.full(len(nz), j, dtype=np.int64),
+                        "bucket": nz.astype(np.int64),
+                        "n": cnt[nz],
+                    }
+                )
+            )
+        return pd.concat(rows_out, ignore_index=True)
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["text"]
+    ).map_batches(block_counters, batch_format="pandas")
+    return ray.data.from_pandas(enum_group_sum(ds, ["row_id", "bucket"], ["n"]))
+
+
+def count_min_estimate(sketch, token: str) -> int:
+    """Point query: min over hash rows of the token's counters (0 when a
+    bucket row is absent). ``sketch`` is the (row_id, bucket, n) frame."""
+    lut = {(int(r.row_id), int(r.bucket)): int(r.n) for r in sketch.itertuples()}
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return min(
+        lut.get((j, int(h[j * 5 : j * 5 + 5], 16) % CM_W), 0) for j in range(CM_D)
+    )
+
+
+DOCS_COUNT_MIN_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+h AS (SELECT md5(token) AS hx FROM toks),
+cells AS (
+  SELECT j AS row_id,
+         ('0x' || substr(hx, 1 + 5 * j, 5))::BIGINT % {CM_W} AS bucket
+  FROM h, LATERAL UNNEST(generate_series(0, {CM_D - 1})) u(j)
+)
+SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY row_id, bucket
+"""
+
+register("docs_count_min", docs_count_min, sql=DOCS_COUNT_MIN_SQL)

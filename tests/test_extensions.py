@@ -112,6 +112,7 @@ class TestEmptyCorpus:
             "docs_dedup_segments",
             "docs_weighted_sample",
             "docs_bloom_gate",
+            "docs_count_min",
         ],
     )
     def test_empty_input_yields_empty_output(self, ray_session, empty_dir, name):
@@ -124,6 +125,7 @@ class TestEmptyCorpus:
             mixture,
             novelty,
             sampling,
+            sketches,
             spans,
             zorder,
             quality,
@@ -1497,6 +1499,7 @@ class TestAdversarialCorpusParity:
             "docs_bm25_topk",
             "docs_novelty",
             "docs_dedup_segments",
+            "docs_count_min",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -1513,6 +1516,7 @@ class TestAdversarialCorpusParity:
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.spans  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
@@ -3148,3 +3152,34 @@ class TestBloomGate:
         assert (gate.loc[dups] == "maybe_dup").all()
         # and the gate never drops an incoming row
         assert len(gate) == len(exact)
+
+
+class TestCountMin:
+    def test_point_queries_bound_true_counts(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            CM_W,
+            count_min_estimate,
+            docs_count_min,
+        )
+
+        sketch = docs_count_min(SF).to_pandas()
+        truth = dict(
+            oracle_con.execute(
+                "SELECT token, count(*) FROM (SELECT unnest(regexp_extract_all("
+                "text, '\\S+')) AS token FROM documents) GROUP BY token"
+                " ORDER BY count(*) DESC LIMIT 25"
+            ).fetchall()
+        )
+        n_total = oracle_con.execute(
+            "SELECT count(*) FROM (SELECT unnest(regexp_extract_all(text,"
+            " '\\S+')) FROM documents)"
+        ).fetchone()[0]
+        assert truth
+        for tok, true_n in truth.items():
+            est = count_min_estimate(sketch, tok)
+            assert est >= true_n  # never undercounts
+            # classic CM bound with d=4 rows: overflow ≤ ~N/W w.h.p.
+            assert est <= true_n + 8 * n_total / CM_W
+        # total mass per row equals the token stream length
+        per_row = sketch.groupby("row_id")["n"].sum()
+        assert (per_row == n_total).all()
