@@ -530,6 +530,13 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_tpch_q5(sf_dir: str) -> int:
+    """Q5 star join: three broadcast dims + one co-partition exchange."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import tpch_q5_local_volume
+
+    return _consume(tpch_q5_local_volume(sf_dir))
+
+
 def q_count_min(sf_dir: str) -> int:
     """Count-Min frequency sketch fold (bounded d x w partials)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import docs_count_min
@@ -664,6 +671,7 @@ BENCH_QUERIES = {
     "knn_graph": q_knn_graph,
     "tpch_q1": q_tpch_q1,
     "count_min": q_count_min,
+    "tpch_q5": q_tpch_q5,
 }
 
 

@@ -1042,3 +1042,177 @@ register(
     customer_order_full_outer,
     sql=CUSTOMER_ORDER_FULL_OUTER_SQL,
 )
+
+
+# --- star join: TPC-H Q5 shape (region -> nation -> cust/supp, local volume) --
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def tpch_q5_local_volume(sf_dir: str) -> "ray.data.Dataset":
+    """(n_name, revenue_e2): revenue from orders placed in a date window
+    by customers of one region, counting only lineitems supplied from the
+    CUSTOMER'S OWN nation — the local-supplier-volume star join, the
+    classic multi-broadcast plan.
+
+    Plan shape: the three dimension sides are broadcast maps
+    (region→nation set: ≤ 25 rows; supplier→nation and customer→nation:
+    key→int maps under the same ``MAX_BROADCAST_KEYS`` ceiling discipline
+    as the other joins — at true scale the customer map reroutes to a
+    custkey co-partition exactly like Q3's fallback, documented rather
+    than duplicated here). The two fact tables never shuffle raw: orders
+    emits (okey, cust_nation) stubs, lineitem emits per-block
+    (okey, supp_nation, cents) partials, ONE co-partition exchange on the
+    order key joins them, and the nation equality is applied in-partition
+    before a bounded per-nation fold.
+    """
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    from .exchange import broadcast_lookup, int64_array, probe_lookup
+    from .exchange import enum_group_sum
+    from .exchange import hash_partitioned as _hash_partitioned_x
+
+    lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
+
+    # dimension broadcasts (driver-side smalls: region 5, nation 25 rows)
+    nat = _pq.read_table(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = _pq.read_table(table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    region_keys = {
+        int(k)
+        for k, name in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if name == Q5_REGION
+    }
+    nation_name = {
+        int(k): n
+        for k, n, rk in zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        )
+        if int(rk) in region_keys
+    }
+    in_region = np.fromiter(sorted(nation_name), dtype=np.int64, count=len(nation_name))
+
+    sup = _pq.read_table(
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    s_keys, s_nats = broadcast_lookup(
+        sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    cust = _pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    c_keys, c_nats = broadcast_lookup(
+        cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    ref = ray.put((s_keys, s_nats, c_keys, c_nats, in_region))
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        sk, sn, ck, cn, reg_n = ray.get(ref)
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        cnat = probe_lookup(ck, cn, int64_array(t["o_custkey"]), missing=-1)
+        keep = np.isin(cnat, reg_n)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "nat": pa.array(cnat[keep]),
+                "cents": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "is_order": pa.array([True] * t.num_rows, type=pa.bool_()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sk, sn, ck, cn, reg_n = ray.get(ref)
+        snat = probe_lookup(sk, sn, int64_array(batch["l_suppkey"]), missing=-1)
+        keep = np.isin(snat, reg_n)  # non-region suppliers can never match
+        t = batch.filter(pa.array(keep))
+        revenue = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"key": t["l_orderkey"], "nat": pa.array(snat[keep]), "cents": revenue}
+            )
+            .group_by(["key", "nat"])
+            .aggregate([("cents", "sum")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "nat": g["nat"],
+                "cents": g["cents_sum"],
+                "is_order": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        line_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=262_144
+    )
+
+    def local_join(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df["is_order"]].drop_duplicates("key").set_index("key")["nat"]
+        lins = df[~df["is_order"]]
+        cn = lins["key"].map(ords)  # customer nation of the line's order
+        hit = lins[cn.notna() & (cn == lins["nat"])]
+        g = hit.groupby("nat", sort=False)["cents"].sum().reset_index()
+        g["cents"] = g["cents"].astype("int64")
+        return g.rename(columns={"nat": "nationkey", "cents": "revenue_e2"})
+
+    partials = _hash_partitioned_x(orders.union(lines), "key", local_join)
+    folded = enum_group_sum(partials, ["nationkey"], ["revenue_e2"])
+    folded["n_name"] = folded["nationkey"].map(nation_name)
+    out = folded[["n_name", "revenue_e2"]].sort_values("n_name").reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+TPCH_Q5_SQL = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+             AND s.s_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n.n_name
+"""
+
+register("tpch_q5_local_volume", tpch_q5_local_volume, sql=TPCH_Q5_SQL)

@@ -21,7 +21,17 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events", "orders", "customer", "lineitem"):
+    for t in (
+        "documents",
+        "embeddings",
+        "events",
+        "orders",
+        "customer",
+        "lineitem",
+        "supplier",
+        "nation",
+        "region",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -3183,3 +3193,20 @@ class TestCountMin:
         # total mass per row equals the token stream length
         per_row = sketch.groupby("row_id")["n"].sum()
         assert (per_row == n_total).all()
+
+
+class TestTpchQ5:
+    def test_matches_oracle_and_star_semantics(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import analytics  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import Q5_REGION
+
+        df = _check_against_oracle("tpch_q5_local_volume", oracle_con)
+        region_nations = {
+            r[0]
+            for r in oracle_con.execute(
+                f"""SELECT n_name FROM nation n JOIN region r
+                    ON n.n_regionkey = r.r_regionkey WHERE r.r_name = '{Q5_REGION}'"""
+            ).fetchall()
+        }
+        assert set(df["n_name"]) <= region_nations
+        assert (df["revenue_e2"] > 0).all()
