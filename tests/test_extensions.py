@@ -3210,3 +3210,81 @@ class TestTpchQ5:
         }
         assert set(df["n_name"]) <= region_nations
         assert (df["revenue_e2"] > 0).all()
+
+
+class TestRandomizedCorpusParity:
+    """Randomized (seeded) corpora through the FULL Ray pipelines vs
+    DuckDB — breadth beyond the hand-built nasty fixtures for the ops
+    whose exchanges do nontrivial regrouping (segment dedup, pivot, lag).
+    Three seeds keep the wall cost bounded; failures print the seed."""
+
+    @pytest.mark.parametrize("seed", [3, 31, 314])
+    def test_segment_dedup_and_pivot_and_lag(self, ray_session, tmp_path, seed):
+        import datetime as dt
+
+        import duckdb as _duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
+            rollup,
+            spans,
+            windows,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        rng = np.random.default_rng(seed)
+        d = tmp_path / f"rand{seed}"
+        d.mkdir()
+        # documents: random small vocab (forces segment collisions), random
+        # lengths straddling the 32-token boundary, occasional empties
+        vocab = [f"w{i}" for i in range(12)]
+        texts = []
+        for _ in range(80):
+            n = int(rng.integers(0, 70))
+            texts.append(" ".join(rng.choice(vocab, size=n)) if n else "")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        # events: random users/types/timestamps with duplicate ts ties
+        n_ev = 400
+        base = dt.datetime(2024, 1, 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n_ev), type=pa.int64()),
+                    "ts": pa.array(
+                        [
+                            base + dt.timedelta(seconds=int(s))
+                            for s in rng.integers(0, 5000, size=n_ev)
+                        ],
+                        type=pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array(
+                        rng.integers(1, 12, size=n_ev), type=pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        rng.choice(["click", "view", "purchase", "signup", "error"], size=n_ev)
+                    ),
+                    "value": pa.array(rng.normal(size=n_ev)),
+                    "props": pa.array([""] * n_ev),
+                }
+            ),
+            d / "events.parquet",
+        )
+        con = _duckdb.connect()
+        for t in ("documents", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        for name in ("docs_dedup_segments", "user_event_pivot", "events_time_delta"):
+            ours = queryset.QUERIES[name](str(d)).to_pandas()
+            gold = con.execute(queryset.ORACLE_SQL[name]).df()
+            assert len(ours) == len(gold), f"{name} seed={seed}"
+            assert _value_hash(ours) == _value_hash(gold), f"{name} seed={seed}"
