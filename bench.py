@@ -530,6 +530,20 @@ def q_retention_cohorts(sf_dir: str) -> int:
     return _consume(user_retention_cohorts(sf_dir))
 
 
+def q_value_ntile(sf_dir: str) -> int:
+    """Equi-depth ntile bucketing per type (SQL remainder rule)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_value_ntile
+
+    return _consume(events_value_ntile(sf_dir))
+
+
+def q_moving_avg(sf_dir: str) -> int:
+    """Per-user 5-row moving average (exact integer frame sums)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_moving_avg
+
+    return _consume(events_moving_avg(sf_dir))
+
+
 def q_tpch_q5(sf_dir: str) -> int:
     """Q5 star join: three broadcast dims + one co-partition exchange."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import tpch_q5_local_volume
@@ -672,6 +686,8 @@ BENCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "count_min": q_count_min,
     "tpch_q5": q_tpch_q5,
+    "value_ntile": q_value_ntile,
+    "moving_avg": q_moving_avg,
 }
 
 

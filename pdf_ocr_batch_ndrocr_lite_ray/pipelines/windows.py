@@ -920,3 +920,124 @@ FROM d JOIN md USING (event_type)
 """
 
 register("events_anomaly_mad", events_anomaly_mad, sql=EVENTS_ANOMALY_MAD_SQL)
+
+
+# --- ntile bucketing + moving average (window-frame family) -------------------
+
+NTILE_K = 10
+MOVAVG_FRAME = 5  # current row + 4 preceding
+
+
+def events_value_ntile(sf_dir: str) -> "ray.data.Dataset":
+    """(event_id, event_type, tile): equi-depth ``ntile(k)`` buckets of
+    value within each type — the decile-feature assigner. SQL's ntile
+    gives the first ``n mod k`` buckets one extra row in rank order; the
+    engine reproduces that remainder rule exactly over the total order
+    ``(value, event_id)`` (a value-only ORDER BY would leave tied rows'
+    buckets engine-defined).
+    """
+
+    def ntile_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.sort_values(["value", "event_id"], kind="stable")
+            n = len(g)
+            size, rem = divmod(n, NTILE_K)
+            ranks = np.arange(n)
+            big = rem * (size + 1)
+            tile = np.where(
+                ranks < big,
+                ranks // (size + 1) if size + 1 > 0 else 0,
+                rem + (np.maximum(ranks - big, 0) // size if size else 0),
+            ).astype(np.int64) + 1
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "event_type": et,
+                        "tile": tile,
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "tile": pd.Series(dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return _hash_partitioned(ds, "event_type", ntile_partition)
+
+
+EVENTS_NTILE_SQL = f"""
+SELECT event_id, event_type,
+       CAST(ntile({NTILE_K}) OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+       ) AS BIGINT) AS tile
+FROM events
+"""
+
+register("events_value_ntile", events_value_ntile, sql=EVENTS_NTILE_SQL)
+
+
+def events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, event_id, mavg_e6): per-user moving average of value over
+    the current + 4 preceding events (frame order ``(ts, event_id)``) —
+    the sliding-frame window aggregate, computed exactly: values quantize
+    to 1e-6 integers per row, the frame sum is an integer cumsum
+    difference, and the average is ONE exact-integer division both
+    engines round identically, emitted in 1e-6 units.
+    """
+    from .exchange import round6
+
+    def mavg_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        v = df["value"].to_numpy(dtype=np.float64) * 1e6
+        scaled = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        users = df["user_id"].to_numpy()
+        # per-user rolling sum over ≤ FRAME rows via cumsum differences
+        out = np.empty(len(df), dtype=np.float64)
+        start = 0
+        for i in range(1, len(df) + 1):
+            if i == len(df) or users[i] != users[start]:
+                seg = scaled[start:i]
+                cs = np.concatenate([[0], np.cumsum(seg)])
+                idx = np.arange(len(seg))
+                lo = np.maximum(idx - (MOVAVG_FRAME - 1), 0)
+                sums = cs[idx + 1] - cs[lo]
+                counts = idx + 1 - lo
+                out[start:i] = sums / counts / 1e6
+                start = i
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "event_id": df["event_id"].to_numpy(),
+                "mavg_e6": round6(out),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+    return _hash_partitioned(ds, "user_id", mavg_partition)
+
+
+EVENTS_MOVING_AVG_SQL = f"""
+SELECT user_id, event_id,
+       round(
+         CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) OVER w AS DOUBLE)
+         / CAST(count(*) OVER w AS DOUBLE) / 1e6,
+         6
+       ) AS mavg_e6
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN {MOVAVG_FRAME - 1} PRECEDING AND CURRENT ROW
+)
+"""
+
+register("events_moving_avg", events_moving_avg, sql=EVENTS_MOVING_AVG_SQL)

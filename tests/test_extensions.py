@@ -194,6 +194,8 @@ class TestEmptyEvents:
             "events_percent_rank",
             "events_hourly_dense",
             "events_anomaly_mad",
+            "events_value_ntile",
+            "events_moving_avg",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1626,6 +1628,8 @@ class TestAdversarialEventsParity:
             "events_percent_rank",
             "events_hourly_dense",
             "events_anomaly_mad",
+            "events_value_ntile",
+            "events_moving_avg",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
