@@ -456,9 +456,9 @@ def emb_knn_graph(sf_dir: str, k: int = KNN_K) -> "ray.data.Dataset":
         out_v, out_n, out_s = [], [], []
         for _, g in df.groupby("cid", sort=False):
             ids = g["vec_id"].to_numpy(dtype=np.int64)
-            mat = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]]))
-            if len(ids) < 2:
+            if len(ids) < 2:  # singleton cell: nothing to rank, skip the stack
                 continue
+            mat = _unit(np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]]))
             s = mat @ mat.T
             for i in range(len(ids)):
                 row = s[i].copy()

@@ -709,11 +709,14 @@ def docs_count_min(sf_dir: str) -> "ray.data.Dataset":
     estimate↔truth relation is approximate (the ≥-true and ≤-true+εN
     properties are asserted in tests).
     """
-    from .dedup import _WORDS_RE
     from .exchange import enum_group_sum
+    from .heavy import _tokens
 
     def block_counters(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.findall(_WORDS_RE).explode().dropna()
+        # THE tokenization contract lives in heavy._tokens — reusing it
+        # keeps the Count-Min token stream synchronized with the
+        # heavy-hitters stream by construction
+        toks = _tokens(df["text"])
         if toks.empty:
             return pd.DataFrame(
                 {
@@ -750,10 +753,22 @@ def docs_count_min(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(enum_group_sum(ds, ["row_id", "bucket"], ["n"]))
 
 
-def count_min_estimate(sketch, token: str) -> int:
+def count_min_lut(sketch) -> dict:
+    """(row_id, bucket) → n lookup built ONCE from the sketch frame —
+    point queries are O(d) against it instead of rebuilding the O(d·w)
+    dict per token."""
+    return {(int(r.row_id), int(r.bucket)): int(r.n) for r in sketch.itertuples()}
+
+
+def count_min_estimate(sketch_or_lut, token: str) -> int:
     """Point query: min over hash rows of the token's counters (0 when a
-    bucket row is absent). ``sketch`` is the (row_id, bucket, n) frame."""
-    lut = {(int(r.row_id), int(r.bucket)): int(r.n) for r in sketch.itertuples()}
+    bucket row is absent). Accepts the (row_id, bucket, n) frame or a
+    prebuilt ``count_min_lut`` dict."""
+    lut = (
+        sketch_or_lut
+        if isinstance(sketch_or_lut, dict)
+        else count_min_lut(sketch_or_lut)
+    )
     h = hashlib.md5(token.encode("utf-8")).hexdigest()
     return min(
         lut.get((j, int(h[j * 5 : j * 5 + 5], 16) % CM_W), 0) for j in range(CM_D)

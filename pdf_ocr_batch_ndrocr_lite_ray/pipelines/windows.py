@@ -863,6 +863,11 @@ def events_anomaly_mad(sf_dir: str) -> "ray.data.Dataset":
     from .exchange import round6 as _round6
 
     def stats_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df["event_type"].isna().any():
+            raise ValueError(
+                "events_anomaly_mad requires non-null event_type "
+                "(NULL groups diverge between pandas and SQL)"
+            )
         rows = []
         for et, g in df.groupby("event_type", sort=True):
             v = g["value"].to_numpy(dtype=np.float64)
@@ -991,6 +996,10 @@ def events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
     to 1e-6 integers per row, the frame sum is an integer cumsum
     difference, and the average is ONE exact-integer division both
     engines round identically, emitted in 1e-6 units.
+
+    Precondition: non-null ``user_id`` (pandas NaN != NaN would split
+    every null row into its own frame while SQL pools NULLs into one
+    partition); checked loudly below.
     """
     from .exchange import round6
 
@@ -998,20 +1007,25 @@ def events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         v = df["value"].to_numpy(dtype=np.float64) * 1e6
         scaled = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        if df["user_id"].isna().any():
+            raise ValueError(
+                "events_moving_avg requires non-null user_id "
+                "(NULL frames diverge between pandas and SQL)"
+            )
         users = df["user_id"].to_numpy()
-        # per-user rolling sum over ≤ FRAME rows via cumsum differences
+        # per-user rolling sum over ≤ FRAME rows via cumsum differences;
+        # segment boundaries found in ONE vectorized pass (a per-row
+        # Python comparison loop here would dominate the kernel)
         out = np.empty(len(df), dtype=np.float64)
-        start = 0
-        for i in range(1, len(df) + 1):
-            if i == len(df) or users[i] != users[start]:
-                seg = scaled[start:i]
-                cs = np.concatenate([[0], np.cumsum(seg)])
-                idx = np.arange(len(seg))
-                lo = np.maximum(idx - (MOVAVG_FRAME - 1), 0)
-                sums = cs[idx + 1] - cs[lo]
-                counts = idx + 1 - lo
-                out[start:i] = sums / counts / 1e6
-                start = i
+        bounds = np.flatnonzero(np.r_[True, users[1:] != users[:-1], True])
+        for start, end in zip(bounds[:-1], bounds[1:]):
+            seg = scaled[start:end]
+            cs = np.concatenate([[0], np.cumsum(seg)])
+            idx = np.arange(len(seg))
+            lo = np.maximum(idx - (MOVAVG_FRAME - 1), 0)
+            sums = cs[idx + 1] - cs[lo]
+            counts = idx + 1 - lo
+            out[start:end] = sums / counts / 1e6
         return pd.DataFrame(
             {
                 "user_id": users,

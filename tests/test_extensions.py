@@ -1801,6 +1801,17 @@ class TestAdversarialRelationalParity:
                         ["1-URGENT", "5-LOW", "1-URGENT", "5-LOW", "3-MEDIUM"]
                     ),
                     "o_orderstatus": pa.array(["O", "O", "F", "P", "F"]),
+                    # orders 100/102/103 inside the Q5 window; 104 outside
+                    "o_orderdate": pa.array(
+                        [
+                            dt.datetime(1996, 6, 1),
+                            dt.datetime(1996, 6, 2),
+                            dt.datetime(1996, 6, 3),
+                            dt.datetime(1996, 6, 4),
+                            dt.datetime(1999, 1, 1),
+                        ],
+                        type=pa.timestamp("us"),
+                    ),
                 }
             ),
             d / "orders.parquet",
@@ -1809,19 +1820,55 @@ class TestAdversarialRelationalParity:
         pq.write_table(
             pa.table(
                 {
-                    "l_partkey": pa.array([7, 7, 8], type=pa.int64()),
-                    "l_extendedprice": pa.array([10.005, 20.0, 5.125]),
-                    "l_discount": pa.array([0.0, 0.5, 0.0]),
-                    "l_quantity": pa.array([1.005, 2.0, 3.5]),
-                    "l_tax": pa.array([0.05, 0.0, 0.08]),
-                    "l_returnflag": pa.array(["N", "R", "N"]),
-                    "l_linestatus": pa.array(["O", "F", "O"]),
+                    "l_partkey": pa.array([7, 7, 8, 9, 9], type=pa.int64()),
+                    "l_extendedprice": pa.array([10.005, 20.0, 5.125, 5.125, 7.0]),
+                    "l_discount": pa.array([0.0, 0.5, 0.0, 0.0, 0.0]),
+                    "l_quantity": pa.array([1.005, 2.0, 3.5, 1.0, 1.0]),
+                    "l_tax": pa.array([0.05, 0.0, 0.08, 0.0, 0.0]),
+                    "l_returnflag": pa.array(["N", "R", "N", "N", "N"]),
+                    "l_linestatus": pa.array(["O", "F", "O", "O", "O"]),
                     "l_shipdate": pa.array(
-                        [dt.datetime(1997, 1, 1)] * 3, type=pa.timestamp("us")
+                        [dt.datetime(1997, 1, 1)] * 5, type=pa.timestamp("us")
                     ),
+                    # Q5 edges: line 1 matches (cust nation == supp nation,
+                    # half-cent revenue 1000.5), line 2 wrong supp nation,
+                    # line 4 rides the orphan order 103 (no customer row),
+                    # line 5 probes a MISSING supplier key (9)
+                    "l_orderkey": pa.array(
+                        [100, 100, 102, 103, 100], type=pa.int64()
+                    ),
+                    "l_suppkey": pa.array([1, 2, 1, 1, 9], type=pa.int64()),
                 }
             ),
             d / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "s_nationkey": pa.array([10, 20, 30], type=pa.int32()),
+                }
+            ),
+            d / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([10, 20, 30], type=pa.int32()),
+                    "n_name": pa.array(["JAPAN", "CHINA", "FRANCE"]),
+                    "n_regionkey": pa.array([0, 0, 1], type=pa.int32()),
+                }
+            ),
+            d / "nation.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array([0, 1], type=pa.int32()),
+                    "r_name": pa.array(["ASIA", "EUROPE"]),
+                }
+            ),
+            d / "region.parquet",
         )
         return str(d)
 
@@ -1837,6 +1884,7 @@ class TestAdversarialRelationalParity:
             "orders_in_segment",
             "customer_order_full_outer",
             "tpch_q1_pricing",
+            "tpch_q5_local_volume",
         ],
     )
     def test_matches_oracle_on_nasty_relational(self, ray_session, nasty_rel_dir, name):
@@ -1847,7 +1895,7 @@ class TestAdversarialRelationalParity:
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
         con = duckdb.connect()
-        for t in ("customer", "orders", "lineitem"):
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{nasty_rel_dir}/{t}.parquet')"
             )
@@ -3173,10 +3221,11 @@ class TestCountMin:
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
             CM_W,
             count_min_estimate,
+            count_min_lut,
             docs_count_min,
         )
 
-        sketch = docs_count_min(SF).to_pandas()
+        sketch = count_min_lut(docs_count_min(SF).to_pandas())
         truth = dict(
             oracle_con.execute(
                 "SELECT token, count(*) FROM (SELECT unnest(regexp_extract_all("
