@@ -3225,7 +3225,8 @@ class TestCountMin:
             docs_count_min,
         )
 
-        sketch = count_min_lut(docs_count_min(SF).to_pandas())
+        frame = docs_count_min(SF).to_pandas()
+        sketch = count_min_lut(frame)
         truth = dict(
             oracle_con.execute(
                 "SELECT token, count(*) FROM (SELECT unnest(regexp_extract_all("
@@ -3244,7 +3245,7 @@ class TestCountMin:
             # classic CM bound with d=4 rows: overflow ≤ ~N/W w.h.p.
             assert est <= true_n + 8 * n_total / CM_W
         # total mass per row equals the token stream length
-        per_row = sketch.groupby("row_id")["n"].sum()
+        per_row = frame.groupby("row_id")["n"].sum()
         assert (per_row == n_total).all()
 
 
