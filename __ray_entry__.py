@@ -78,56 +78,57 @@ _DRIVER_WINDOW: list[str] = [
     "extract_plain_turns",
     "extract_plain_turns_jsonl",
     "extract_kind_counts",
-    # newly value-oracled composed flow (rows-only through r03)
-    "conversation_texts",
-    # never driver-verdicted before r04 (registered past entry 50 in r03)
-    "events_quantiles_by_type",
-    "events_distinct_users_kmv",
-    "prep_corpus",
-    "prep_plain_corpus",
-    "dedup_minhash_clusters",
-    "dedup_canonical_docs",
-    "docs_quality_filter",
-    "docs_duplicate_spans",
-    "emb_kmeans_assign",
-    "semantic_dedup",
-    "docs_lm_score",
-    "docs_decontaminate",
-    "docs_mixture_cap",
-    "docs_temperature_mixture",
-    "docs_chunks",
-    "docs_redact_pii",
-    "docs_pack_greedy",
-    "docs_dedup_incremental",
-    "docs_version_diff",
-    "docs_filter_by_source_quantile",
-    "docs_select_budget",
-    "docs_curriculum_order",
-    "turns_boilerplate",
-    "conversation_stats",
-    "docs_heavy_hitters",
-    "docs_inverted_index",
-    "docs_importance_weights",
-    "docs_importance_resample",
-    "docs_bm25_topk",
-    "docs_novelty",
-    "emb_gram",
+    # never driver-verdicted before r05 (registered past entry 50 in r04):
+    # the TPC-H trio, the round-4 window family, sketch gates, k-NN graph,
+    # flagship span boundaries, the table profiler.
+    "extract_flagship_spans",
+    "emb_knn_graph",
+    "orders_in_segment",
+    "tpch_q3_topk",
+    "customer_order_full_outer",
+    "tpch_q5_local_volume",
+    "user_retention_cohorts",
+    "events_percent_rank",
+    "events_hourly_dense",
+    "events_anomaly_mad",
+    "events_value_ntile",
+    "events_moving_avg",
+    "events_distinct_users_hll_by_type",
+    "docs_count_min",
+    "docs_bloom_gate",
+    "events_profile",
+    "tpch_q1_pricing",
+    # least-recently verdicted (r01/r02) — rotate back in
+    "events_value_quantiles",
+    "docs_sample",
+    "docs_split_counts",
+    "docs_length_histogram",
+    "docs_stratified_sample",
+    "events_asof_view_click",
+    "events_distinct_users",
+    "docs_distinct_shingles_kmv",
+    # newly value-oracled this round (rows-only / no_oracle through r04)
+    "media_features",
+    "media_resized_features",
     "emb_pca_project",
-    "docs_pagerank",
-    "docs_zorder_key",
-    # new this round, never driver-verdicted (the r01/r02-verdicted block
-    # that held these slots — docs_split_counts, docs_length_histogram,
-    # docs_stratified_sample, events_asof_view_click, events_distinct_users,
-    # docs_distinct_shingles_kmv, events_value_quantiles — rotated out; all
-    # stay value-checked every run by tests/test_oracle_parity.py)
-    "docs_profile",
-    "events_time_delta",
-    "events_robust_scaled",
-    "orders_rollup",
-    "user_event_pivot",
-    "events_distinct_users_hll",
-    "docs_dedup_segments",
-    "docs_weighted_sample",
+    # r03-verdicted refresh fill (the 50-entry balance; the long-green r04
+    # block rotated out — all stay value-checked every run by
+    # tests/test_oracle_parity.py and tools/check_driver_contract.py)
+    "docs_winnow_fingerprints",
+    "docs_tfidf_top_terms",
+    "docs_top_bigrams_pmi",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "ann_ivf_topk_partitioned",
+    "customers_without_orders",
+    "top_customers_per_nation",
+    "user_funnel_counts",
+    "events_winsorized",
+    "conversation_plain_texts",
+    "events_median_value_by_type",
+    "user_sessions",
 ]
 
 
