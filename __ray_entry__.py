@@ -153,11 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query (same column names).
 
-    The extraction oracles read the synthesized transcript table directly
-    (``read_parquet('<cache path>')``) — materialize it here so the SQL is
-    runnable regardless of whether the matching query ran first.
+    The extraction oracles read synthesized cache tables directly
+    (``read_parquet('<cache path>')``) — ``oracle_sql_for`` materializes them
+    at the driver's evaluation scale so the SQL is runnable regardless of
+    whether the matching query ran first. The repo's own gates compare at
+    other scales via ``queryset.oracle_sql_for(sf_dir)``, which re-targets
+    those paths.
     """
-    _queryset.transcripts_for_sf("/root/testdata/sf0.01")
-    for materialize in _queryset.MATERIALIZERS:
-        materialize()
-    return dict(_queryset.ORACLE_SQL)
+    return _queryset.oracle_sql_for(_queryset.DRIVER_SF_DIR)

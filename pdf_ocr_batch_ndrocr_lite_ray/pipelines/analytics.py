@@ -1051,7 +1051,9 @@ Q5_DATE_LO = "1996-01-01"
 Q5_DATE_HI = "1997-01-01"
 
 
-def tpch_q5_local_volume(sf_dir: str) -> "ray.data.Dataset":
+def tpch_q5_local_volume(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "ray.data.Dataset":
     """(n_name, revenue_e2): revenue from orders placed in a date window
     by customers of one region, counting only lineitems supplied from the
     CUSTOMER'S OWN nation — the local-supplier-volume star join, the
@@ -1059,14 +1061,15 @@ def tpch_q5_local_volume(sf_dir: str) -> "ray.data.Dataset":
 
     Plan shape: the three dimension sides are broadcast maps
     (region→nation set: ≤ 25 rows; supplier→nation and customer→nation:
-    key→int maps under the same ``MAX_BROADCAST_KEYS`` ceiling discipline
-    as the other joins — at true scale the customer map reroutes to a
-    custkey co-partition exactly like Q3's fallback, documented rather
-    than duplicated here). The two fact tables never shuffle raw: orders
-    emits (okey, cust_nation) stubs, lineitem emits per-block
-    (okey, supp_nation, cents) partials, ONE co-partition exchange on the
-    order key joins them, and the nation equality is applied in-partition
-    before a bounded per-nation fold.
+    key→int maps under the same ``MAX_BROADCAST_KEYS`` ceiling as the
+    other joins — ENFORCED below from parquet metadata before either
+    table is read, so past-ceiling inputs fail loud instead of silently
+    accumulating unbounded driver state; at true scale the fix is a
+    custkey co-partition exactly like Q3's fallback). The two fact tables
+    never shuffle raw: orders emits (okey, cust_nation) stubs, lineitem
+    emits per-block (okey, supp_nation, cents) partials, ONE co-partition
+    exchange on the order key joins them, and the nation equality is
+    applied in-partition before a bounded per-nation fold.
     """
     import datetime as _dt
 
@@ -1078,6 +1081,20 @@ def tpch_q5_local_volume(sf_dir: str) -> "ray.data.Dataset":
 
     lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
     hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
+
+    # broadcast-ceiling check BEFORE reading either dimension table: the
+    # row count comes from parquet footers, so an over-ceiling input costs
+    # O(metadata) and raises an actionable error, not an OOM
+    for tbl in ("supplier", "customer"):
+        n_rows = _pq.ParquetFile(table_path(sf_dir, tbl)).metadata.num_rows
+        if n_rows > max_broadcast_keys:
+            raise ValueError(
+                f"tpch_q5_local_volume: {tbl} has {n_rows:,} rows, past the "
+                f"broadcast ceiling ({max_broadcast_keys:,}); reroute the "
+                f"{tbl}→nation lookup through a custkey co-partition "
+                "exchange (the tpch_q3_topk fallback shape) instead of a "
+                "driver-side broadcast map"
+            )
 
     # dimension broadcasts (driver-side smalls: region 5, nation 25 rows)
     nat = _pq.read_table(

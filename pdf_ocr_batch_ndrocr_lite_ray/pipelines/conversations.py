@@ -253,11 +253,10 @@ CONVERSATION_TEXTS_SQL = (
     f"'{expected_conversation_texts_path('/root/testdata/sf0.01')}')"
 )
 
-from .queryset import MATERIALIZERS  # noqa: E402
+from .queryset import MATERIALIZERS, SF_PATH_HELPERS  # noqa: E402
 
-MATERIALIZERS.append(
-    lambda: materialize_expected_conversation_texts("/root/testdata/sf0.01")
-)
+MATERIALIZERS.append(materialize_expected_conversation_texts)
+SF_PATH_HELPERS.append(expected_conversation_texts_path)
 
 register("conversation_texts", q_conversation_texts, sql=CONVERSATION_TEXTS_SQL)
 register(

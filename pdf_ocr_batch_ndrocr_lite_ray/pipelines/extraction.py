@@ -28,6 +28,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 from typing import Optional, Sequence, Union
 
@@ -103,22 +104,37 @@ def build_extraction(
     """
     runtime_env = package_runtime_env()
     if use_actors:
-        if concurrency is None:
-            concurrency = _default_concurrency()
         try:
             cluster_cpus = int(ray.cluster_resources().get("CPU", 0))
         except Exception:
             cluster_cpus = 0
-        pool_max = max(concurrency) if isinstance(concurrency, tuple) else concurrency
-        if cluster_cpus and pool_max >= cluster_cpus:
-            # a pool >= the CPU count starves upstream read tasks and hangs
-            # the streaming executor — fail actionably instead (only
-            # possible at cpus=1 with the default sizing)
-            raise ValueError(
-                f"actor pool of {pool_max} on a {cluster_cpus}-CPU cluster "
-                "would deadlock the streaming executor — lower concurrency "
-                "or use the task-pool path (use_actors=False)"
-            )
+        if concurrency is None:
+            if cluster_cpus == 1:
+                # DEFAULT sizing cannot fit an actor pool beside the read
+                # tasks on a single CPU — degrade to the task-pool path
+                # (same output) instead of making the default unusable; the
+                # loud error below stays for EXPLICIT user-supplied
+                # concurrency, which is a real misconfiguration
+                warnings.warn(
+                    "build_extraction(use_actors=True) on a 1-CPU cluster: "
+                    "falling back to the task-pool path (an actor pool "
+                    "would starve the read stage)",
+                    stacklevel=2,
+                )
+                use_actors = False
+            else:
+                concurrency = _default_concurrency()
+        if use_actors:
+            pool_max = max(concurrency) if isinstance(concurrency, tuple) else concurrency
+            if cluster_cpus and pool_max >= cluster_cpus:
+                # a pool >= the CPU count starves upstream read tasks and
+                # hangs the streaming executor — fail actionably instead
+                raise ValueError(
+                    f"actor pool of {pool_max} on a {cluster_cpus}-CPU cluster "
+                    "would deadlock the streaming executor — lower concurrency "
+                    "or use the task-pool path (use_actors=False)"
+                )
+    if use_actors:
         ds = ds.map_batches(sniff_batch, batch_format="pyarrow", runtime_env=runtime_env)
         return_ds = ds.map_batches(
             TurnExtractor,

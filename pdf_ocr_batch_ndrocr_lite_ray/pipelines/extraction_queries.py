@@ -36,6 +36,7 @@ from ..stages.sniffer import SNIFF_PREFIX_BYTES, classify_text_array, sniff_batc
 from .extraction import extract_transcripts
 from .queryset import (
     MATERIALIZERS,
+    SF_PATH_HELPERS,
     _SF_CONVS,
     _SYNTH_SEED,
     register,
@@ -447,9 +448,8 @@ EXTRACT_ACTION_COUNTS_SQL = (
     "SELECT action, n FROM read_parquet("
     f"'{expected_action_counts_path('/root/testdata/sf0.01')}')"
 )
-MATERIALIZERS.append(
-    lambda: materialize_expected_action_counts("/root/testdata/sf0.01")
-)
+MATERIALIZERS.append(materialize_expected_action_counts)
+SF_PATH_HELPERS.append(expected_action_counts_path)
 
 
 # --- materialized golden oracles: flagship + paged ---------------------------
@@ -603,8 +603,10 @@ EXTRACT_PAGED_SQL = (
     "SELECT conv_id, turn_idx, extracted_text, n_pages, merge_hits"
     f" FROM read_parquet('{expected_paged_path('/root/testdata/sf0.01')}')"
 )
-MATERIALIZERS.append(lambda: materialize_expected_flagship("/root/testdata/sf0.01"))
-MATERIALIZERS.append(lambda: materialize_expected_paged("/root/testdata/sf0.01"))
+MATERIALIZERS.append(materialize_expected_flagship)
+MATERIALIZERS.append(materialize_expected_paged)
+SF_PATH_HELPERS.append(expected_flagship_path)
+SF_PATH_HELPERS.append(expected_paged_path)
 
 register("extract_flagship", q_extract_flagship, sql=EXTRACT_FLAGSHIP_SQL)
 register("extract_flagship_spans", q_extract_flagship_spans, sql=EXTRACT_FLAGSHIP_SPANS_SQL)
@@ -621,9 +623,7 @@ register(
     q_extract_plain_turns_jsonl,
     sql=EXTRACT_PLAIN_TURNS_JSONL_SQL,
 )
-MATERIALIZERS.append(
-    lambda: _jsonl_for_sf("/root/testdata/sf0.01")
-)
+MATERIALIZERS.append(_jsonl_for_sf)
 register(
     "extract_plain_action_counts",
     q_extract_plain_action_counts,

@@ -16,7 +16,7 @@ from pathlib import Path
 import ray.data
 
 from ..stages.multimodal import MediaFeatureExtractor
-from .queryset import _CACHE_DIR, MATERIALIZERS, register
+from .queryset import _CACHE_DIR, MATERIALIZERS, SF_PATH_HELPERS, register
 
 _SF_MEDIA_ROWS = {"sf0.001": 120, "sf0.01": 600, "sf0.1": 3000}
 _MEDIA_SEED = 42
@@ -235,7 +235,8 @@ SELECT media_id, CAST(bin AS BIGINT) AS bin, count(*) AS n
 FROM bytes GROUP BY 1, 2
 """
 
-MATERIALIZERS.append(lambda: media_table_for_sf("/root/testdata/sf0.01"))
+MATERIALIZERS.append(media_table_for_sf)
+SF_PATH_HELPERS.append(media_path_for_sf)
 
 register("media_features", media_features)  # rows-only: binary payloads
 register("media_resized_features", media_resized_features)  # rows-only

@@ -248,9 +248,10 @@ PREP_CORPUS_SQL = (
     f"'{expected_prep_corpus_path('/root/testdata/sf0.01')}')"
 )
 
-from .queryset import MATERIALIZERS  # noqa: E402
+from .queryset import MATERIALIZERS, SF_PATH_HELPERS  # noqa: E402
 
-MATERIALIZERS.append(lambda: materialize_expected_prep_corpus("/root/testdata/sf0.01"))
+MATERIALIZERS.append(materialize_expected_prep_corpus)
+SF_PATH_HELPERS.append(expected_prep_corpus_path)
 
 register("prep_corpus", prep_corpus, sql=PREP_CORPUS_SQL)
 register("prep_plain_corpus", prep_plain_corpus, sql=_prep_plain_sql())

@@ -19,11 +19,20 @@ from typing import Any, Callable, Optional
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
-#: zero-arg callables run by ``__ray_entry__.oracle_sql()`` before the SQL is
-#: handed to the driver — they materialize any cached tables the static SQL
-#: strings reference by path (transcripts, media), so the oracle is runnable
-#: even if the matching Ray query never ran.
-MATERIALIZERS: list[Callable[[], None]] = []
+#: sf_dir-taking callables run by ``oracle_sql_for`` before the SQL is handed
+#: out — they materialize any cached tables the SQL strings reference by path
+#: (synthesized transcripts, media, golden expected tables), so the oracle is
+#: runnable even if the matching Ray query never ran.
+MATERIALIZERS: list[Callable[[str], None]] = []
+#: sf_dir→path helpers whose outputs appear inside registered SQL strings.
+#: ``oracle_sql_for`` uses them to re-target cache-path oracles at any scale:
+#: registered SQL embeds the DRIVER scale's paths (the driver contract is a
+#: static dict evaluated at sf0.01), and each helper gives the exact
+#: old-path→new-path substitution for another sf_dir.
+SF_PATH_HELPERS: list[Callable[[str], str]] = []
+
+#: the scale the external driver evaluates oracle_sql() at
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 _CACHE_DIR = Path("/tmp/graft_cache")
 
@@ -40,6 +49,37 @@ def register(name: str, fn: Callable[[str], Any], sql: Optional[str] = None) -> 
     QUERIES[name] = fn
     if sql is not None:
         ORACLE_SQL[name] = sql
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL re-targeted at ``sf_dir``, with its cache tables built.
+
+    Registered SQL pins the DRIVER scale's cache paths (the driver contract
+    is a static ``dict[str, str]`` evaluated at sf0.01); comparing at any
+    other scale swaps each registered path helper's driver-scale output for
+    its ``sf_dir`` output — so the repo's own gates (pytest parity loop,
+    ``tools/check_driver_contract.py``) stay valid at every scale instead of
+    spuriously failing the golden-table oracles away from sf0.01.
+    """
+    transcripts_for_sf(sf_dir)
+    for materialize in MATERIALIZERS:
+        materialize(sf_dir)
+    if sf_dir == DRIVER_SF_DIR:
+        return dict(ORACLE_SQL)
+    pairs = [(h(DRIVER_SF_DIR), h(sf_dir)) for h in SF_PATH_HELPERS]
+    out: dict[str, str] = {}
+    for name, sql in ORACLE_SQL.items():
+        for old, new in pairs:
+            sql = sql.replace(old, new)
+        out[name] = sql
+    return out
+
+
+def cache_sql_names() -> set[str]:
+    """Names whose oracle SQL embeds a deterministic cache path (and is
+    therefore scale-pinned unless re-targeted via ``oracle_sql_for``)."""
+    probes = [h(DRIVER_SF_DIR) for h in SF_PATH_HELPERS]
+    return {n for n, sql in ORACLE_SQL.items() if any(p in sql for p in probes)}
 
 
 def transcripts_path_for_sf(sf_dir: str) -> str:
@@ -94,6 +134,10 @@ def jsonl_transcripts_for_sf(sf_dir: str) -> str:
         write_transcript_jsonl(tmp, n_convs=n_convs, seed=_SYNTH_SEED)
         tmp.replace(path)
     return str(path)
+
+
+SF_PATH_HELPERS.append(transcripts_path_for_sf)
+SF_PATH_HELPERS.append(jsonl_transcripts_path_for_sf)
 
 
 def table_path(sf_dir: str, table: str) -> str:

@@ -734,7 +734,11 @@ def docs_count_min(sf_dir: str) -> "ray.data.Dataset":
                 dtype=np.int64,
                 count=len(digs),
             )
-            cnt = np.bincount(buckets, weights=counts, minlength=CM_W).astype(np.int64)
+            # int64 accumulation (np.add.at): float-weighted bincount sums in
+            # float64, which is exact only below 2^53 — a silent-precision
+            # hazard against the exact-integer-sum contract (ADVICE r4)
+            cnt = np.zeros(CM_W, dtype=np.int64)
+            np.add.at(cnt, buckets, counts)
             nz = np.nonzero(cnt)[0]
             rows_out.append(
                 pd.DataFrame(

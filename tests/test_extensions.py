@@ -3265,6 +3265,58 @@ class TestTpchQ5:
         assert set(df["n_name"]) <= region_nations
         assert (df["revenue_e2"] > 0).all()
 
+    def test_broadcast_ceiling_raises_before_reading(self, ray_session):
+        """Past-ceiling dimension tables fail loud from parquet metadata
+        (ADVICE r4: no unbounded driver state), naming the reroute."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            tpch_q5_local_volume,
+        )
+
+        with pytest.raises(ValueError, match="broadcast ceiling.*co-partition"):
+            tpch_q5_local_volume(SF, max_broadcast_keys=10)
+
+
+class TestOracleRetargeting:
+    """oracle_sql_for re-targets cache-path oracles at any scale; the
+    driver-facing oracle_sql() stays pinned to sf0.01 (ADVICE r4)."""
+
+    def test_cache_paths_swap_scale(self):
+        import __ray_entry__  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        cache_names = queryset.cache_sql_names()
+        assert "extract_flagship" in cache_names
+        assert "conversation_texts" in cache_names
+        assert "tpch_q1_pricing" not in cache_names
+        small = queryset.oracle_sql_for("/root/testdata/sf0.001")
+        for name in cache_names:
+            assert "sf0.01-" not in small[name], name
+            assert "sf0.001-" in small[name], name
+        driver = queryset.oracle_sql_for(queryset.DRIVER_SF_DIR)
+        for name in cache_names:
+            assert "sf0.01-" in driver[name], name
+
+
+class TestExtractionSingleCpuFallback:
+    def test_default_actor_sizing_degrades_on_one_cpu(self, ray_session, monkeypatch):
+        """use_actors=True with DEFAULT sizing on a 1-CPU cluster warns and
+        takes the task-pool path instead of raising (ADVICE r4); explicit
+        concurrency keeps the loud error."""
+        import ray as _ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import extraction
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import transcripts_for_sf
+
+        monkeypatch.setattr(
+            _ray, "cluster_resources", lambda: {"CPU": 1.0}, raising=True
+        )
+        path = transcripts_for_sf(SF)
+        with pytest.warns(UserWarning, match="task-pool"):
+            ds = extraction.extract_transcripts(path, use_actors=True)
+        assert ds.count() > 0
+        with pytest.raises(ValueError, match="deadlock"):
+            extraction.extract_transcripts(path, use_actors=True, concurrency=4)
+
 
 class TestRandomizedCorpusParity:
     """Randomized (seeded) corpora through the FULL Ray pipelines vs

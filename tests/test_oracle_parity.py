@@ -44,9 +44,13 @@ def _names() -> list[str]:
 
 @pytest.fixture(scope="module")
 def oracle_env():
-    import __ray_entry__ as entrymod
+    import __ray_entry__  # noqa: F401  (registers every query module)
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
-    sqls = entrymod.oracle_sql()  # runs MATERIALIZERS (cached tables)
+    # one SQL dict per scale, each with its cache-path oracles re-targeted
+    # and its cache tables materialized (oracle_sql_for does both)
+    sqls = {sf: queryset.oracle_sql_for(sf) for sf in (SF_SMALL, SF_CACHE)}
+    cache_names = queryset.cache_sql_names()
     cons = {}
     for sf in (SF_SMALL, SF_CACHE):
         con = duckdb.connect()
@@ -55,7 +59,7 @@ def oracle_env():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
         cons[sf] = con
-    return sqls, cons
+    return sqls, cache_names, cons
 
 
 def _value_hash(df: pd.DataFrame) -> str:
@@ -72,9 +76,12 @@ def _value_hash(df: pd.DataFrame) -> str:
 def test_value_parity(name, ray_session, oracle_env):
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
-    sqls, cons = oracle_env
-    sql = sqls[name]
-    sf = SF_CACHE if "graft_cache" in sql else SF_SMALL
+    sqls, cache_names, cons = oracle_env
+    # cache-path oracles stay at the driver's sf0.01 (the scale the external
+    # gate hashes); everything else runs the cheaper sf0.001 views — but the
+    # selection is now explicit registry metadata, not a substring of the SQL
+    sf = SF_CACHE if name in cache_names else SF_SMALL
+    sql = sqls[sf][name]
     ours = queryset.QUERIES[name](sf)
     if hasattr(ours, "to_pandas"):
         ours = ours.to_pandas()

@@ -60,7 +60,11 @@ def main() -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+    # re-target cache-path oracles at the sf_dir under comparison (the
+    # driver-facing e.oracle_sql() pins the driver's sf0.01 scale)
+    qs, oracles = e.queries(), queryset.oracle_sql_for(SF_DIR)
     if ONLY:
         qs = {n: f for n, f in qs.items() if any(s in n for s in ONLY)}
     failures = 0
