@@ -260,24 +260,48 @@ register("docs_version_diff", docs_version_diff, sql=VERSION_DIFF_SQL)
 
 # --- Bloom-filter membership gate (the broadcast-scalable delta path) --------
 
-#: 4 positions, each 20 bits (5 hex chars of the md5 fingerprint) → a
-#: 2^20-bit filter; the broadcast side is ≤ 2^20 distinct positions (8 MB
-#: of int64) REGARDLESS of existing-corpus size — vs the unbounded key-set
-#: broadcast of the exact incremental dedup
+#: 4 positions, each ``4·pos_hex`` bits (non-overlapping md5 hex slices) →
+#: a 2^(4·pos_hex)-bit filter. The broadcast side is a DENSE bitmap of
+#: 2^(4·pos_hex)/8 bytes — fixed by the array width regardless of
+#: existing-corpus size (h=5 → 128 KiB, h=6 → 2 MiB, h=7 → 32 MiB) — vs
+#: the unbounded key-set broadcast of the exact incremental dedup.
 BLOOM_K = 4
 BLOOM_POS_HEX = 5
+#: h=7 (2^28 bits, 32 MiB per worker) is the broadcast-practical ceiling;
+#: md5's 32 hex chars bound k·h ≤ 32 anyway
+_BLOOM_MAX_POS_HEX = 7
 
 
-def _bloom_positions(fingerprint_hex: str) -> list[int]:
+def bloom_pos_hex_for(expected_n: int) -> int:
+    """Slice width h sized to the EXPECTED existing-corpus cardinality.
+
+    Smallest h whose 2^(4h)-bit array keeps ≥ 8 bits per expected key
+    (k=4 → ~2.4 % false-positive rate). SATURATION: past n ≈ m/k keys
+    (h=5: ~260k docs; h=6: ~4.2M; h=7: ~67M) the filter degenerates to
+    all-``maybe_dup`` — still sound (``definitely_new`` never lies), just
+    useless as a pre-filter; this helper is how a caller keeps m ahead of
+    n. Past h=7, shard the corpus and gate per shard.
+    """
+    h = BLOOM_POS_HEX
+    while h < _BLOOM_MAX_POS_HEX and (1 << (4 * h)) < 8 * expected_n:
+        h += 1
+    return h
+
+
+def _bloom_positions(fingerprint_hex: str, pos_hex: int = BLOOM_POS_HEX) -> list[int]:
     """k bit positions from non-overlapping md5 hex slices — the SQL twin
-    is ``('0x' || substr(h, 1 + 5*j, 5))::BIGINT`` for j in 0..k-1."""
+    is ``('0x' || substr(h, 1 + pos_hex*j, pos_hex))::BIGINT`` for j<k."""
     return [
-        int(fingerprint_hex[j * BLOOM_POS_HEX : (j + 1) * BLOOM_POS_HEX], 16)
+        int(fingerprint_hex[j * pos_hex : (j + 1) * pos_hex], 16)
         for j in range(BLOOM_K)
     ]
 
 
-def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
+def docs_bloom_gate(
+    sf_dir: str,
+    expected_n: "int | None" = None,
+    pos_hex: "int | None" = None,
+) -> "ray.data.Dataset":
     """(doc_id, status ∈ {definitely_new, maybe_dup}): incoming documents
     gated by a Bloom filter built from the existing corpus's content
     fingerprints — the pre-filter a 100 TB delta-dedup runs BEFORE the
@@ -288,12 +312,22 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
     exact check (``docs_dedup_incremental``).
 
     Shape: existing side folds to distinct bit positions per block
-    (bounded by 2^20), one driver union, ``ray.put`` broadcast; the
-    incoming side streams through a vectorized all-k-positions probe. The
-    gate decision is a deterministic function of md5 slices, so the SQL
-    oracle reproduces it bit for bit — false positives included.
+    (bounded by 2^(4h)), one driver union into a DENSE bitmap (2^(4h)/8
+    bytes — the broadcast size is set by the array width, not the corpus),
+    ``ray.put`` broadcast; the incoming side streams through a vectorized
+    all-k-positions probe. The gate decision is a deterministic function
+    of md5 slices, so the SQL oracle reproduces it bit for bit — false
+    positives included. Size the filter with ``expected_n`` (existing-side
+    cardinality) or an explicit ``pos_hex``; see ``bloom_pos_hex_for`` for
+    the saturation points.
     """
-    from .exchange import broadcast_lookup, probe_lookup
+    if pos_hex is None:
+        pos_hex = (
+            bloom_pos_hex_for(expected_n) if expected_n else BLOOM_POS_HEX
+        )
+    if not BLOOM_POS_HEX <= pos_hex <= _BLOOM_MAX_POS_HEX:
+        raise ValueError(f"pos_hex must be in [{BLOOM_POS_HEX}, {_BLOOM_MAX_POS_HEX}]")
+    h_hex = pos_hex
 
     # side-filter BEFORE fingerprinting (the md5 loop is the dominant
     # cost): each row is hashed exactly once, in whichever side's pass it
@@ -310,26 +344,27 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
             {
                 p
                 for s in norm.to_pylist()
-                for p in _bloom_positions(hashlib.md5(s.encode("utf-8")).hexdigest())
+                for p in _bloom_positions(
+                    hashlib.md5(s.encode("utf-8")).hexdigest(), h_hex
+                )
             }
         )
         return pa.table({"p": pa.array(pos, type=pa.int64())})
 
-    bits: set[int] = set()
+    bitmap = np.zeros(1 << (4 * h_hex - 3), dtype=np.uint8)  # 2^(4h) bits
     for b in (
         corpus(sf_dir)
         .map_batches(existing_positions, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_size=65_536, batch_format="pyarrow")
     ):
-        bits.update(b["p"].to_pylist())
-    sorted_bits = np.fromiter(sorted(bits), dtype=np.int64, count=len(bits))
-    keys, vals = broadcast_lookup(sorted_bits, np.ones(len(sorted_bits), dtype=np.int64))
+        pos = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
     import ray as _ray
 
-    ref = _ray.put((keys, vals))
+    ref = _ray.put(bitmap)
 
     def gate(batch: pa.Table) -> pa.Table:
-        k, v = _ray.get(ref)
+        bm = _ray.get(ref)
         mask = pa.array(_hash_bucket(batch["doc_id"]) < INCOMING_PCT)
         t = batch.filter(mask)
         norm = pc.utf8_trim_whitespace(
@@ -339,11 +374,11 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
         hit = np.ones(len(fps), dtype=bool)
         for j in range(BLOOM_K):
             pos = np.fromiter(
-                (int(h[j * BLOOM_POS_HEX : (j + 1) * BLOOM_POS_HEX], 16) for h in fps),
+                (int(f[j * h_hex : (j + 1) * h_hex], 16) for f in fps),
                 dtype=np.int64,
                 count=len(fps),
             )
-            hit &= probe_lookup(k, v, pos, missing=0).astype(bool)
+            hit &= (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
         status = np.where(hit, "maybe_dup", "definitely_new")
         return pa.table(
             {
@@ -357,13 +392,15 @@ def docs_bloom_gate(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-_BLOOM_SLICES = " AND ".join(
-    f"('0x' || substr(fingerprint, {1 + j * BLOOM_POS_HEX}, {BLOOM_POS_HEX}))::BIGINT"
-    f" IN (SELECT p FROM existing_pos)"
-    for j in range(BLOOM_K)
-)
-
-DOCS_BLOOM_GATE_SQL = f"""
+def bloom_gate_sql(pos_hex: int = BLOOM_POS_HEX) -> str:
+    """DuckDB twin of ``docs_bloom_gate`` at any slice width — the oracle
+    contract is bit-exact at EVERY filter size, not just the default."""
+    slices = " AND ".join(
+        f"('0x' || substr(fingerprint, {1 + j * pos_hex}, {pos_hex}))::BIGINT"
+        f" IN (SELECT p FROM existing_pos)"
+        for j in range(BLOOM_K)
+    )
+    return f"""
 WITH {CORPUS_SQL},
 fp AS (
   SELECT doc_id,
@@ -374,13 +411,16 @@ fp AS (
 ),
 existing_pos AS (
   SELECT DISTINCT
-         ('0x' || substr(fingerprint, 1 + {BLOOM_POS_HEX} * j, {BLOOM_POS_HEX}))::BIGINT AS p
+         ('0x' || substr(fingerprint, 1 + {pos_hex} * j, {pos_hex}))::BIGINT AS p
   FROM fp, LATERAL UNNEST(generate_series(0, {BLOOM_K - 1})) u(j)
   WHERE side = 'existing'
 )
 SELECT doc_id,
-       CASE WHEN {_BLOOM_SLICES} THEN 'maybe_dup' ELSE 'definitely_new' END AS status
+       CASE WHEN {slices} THEN 'maybe_dup' ELSE 'definitely_new' END AS status
 FROM fp WHERE side = 'incoming'
 """
+
+
+DOCS_BLOOM_GATE_SQL = bloom_gate_sql(BLOOM_POS_HEX)
 
 register("docs_bloom_gate", docs_bloom_gate, sql=DOCS_BLOOM_GATE_SQL)

@@ -35,10 +35,33 @@ def enum_group_sum(ds: "ray.data.Dataset", keys: list[str], sums: list[str]):
     return enum_group_agg(ds, keys, {c: "sum" for c in sums})
 
 
-def enum_group_agg(ds: "ray.data.Dataset", keys: list[str], aggs: dict):
+#: distinct-group ceiling for the driver-side enum fold — far above any enum
+#: (largest real user: 24 hourly buckets × types), far below anything that
+#: could balloon driver memory. Mirrors the MAX_BROADCAST_KEYS discipline:
+#: a high-cardinality caller fails loud with the reroute named, instead of
+#: silently accumulating an unbounded merged frame.
+MAX_ENUM_GROUPS = 100_000
+
+
+def enum_group_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: dict,
+    max_groups: int = MAX_ENUM_GROUPS,
+):
     """``enum_group_sum`` generalized to any fold-associative pandas agg
     per column (``{"n": "sum", "lo": "min", "hi": "max"}``)."""
     import pandas as pd
+
+    def _guard(merged: "pd.DataFrame") -> "pd.DataFrame":
+        if len(merged) > max_groups:
+            raise ValueError(
+                f"enum_group_agg: {len(merged):,} distinct groups exceeds the "
+                f"driver-fold ceiling ({max_groups:,}) — the key "
+                f"{keys} is not enum-bounded; use hash_partitioned (one "
+                "exchange, grouped work in-partition) instead"
+            )
+        return merged
 
     cols = list(aggs)
     parts: list = []
@@ -46,11 +69,18 @@ def enum_group_agg(ds: "ray.data.Dataset", keys: list[str], aggs: dict):
         parts.append(b.groupby(keys, sort=False)[cols].agg(aggs).reset_index())
         if len(parts) >= 64:  # re-fold so driver memory stays ~#groups rows
             parts = [
-                pd.concat(parts).groupby(keys, sort=False)[cols].agg(aggs).reset_index()
+                _guard(
+                    pd.concat(parts)
+                    .groupby(keys, sort=False)[cols]
+                    .agg(aggs)
+                    .reset_index()
+                )
             ]
     if not parts:
         return pd.DataFrame(columns=[*keys, *cols])
-    return pd.concat(parts).groupby(keys, sort=True)[cols].agg(aggs).reset_index()
+    return _guard(
+        pd.concat(parts).groupby(keys, sort=True)[cols].agg(aggs).reset_index()
+    )
 
 
 def int64_array(col: "pa.Array | pa.ChunkedArray"):

@@ -3215,6 +3215,67 @@ class TestBloomGate:
         # and the gate never drops an incoming row
         assert len(gate) == len(exact)
 
+    @pytest.mark.parametrize("pos_hex", [5, 6])
+    def test_bit_exact_oracle_at_two_sizes(self, ray_session, oracle_con, pos_hex):
+        """Parameterized filter width (VERDICT r4 #7): the SQL twin
+        reproduces the gate bit for bit — false positives included — at
+        both 2^20 and 2^24 bits, and the wider filter only ever CLEARS
+        maybe_dup flags (fewer collisions), never sets new ones."""
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import (
+            bloom_gate_sql,
+            docs_bloom_gate,
+        )
+
+        ours = (
+            docs_bloom_gate(SF, pos_hex=pos_hex)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        gold = (
+            oracle_con.execute(bloom_gate_sql(pos_hex))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert ours.equals(gold[ours.columns])
+
+    def test_expected_n_sizing_and_monotone_fp(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.delta import (
+            bloom_pos_hex_for,
+            docs_bloom_gate,
+        )
+
+        assert bloom_pos_hex_for(10_000) == 5
+        assert bloom_pos_hex_for(1_000_000) == 6
+        assert bloom_pos_hex_for(10_000_000) == 7
+        assert bloom_pos_hex_for(10**9) == 7  # capped, never past broadcast-practical
+        narrow = docs_bloom_gate(SF, pos_hex=5).to_pandas().set_index("doc_id")["status"]
+        wide = docs_bloom_gate(SF, expected_n=1_000_000).to_pandas().set_index("doc_id")["status"]
+        # widening can only clear false positives: wide maybe_dup ⊆ narrow maybe_dup
+        assert set(wide[wide == "maybe_dup"].index) <= set(
+            narrow[narrow == "maybe_dup"].index
+        )
+
+
+class TestEnumGroupGuard:
+    def test_high_cardinality_fails_loud(self, ray_session):
+        """The driver-side enum fold rejects unbounded keys with the
+        reroute named (VERDICT r4 #9) instead of ballooning driver memory."""
+        import pyarrow as pa
+        import ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.exchange import enum_group_agg
+
+        ds = ray.data.from_arrow(
+            pa.table({"k": list(range(5000)), "v": [1] * 5000})
+        )
+        with pytest.raises(ValueError, match="hash_partitioned"):
+            enum_group_agg(ds, ["k"], {"v": "sum"}, max_groups=1000)
+        # under the ceiling the fold is unchanged
+        out = enum_group_agg(ds, ["k"], {"v": "sum"}, max_groups=10_000)
+        assert len(out) == 5000 and out["v"].sum() == 5000
+
 
 class TestCountMin:
     def test_point_queries_bound_true_counts(self, ray_session, oracle_con):
