@@ -235,11 +235,159 @@ SELECT media_id, CAST(bin AS BIGINT) AS bin, count(*) AS n
 FROM bytes GROUP BY 1, 2
 """
 
-MATERIALIZERS.append(media_table_for_sf)
-SF_PATH_HELPERS.append(media_path_for_sf)
+# --- materialized golden oracles: the full feature tables --------------------
+#
+# The list-typed feature columns stringify identically through DuckDB's
+# read_parquet → .df() and Ray's to_pandas (both numpy arrays), so the FULL
+# feature schema is value-hashable against a golden parquet. The golden is
+# built SERIALLY in one process (plain loops, stdlib byte counting — no Ray,
+# no batching, no numpy histogram), so the oracle pins
+# DISTRIBUTION-preservation of the actor-pool stages; the header/resize
+# kernels it shares (parse_header, resize_fake_image) are pinned separately
+# by unit tests (tests/test_extensions.py multimodal classes).
 
-register("media_features", media_features)  # rows-only: binary payloads
-register("media_resized_features", media_resized_features)  # rows-only
+_EXPECTED_MEDIA_FEATURES_VERSION = 1
+_EXPECTED_MEDIA_RESIZED_VERSION = 1
+
+
+def _serial_feature_row(media_id: int, payload: bytes) -> dict:
+    """Plain-Python serial twin of one MediaFeatureExtractor row."""
+    import hashlib as _hashlib
+
+    from ..sources.media import HEADER_LEN, parse_header
+
+    payload = payload or b""
+    row = {"media_id": media_id, "payload_bytes": len(payload)}
+    try:
+        meta = parse_header(payload)
+        hist = [0] * 16
+        for byte in payload[HEADER_LEN:]:
+            hist[byte >> 4] += 1
+        row.update(
+            kind=meta["kind"],
+            body_bytes=len(payload) - HEADER_LEN,
+            checksum=_hashlib.md5(payload.hex().upper().encode()).hexdigest(),
+            byte_histogram=hist,
+            sampled_frames=list(range(0, meta["n_frames"], 2)),
+            action="decoded",
+            error="",
+        )
+    except Exception as exc:
+        row.update(
+            kind="",
+            body_bytes=0,
+            checksum="",
+            byte_histogram=[0] * 16,
+            sampled_frames=[],
+            action="error",
+            error=f"{type(exc).__name__}: {exc}",
+        )
+    return row
+
+
+def _rows_to_features_table(rows: list[dict]) -> "pa.Table":
+    import pyarrow as pa
+
+    from ..stages.multimodal import FEATURES_SCHEMA
+
+    return pa.Table.from_pydict(
+        {name: [r[name] for r in rows] for name in FEATURES_SCHEMA.names},
+        schema=FEATURES_SCHEMA,
+    )
+
+
+def _build_expected_media_features(sf_dir: str) -> "pa.Table":
+    import pyarrow.parquet as _pq
+
+    src = _pq.read_table(media_table_for_sf(sf_dir))
+    rows = [
+        _serial_feature_row(i, p)
+        for i, p in zip(src["media_id"].to_pylist(), src["payload"].to_pylist())
+    ]
+    return _rows_to_features_table(rows)
+
+
+def _build_expected_media_resized(sf_dir: str) -> "pa.Table":
+    import pyarrow.parquet as _pq
+
+    from ..sources.media import parse_header
+    from ..stages.multimodal import resize_fake_image
+
+    src = _pq.read_table(media_table_for_sf(sf_dir))
+    rows = []
+    for i, p in zip(src["media_id"].to_pylist(), src["payload"].to_pylist()):
+        payload = p or b""
+        try:  # serial twin of one MediaResizer row (16×16 target)
+            if parse_header(payload)["kind"] == "image":
+                payload = resize_fake_image(payload, 16, 16)
+        except Exception:
+            payload = b""
+        rows.append(_serial_feature_row(i, payload))
+    return _rows_to_features_table(rows)
+
+
+def expected_media_features_path(sf_dir: str) -> str:
+    from .queryset import expected_table_path
+
+    return expected_table_path(
+        "expected-media-features", sf_dir, _EXPECTED_MEDIA_FEATURES_VERSION
+    )
+
+
+def expected_media_resized_path(sf_dir: str) -> str:
+    from .queryset import expected_table_path
+
+    return expected_table_path(
+        "expected-media-resized", sf_dir, _EXPECTED_MEDIA_RESIZED_VERSION
+    )
+
+
+def materialize_expected_media_features(sf_dir: str) -> str:
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-media-features",
+        sf_dir,
+        _EXPECTED_MEDIA_FEATURES_VERSION,
+        _build_expected_media_features,
+    )
+
+
+def materialize_expected_media_resized(sf_dir: str) -> str:
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-media-resized",
+        sf_dir,
+        _EXPECTED_MEDIA_RESIZED_VERSION,
+        _build_expected_media_resized,
+    )
+
+
+_FEATURE_COLS = (
+    "media_id, kind, payload_bytes, body_bytes, checksum,"
+    " byte_histogram, sampled_frames, action, error"
+)
+MEDIA_FEATURES_SQL = (
+    f"SELECT {_FEATURE_COLS} FROM read_parquet("
+    f"'{expected_media_features_path('/root/testdata/sf0.01')}')"
+)
+MEDIA_RESIZED_FEATURES_SQL = (
+    f"SELECT {_FEATURE_COLS} FROM read_parquet("
+    f"'{expected_media_resized_path('/root/testdata/sf0.01')}')"
+)
+
+MATERIALIZERS.append(media_table_for_sf)
+MATERIALIZERS.append(materialize_expected_media_features)
+MATERIALIZERS.append(materialize_expected_media_resized)
+SF_PATH_HELPERS.append(media_path_for_sf)
+SF_PATH_HELPERS.append(expected_media_features_path)
+SF_PATH_HELPERS.append(expected_media_resized_path)
+
+register("media_features", media_features, sql=MEDIA_FEATURES_SQL)
+register(
+    "media_resized_features", media_resized_features, sql=MEDIA_RESIZED_FEATURES_SQL
+)
 register("media_meta", media_meta, sql=MEDIA_META_SQL)
 register("media_kind_counts", media_kind_counts, sql=MEDIA_KIND_COUNTS_SQL)
 register("media_frame_offsets", media_frame_offsets, sql=MEDIA_FRAME_OFFSETS_SQL)

@@ -12,10 +12,10 @@ exact because d is small).
 Numeric contract: embeddings quantize to int64 1e-6 fixed point FIRST,
 so every Gram/sum entry is an EXACT integer — reduction-order-free and
 value-oracle-able in SQL (`emb_gram`). The eigendecomposition itself is
-not SQL-expressible, so `emb_pca_project` registers without an oracle
-(rows-only in the driver) and is pinned instead by invariant tests:
-projected variance equals the eigenvalue, components are orthonormal,
-and the projection is deterministic under a fixed sign convention.
+not SQL-expressible; `emb_pca_project` is value-oracled instead against a
+MATERIALIZED serial golden (e6-quantized output, deterministic sign) and
+additionally pinned by invariant tests: projected variance equals the
+eigenvalue, components are orthonormal.
 
 Magnitude safety: |q| ≤ ~2^21 for unit-scale embeddings (1e-6 units),
 so a Gram entry grows ~2^42 per row — int64 overflows past ~2M rows per
@@ -158,9 +158,16 @@ def emb_pca_project(sf_dir: str, k: int = PCA_K) -> "ray.data.Dataset":
     principal components of the corpus (covariance from the exact Gram
     fold; eigendecomposition on the driver; components broadcast).
 
-    Not SQL-expressible (eigendecomposition); pinned by invariant tests:
-    per-component projected variance ≈ eigenvalue, orthonormal
-    components, deterministic sign (largest-|coordinate| positive).
+    Output contract: projections are quantized to 1e-6 (half-away, the
+    repo-wide ``round6`` contract) under a deterministic sign convention
+    (largest-|coordinate| loading positive). That makes the query
+    value-oracle-able via a MATERIALIZED golden (serial single-process
+    twin, ``materialize_expected_pca``): the eigendecomposition input (the
+    exact int64 Gram) is identical on both paths, so eigh is bit-identical,
+    and the only float divergence left — BLAS reduction order in the
+    batched projection gemm — is ulp-scale, absorbed by the e6
+    quantization. Invariant tests additionally pin projected variance ≈
+    eigenvalue and orthonormality.
     """
     gram, col_sum, n = _gram_fold(sf_dir)
     if n == 0:
@@ -184,9 +191,11 @@ def emb_pca_project(sf_dir: str, k: int = PCA_K) -> "ray.data.Dataset":
     ref = ray.put((mean, comps))
 
     def project(batch: pa.Table) -> pa.Table:
+        from .exchange import round6
+
         mean_b, comps_b = ray.get(ref)
         q = _quantized(batch).astype(np.float64)
-        proj = (q - mean_b) @ comps_b / EMB_E6  # back to unit scale
+        proj = round6((q - mean_b) @ comps_b / EMB_E6)  # back to unit scale
         cols = {"vec_id": batch["vec_id"].cast(pa.int64())}
         for c in range(comps_b.shape[1]):
             cols[f"pc{c + 1}"] = pa.array(proj[:, c], type=pa.float64())
@@ -196,6 +205,61 @@ def emb_pca_project(sf_dir: str, k: int = PCA_K) -> "ray.data.Dataset":
         table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# --- materialized golden oracle -----------------------------------------------
+
+_EXPECTED_PCA_VERSION = 1
+
+
+def _build_expected_pca(sf_dir: str) -> pa.Table:
+    """Serial single-process twin of ``emb_pca_project`` (no Ray, no
+    batching): exact int64 Gram accumulated over the whole table at once,
+    same eigh/sign/rounding chain, one full-matrix projection gemm."""
+    import pyarrow.parquet as _pq
+
+    from .exchange import round6
+
+    src = _pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q = np.floor(
+        np.asarray(src["embedding"].to_pylist(), dtype=np.float64) * EMB_E6 + 0.5
+    ).astype(np.int64)
+    n = len(q)
+    gram = q.T @ q
+    col_sum = q.sum(axis=0)
+    mean = col_sum.astype(np.float64) / n
+    cov = gram.astype(np.float64) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :PCA_K]
+    for c in range(comps.shape[1]):
+        arg = int(np.argmax(np.abs(comps[:, c])))
+        if comps[arg, c] < 0:
+            comps[:, c] = -comps[:, c]
+    proj = round6((q.astype(np.float64) - mean) @ comps / EMB_E6)
+    cols = {"vec_id": src["vec_id"].cast(pa.int64())}
+    for c in range(PCA_K):
+        cols[f"pc{c + 1}"] = pa.array(proj[:, c], type=pa.float64())
+    return pa.table(cols)
+
+
+def expected_pca_path(sf_dir: str) -> str:
+    from .queryset import expected_table_path
+
+    return expected_table_path("expected-pca", sf_dir, _EXPECTED_PCA_VERSION)
+
+
+def materialize_expected_pca(sf_dir: str) -> str:
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-pca", sf_dir, _EXPECTED_PCA_VERSION, _build_expected_pca
+    )
+
+
+EMB_PCA_PROJECT_SQL = (
+    "SELECT vec_id, pc1, pc2 FROM read_parquet("
+    f"'{expected_pca_path('/root/testdata/sf0.01')}')"
+)
 
 
 #: the inner CAST AS DOUBLE is load-bearing: without it DuckDB multiplies
@@ -214,4 +278,9 @@ GROUP BY a.i, b.i
 """
 
 register("emb_gram", emb_gram, sql=EMB_GRAM_SQL)
-register("emb_pca_project", emb_pca_project)
+register("emb_pca_project", emb_pca_project, sql=EMB_PCA_PROJECT_SQL)
+
+from .queryset import MATERIALIZERS, SF_PATH_HELPERS  # noqa: E402
+
+MATERIALIZERS.append(materialize_expected_pca)
+SF_PATH_HELPERS.append(expected_pca_path)
