@@ -125,10 +125,13 @@ _DRIVER_WINDOW: list[str] = [
     "customers_without_orders",
     "top_customers_per_nation",
     "user_funnel_counts",
-    "events_winsorized",
-    "conversation_plain_texts",
-    "events_median_value_by_type",
-    "user_sessions",
+    # new this round, never driver-verdicted (take the last refresh slots —
+    # events_winsorized / conversation_plain_texts / events_median_value_by
+    # _type / user_sessions stay covered by tests/test_oracle_parity.py)
+    "docs_quality_report",
+    "dedup_cluster_sizes",
+    "docs_pack_efficiency",
+    "transcript_tool_stats",
 ]
 
 

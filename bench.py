@@ -590,6 +590,36 @@ def q_count_min(sf_dir: str) -> int:
     return _consume(docs_count_min(sf_dir))
 
 
+def q_quality_report(sf_dir: str) -> int:
+    """Per-source quality-gate outcome report (bounded enum fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.quality import docs_quality_report
+
+    return _consume(docs_quality_report(sf_dir))
+
+
+def q_cluster_sizes(sf_dir: str) -> int:
+    """Dedup-cluster size histogram (in-partition sizes, bounded fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import dedup_cluster_sizes
+
+    return _consume(dedup_cluster_sizes(sf_dir))
+
+
+def q_pack_efficiency(sf_dir: str) -> int:
+    """Packing fill-ratio histogram riding the greedy pack assignment."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.packing import docs_pack_efficiency
+
+    return _consume(docs_pack_efficiency(sf_dir))
+
+
+def q_tool_stats(sf_dir: str) -> int:
+    """Tool-call usage stats over transcripts (pair exchange + enum fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+        transcript_tool_stats,
+    )
+
+    return _consume(transcript_tool_stats(sf_dir))
+
+
 def q_tpch_q1(sf_dir: str) -> int:
     """Q1 pricing summary: one partial-agg pass, bounded fold."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import tpch_q1_pricing
@@ -720,6 +750,10 @@ BENCH_QUERIES = {
     "tpch_q5": q_tpch_q5,
     "value_ntile": q_value_ntile,
     "moving_avg": q_moving_avg,
+    "quality_report": q_quality_report,
+    "cluster_sizes": q_cluster_sizes,
+    "pack_efficiency": q_pack_efficiency,
+    "tool_stats": q_tool_stats,
 }
 
 

@@ -356,3 +356,56 @@ FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
 
 register("dedup_minhash_clusters", dedup_minhash_clusters, sql=_clusters_oracle_sql())
 register("dedup_canonical_docs", dedup_canonical_docs, sql=_canonical_oracle_sql())
+
+
+def dedup_cluster_sizes(sf_dir: str) -> "ray.data.Dataset":
+    """(cluster_size, n_clusters): the dedup AUDIT histogram over the full
+    corpus (singletons included) — the one-line answer to "how much of the
+    corpus is duplicated, and in how big a blob?" that a 100 TB dedup run
+    reports before anyone trusts its `keep` column.
+
+    Shape: cluster_id is an UNBOUNDED key, so per-cluster sizes are counted
+    in-partition after one hash exchange on cluster_id (never a driver
+    fold); the (size → count) reduction that follows IS bounded (sizes are
+    ≤ the largest dup blob, and the histogram is what the driver holds), so
+    it finishes as per-block partials + enum fold."""
+    from .exchange import enum_group_sum
+    from .exchange import hash_partitioned as _hp
+
+    labels = dedup_canonical_docs(sf_dir)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        per_cluster = df.groupby("cluster_id").size()
+        hist = per_cluster.groupby(per_cluster).size()
+        return pd.DataFrame(
+            {
+                "cluster_size": hist.index.to_numpy(dtype=np.int64),
+                "n_clusters": hist.to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = _hp(labels, "cluster_id", sizes)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["cluster_size"], ["n_clusters"])
+    )
+
+
+def _cluster_sizes_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _cc_reach_sql()
+        + f""",
+{CORPUS_SQL.strip().lstrip()},
+labeled AS (
+  SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
+),
+per_cluster AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT cluster_size, count(*) AS n_clusters FROM per_cluster GROUP BY cluster_size
+"""
+    )
+
+
+register("dedup_cluster_sizes", dedup_cluster_sizes, sql=_cluster_sizes_oracle_sql())

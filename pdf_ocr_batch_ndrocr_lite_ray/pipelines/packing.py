@@ -122,3 +122,53 @@ SELECT doc_id, part * {_BIN_STRIDE} + bin_idx AS bin_id, n_tokens FROM pack
 
 
 register("docs_pack_greedy", docs_pack_greedy, sql=DOCS_PACK_SQL)
+
+
+def docs_pack_efficiency(sf_dir: str) -> "ray.data.Dataset":
+    """(fill_decile, n_bins, total_tokens): packing-efficiency histogram —
+    bins bucketed by fill ratio in tenths of the budget. The padding-waste
+    report every packing run is judged by: a left-heavy histogram means the
+    budget or the doc-length mix is wrong and GPU-hours become padding.
+
+    Shape: rides the packed assignment; bin fills are summed IN-PARTITION
+    (a bin lives entirely inside its packing partition by construction, so
+    no second exchange is needed — the partition key is derivable from
+    bin_id), then the decile histogram is a bounded (11-row) fold."""
+    from .exchange import enum_group_sum
+    from .exchange import hash_partitioned as _hp
+
+    packed = docs_pack_greedy(sf_dir)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        fills = df.groupby("bin_id")["n_tokens"].sum()
+        # decile of budget, clamped: oversized single-doc bins land at 10
+        decile = np.minimum(
+            (fills.to_numpy(dtype=np.int64) * 10) // PACK_BUDGET, 10
+        )
+        hist = pd.DataFrame({"fill_decile": decile, "tok": fills.to_numpy()})
+        g = hist.groupby("fill_decile").agg(
+            n_bins=("tok", "size"), total_tokens=("tok", "sum")
+        )
+        return g.reset_index()
+
+    # bins are partition-local (bin_id = part*stride + local), so hashing
+    # on bin_id re-partitions WITHOUT splitting any bin across partitions
+    partials = _hp(packed, "bin_id", per_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["fill_decile"], ["n_bins", "total_tokens"])
+    )
+
+
+DOCS_PACK_EFFICIENCY_SQL = rf"""
+WITH pack AS ({DOCS_PACK_SQL}),
+fills AS (
+  SELECT bin_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+  FROM pack GROUP BY bin_id
+)
+SELECT least(fill * 10 // {PACK_BUDGET}, 10) AS fill_decile,
+       count(*) AS n_bins,
+       CAST(sum(fill) AS BIGINT) AS total_tokens
+FROM fills GROUP BY 1
+"""
+
+register("docs_pack_efficiency", docs_pack_efficiency, sql=DOCS_PACK_EFFICIENCY_SQL)

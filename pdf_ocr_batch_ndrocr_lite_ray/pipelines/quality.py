@@ -268,3 +268,38 @@ FROM sig
 
 
 register("docs_quality_filter", docs_quality_filter, sql=_quality_oracle_sql())
+
+
+def docs_quality_report(sf_dir: str) -> "ray.data.Dataset":
+    """(source, action, n): per-source gate outcomes — ``keep`` or the
+    first-failing rule name. The corpus-health dashboard a 100 TB filter
+    run emits per shard: which sources are losing documents and to which
+    rule. Shape: the per-doc signals stay embarrassingly parallel
+    (``_quality_batch`` row-aligned with the input, so ``source`` zips
+    back on without a join); both report keys are bounded enums
+    (sources × 6 actions) → per-batch partial counts, driver fold."""
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quality_batch(batch.select(["doc_id", "text"]))
+        action = pc.if_else(q["keep"], pa.scalar("keep"), q["reason"])
+        t = pa.table({"source": batch["source"], "action": action})
+        g = t.group_by(["source", "action"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "action", "n"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ray.data.from_pandas(enum_group_sum(ds, ["source", "action"], ["n"]))
+
+
+DOCS_QUALITY_REPORT_SQL = f"""
+WITH q AS ({_quality_oracle_sql()})
+SELECT d.source,
+       CASE WHEN q.keep THEN 'keep' ELSE q.reason END AS action,
+       count(*) AS n
+FROM q JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+register("docs_quality_report", docs_quality_report, sql=DOCS_QUALITY_REPORT_SQL)

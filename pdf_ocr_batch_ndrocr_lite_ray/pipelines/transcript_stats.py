@@ -139,9 +139,62 @@ GROUP BY conv_id
 """
 
 
+def transcript_tool_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(tool, n_turns, n_convs): tool-call usage across the corpus — how
+    often each tool fires and how widely (distinct conversations). The
+    agent-trace analog of source mixture: the planning input for
+    tool-balance resampling before training on agent transcripts.
+
+    Shape: the tool vocabulary is a bounded enum but conv_id is not, so
+    the distinct-conversation count exchanges (tool, conv_id) PAIRS —
+    deduplicated per block first (a chatty tool contributes one row per
+    (block, conv), never one per turn) — hash-partitioned by conv_id so
+    each pair lands exactly once, counted in-partition, then summed in a
+    bounded per-tool fold. Raw text never ships."""
+    from .exchange import enum_group_sum
+
+    path = transcripts_for_sf(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "tool"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.is_valid(batch["tool"]), pc.not_equal(batch["tool"], ""))
+        )
+        g = t.group_by(["tool", "conv_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tool", "conv_id", "n"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("tool", sort=False)
+            .agg(n_turns=("n", "sum"), n_convs=("conv_id", "nunique"))
+            .reset_index()
+        )
+        g["n_turns"] = g["n_turns"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g[["tool", "n_turns", "n_convs"]]
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    partials = _hash_partitioned(pairs, "conv_id", per_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["tool"], ["n_turns", "n_convs"])
+    )
+
+
+def _tool_stats_sql(path: str) -> str:
+    return f"""
+SELECT tool,
+       count(*) AS n_turns,
+       count(DISTINCT conv_id) AS n_convs
+FROM read_parquet('{path}')
+WHERE tool IS NOT NULL AND tool <> ''
+GROUP BY tool
+"""
+
+
 _ORACLE_PATH = transcripts_path_for_sf("/root/testdata/sf0.01")
 
 register("turns_boilerplate", turns_boilerplate, sql=_boilerplate_sql(_ORACLE_PATH))
 register(
     "conversation_stats", conversation_stats, sql=_conversation_stats_sql(_ORACLE_PATH)
 )
+register("transcript_tool_stats", transcript_tool_stats, sql=_tool_stats_sql(_ORACLE_PATH))

@@ -123,6 +123,9 @@ class TestEmptyCorpus:
             "docs_weighted_sample",
             "docs_bloom_gate",
             "docs_count_min",
+            "docs_pack_efficiency",
+            "dedup_cluster_sizes",
+            "docs_quality_report",
         ],
     )
     def test_empty_input_yields_empty_output(self, ray_session, empty_dir, name):
@@ -141,6 +144,8 @@ class TestEmptyCorpus:
             quality,
             selection,
             text_analysis,
+            clusters,
+            packing,
         )
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
 
@@ -1512,6 +1517,7 @@ class TestAdversarialCorpusParity:
             "docs_novelty",
             "docs_dedup_segments",
             "docs_count_min",
+            "docs_pack_efficiency",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -3256,6 +3262,52 @@ class TestBloomGate:
         assert set(wide[wide == "maybe_dup"].index) <= set(
             narrow[narrow == "maybe_dup"].index
         )
+
+
+class TestRound5Reports:
+    """Invariant pins for the round-5 audit/report operators (value hashes
+    are covered by the blanket oracle-parity loop)."""
+
+    def test_quality_report_partitions_the_corpus(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import quality
+
+        df = _check_against_oracle("docs_quality_report", oracle_con)
+        n_docs = oracle_con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert df["n"].sum() == n_docs  # every doc lands in exactly one bucket
+        assert set(df["action"]) <= {"keep", *quality.RULE_ORDER}
+
+    def test_cluster_sizes_partition_the_corpus(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import clusters  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = queryset.QUERIES["dedup_cluster_sizes"](SF).to_pandas()
+        total = (df["cluster_size"] * df["n_clusters"]).sum()
+        corpus_n = queryset.QUERIES["dedup_canonical_docs"](SF).count()
+        assert total == corpus_n  # sizes × counts cover every corpus doc once
+        assert (df["cluster_size"] >= 1).all()
+        assert (df.loc[df["cluster_size"] >= 2, "n_clusters"] > 0).any()  # planted dups
+
+    def test_pack_efficiency_conserves_tokens(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import packing  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = _check_against_oracle("docs_pack_efficiency", oracle_con)
+        total_tokens = oracle_con.execute(
+            r"SELECT CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)"
+            " FROM documents"
+        ).fetchone()[0]
+        assert df["total_tokens"].sum() == total_tokens  # no token lost to binning
+        assert df["fill_decile"].between(0, 10).all()
+
+    def test_tool_stats_bounds(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import transcript_stats  # noqa: F401
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        df = queryset.QUERIES["transcript_tool_stats"](SF).to_pandas()
+        assert len(df) > 0
+        assert (df["n_turns"] >= df["n_convs"]).all()
+        stats = queryset.QUERIES["conversation_stats"](SF).to_pandas()
+        assert (df["n_convs"] <= len(stats)).all()
 
 
 class TestEnumGroupGuard:
