@@ -48,11 +48,18 @@ def _resolve(args: argparse.Namespace, config: dict, key: str):
 
 
 def _init_ray(num_cpus):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False}
-        if num_cpus:
+        # honor $RAY_ADDRESS so `ray job submit` attaches to the job's
+        # cluster (the job runtime exports it); without it start a local
+        # session — num_cpus only applies to a locally-started session
+        kwargs = {"include_dashboard": False}
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs["address"] = addr
+        if num_cpus and addr == "local":
             kwargs["num_cpus"] = int(num_cpus)
         ray.init(**kwargs)
 
