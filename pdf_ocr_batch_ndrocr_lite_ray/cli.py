@@ -54,13 +54,21 @@ def _init_ray(num_cpus):
 
     if not ray.is_initialized():
         # honor $RAY_ADDRESS so `ray job submit` attaches to the job's
-        # cluster (the job runtime exports it); without it start a local
-        # session — num_cpus only applies to a locally-started session
+        # cluster (the job runtime exports it); unset OR EMPTY falls back
+        # to a local session — num_cpus only applies to a local session
         kwargs = {"include_dashboard": False}
-        addr = os.environ.get("RAY_ADDRESS", "local")
+        addr = os.environ.get("RAY_ADDRESS") or "local"
         kwargs["address"] = addr
         if num_cpus and addr == "local":
             kwargs["num_cpus"] = int(num_cpus)
+        elif num_cpus:
+            import sys
+
+            print(
+                f"warning: --num-cpus ignored when attaching to an existing "
+                f"cluster (RAY_ADDRESS={addr})",
+                file=sys.stderr,
+            )
         ray.init(**kwargs)
 
 

@@ -3310,6 +3310,41 @@ class TestRound5Reports:
         assert (df["n_convs"] <= len(stats)).all()
 
 
+class TestCliRayInit:
+    """cli._init_ray contract: local session by default, attach (and drop
+    num_cpus with a warning) when RAY_ADDRESS points at a cluster, fall
+    back to local on a set-but-EMPTY RAY_ADDRESS."""
+
+    def _captured(self, monkeypatch, env_value, num_cpus):
+        import ray as _ray
+
+        from pdf_ocr_batch_ndrocr_lite_ray import cli
+
+        seen = {}
+        monkeypatch.setattr(_ray, "is_initialized", lambda: False)
+        monkeypatch.setattr(_ray, "init", lambda **kw: seen.update(kw))
+        if env_value is None:
+            monkeypatch.delenv("RAY_ADDRESS", raising=False)
+        else:
+            monkeypatch.setenv("RAY_ADDRESS", env_value)
+        cli._init_ray(num_cpus)
+        return seen
+
+    def test_unset_env_starts_local_with_num_cpus(self, monkeypatch):
+        seen = self._captured(monkeypatch, None, 4)
+        assert seen["address"] == "local" and seen["num_cpus"] == 4
+
+    def test_empty_env_falls_back_to_local(self, monkeypatch):
+        seen = self._captured(monkeypatch, "", 4)
+        assert seen["address"] == "local" and seen["num_cpus"] == 4
+
+    def test_cluster_env_attaches_and_warns_on_num_cpus(self, monkeypatch, capsys):
+        seen = self._captured(monkeypatch, "ray://head:10001", 8)
+        assert seen["address"] == "ray://head:10001"
+        assert "num_cpus" not in seen
+        assert "ignored" in capsys.readouterr().err
+
+
 class TestEnumGroupGuard:
     def test_high_cardinality_fails_loud(self, ray_session):
         """The driver-side enum fold rejects unbounded keys with the
