@@ -620,6 +620,33 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_hot_window_join(sf_dir: str) -> int:
+    """Range join: events into merged hot-hour windows (broadcast probe)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import (
+        events_hot_window_join,
+    )
+
+    return _consume(events_hot_window_join(sf_dir))
+
+
+def q_daily_distinct_exact(sf_dir: str) -> int:
+    """Exact distinct users per (day, type): one user_id exchange."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+        events_daily_distinct_exact,
+    )
+
+    return _consume(events_daily_distinct_exact(sf_dir))
+
+
+def q_edit1_pairs(sf_dir: str) -> int:
+    """FastSS edit-distance-1 vocabulary pairs over transcripts."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.editpairs import (
+        transcript_edit1_pairs,
+    )
+
+    return _consume(transcript_edit1_pairs(sf_dir))
+
+
 def q_tpch_q1(sf_dir: str) -> int:
     """Q1 pricing summary: one partial-agg pass, bounded fold."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import tpch_q1_pricing
@@ -754,6 +781,9 @@ BENCH_QUERIES = {
     "cluster_sizes": q_cluster_sizes,
     "pack_efficiency": q_pack_efficiency,
     "tool_stats": q_tool_stats,
+    "hot_window_join": q_hot_window_join,
+    "daily_distinct_exact": q_daily_distinct_exact,
+    "edit1_pairs": q_edit1_pairs,
 }
 
 

@@ -1055,3 +1055,59 @@ WINDOW w AS (
 """
 
 register("events_moving_avg", events_moving_avg, sql=EVENTS_MOVING_AVG_SQL)
+
+
+def events_daily_distinct_exact(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT distinct users per (day, event_type) tumbling window —
+    the precise twin of the HLL estimate (``events_distinct_users_hll_by_type``).
+
+    Scale shape: one hash exchange on ``user_id`` co-locates every row of a
+    user, so an in-partition ``drop_duplicates`` over (day, type, user) IS
+    the global dedup — no second exchange; each partition then emits ≤
+    #days × #types partial counts and the bounded enum fold sums them.
+    Exchange volume is three narrow columns, never the full row.
+    """
+    import pandas as pd
+
+    from .exchange import enum_group_sum
+
+    def distinct_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="datetime64[us]"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.assign(day=df["ts"].dt.floor("D"))
+        triples = df.drop_duplicates(["day", "event_type", "user_id"])
+        out = (
+            triples.groupby(["day", "event_type"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type", "user_id"]
+    )
+    partials = _hash_partitioned(ds, "user_id", distinct_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["day", "event_type"], ["n_users"])
+    )
+
+
+EVENTS_DAILY_DISTINCT_EXACT_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+register(
+    "events_daily_distinct_exact",
+    events_daily_distinct_exact,
+    sql=EVENTS_DAILY_DISTINCT_EXACT_SQL,
+)

@@ -201,12 +201,15 @@ class TestEmptyEvents:
             "events_anomaly_mad",
             "events_value_ntile",
             "events_moving_avg",
+            "events_hot_window_join",
+            "events_daily_distinct_exact",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
             analytics,
             asof,
+            intervals,
             rollup,
             sketches,
             windows,
@@ -1636,6 +1639,8 @@ class TestAdversarialEventsParity:
             "events_anomaly_mad",
             "events_value_ntile",
             "events_moving_avg",
+            "events_hot_window_join",
+            "events_daily_distinct_exact",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -1644,6 +1649,7 @@ class TestAdversarialEventsParity:
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
@@ -3542,3 +3548,131 @@ class TestRandomizedCorpusParity:
             gold = con.execute(queryset.ORACLE_SQL[name]).df()
             assert len(ours) == len(gold), f"{name} seed={seed}"
             assert _value_hash(ours) == _value_hash(gold), f"{name} seed={seed}"
+
+
+class TestHotWindowJoin:
+    """Range-join invariants beyond the oracle hash: window geometry and
+    event containment."""
+
+    def test_windows_are_merged_hour_runs(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import _hot_intervals
+
+        starts, ends = _hot_intervals(SF)
+        assert len(starts) == len(ends) and len(starts) > 0
+        hour = 3_600_000_000
+        assert ((ends - starts) % hour == 0).all() and (ends > starts).all()
+        assert (starts % hour == 0).all()
+        # maximal runs: consecutive intervals never touch (they'd have merged)
+        assert (starts[1:] > ends[:-1]).all()
+
+    def test_joined_events_fall_inside_their_window(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import (
+            events_hot_window_join,
+        )
+
+        out = events_hot_window_join(SF).to_pandas()
+        assert len(out) > 0
+        ts = duckdb.connect().execute(
+            f"SELECT event_id, ts FROM read_parquet('{SF}/events.parquet')"
+        ).df()
+        j = out.merge(ts, on="event_id", validate="one_to_one")
+        assert (j["ts"] >= j["window_start"]).all()
+        assert (j["ts"] < j["window_end"]).all()
+
+    def test_interval_ceiling_fails_loud(self, ray_session, monkeypatch):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import intervals
+
+        monkeypatch.setattr(intervals, "MAX_BROADCAST_INTERVALS", 0)
+        with pytest.raises(ValueError, match="co-partition"):
+            intervals.events_hot_window_join(SF)
+
+
+class TestDailyDistinctExact:
+    def test_matches_pandas_nunique(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            events_daily_distinct_exact,
+        )
+
+        ours = (
+            events_daily_distinct_exact(SF)
+            .to_pandas()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+        ev = duckdb.connect().execute(
+            f"SELECT ts, event_type, user_id FROM read_parquet('{SF}/events.parquet')"
+        ).df()
+        ev["day"] = ev["ts"].dt.floor("D")
+        gold = (
+            ev.groupby(["day", "event_type"])["user_id"]
+            .nunique()
+            .rename("n_users")
+            .reset_index()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert len(ours) == len(gold)
+        assert (ours["n_users"].to_numpy() == gold["n_users"].to_numpy()).all()
+
+
+class TestEdit1Pairs:
+    @pytest.mark.parametrize(
+        "a,b,want",
+        [
+            ("abcd", "abed", True),   # substitution
+            ("abc", "abcd", True),    # insertion at end
+            ("abc", "zabc", True),    # insertion at front
+            ("abcd", "bacd", False),  # transposition = distance 2
+            ("abc", "abc", False),    # equal
+            ("abc", "abcde", False),  # distance 2 by length
+            ("aaaa", "aaa", True),    # repeated-letter deletion
+        ],
+    )
+    def test_lev1(self, a, b, want):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.editpairs import _lev1
+
+        assert _lev1(a, b) is want and _lev1(b, a) is want
+
+    def test_pairs_are_verified_ordered_and_unique(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.editpairs import (
+            _lev1,
+            transcript_edit1_pairs,
+        )
+
+        df = transcript_edit1_pairs(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["token_a"] < df["token_b"]).all()
+        assert not df.duplicated(["token_a", "token_b"]).any()
+        assert all(_lev1(a, b) for a, b in zip(df["token_a"], df["token_b"]))
+
+    def test_variant_rows_distinct_per_token(self):
+        import pyarrow as pa
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.editpairs import _variant_rows
+
+        t = _variant_rows(pa.table({"token": ["aaaa", "ab"]})).to_pandas()
+        # "aaaa" deletions all collapse to "aaa": {aaaa, aaa} = 2 rows
+        assert sorted(t[t["token"] == "aaaa"]["v"]) == ["aaa", "aaaa"]
+        assert sorted(t[t["token"] == "ab"]["v"]) == ["a", "ab", "b"]
+
+    def test_bucket_cap_is_deterministic_prefix(self):
+        import pandas as pd
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import editpairs
+
+        toks = [f"t{i:03d}" for i in range(10)]
+        df = pd.DataFrame({"v": ["x"] * 10, "token": toks[::-1]})
+        old = editpairs._MAX_VARIANT_BUCKET
+        try:
+            editpairs._MAX_VARIANT_BUCKET = 3
+            out = editpairs._bucket_pairs_partition(df)
+        finally:
+            editpairs._MAX_VARIANT_BUCKET = old
+        # cap keeps the 3 lexicographically-first tokens -> C(3,2)=3 pairs
+        assert sorted(map(tuple, out.values)) == [
+            ("t000", "t001"), ("t000", "t002"), ("t001", "t002"),
+        ]
