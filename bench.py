@@ -620,6 +620,24 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_event_transitions(sf_dir: str) -> int:
+    """First-order event-type transition counts (one user_id exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import (
+        user_event_transitions,
+    )
+
+    return _consume(user_event_transitions(sf_dir))
+
+
+def q_order_gaps(sf_dir: str) -> int:
+    """Consecutive-order gap histogram (one custkey exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import (
+        order_gap_histogram,
+    )
+
+    return _consume(order_gap_histogram(sf_dir))
+
+
 def q_hot_window_join(sf_dir: str) -> int:
     """Range join: events into merged hot-hour windows (broadcast probe)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import (
@@ -784,6 +802,8 @@ BENCH_QUERIES = {
     "hot_window_join": q_hot_window_join,
     "daily_distinct_exact": q_daily_distinct_exact,
     "edit1_pairs": q_edit1_pairs,
+    "event_transitions": q_event_transitions,
+    "order_gaps": q_order_gaps,
 }
 
 

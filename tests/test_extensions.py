@@ -203,6 +203,7 @@ class TestEmptyEvents:
             "events_moving_avg",
             "events_hot_window_join",
             "events_daily_distinct_exact",
+            "user_event_transitions",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -211,6 +212,7 @@ class TestEmptyEvents:
             asof,
             intervals,
             rollup,
+            sequences,
             sketches,
             windows,
         )
@@ -1641,6 +1643,7 @@ class TestAdversarialEventsParity:
             "events_moving_avg",
             "events_hot_window_join",
             "events_daily_distinct_exact",
+            "user_event_transitions",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -1650,6 +1653,7 @@ class TestAdversarialEventsParity:
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.asof  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals  # noqa: F401
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches  # noqa: F401
         import pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows  # noqa: F401
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
@@ -3676,3 +3680,36 @@ class TestEdit1Pairs:
         assert sorted(map(tuple, out.values)) == [
             ("t000", "t001"), ("t000", "t002"), ("t001", "t002"),
         ]
+
+
+class TestSequences:
+    def test_transition_mass_conservation(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import (
+            user_event_transitions,
+        )
+
+        t = user_event_transitions(SF).to_pandas()
+        n_events, n_users = duckdb.connect().execute(
+            f"SELECT count(*), count(DISTINCT user_id) "
+            f"FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()
+        # each user with k events contributes exactly k-1 transitions
+        assert int(t["n"].sum()) == n_events - n_users
+        assert (t["n"] > 0).all()
+
+    def test_gap_histogram_mass_and_nonnegative(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import (
+            order_gap_histogram,
+        )
+
+        h = order_gap_histogram(SF).to_pandas()
+        n_orders, n_cust = duckdb.connect().execute(
+            f"SELECT count(*), count(DISTINCT o_custkey) "
+            f"FROM read_parquet('{SF}/orders.parquet')"
+        ).fetchone()
+        assert int(h["n"].sum()) == n_orders - n_cust
+        assert (h["gap_weeks"] >= 0).all()
