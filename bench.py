@@ -620,6 +620,20 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_props_stats(sf_dir: str) -> int:
+    """Schema-on-read JSON field extraction + grouped stats."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.semistruct import events_props_stats
+
+    return _consume(events_props_stats(sf_dir))
+
+
+def q_ref_integrity(sf_dir: str) -> int:
+    """Referential-integrity audit: 4 distributed anti-join counts."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import ref_integrity_report
+
+    return len(ref_integrity_report(sf_dir))
+
+
 def q_event_transitions(sf_dir: str) -> int:
     """First-order event-type transition counts (one user_id exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import (
@@ -804,6 +818,8 @@ BENCH_QUERIES = {
     "edit1_pairs": q_edit1_pairs,
     "event_transitions": q_event_transitions,
     "order_gaps": q_order_gaps,
+    "props_stats": q_props_stats,
+    "ref_integrity": q_ref_integrity,
 }
 
 

@@ -3713,3 +3713,79 @@ class TestSequences:
         ).fetchone()
         assert int(h["n"].sum()) == n_orders - n_cust
         assert (h["gap_weeks"] >= 0).all()
+
+
+class TestPropsStats:
+    def test_garbage_props_null_on_mismatch(self, ray_session, tmp_path):
+        """The schema-on-read contract: regex extraction yields NULL on
+        malformed payloads; count(*) still counts the row."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.semistruct import (
+            events_props_stats,
+        )
+
+        rows = [
+            {"event_type": "a", "props": '{"k": 7}'},
+            {"event_type": "a", "props": "not json at all"},
+            {"event_type": "a", "props": '{"k": -3}'},
+            {"event_type": "b", "props": ""},
+            {"event_type": "b", "props": '{"j": 1, "k": 100}'},
+            {"event_type": "b", "props": None},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), tmp_path / "events.parquet")
+        ours = (
+            events_props_stats(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = (
+            con.execute(queryset.ORACLE_SQL["events_props_stats"])
+            .df()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert _value_hash(ours) == _value_hash(gold)
+        a = ours[ours["event_type"] == "a"].iloc[0]
+        assert (a["n"], a["sum_k"], a["min_k"], a["max_k"]) == (3, 4, -3, 7)
+
+
+class TestRefIntegrity:
+    def test_clean_tpch_has_zero_orphans(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import (
+            ref_integrity_report,
+        )
+
+        rep = ref_integrity_report(SF)
+        assert len(rep) == 4
+        assert (rep["n_orphans"] == 0).all()
+        assert (rep["n_rows"] > 0).all()
+
+    def test_orphans_counted_as_rows_not_keys(self, ray_session, tmp_path):
+        """3 lineitem ROWS over 2 missing orderkeys -> 3 orphans (row count,
+        not distinct-key count), and the dimension-only keys don't count."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import _orphan_rows
+
+        pq.write_table(
+            pa.table({"l_orderkey": pa.array([1, 2, 900, 900, 901], type=pa.int64())}),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        n_rows, n_orphans = _orphan_rows(
+            str(tmp_path), "lineitem", "l_orderkey", "orders", "o_orderkey"
+        )
+        assert (n_rows, n_orphans) == (5, 3)
