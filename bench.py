@@ -620,6 +620,31 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_role_transitions(sf_dir: str) -> int:
+    """Role-sequence Markov edges over conversations (one conv exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+        conversation_role_transitions,
+    )
+
+    return _consume(conversation_role_transitions(sf_dir))
+
+
+def q_tool_cooccurrence(sf_dir: str) -> int:
+    """Tool-pair distinct-conversation counts (dedup pairs + conv exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+        tool_cooccurrence,
+    )
+
+    return _consume(tool_cooccurrence(sf_dir))
+
+
+def q_conversion_lag(sf_dir: str) -> int:
+    """First-view to first-purchase lag histogram (min partials + exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import user_conversion_lag
+
+    return _consume(user_conversion_lag(sf_dir))
+
+
 def q_props_stats(sf_dir: str) -> int:
     """Schema-on-read JSON field extraction + grouped stats."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.semistruct import events_props_stats
@@ -820,6 +845,9 @@ BENCH_QUERIES = {
     "order_gaps": q_order_gaps,
     "props_stats": q_props_stats,
     "ref_integrity": q_ref_integrity,
+    "role_transitions": q_role_transitions,
+    "tool_cooccurrence": q_tool_cooccurrence,
+    "conversion_lag": q_conversion_lag,
 }
 
 

@@ -120,3 +120,80 @@ FROM s WHERE gap IS NOT NULL GROUP BY 1
 """
 
 register("order_gap_histogram", order_gap_histogram, sql=ORDER_GAP_HISTOGRAM_SQL)
+
+
+def user_conversion_lag(sf_dir: str) -> "ray.data.Dataset":
+    """(lag_hours, n_users): first-view → first-purchase latency histogram
+    over users whose first purchase is at-or-after their first view.
+
+    Scale shape: per-block (user, kind, min_ts) partials shrink the
+    exchange to ≤ 2 rows per user per block; one user_id hash exchange
+    completes the per-user minima; the elapsed-hour bucket (floor of the
+    microsecond delta — non-negative by the filter, so floor == trunc ==
+    DuckDB ``//``) folds into a time-range-bounded frame.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"], value_set=pa.array(["view", "purchase"]))
+        t = batch.filter(mask)
+        g = pa.table(
+            {"user_id": t["user_id"], "kind": t["event_type"], "ts": t["ts"]}
+        ).group_by(["user_id", "kind"]).aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "kind", "min_ts"])
+
+    def lag_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "lag_hours": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["user_id", "kind"], sort=False)["min_ts"].min().unstack()
+        if "view" not in g.columns or "purchase" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "lag_hours": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        both = g.dropna(subset=["view", "purchase"])
+        v = both["view"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        p = both["purchase"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lag = (p - v)[p >= v] // 3_600_000_000
+        out = (
+            pd.DataFrame({"lag_hours": lag})
+            .groupby("lag_hours", sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        out["lag_hours"] = out["lag_hours"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    ).map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = hash_partitioned(ds, "user_id", lag_partition)
+    return ray.data.from_pandas(enum_group_sum(partials, ["lag_hours"], ["n_users"]))
+
+
+USER_CONVERSION_LAG_SQL = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY 1
+)
+SELECT CAST((epoch_us(p) - epoch_us(v)) // 3600000000 AS BIGINT) AS lag_hours,
+       count(*) AS n_users
+FROM m WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+GROUP BY 1
+"""
+
+register("user_conversion_lag", user_conversion_lag, sql=USER_CONVERSION_LAG_SQL)

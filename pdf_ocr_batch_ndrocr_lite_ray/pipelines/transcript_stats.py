@@ -198,3 +198,120 @@ register(
     "conversation_stats", conversation_stats, sql=_conversation_stats_sql(_ORACLE_PATH)
 )
 register("transcript_tool_stats", transcript_tool_stats, sql=_tool_stats_sql(_ORACLE_PATH))
+
+
+def conversation_role_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """(prev_role, next_role, n): role-sequence edges over each
+    conversation's turn_idx order — the transcript-side Markov shape
+    (sequences.py applies the same idiom to the events stream). One
+    conv_id exchange of three narrow columns; the fold frame is ≤ #roles²
+    rows."""
+    from .exchange import enum_group_sum
+
+    path = transcripts_for_sf(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "role"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "prev_role": pd.Series([], dtype="object"),
+                    "next_role": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        same = (df["conv_id"].shift(-1) == df["conv_id"]).to_numpy(dtype=bool)
+        pairs = pd.DataFrame(
+            {"prev_role": df["role"], "next_role": df["role"].shift(-1)}
+        )[same]
+        out = pairs.groupby(["prev_role", "next_role"], sort=False).size().rename("n")
+        out = out.reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = _hash_partitioned(ds, "conv_id", per_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["prev_role", "next_role"], ["n"])
+    )
+
+
+def _role_transitions_sql(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM read_parquet('{path}')
+)
+SELECT role AS prev_role, next_role, count(*) AS n
+FROM s WHERE next_role IS NOT NULL GROUP BY 1, 2
+"""
+
+
+register(
+    "conversation_role_transitions",
+    conversation_role_transitions,
+    sql=_role_transitions_sql(_ORACLE_PATH),
+)
+
+
+def tool_cooccurrence(sf_dir: str) -> "ray.data.Dataset":
+    """(tool_a, tool_b, n_convs): conversations where BOTH tools fire —
+    the pair-mixture planning input for agent-trace resampling.
+
+    Shape: (conv_id, tool) pairs dedup per block, ONE conv_id exchange
+    co-locates each conversation's tool set, per-conversation sorted
+    pairs expand in-partition (#tools per conversation is enum-bounded,
+    so the pair fan-out is bounded-quadratic per conv, not corpus-scale),
+    and the ≤ #tools² fold sums partials."""
+    from .exchange import enum_group_sum
+
+    path = transcripts_for_sf(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "tool"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.is_valid(batch["tool"]), pc.not_equal(batch["tool"], ""))
+        )
+        g = t.group_by(["conv_id", "tool"]).aggregate([])
+        return g
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a: list[str] = []
+        rows_b: list[str] = []
+        for _, g in df.groupby("conv_id", sort=False):
+            tools = sorted(set(g["tool"]))
+            for i in range(len(tools) - 1):
+                for j in range(i + 1, len(tools)):
+                    rows_a.append(tools[i])
+                    rows_b.append(tools[j])
+        out = (
+            pd.DataFrame({"tool_a": rows_a, "tool_b": rows_b})
+            .groupby(["tool_a", "tool_b"], sort=False)
+            .size()
+            .rename("n_convs")
+            .reset_index()
+        )
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+    partials = _hash_partitioned(pairs, "conv_id", per_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["tool_a", "tool_b"], ["n_convs"])
+    )
+
+
+def _tool_cooccurrence_sql(path: str) -> str:
+    return f"""
+WITH ct AS (
+  SELECT DISTINCT conv_id, tool FROM read_parquet('{path}')
+  WHERE tool IS NOT NULL AND tool <> ''
+)
+SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_convs
+FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2
+"""
+
+
+register("tool_cooccurrence", tool_cooccurrence, sql=_tool_cooccurrence_sql(_ORACLE_PATH))

@@ -204,6 +204,7 @@ class TestEmptyEvents:
             "events_hot_window_join",
             "events_daily_distinct_exact",
             "user_event_transitions",
+            "user_conversion_lag",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1644,6 +1645,7 @@ class TestAdversarialEventsParity:
             "events_hot_window_join",
             "events_daily_distinct_exact",
             "user_event_transitions",
+            "user_conversion_lag",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -3789,3 +3791,71 @@ class TestRefIntegrity:
             str(tmp_path), "lineitem", "l_orderkey", "orders", "o_orderkey"
         )
         assert (n_rows, n_orphans) == (5, 3)
+
+
+class TestConversationSequences:
+    def test_role_transition_mass(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import transcripts_for_sf
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            conversation_role_transitions,
+        )
+
+        t = conversation_role_transitions(SF).to_pandas()
+        path = transcripts_for_sf(SF)
+        n_turns, n_convs = duckdb.connect().execute(
+            f"SELECT count(*), count(DISTINCT conv_id) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert int(t["n"].sum()) == n_turns - n_convs
+
+    def test_tool_cooccurrence_bounded_by_marginals(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            tool_cooccurrence,
+            transcript_tool_stats,
+        )
+
+        co = tool_cooccurrence(SF).to_pandas()
+        marg = transcript_tool_stats(SF).to_pandas().set_index("tool")["n_convs"]
+        assert len(co) > 0
+        assert (co["tool_a"] < co["tool_b"]).all()
+        for _, r in co.iterrows():
+            assert r["n_convs"] <= min(marg[r["tool_a"]], marg[r["tool_b"]])
+
+    def test_conversion_lag_excludes_purchase_before_view(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import (
+            user_conversion_lag,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+
+        def add(user, hours, etype):
+            nonlocal eid
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + dt.timedelta(hours=hours),
+                    "user_id": user,
+                    "event_type": etype,
+                    "value": 1.0,
+                    "props": "",
+                }
+            )
+            eid += 1
+
+        add(1, 0, "view"); add(1, 5, "purchase")      # lag 5h
+        add(2, 3, "purchase"); add(2, 4, "view")      # purchase first: excluded
+        add(3, 0, "view")                             # never converts: excluded
+        add(4, 1, "purchase")                         # never viewed: excluded
+        add(5, 2, "view"); add(5, 2, "purchase")      # same instant: lag 0
+        pq.write_table(pa.Table.from_pylist(rows), tmp_path / "events.parquet")
+        out = user_conversion_lag(str(tmp_path)).to_pandas()
+        got = dict(zip(out["lag_hours"], out["n_users"]))
+        assert got == {5: 1, 0: 1}
