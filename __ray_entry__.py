@@ -116,19 +116,21 @@ _DRIVER_WINDOW: list[str] = [
     "media_features",
     "media_resized_features",
     "emb_pca_project",
-    # r03-verdicted refresh fill (the 50-entry balance; the long-green r04
-    # block rotated out — all stay value-checked every run by
-    # tests/test_oracle_parity.py and tools/check_driver_contract.py)
-    "docs_winnow_fingerprints",
-    "docs_tfidf_top_terms",
-    "docs_top_bigrams_pmi",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "ann_ivf_topk_partitioned",
-    "customers_without_orders",
-    "top_customers_per_nation",
+    # round-5 session-2 additions, never driver-verdicted (X75-X84) — they
+    # take the refresh slots; the r03-verdicted fill they displace
+    # (winnowing, tf-idf, PMI, the dedup family, IVF, the join trio) stays
+    # value-checked every run by tests/test_oracle_parity.py and
+    # tools/check_driver_contract.py
+    "events_hot_window_join",
+    "events_daily_distinct_exact",
+    "transcript_edit1_pairs",
+    "user_event_transitions",
+    "order_gap_histogram",
+    "events_props_stats",
+    "ref_integrity_report",
+    "conversation_role_transitions",
+    "tool_cooccurrence",
+    "user_conversion_lag",
     "user_funnel_counts",
     # new this round, never driver-verdicted (take the last refresh slots —
     # events_winsorized / conversation_plain_texts / events_median_value_by
