@@ -3773,24 +3773,50 @@ class TestRefIntegrity:
 
     def test_orphans_counted_as_rows_not_keys(self, ray_session, tmp_path):
         """3 lineitem ROWS over 2 missing orderkeys -> 3 orphans (row count,
-        not distinct-key count), and the dimension-only keys don't count."""
+        not distinct-key count); dimension-only keys don't count; the other
+        edges report their own orphans independently off the SAME exchange."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import _orphan_rows
-
-        pq.write_table(
-            pa.table({"l_orderkey": pa.array([1, 2, 900, 900, 901], type=pa.int64())}),
-            tmp_path / "lineitem.parquet",
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import (
+            ref_integrity_report,
         )
+
+        def w(name, col, vals):
+            pq.write_table(
+                pa.table({col: pa.array(vals, type=pa.int64())}),
+                tmp_path / f"{name}.parquet",
+            )
+
+        w("lineitem", "l_orderkey", [1, 2, 900, 900, 901])
+        w("orders", "o_orderkey", [1, 2, 3, 4])
+        # orders->customer needs o_custkey too: rewrite orders with both cols
         pq.write_table(
-            pa.table({"o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64())}),
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "o_custkey": pa.array([10, 10, 11, 99], type=pa.int64()),
+                }
+            ),
             tmp_path / "orders.parquet",
         )
-        n_rows, n_orphans = _orphan_rows(
-            str(tmp_path), "lineitem", "l_orderkey", "orders", "o_orderkey"
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([10, 11], type=pa.int64()),
+                    "c_nationkey": pa.array([0, 0], type=pa.int64()),
+                }
+            ),
+            tmp_path / "customer.parquet",
         )
-        assert (n_rows, n_orphans) == (5, 3)
+        w("nation", "n_nationkey", [0])
+        w("supplier", "s_nationkey", [0, 5])
+        rep = ref_integrity_report(str(tmp_path)).set_index("relation")
+        assert rep.loc["lineitem->orders", "n_rows"] == 5
+        assert rep.loc["lineitem->orders", "n_orphans"] == 3
+        assert rep.loc["orders->customer", "n_orphans"] == 1
+        assert rep.loc["customer->nation", "n_orphans"] == 0
+        assert rep.loc["supplier->nation", "n_orphans"] == 1
 
 
 class TestConversationSequences:
