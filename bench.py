@@ -620,6 +620,20 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_source_flow(sf_dir: str) -> int:
+    """Exact-dup source flow matrix (fingerprint exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_source_flow
+
+    return _consume(dedup_source_flow(sf_dir))
+
+
+def q_join_size_kmv(sf_dir: str) -> int:
+    """KMV join-size estimate (two K-bounded sketch scans, no shuffle)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import orders_join_size_kmv
+
+    return len(orders_join_size_kmv(sf_dir))
+
+
 def q_role_transitions(sf_dir: str) -> int:
     """Role-sequence Markov edges over conversations (one conv exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
@@ -848,6 +862,8 @@ BENCH_QUERIES = {
     "role_transitions": q_role_transitions,
     "tool_cooccurrence": q_tool_cooccurrence,
     "conversion_lag": q_conversion_lag,
+    "source_flow": q_source_flow,
+    "join_size_kmv": q_join_size_kmv,
 }
 
 

@@ -996,3 +996,110 @@ WHERE a.rn <= {_MAX_BUCKET} AND b.rn <= {_MAX_BUCKET}
 
 register("dedup_embedding", embedding_near_dup_pairs, sql=_emb_banded_oracle_sql())
 register("dedup_embedding_lsh", embedding_lsh_near_dup_pairs, sql=_embedding_lsh_oracle_sql())
+
+
+# --- exact-dup source flow (who copies whom) --------------------------------
+
+def _corpus_src_batch(batch: pa.Table) -> pa.Table:
+    """The planted corpus with a source lineage: base rows keep the
+    document's real ``source``; near-dup replicas are tagged ``mirror``
+    and exact replicas ``scraper`` — the provenance structure a real
+    crawl has and the flow matrix below recovers."""
+    ids = batch["doc_id"]
+    text = batch["text"]
+    src = batch["source"]
+    near_mask = _mod_mask(ids, 5)
+    exact_mask = _mod_mask(ids, 7)
+    near = pa.table(
+        {
+            "doc_id": pc.add(ids.filter(near_mask), NEAR_DUP_OFFSET),
+            "text": pc.utf8_slice_codeunits(text.filter(near_mask), start=10),
+            "source": pa.array(["mirror"] * int(near_mask.true_count)),
+        }
+    )
+    exact = pa.table(
+        {
+            "doc_id": pc.add(ids.filter(exact_mask), EXACT_DUP_OFFSET),
+            "text": text.filter(exact_mask),
+            "source": pa.array(["scraper"] * int(exact_mask.true_count)),
+        }
+    )
+    base = pa.table({"doc_id": ids, "text": text, "source": src})
+    return pa.concat_tables([base, near, exact])
+
+
+def dedup_source_flow(sf_dir: str) -> "ray.data.Dataset":
+    """(canon_src, dup_src, n): exact-duplicate flow matrix — for every
+    non-canonical copy, which source holds the canonical (min doc_id)
+    original vs which source carries the copy. The planning input for
+    source-priority dedup ("drop the scraper's copies, keep the
+    publisher's").
+
+    Scale shape: fingerprints ride (doc_id, source) through ONE hash
+    exchange; each fingerprint group resolves canon + flow rows
+    in-partition; the fold frame is ≤ #sources² rows.
+    """
+    from .exchange import enum_group_sum
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fp = _fingerprint_batch(batch)
+        return fp.append_column("source", batch["source"])
+
+    def flow_partition(df):
+        import pandas as pd
+
+        rows_c: list[str] = []
+        rows_d: list[str] = []
+        for _, g in df.groupby("fingerprint", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            canon_src = g.iloc[0]["source"]
+            rows_c.extend([canon_src] * (len(g) - 1))
+            rows_d.extend(g.iloc[1:]["source"])
+        out = (
+            pd.DataFrame({"canon_src": rows_c, "dup_src": rows_d})
+            .groupby(["canon_src", "dup_src"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    ).map_batches(_corpus_src_batch, batch_format="pyarrow", zero_copy_batch=True)
+    fps = ds.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+    partials = _hash_partitioned(fps, "fingerprint", flow_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["canon_src", "dup_src"], ["n"])
+    )
+
+
+DEDUP_SOURCE_FLOW_SQL = """
+WITH corpus_src AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 11) AS text, 'mirror' AS source
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text, 'scraper' AS source
+  FROM documents WHERE doc_id % 7 = 0
+),
+f AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM corpus_src
+),
+c AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1 HAVING count(*) > 1),
+canon AS (
+  SELECT c.fp, c.keep, f.source AS canon_src
+  FROM c JOIN f ON f.doc_id = c.keep AND f.fp = c.fp
+)
+SELECT canon.canon_src, f.source AS dup_src, count(*) AS n
+FROM f JOIN canon ON f.fp = canon.fp AND f.doc_id != canon.keep
+GROUP BY 1, 2
+"""
+
+register("dedup_source_flow", dedup_source_flow, sql=DEDUP_SOURCE_FLOW_SQL)

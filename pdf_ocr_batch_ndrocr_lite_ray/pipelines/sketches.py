@@ -794,3 +794,123 @@ FROM cells GROUP BY row_id, bucket
 """
 
 register("docs_count_min", docs_count_min, sql=DOCS_COUNT_MIN_SQL)
+
+
+# --- KMV join-size estimation (sketch intersection) -------------------------
+
+def _key_kmv_sketch(table: str, col: str):
+    """Block transform: per-block k-min sketch of a key column's distinct
+    values (hashed as decimal strings — the md5 form DuckDB reproduces)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vals = pc.unique(c)
+        h = _kmv_hash([str(v) for v in vals.to_pylist()])
+        smallest = np.unique(h)[:KMV_K]
+        return pa.table(
+            {"min_hashes": pa.array([smallest.tolist()], type=pa.list_(pa.uint64()))}
+        )
+
+    return f
+
+
+def _fold_kmv(ds: "ray.data.Dataset") -> np.ndarray:
+    """Driver fold of block sketches — ≤ K hashes held at any moment."""
+    acc = np.empty(0, dtype=np.uint64)
+    for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
+        for arr in b["min_hashes"]:
+            acc = kmv_merge(acc, np.asarray(arr, dtype=np.uint64))
+    return acc
+
+
+def orders_join_size_kmv(sf_dir: str) -> "pd.DataFrame":
+    """(k, rho, union_estimate, intersect_estimate): estimated distinct-key
+    overlap |keys(lineitem.l_orderkey) ∩ keys(orders.o_orderkey)| from two
+    mergeable KMV sketches — the shuffle-free join-size planner's input.
+
+    The estimator is the standard KMV intersection rule (Beyer et al.,
+    "On Synopses for Distinct-Value Estimation", SIGMOD'07 — public):
+    union the two k-min sketches, keep the K smallest; ``rho`` = how many
+    of those live in BOTH sketches; Jaccard ≈ rho/K̂ and the intersection
+    ≈ Jaccard × union-cardinality-estimate. Every step is a deterministic
+    function of the md5 hashes, so the VALUE is fully oracle-checkable;
+    only its relation to the true overlap is approximate (asserted in
+    tests). Each side costs one column scan emitting K-bounded partials —
+    nothing is joined, nothing is shuffled.
+    """
+    a = _fold_kmv(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_orderkey"]
+        ).map_batches(
+            _key_kmv_sketch("lineitem", "l_orderkey"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    b = _fold_kmv(
+        ray.data.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_orderkey"]
+        ).map_batches(
+            _key_kmv_sketch("orders", "o_orderkey"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    u = kmv_merge(a, b)
+    n_u = len(u)
+    if n_u >= KMV_K:
+        union_est = (KMV_K - 1) / (float(u[-1]) / float(2**64))
+    else:
+        union_est = float(n_u)
+    union_est_i = int(np.floor(union_est + 0.5))  # DuckDB round(x, 0)
+    rho = int((np.isin(u, a) & np.isin(u, b)).sum())
+    if n_u == 0:
+        inter_i = 0  # empty input; the SQL twin never evaluates this branch
+    else:
+        inter_i = int(
+            np.floor(float(rho) * float(union_est_i) / float(n_u) + 0.5)
+        )
+    return pd.DataFrame(
+        {
+            "k": pd.Series([KMV_K], dtype="int64"),
+            "rho": pd.Series([rho], dtype="int64"),
+            "union_estimate": pd.Series([union_est_i], dtype="int64"),
+            "intersect_estimate": pd.Series([inter_i], dtype="int64"),
+        }
+    )
+
+
+ORDERS_JOIN_SIZE_KMV_SQL = f"""
+WITH ka AS (
+  SELECT hv FROM (
+    SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))::UBIGINT AS hv
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+  ) ORDER BY hv LIMIT {KMV_K}
+),
+kb AS (
+  SELECT hv FROM (
+    SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16))::UBIGINT AS hv
+    FROM (SELECT DISTINCT o_orderkey FROM orders)
+  ) ORDER BY hv LIMIT {KMV_K}
+),
+u AS (
+  SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+  ORDER BY hv LIMIT {KMV_K}
+),
+agg AS (SELECT count(*) AS n, max(hv) AS kth FROM u),
+r AS (
+  SELECT count(*) AS rho FROM u
+  WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+),
+est AS (SELECT {kmv_estimate_sql()} AS ue FROM agg)
+SELECT {KMV_K} AS k,
+       rho,
+       ue AS union_estimate,
+       CAST(round(CAST(rho AS DOUBLE) * ue / n, 0) AS BIGINT) AS intersect_estimate
+FROM r, est, agg
+"""
+
+register("orders_join_size_kmv", orders_join_size_kmv, sql=ORDERS_JOIN_SIZE_KMV_SQL)

@@ -3885,3 +3885,58 @@ class TestConversationSequences:
         out = user_conversion_lag(str(tmp_path)).to_pandas()
         got = dict(zip(out["lag_hours"], out["n_users"]))
         assert got == {5: 1, 0: 1}
+
+
+class TestSourceFlow:
+    def test_flow_mass_equals_noncanonical_copies(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_source_flow
+
+        flow = dedup_source_flow(SF).to_pandas()
+        total, distinct = duckdb.connect().execute(
+            f"""
+            WITH corpus_src AS (
+              SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')
+              UNION ALL
+              SELECT doc_id + 100000, substr(text, 11)
+              FROM read_parquet('{SF}/documents.parquet') WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 200000, text
+              FROM read_parquet('{SF}/documents.parquet') WHERE doc_id % 7 = 0
+            )
+            SELECT count(*),
+                   count(DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+            FROM corpus_src
+            """
+        ).fetchone()
+        assert int(flow["n"].sum()) == total - distinct
+        # planted exact replicas are tagged 'scraper' and can never be
+        # canonical (offset ids are the largest in each group)
+        assert "scraper" in set(flow["dup_src"])
+        assert "scraper" not in set(flow["canon_src"])
+
+
+class TestJoinSizeKmv:
+    def test_estimate_close_to_truth_and_internally_consistent(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            KMV_K,
+            orders_join_size_kmv,
+        )
+
+        out = orders_join_size_kmv(SF).iloc[0]
+        truth = duckdb.connect().execute(
+            f"""
+            SELECT count(*) FROM (
+              SELECT DISTINCT l_orderkey FROM read_parquet('{SF}/lineitem.parquet')
+              INTERSECT
+              SELECT DISTINCT o_orderkey FROM read_parquet('{SF}/orders.parquet')
+            )
+            """
+        ).fetchone()[0]
+        assert out["rho"] <= out["k"] == KMV_K
+        assert out["intersect_estimate"] <= out["union_estimate"]
+        # k=1024 -> ~3% stderr; 15% is a generous determinism-free bound
+        assert abs(out["intersect_estimate"] - truth) <= max(0.15 * truth, 5)
