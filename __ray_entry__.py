@@ -55,6 +55,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import editpairs as _ep  # noqa: F4
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import sequences as _seq  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import semistruct as _ss  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import integrity as _ri  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import bloomjoin as _bj  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -620,6 +620,22 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_decayed_counts(sf_dir: str) -> int:
+    """Freshness-decayed counts (exact e6 fixed-point, two passes)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_decayed_counts
+
+    return _consume(events_decayed_counts(sf_dir))
+
+
+def q_bloom_semi_join(sf_dir: str) -> int:
+    """Bloom-pushdown semi-join: prune probe side, verify exactly."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bloomjoin import (
+        bloom_semi_join_pricing,
+    )
+
+    return _consume(bloom_semi_join_pricing(sf_dir))
+
+
 def q_source_flow(sf_dir: str) -> int:
     """Exact-dup source flow matrix (fingerprint exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import dedup_source_flow
@@ -864,6 +880,8 @@ BENCH_QUERIES = {
     "conversion_lag": q_conversion_lag,
     "source_flow": q_source_flow,
     "join_size_kmv": q_join_size_kmv,
+    "decayed_counts": q_decayed_counts,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 

@@ -1111,3 +1111,73 @@ register(
     events_daily_distinct_exact,
     sql=EVENTS_DAILY_DISTINCT_EXACT_SQL,
 )
+
+
+DECAY_LAMBDA = 0.1  # per-day exponential decay rate
+
+
+def events_decayed_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, decayed_e6): freshness-weighted event counts —
+    ``sum(exp(-λ · age_days))`` per type, the recency signal a data-mixture
+    curator weights sources by.
+
+    Exact under parallelism: each row's decay weight is one fixed IEEE op
+    chain (int64 age → divide → scale → exp, bit-identical in numpy and
+    DuckDB) quantized to e6 fixed point BEFORE the sum, so the total is an
+    order-free integer — no float-summation drift at any block layout.
+    Two passes: an int max-fold pins the reference time, then per-block
+    partial sums fold over the bounded type enum.
+    """
+    import ray as _ray
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.timestamp("us"))
+        m = pc.max(ts)
+        return pa.table({"mx": pa.array([m.value], type=pa.int64())})
+
+    maxes = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts"]
+    ).map_batches(max_partial, batch_format="pyarrow", zero_copy_batch=True)
+    t_ref = max(
+        (int(v) for b in maxes.iter_batches(batch_format="pandas") for v in b["mx"]),
+        default=0,
+    )
+
+    def decay_partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        age = (t_ref - ts).astype(np.float64)
+        w = np.exp(-DECAY_LAMBDA * (age / 86400000000.0))
+        q = np.floor(w * 1e6 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"event_type": batch["event_type"], "q": pa.array(q, type=pa.int64())}
+        )
+        g = t.group_by(["event_type"]).aggregate([("q", "sum")])
+        return g.rename_columns(["event_type", "decayed_e6"])
+
+    from .exchange import enum_group_sum
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type"]
+    ).map_batches(decay_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ray.data.from_pandas(enum_group_sum(ds, ["event_type"], ["decayed_e6"]))
+
+
+EVENTS_DECAYED_COUNTS_SQL = f"""
+WITH t AS (SELECT max(ts) AS mx FROM events)
+SELECT event_type,
+       CAST(sum(
+         CAST(floor(exp(-{DECAY_LAMBDA} *
+           (CAST(epoch_us(t.mx) - epoch_us(ts) AS DOUBLE) / 86400000000.0))
+           * 1e6 + 0.5) AS BIGINT)
+       ) AS BIGINT) AS decayed_e6
+FROM events, t GROUP BY 1
+"""
+
+register("events_decayed_counts", events_decayed_counts, sql=EVENTS_DECAYED_COUNTS_SQL)

@@ -3940,3 +3940,54 @@ class TestJoinSizeKmv:
         assert out["intersect_estimate"] <= out["union_estimate"]
         # k=1024 -> ~3% stderr; 15% is a generous determinism-free bound
         assert abs(out["intersect_estimate"] - truth) <= max(0.15 * truth, 5)
+
+
+class TestBloomSemiJoin:
+    def test_bloom_prunes_most_rows_before_exchange(self, ray_session):
+        import duckdb
+
+        import ray as _ray
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bloomjoin import (
+            _build_bloom,
+            _pruned_survivors,
+        )
+
+        bits = _build_bloom(SF)
+        ref = _ray.put(bits)
+        survivors = _pruned_survivors(SF, ref).count()
+        total, true_matches = duckdb.connect().execute(
+            f"""
+            SELECT (SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')),
+                   (SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet') l
+                    JOIN read_parquet('{SF}/orders.parquet') o
+                      ON l.l_orderkey = o.o_orderkey
+                    WHERE o.o_totalprice > 450000)
+            """
+        ).fetchone()
+        # pruning must be sound (never drops a true match) ...
+        assert survivors >= true_matches
+        # ... and effective: the exchange sees a small fraction of the probe
+        # side (threshold selects ~10% of orders; 2^20 bits over ~10^2-10^3
+        # keys keeps the false-positive rate near zero at this scale)
+        assert survivors < 0.25 * total
+
+    def test_false_positives_never_reach_the_result(self, ray_session):
+        """Corrupt the bloom to all-ones (every row 'passes') — the exact
+        verify stage must still produce the identical result."""
+        import numpy as np
+
+        import ray as _ray
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import bloomjoin
+
+        clean = bloomjoin.bloom_semi_join_pricing(SF).to_pandas()
+        orig = bloomjoin._build_bloom
+        try:
+            bloomjoin._build_bloom = lambda sf: np.ones(
+                bloomjoin._BLOOM_BITS, dtype=bool
+            )
+            allpass = bloomjoin.bloom_semi_join_pricing(SF).to_pandas()
+        finally:
+            bloomjoin._build_bloom = orig
+        a = clean.sort_values("l_returnflag").reset_index(drop=True)
+        b = allpass.sort_values("l_returnflag").reset_index(drop=True)
+        assert a.equals(b)
