@@ -91,7 +91,12 @@ def _pruned_survivors(sf_dir: str, bits_ref) -> "ray.data.Dataset":
         bits = ray.get(bits_ref)
         keep = _probe_mask(keys, bits)
         t = batch.filter(pa.array(keep))
-        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        # half_towards_infinity == DuckDB round() (half away from zero);
+        # Arrow's default half_to_even would flip x.5 quantities
+        qty = pc.cast(
+            pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "k": t["l_orderkey"].cast(pa.int64()),

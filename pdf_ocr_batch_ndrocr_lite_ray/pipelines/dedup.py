@@ -1014,14 +1014,14 @@ def _corpus_src_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": pc.add(ids.filter(near_mask), NEAR_DUP_OFFSET),
             "text": pc.utf8_slice_codeunits(text.filter(near_mask), start=10),
-            "source": pa.array(["mirror"] * int(near_mask.true_count)),
+            "source": pa.array(["mirror"] * int(near_mask.true_count), type=pa.string()),
         }
     )
     exact = pa.table(
         {
             "doc_id": pc.add(ids.filter(exact_mask), EXACT_DUP_OFFSET),
             "text": text.filter(exact_mask),
-            "source": pa.array(["scraper"] * int(exact_mask.true_count)),
+            "source": pa.array(["scraper"] * int(exact_mask.true_count), type=pa.string()),
         }
     )
     base = pa.table({"doc_id": ids, "text": text, "source": src})

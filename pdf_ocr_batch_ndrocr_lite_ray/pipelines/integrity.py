@@ -82,7 +82,13 @@ def _audit_partition(df: pd.DataFrame) -> pd.DataFrame:
     """Per-edge (orphan-row, fact-row) subtotals for one key partition."""
     out = []
     for edge, g in df.groupby("edge", sort=False):
-        agg = g.groupby("k", sort=False).agg(n=("n", "sum"), dim=("is_dim", "max"))
+        # dropna=False: a NULL foreign key is the dirtiest case an
+        # integrity audit exists for — it can never match a dimension row,
+        # so it must count in BOTH n_rows and n_orphans (the oracle's LEFT
+        # JOIN semantics)
+        agg = g.groupby("k", sort=False, dropna=False).agg(
+            n=("n", "sum"), dim=("is_dim", "max")
+        )
         out.append(
             {
                 "edge": int(edge),

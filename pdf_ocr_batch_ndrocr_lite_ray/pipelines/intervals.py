@@ -144,7 +144,8 @@ def events_hot_window_join(sf_dir: str) -> "ray.data.Dataset":
 EVENTS_HOT_WINDOW_JOIN_SQL = """
 WITH ht AS (
   SELECT date_trunc('hour', ts) AS h,
-         SUM(CAST(CASE WHEN value >= 0 THEN floor(value*1e6 + 0.5)
+         SUM(CAST(CASE WHEN value IS NULL THEN 0
+                       WHEN value >= 0 THEN floor(value*1e6 + 0.5)
                        ELSE -floor(-value*1e6 + 0.5) END AS BIGINT)) AS tot
   FROM events GROUP BY 1
 ),

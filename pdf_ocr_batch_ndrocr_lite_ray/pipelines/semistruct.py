@@ -51,10 +51,17 @@ def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(
         table_path(sf_dir, "events"), columns=["event_type", "props"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # sum_k folds with min_count=1 so an all-NULL group stays NULL (SQL
+    # sum semantics) instead of pandas' default 0
     out = enum_group_agg(
         ds,
         ["event_type"],
-        {"n": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
+        {
+            "n": "sum",
+            "sum_k": lambda c: c.sum(min_count=1),
+            "min_k": "min",
+            "max_k": "max",
+        },
     )
     # all-null partials upcast the fold to float; restore int64 when the
     # final column carries no NULL (the dtype DuckDB's df() would produce)

@@ -39,7 +39,10 @@ def _transition_partition(df: pd.DataFrame) -> pd.DataFrame:
         )
     df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
     nxt = df["event_type"].shift(-1)
-    same_user = df["user_id"].shift(-1) == df["user_id"]
+    a, b = df["user_id"], df["user_id"].shift(-1)
+    # NULL users form ONE window partition in SQL; NaN != NaN would drop
+    # their transitions, so compare null-aware
+    same_user = (a == b) | (a.isna() & b.isna())
     pairs = pd.DataFrame(
         {"prev_type": df["event_type"], "next_type": nxt}
     )[same_user.to_numpy(dtype=bool)]
@@ -153,7 +156,12 @@ def user_conversion_lag(sf_dir: str) -> "ray.data.Dataset":
                     "n_users": pd.Series([], dtype="int64"),
                 }
             )
-        g = df.groupby(["user_id", "kind"], sort=False)["min_ts"].min().unstack()
+        # dropna=False: SQL GROUP BY keeps NULL user_id as one group
+        g = (
+            df.groupby(["user_id", "kind"], sort=False, dropna=False)["min_ts"]
+            .min()
+            .unstack()
+        )
         if "view" not in g.columns or "purchase" not in g.columns:
             return pd.DataFrame(
                 {

@@ -798,7 +798,7 @@ register("docs_count_min", docs_count_min, sql=DOCS_COUNT_MIN_SQL)
 
 # --- KMV join-size estimation (sketch intersection) -------------------------
 
-def _key_kmv_sketch(table: str, col: str):
+def _key_kmv_sketch(col: str):
     """Block transform: per-block k-min sketch of a key column's distinct
     values (hashed as decimal strings — the md5 form DuckDB reproduces)."""
     import pyarrow.compute as pc
@@ -845,7 +845,7 @@ def orders_join_size_kmv(sf_dir: str) -> "pd.DataFrame":
         ray.data.read_parquet(
             table_path(sf_dir, "lineitem"), columns=["l_orderkey"]
         ).map_batches(
-            _key_kmv_sketch("lineitem", "l_orderkey"),
+            _key_kmv_sketch("l_orderkey"),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -854,7 +854,7 @@ def orders_join_size_kmv(sf_dir: str) -> "pd.DataFrame":
         ray.data.read_parquet(
             table_path(sf_dir, "orders"), columns=["o_orderkey"]
         ).map_batches(
-            _key_kmv_sketch("orders", "o_orderkey"),
+            _key_kmv_sketch("o_orderkey"),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

@@ -1080,6 +1080,7 @@ def events_daily_distinct_exact(sf_dir: str) -> "ray.data.Dataset":
                     "n_users": pd.Series([], dtype="int64"),
                 }
             )
+        df = df.dropna(subset=["user_id"])  # count(DISTINCT) excludes NULL
         df = df.assign(day=df["ts"].dt.floor("D"))
         triples = df.drop_duplicates(["day", "event_type", "user_id"])
         out = (
@@ -1128,11 +1129,13 @@ def events_decayed_counts(sf_dir: str) -> "ray.data.Dataset":
     Two passes: an int max-fold pins the reference time, then per-block
     partial sums fold over the bounded type enum.
     """
-    import ray as _ray
+    import math
 
     def max_partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].combine_chunks().cast(pa.timestamp("us"))
         m = pc.max(ts)
+        if m.value is None:  # all-NULL or empty block: contribute nothing
+            return pa.table({"mx": pa.array([], type=pa.int64())})
         return pa.table({"mx": pa.array([m.value], type=pa.int64())})
 
     maxes = ray.data.read_parquet(
@@ -1144,6 +1147,8 @@ def events_decayed_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def decay_partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch["ts"])
+        batch = batch.filter(valid)  # oracle: epoch_us(NULL) -> NULL, sum skips
         ts = (
             batch["ts"]
             .combine_chunks()
@@ -1153,7 +1158,14 @@ def events_decayed_counts(sf_dir: str) -> "ray.data.Dataset":
             .astype(np.int64)
         )
         age = (t_ref - ts).astype(np.float64)
-        w = np.exp(-DECAY_LAMBDA * (age / 86400000000.0))
+        # libm exp (math.exp), not np.exp: numpy's SIMD exp is not
+        # guaranteed bit-equal to the libm call DuckDB makes; a 1-ulp
+        # difference at an x.5e-6 boundary would flip the e6 quantization.
+        # Scalar libm is ~100 ns/row — fine for a per-row transcendental
+        # whose PARITY is the contract. (Built per-batch: a module-level
+        # frompyfunc doesn't pickle into Ray tasks.)
+        z = -DECAY_LAMBDA * (age / 86400000000.0)
+        w = np.fromiter((math.exp(v) for v in z), dtype=np.float64, count=len(z))
         q = np.floor(w * 1e6 + 0.5).astype(np.int64)
         t = pa.table(
             {"event_type": batch["event_type"], "q": pa.array(q, type=pa.int64())}

@@ -205,6 +205,8 @@ class TestEmptyEvents:
             "events_daily_distinct_exact",
             "user_event_transitions",
             "user_conversion_lag",
+            "events_decayed_counts",
+            "events_props_stats",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -213,6 +215,7 @@ class TestEmptyEvents:
             asof,
             intervals,
             rollup,
+            semistruct,
             sequences,
             sketches,
             windows,
@@ -1646,6 +1649,7 @@ class TestAdversarialEventsParity:
             "events_daily_distinct_exact",
             "user_event_transitions",
             "user_conversion_lag",
+            "events_decayed_counts",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -3991,3 +3995,151 @@ class TestBloomSemiJoin:
         a = clean.sort_values("l_returnflag").reset_index(drop=True)
         b = allpass.sort_values("l_returnflag").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestNullEdgeParity:
+    """Round-5 review regressions: NULL keys/values/ts must match the SQL
+    oracle's semantics in every new operator (engine vs DuckDB on an
+    adversarial tmp events table)."""
+
+    @pytest.fixture(scope="class")
+    def null_events_dir(self, tmp_path_factory):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+
+        def add(user, hours, etype, value, props='{"k": 1}', ts_null=False):
+            nonlocal eid
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": None if ts_null else base + dt.timedelta(hours=hours),
+                    "user_id": user,
+                    "event_type": etype,
+                    "value": value,
+                    "props": props,
+                }
+            )
+            eid += 1
+
+        add(1, 0, "view", 1.0)
+        add(1, 1, "click", 2.0)
+        add(None, 2, "view", 3.0)          # NULL user ...
+        add(None, 3, "purchase", None)     # ... twice: one window partition
+        add(2, 4, "view", -5.0)
+        add(2, 5, "purchase", 4.0, props="garbage")
+        add(3, 6, "signup", None, props="no k here")  # all-miss props group
+        pq.write_table(
+            pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("event_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("value", pa.float64()),
+                        ("props", pa.string()),
+                    ]
+                ),
+            ),
+            tmp_path_factory.mktemp("null_events") / "events.parquet",
+        )
+        return str(
+            sorted(tmp_path_factory.getbasetemp().glob("null_events*"))[-1]
+        )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "events_daily_distinct_exact",
+            "user_event_transitions",
+            "user_conversion_lag",
+            "events_hot_window_join",
+            "events_props_stats",
+            "events_decayed_counts",
+        ],
+    )
+    def test_null_edges_match_oracle(self, ray_session, null_events_dir, name):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
+            intervals,
+            semistruct,
+            sequences,
+            windows,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{null_events_dir}/events.parquet')"
+        )
+        ours = queryset.QUERIES[name](null_events_dir).to_pandas()
+        gold = con.execute(queryset.ORACLE_SQL[name]).df()
+        assert len(ours) == len(gold), f"{name}: rows {len(ours)} != {len(gold)}"
+        assert _value_hash(ours) == _value_hash(gold), f"{name}: value mismatch"
+
+    def test_corpus_src_batch_handles_blocks_without_replicas(self):
+        import pyarrow as pa
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.dedup import _corpus_src_batch
+
+        # doc_ids with no multiple of 5 and no multiple of 7: both replica
+        # sides are EMPTY and must still concat (typed empty arrays)
+        t = _corpus_src_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(["a b c d e f g h i j k", "x", "y"]),
+                    "source": pa.array(["s1", "s2", "s3"]),
+                }
+            )
+        )
+        assert len(t) == 3 and t["source"].to_pylist() == ["s1", "s2", "s3"]
+
+    def test_bloom_join_rounds_half_away(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.bloomjoin import (
+            bloom_semi_join_pricing,
+        )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+                    "l_returnflag": pa.array(["A", "A", "A"]),
+                    "l_quantity": pa.array([2.5, 3.5, 1.0], type=pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2], type=pa.int64()),
+                    "o_totalprice": pa.array([500000.0, 100.0], type=pa.float64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        ours = bloom_semi_join_pricing(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(queryset.ORACLE_SQL["bloom_semi_join_pricing"]).df()
+        # 2.5 -> 3 and 3.5 -> 4 under half-away: sum_qty == 7, rows == 2
+        assert ours.iloc[0]["sum_qty"] == 7 == gold.iloc[0]["sum_qty"]
+        assert _value_hash(ours) == _value_hash(gold)
