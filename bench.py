@@ -620,6 +620,22 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_conversation_dedup(sf_dir: str) -> int:
+    """Conversation-granularity exact dedup (reassembly + fp exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+        conversation_dedup_exact,
+    )
+
+    return _consume(conversation_dedup_exact(sf_dir))
+
+
+def q_label_centroids(sf_dir: str) -> int:
+    """Per-label exact e6 centroid sums (bounded label-matrix fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import emb_label_centroids
+
+    return len(emb_label_centroids(sf_dir))
+
+
 def q_decayed_counts(sf_dir: str) -> int:
     """Freshness-decayed counts (exact e6 fixed-point, two passes)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import events_decayed_counts
@@ -882,6 +898,8 @@ BENCH_QUERIES = {
     "join_size_kmv": q_join_size_kmv,
     "decayed_counts": q_decayed_counts,
     "bloom_semi_join": q_bloom_semi_join,
+    "conversation_dedup": q_conversation_dedup,
+    "label_centroids": q_label_centroids,
 }
 
 

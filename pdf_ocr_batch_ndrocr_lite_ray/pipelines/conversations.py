@@ -262,3 +262,68 @@ register("conversation_texts", q_conversation_texts, sql=CONVERSATION_TEXTS_SQL)
 register(
     "conversation_plain_texts", q_conversation_plain_texts, sql=_conversation_plain_sql()
 )
+
+
+def conversation_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """(fingerprint, keep_conv_id, n_dups): exact dedup at CONVERSATION
+    granularity — fingerprint the reassembled plain-path text and keep the
+    lexicographically-first conv_id per group. Transcript pipelines dedup
+    at this granularity (a re-crawled conversation is a full-document
+    duplicate), not per turn; the flow composes the salted reassembly with
+    the dedup.py first-wins rule, and every stage is the same bounded
+    exchange shape as its parent operator.
+    """
+    import hashlib
+
+    from .extraction import extract_transcripts
+    from .queryset import transcripts_for_sf
+
+    path = transcripts_for_sf(sf_dir)
+    ds = extract_transcripts(path)
+
+    def plain_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["content_kind"], "plain"))
+
+    convs = reassemble_conversations(ds.map_batches(plain_only, batch_format="pyarrow"))
+
+    def fp_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "fingerprint": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["full_text"]
+                ],
+                "conv_id": df["conv_id"],
+            }
+        )
+
+    def group_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            df.groupby("fingerprint", sort=False)
+            .agg(keep_conv_id=("conv_id", "min"), n_dups=("conv_id", "size"))
+            .reset_index()
+        )
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return g
+
+    fps = convs.map_batches(fp_rows, batch_format="pandas")
+    return _hash_partitioned(fps, "fingerprint", group_partition)
+
+
+def _conversation_dedup_sql() -> str:
+    from .extraction_queries import _ORACLE_TRANSCRIPTS, _plain_turns_cte
+
+    return _plain_turns_cte(_ORACLE_TRANSCRIPTS) + """
+, conv AS (
+  SELECT conv_id,
+         coalesce(string_agg(CASE WHEN extracted_text <> '' THEN extracted_text END,
+                             chr(10) || chr(10) ORDER BY turn_idx), '') AS full_text
+  FROM plain_turns GROUP BY conv_id
+)
+SELECT md5(full_text) AS fingerprint,
+       min(conv_id) AS keep_conv_id,
+       count(*) AS n_dups
+FROM conv GROUP BY 1
+"""
+
+
+register("conversation_dedup_exact", conversation_dedup_exact, sql=_conversation_dedup_sql())

@@ -284,3 +284,99 @@ from .queryset import MATERIALIZERS, SF_PATH_HELPERS  # noqa: E402
 
 MATERIALIZERS.append(materialize_expected_pca)
 SF_PATH_HELPERS.append(expected_pca_path)
+
+
+def emb_label_centroids(sf_dir: str) -> "pd.DataFrame":
+    """(label, n, centroid_e6 list<int64>): per-label element-wise vector
+    sums in e6 fixed point plus counts — the exact mergeable form of a
+    per-class centroid table (mean = centroid_e6 / n / 1e6 derived by the
+    caller, so no division ever enters the hashed value).
+
+    Scale shape: each block folds its labels' (count, 64-dim int sum) —
+    ≤ #labels rows per block regardless of block height, all matmul-free
+    ``np.add.at`` on the zero-copy matrix view; the driver merges a
+    #labels × dim integer frame. Same exact-integer-Gram discipline as
+    ``emb_gram`` (pca.py) — float32 widens to float64 losslessly, each
+    element quantizes half-away BEFORE any sum, so block layout can't
+    move a digit.
+    """
+    from .exchange import list_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(labels) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sums": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        m = list_matrix(batch["embedding"])  # float32 -> float64, lossless
+        q = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+                "sums": pa.array(sums.tolist(), type=pa.list_(pa.int64())),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["label", "embedding"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        for lab, n, s in zip(b["label"], b["n"], b["sums"]):
+            s = np.asarray(s, dtype=np.int64)
+            if int(lab) in acc:
+                pn, ps = acc[int(lab)]
+                acc[int(lab)] = (pn + int(n), ps + s)
+            else:
+                acc[int(lab)] = (int(n), s)
+    labs = sorted(acc)
+    # comma-joined string, not a list column: list cells stringify
+    # differently in pandas vs DuckDB df() (``[1, 2]`` vs ``[1 2]``) and
+    # would break the driver's value hash — the same flat-serialization
+    # rule the flagship span boundaries use
+    return pd.DataFrame(
+        {
+            "label": pd.Series(labs, dtype="int64"),
+            "n": pd.Series([acc[l][0] for l in labs], dtype="int64"),
+            "centroid_e6": pd.Series(
+                [",".join(map(str, acc[l][1].tolist())) for l in labs],
+                dtype="object",
+            ),
+        }
+    )
+
+
+EMB_LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, i,
+         CAST(CASE WHEN v IS NULL THEN 0
+                   WHEN CAST(v AS DOUBLE) >= 0
+                     THEN floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                   ELSE -floor(-CAST(v AS DOUBLE) * 1e6 + 0.5)
+              END AS BIGINT) AS q
+  FROM (
+    SELECT label, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+),
+s AS (
+  SELECT label, i, CAST(sum(q) AS BIGINT) AS sq, count(*) AS cnt
+  FROM e GROUP BY 1, 2
+)
+SELECT label,
+       CAST(max(cnt) AS BIGINT) AS n,
+       array_to_string(list(sq ORDER BY i), ',') AS centroid_e6
+FROM s GROUP BY label
+"""
+
+register("emb_label_centroids", emb_label_centroids, sql=EMB_LABEL_CENTROIDS_SQL)

@@ -4143,3 +4143,48 @@ class TestNullEdgeParity:
         # 2.5 -> 3 and 3.5 -> 4 under half-away: sum_qty == 7, rows == 2
         assert ours.iloc[0]["sum_qty"] == 7 == gold.iloc[0]["sum_qty"]
         assert _value_hash(ours) == _value_hash(gold)
+
+
+class TestConversationDedup:
+    def test_groups_cover_all_conversations(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+            conversation_dedup_exact,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import transcripts_for_sf
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+            q_conversation_plain_texts,
+        )
+
+        g = conversation_dedup_exact(SF).to_pandas()
+        # groups partition exactly the conversations that HAVE plain turns
+        # (a conv with none never enters the plain reassembly — same rule
+        # as the oracle's plain_turns CTE)
+        n_plain_convs = q_conversation_plain_texts(SF).count()
+        assert int(g["n_dups"].sum()) == n_plain_convs
+        assert n_plain_convs <= duckdb.connect().execute(
+            f"SELECT count(DISTINCT conv_id) FROM read_parquet('{transcripts_for_sf(SF)}')"
+        ).fetchone()[0]
+        # keep is always a member with the smallest id: groups are disjoint
+        assert g["keep_conv_id"].is_unique
+
+
+class TestLabelCentroids:
+    def test_centroid_matches_serial_fixed_point(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import emb_label_centroids
+
+        out = emb_label_centroids(SF).set_index("label")
+        emb = duckdb.connect().execute(
+            f"SELECT label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+        ).df()
+        for lab, g in emb.groupby("label"):
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            q = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
+            want = q.sum(axis=0)
+            got = np.fromstring(out.loc[lab, "centroid_e6"], dtype=np.int64, sep=",")
+            assert (got == want).all() and out.loc[lab, "n"] == len(g)
