@@ -620,6 +620,13 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_event_trigrams(sf_dir: str) -> int:
+    """Length-3 event-type sequence counts (one user exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import user_event_trigrams
+
+    return _consume(user_event_trigrams(sf_dir))
+
+
 def q_conversation_dedup(sf_dir: str) -> int:
     """Conversation-granularity exact dedup (reassembly + fp exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
@@ -900,6 +907,7 @@ BENCH_QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "conversation_dedup": q_conversation_dedup,
     "label_centroids": q_label_centroids,
+    "event_trigrams": q_event_trigrams,
 }
 
 

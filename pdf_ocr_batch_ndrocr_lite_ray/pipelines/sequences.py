@@ -205,3 +205,60 @@ GROUP BY 1
 """
 
 register("user_conversion_lag", user_conversion_lag, sql=USER_CONVERSION_LAG_SQL)
+
+
+def user_event_trigrams(sf_dir: str) -> "ray.data.Dataset":
+    """(t1, t2, t3, n): length-3 event-type sequence counts over each
+    user's time-ordered stream — the sequence-mining extension of the
+    first-order transitions (same partition-sort idiom, #types³ fold)."""
+    from .exchange import enum_group_sum
+
+    def tri_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "t1": pd.Series([], dtype="object"),
+                    "t2": pd.Series([], dtype="object"),
+                    "t3": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"]
+        u1, u2 = u.shift(-1), u.shift(-2)
+        same = ((u == u1) | (u.isna() & u1.isna())) & (
+            (u == u2) | (u.isna() & u2.isna())
+        )
+        tri = pd.DataFrame(
+            {
+                "t1": df["event_type"],
+                "t2": df["event_type"].shift(-1),
+                "t3": df["event_type"].shift(-2),
+            }
+        )[same.to_numpy(dtype=bool)]
+        out = tri.groupby(["t1", "t2", "t3"], sort=False).size().rename("n")
+        out = out.reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    partials = hash_partitioned(ds, "user_id", tri_partition)
+    return ray.data.from_pandas(enum_group_sum(partials, ["t1", "t2", "t3"], ["n"]))
+
+
+USER_EVENT_TRIGRAMS_SQL = """
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+register("user_event_trigrams", user_event_trigrams, sql=USER_EVENT_TRIGRAMS_SQL)

@@ -207,6 +207,7 @@ class TestEmptyEvents:
             "user_conversion_lag",
             "events_decayed_counts",
             "events_props_stats",
+            "user_event_trigrams",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -1650,6 +1651,7 @@ class TestAdversarialEventsParity:
             "user_event_transitions",
             "user_conversion_lag",
             "events_decayed_counts",
+            "user_event_trigrams",
         ],
     )
     def test_matches_oracle_on_nasty_events(self, ray_session, nasty_events_dir, name):
@@ -4063,6 +4065,7 @@ class TestNullEdgeParity:
             "events_hot_window_join",
             "events_props_stats",
             "events_decayed_counts",
+            "user_event_trigrams",
         ],
     )
     def test_null_edges_match_oracle(self, ray_session, null_events_dir, name):
