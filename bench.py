@@ -620,6 +620,15 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_partition_checksums(sf_dir: str) -> int:
+    """Anti-entropy bucket checksums (shuffle-free xor fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+        transcript_partition_checksums,
+    )
+
+    return _consume(transcript_partition_checksums(sf_dir))
+
+
 def q_event_trigrams(sf_dir: str) -> int:
     """Length-3 event-type sequence counts (one user exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sequences import user_event_trigrams
@@ -908,6 +917,7 @@ BENCH_QUERIES = {
     "conversation_dedup": q_conversation_dedup,
     "label_centroids": q_label_centroids,
     "event_trigrams": q_event_trigrams,
+    "partition_checksums": q_partition_checksums,
 }
 
 

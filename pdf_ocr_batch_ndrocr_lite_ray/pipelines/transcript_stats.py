@@ -315,3 +315,109 @@ GROUP BY 1, 2
 
 
 register("tool_cooccurrence", tool_cooccurrence, sql=_tool_cooccurrence_sql(_ORACLE_PATH))
+
+
+N_CHECKSUM_BUCKETS = 64
+
+
+def transcript_partition_checksums(sf_dir: str) -> "ray.data.Dataset":
+    """(bucket, n_rows, xor_hash): order-free content checksums per key
+    bucket — the anti-entropy primitive for replica diff and resumable
+    verification. Two table copies are byte-identical iff all 64 rows of
+    this table match; a mismatch localizes to a bucket (re-verify only
+    that key range), which is how a 100 TB re-crawl is compared without
+    moving either copy.
+
+    Shape: shuffle-FREE — each block folds (bucket, count, xor-of-row-
+    hashes) partials (xor is commutative+associative, so block layout
+    can't change a digit) and the driver merges a 64-row frame. The row
+    hash is the first 8 md5 bytes of the canonical ``conv_id|turn_idx|text``
+    serialization — reproduced bit-for-bit by the SQL oracle, false
+    collisions ~2^-64.
+    """
+    import numpy as np
+
+    def _md5_buckets(col: "pa.Array") -> np.ndarray:
+        """Bucket id per row: first 8 md5 bytes of conv_id % buckets —
+        md5 (not crc32) so the SQL oracle reproduces the assignment.
+        Hashed once per DISTINCT conv in the block via dictionary codes."""
+        enc = col.dictionary_encode()
+        uniq = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+                % N_CHECKSUM_BUCKETS
+                for v in enc.dictionary.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(enc.dictionary),
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return uniq[idx]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        tix = batch["turn_idx"].to_pylist()
+        txt = batch["text"].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        f"{c}|{t}|{x if x is not None else ''}".encode("utf-8")
+                    ).digest()[:8],
+                    "big",
+                )
+                for c, t, x in zip(conv, tix, txt)
+            ),
+            dtype=np.uint64,
+            count=len(conv),
+        )
+        col = batch["conv_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buckets = _md5_buckets(col)
+        xors = np.zeros(N_CHECKSUM_BUCKETS, dtype=np.uint64)
+        np.bitwise_xor.at(xors, buckets, h)
+        counts = np.bincount(buckets, minlength=N_CHECKSUM_BUCKETS).astype(np.int64)
+        nz = counts > 0
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(N_CHECKSUM_BUCKETS)[nz], type=pa.int64()),
+                "n_rows": pa.array(counts[nz], type=pa.int64()),
+                "xor_hash": pa.array(xors[nz], type=pa.uint64()),
+            }
+        )
+
+    from .exchange import enum_group_agg
+
+    path = transcripts_for_sf(sf_dir)
+    ds = ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = enum_group_agg(
+        ds,
+        ["bucket"],
+        {"n_rows": "sum", "xor_hash": lambda c: np.bitwise_xor.reduce(c.to_numpy())},
+    )
+    out["xor_hash"] = out["xor_hash"].astype("uint64")
+    return ray.data.from_pandas(out)
+
+
+def _partition_checksums_sql(path: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(conv_id), 1, 16))::UBIGINT % {N_CHECKSUM_BUCKETS}
+              AS BIGINT) AS bucket,
+         ('0x' || substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|'
+                              || coalesce(text, '')), 1, 16))::UBIGINT AS rh
+  FROM read_parquet('{path}')
+)
+SELECT bucket, count(*) AS n_rows, bit_xor(rh) AS xor_hash
+FROM h GROUP BY 1
+"""
+
+
+register(
+    "transcript_partition_checksums",
+    transcript_partition_checksums,
+    sql=_partition_checksums_sql(_ORACLE_PATH),
+)

@@ -4191,3 +4191,33 @@ class TestLabelCentroids:
             want = q.sum(axis=0)
             got = np.fromstring(out.loc[lab, "centroid_e6"], dtype=np.int64, sep=",")
             assert (got == want).all() and out.loc[lab, "n"] == len(g)
+
+
+class TestPartitionChecksums:
+    def test_replica_diff_localizes_to_changed_bucket(self, ray_session, tmp_path, monkeypatch):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import transcript_stats as ts
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import transcripts_for_sf
+
+        base = ts.transcript_partition_checksums(SF).to_pandas().set_index("bucket")
+        # perturb ONE conversation's text in a copy of the table
+        t = pq.read_table(transcripts_for_sf(SF))
+        df = t.to_pandas()
+        victim = df["conv_id"].iloc[0]
+        df.loc[df["conv_id"] == victim, "text"] = "TAMPERED"
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "copy.parquet")
+        monkeypatch.setattr(ts, "transcripts_for_sf", lambda sf: str(tmp_path / "copy.parquet"))
+        tampered = ts.transcript_partition_checksums(SF).to_pandas().set_index("bucket")
+        want_bucket = (
+            int.from_bytes(hashlib.md5(str(victim).encode()).digest()[:8], "big")
+            % ts.N_CHECKSUM_BUCKETS
+        )
+        diff = base.join(tampered, rsuffix="_t")
+        changed = diff[diff["xor_hash"] != diff["xor_hash_t"]].index.tolist()
+        assert changed == [want_bucket]
+        assert (diff["n_rows"] == diff["n_rows_t"]).all()
