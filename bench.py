@@ -620,6 +620,15 @@ def q_tool_stats(sf_dir: str) -> int:
     return _consume(transcript_tool_stats(sf_dir))
 
 
+def q_sliding_hll(sf_dir: str) -> int:
+    """Sliding-window HLL distinct users (register merge per window)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+        events_sliding_distinct_hll,
+    )
+
+    return _consume(events_sliding_distinct_hll(sf_dir))
+
+
 def q_partition_checksums(sf_dir: str) -> int:
     """Anti-entropy bucket checksums (shuffle-free xor fold)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
@@ -918,6 +927,7 @@ BENCH_QUERIES = {
     "label_centroids": q_label_centroids,
     "event_trigrams": q_event_trigrams,
     "partition_checksums": q_partition_checksums,
+    "sliding_hll": q_sliding_hll,
 }
 
 

@@ -914,3 +914,145 @@ FROM r, est, agg
 """
 
 register("orders_join_size_kmv", orders_join_size_kmv, sql=ORDERS_JOIN_SIZE_KMV_SQL)
+
+
+# --- sliding-window HLL (streaming window × sketch composition) -------------
+
+HLL_WINDOW_HOURS = 6
+
+
+def events_sliding_distinct_hll(sf_dir: str) -> "ray.data.Dataset":
+    """(window_start, n_users_hll): HLL distinct-user estimate per sliding
+    6-hour window (one window starting at every observed hour) — the
+    composition a streaming pipeline runs where the exact sliding distinct
+    would re-ship every (window, user) pair 6 times. Register files are
+    per-HOUR (each hour's 256-byte sketch folds by max) and windows merge
+    REGISTERS, not users: the window pass touches #hours × 256 rows no
+    matter how many users exist.
+
+    Driver state: the merged (hour, bucket, rho) frame — time-range-
+    bounded (#hours × 256; a month is 185k rows), documented in place of
+    an enum fold whose 100k guard this frame can legitimately exceed.
+    """
+    from .dedup import _hash_partitioned
+
+    def block_registers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["user_id"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "hr": pd.Series([], dtype="datetime64[us]"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rho": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.assign(hr=df["ts"].dt.floor("h"))
+        pairs = df.drop_duplicates(["hr", "user_id"])
+        # hash each DISTINCT user once per block, not once per pair
+        cache: dict[int, tuple[int, int]] = {}
+
+        def bucket_rho(u: float) -> tuple[int, int]:
+            k = int(u)
+            if k not in cache:
+                hx = hashlib.md5(str(k).encode("utf-8")).hexdigest()
+                cache[k] = (int(hx[0:2], 16), hll_rho(int(hx[2:14], 16)))
+            return cache[k]
+
+        br = [bucket_rho(u) for u in pairs["user_id"]]
+        out = pd.DataFrame(
+            {
+                "hr": pairs["hr"].to_numpy(),
+                "bucket": pd.Series([b for b, _ in br], dtype="int64"),
+                "rho": pd.Series([r for _, r in br], dtype="int64"),
+            }
+        )
+        return (
+            out.groupby(["hr", "bucket"], sort=False)["rho"].max().reset_index()
+        )
+
+    def max_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["hr", "bucket"], sort=False)["rho"].max().reset_index()
+        g["bucket"] = g["bucket"].astype("int64")
+        g["rho"] = g["rho"].astype("int64")
+        return g
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "user_id"]
+    ).map_batches(block_registers, batch_format="pandas")
+    parts = _hash_partitioned(ds, "hr", max_partition)
+    frames = list(parts.iter_batches(batch_size=65_536, batch_format="pandas"))
+    regs = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({"hr": [], "bucket": [], "rho": []})
+    )
+    if len(regs) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "window_start": pd.Series([], dtype="datetime64[us]"),
+                    "n_users_hll": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    hours = np.sort(regs["hr"].unique())
+    hr_ns = regs["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    starts, ests = [], []
+    span = HLL_WINDOW_HOURS * 3_600_000_000
+    for h in hours:
+        h_us = int(np.datetime64(h, "us").astype(np.int64))
+        member = (hr_ns >= h_us) & (hr_ns < h_us + span)
+        g = regs[member].groupby("bucket")["rho"].max()
+        v_empty = HLL_M - len(g)
+        s_num = v_empty * (1 << (HLL_RHO_BITS + 1)) + int(
+            np.sum(1 << (HLL_RHO_BITS + 1 - g.to_numpy()))
+        )
+        est = hll_estimate(v_empty, s_num)
+        starts.append(h)
+        ests.append(int(np.floor(est + 0.5)))
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "window_start": pd.Series(starts, dtype="datetime64[us]"),
+                "n_users_hll": pd.Series(ests, dtype="int64"),
+            }
+        )
+    )
+
+
+EVENTS_SLIDING_HLL_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hr,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT hr,
+         ('0x' || substr(hx, 1, 2))::INT AS bucket,
+         {HLL_RHO_BITS + 1}
+           - length(ltrim(bin(('0x' || substr(hx, 3, 12))::BIGINT), '0')) AS rho
+  FROM h
+),
+hregs AS (SELECT hr, bucket, max(rho) AS rho FROM r GROUP BY hr, bucket),
+w AS (SELECT DISTINCT hr AS window_start FROM hregs),
+m AS (
+  SELECT w.window_start, hregs.bucket, max(hregs.rho) AS rho
+  FROM w JOIN hregs
+    ON hregs.hr >= w.window_start
+   AND hregs.hr < w.window_start + INTERVAL {HLL_WINDOW_HOURS} HOUR
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT window_start,
+         ({HLL_M} - count(*)) AS v_empty,
+         CAST(
+           ({HLL_M} - count(*)) * (1::BIGINT << {HLL_RHO_BITS + 1})
+           + coalesce(sum(1::BIGINT << ({HLL_RHO_BITS + 1} - rho)), 0)
+         AS DOUBLE) AS s_num
+  FROM m GROUP BY window_start
+)
+SELECT window_start, {hll_estimate_sql()} AS n_users_hll
+FROM s
+"""
+
+register("events_sliding_distinct_hll", events_sliding_distinct_hll, sql=EVENTS_SLIDING_HLL_SQL)

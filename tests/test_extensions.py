@@ -208,6 +208,7 @@ class TestEmptyEvents:
             "events_decayed_counts",
             "events_props_stats",
             "user_event_trigrams",
+            "events_sliding_distinct_hll",
         ],
     )
     def test_empty_events_yield_empty_output(self, ray_session, empty_dir, name):
@@ -4221,3 +4222,30 @@ class TestPartitionChecksums:
         changed = diff[diff["xor_hash"] != diff["xor_hash_t"]].index.tolist()
         assert changed == [want_bucket]
         assert (diff["n_rows"] == diff["n_rows_t"]).all()
+
+
+class TestSlidingHll:
+    def test_estimates_track_exact_sliding_distinct(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            HLL_WINDOW_HOURS,
+            events_sliding_distinct_hll,
+        )
+
+        est = events_sliding_distinct_hll(SF).to_pandas().set_index("window_start")
+        exact = duckdb.connect().execute(
+            f"""
+            WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id
+                       FROM read_parquet('{SF}/events.parquet')),
+            w AS (SELECT DISTINCT hr AS ws FROM h)
+            SELECT w.ws, count(DISTINCT h.user_id) AS n
+            FROM w JOIN h ON h.hr >= w.ws
+                         AND h.hr < w.ws + INTERVAL {HLL_WINDOW_HOURS} HOUR
+            GROUP BY 1
+            """
+        ).df().set_index("ws")["n"]
+        assert len(est) == len(exact)
+        rel = (est["n_users_hll"] - exact).abs() / exact
+        # m=256 registers -> ~6.5% stderr; 25% is a generous uniform bound
+        assert rel.max() <= 0.25
