@@ -275,16 +275,7 @@ def conversation_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
     """
     import hashlib
 
-    from .extraction import extract_transcripts
-    from .queryset import transcripts_for_sf
-
-    path = transcripts_for_sf(sf_dir)
-    ds = extract_transcripts(path)
-
-    def plain_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["content_kind"], "plain"))
-
-    convs = reassemble_conversations(ds.map_batches(plain_only, batch_format="pyarrow"))
+    convs = q_conversation_plain_texts(sf_dir)  # one copy of the plain flow
 
     def fp_rows(df: "pd.DataFrame") -> "pd.DataFrame":
         return pd.DataFrame(

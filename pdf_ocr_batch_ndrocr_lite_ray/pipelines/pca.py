@@ -295,14 +295,41 @@ def emb_label_centroids(sf_dir: str) -> "pd.DataFrame":
     Scale shape: each block folds its labels' (count, 64-dim int sum) —
     ≤ #labels rows per block regardless of block height, all matmul-free
     ``np.add.at`` on the zero-copy matrix view; the driver merges a
-    #labels × dim integer frame. Same exact-integer-Gram discipline as
-    ``emb_gram`` (pca.py) — float32 widens to float64 losslessly, each
-    element quantizes half-away BEFORE any sum, so block layout can't
-    move a digit.
+    #labels × dim integer frame. Exact-integer discipline like
+    ``emb_gram``'s Gram fold — float32 widens to float64 losslessly and
+    each element quantizes to e6 BEFORE any sum, so block layout can't
+    move a digit — but note the quantizer here is half-AWAY-from-zero
+    (matching this op's own oracle) while ``emb_gram``'s ``_quantized``
+    is half-up; they differ at negative .5e-6 boundaries.
+
+    NULL contract (mirrored in the SQL): rows with a NULL label or NULL
+    embedding are excluded; NULL elements inside a vector count as 0.
     """
-    from .exchange import list_matrix
+    def _filled_matrix(col):
+        """list_matrix with NULL elements as 0 (a fully-NULL list was
+        already filtered out, so offsets are uniform)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        if pa.types.is_fixed_size_list(col.type):
+            vals = pc.fill_null(col.values, 0.0)
+            w = col.type.list_size
+        else:
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if widths.size and (widths != widths[0]).any():
+                raise ValueError("ragged list column cannot form a matrix")
+            w = int(widths[0]) if widths.size else 0
+            vals = pc.fill_null(col.values, 0.0)
+        flat = vals.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        return flat.reshape(len(col), w) if len(col) else np.zeros((0, 0))
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(batch["label"]), pc.is_valid(batch["embedding"]))
+        batch = batch.filter(keep)
         labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(labels) == 0:
             return pa.table(
@@ -312,7 +339,7 @@ def emb_label_centroids(sf_dir: str) -> "pd.DataFrame":
                     "sums": pa.array([], type=pa.list_(pa.int64())),
                 }
             )
-        m = list_matrix(batch["embedding"])  # float32 -> float64, lossless
+        m = _filled_matrix(batch["embedding"])  # float32 -> float64, lossless
         q = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
@@ -367,6 +394,7 @@ WITH e AS (
     SELECT label, unnest(embedding) AS v,
            generate_subscripts(embedding, 1) AS i
     FROM embeddings
+    WHERE label IS NOT NULL AND embedding IS NOT NULL
   )
 ),
 s AS (

@@ -37,6 +37,9 @@ def events_props_stats(sf_dir: str) -> "ray.data.Dataset":
     ``$.k`` field extracted schema-on-read from the JSON ``props`` column."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # typed-event contract (both sides): NULL event_type rows excluded —
+        # the pandas fold would drop the NaN key the SQL GROUP BY keeps
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
         props = batch["props"]
         if isinstance(props, pa.ChunkedArray):
             props = props.combine_chunks()
@@ -82,7 +85,7 @@ SELECT event_type,
 FROM (
   SELECT event_type,
          CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 )
 GROUP BY 1
 """

@@ -37,6 +37,10 @@ def _transition_partition(df: pd.DataFrame) -> pd.DataFrame:
                 "n": pd.Series([], dtype="int64"),
             }
         )
+    # typed-event contract (both sides): NULL event_type rows are excluded
+    # BEFORE pairing — pandas groupby would otherwise silently drop
+    # NaN-keyed rows the SQL oracle keeps
+    df = df.dropna(subset=["event_type"])
     df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
     nxt = df["event_type"].shift(-1)
     a, b = df["user_id"], df["user_id"].shift(-1)
@@ -71,7 +75,7 @@ WITH s AS (
   SELECT event_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS next_type
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 )
 SELECT event_type AS prev_type, next_type, count(*) AS n
 FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
@@ -223,6 +227,7 @@ def user_event_trigrams(sf_dir: str) -> "ray.data.Dataset":
                     "n": pd.Series([], dtype="int64"),
                 }
             )
+        df = df.dropna(subset=["event_type"])  # typed-event contract
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         u = df["user_id"]
         u1, u2 = u.shift(-1), u.shift(-2)
@@ -254,7 +259,7 @@ WITH s AS (
   SELECT event_type AS t1,
          lead(event_type, 1) OVER w AS t2,
          lead(event_type, 2) OVER w AS t3
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT t1, t2, t3, count(*) AS n

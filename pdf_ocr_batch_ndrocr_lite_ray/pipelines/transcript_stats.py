@@ -340,8 +340,10 @@ def transcript_partition_checksums(sf_dir: str) -> "ray.data.Dataset":
     def _md5_buckets(col: "pa.Array") -> np.ndarray:
         """Bucket id per row: first 8 md5 bytes of conv_id % buckets —
         md5 (not crc32) so the SQL oracle reproduces the assignment.
-        Hashed once per DISTINCT conv in the block via dictionary codes."""
-        enc = col.dictionary_encode()
+        Hashed once per DISTINCT conv in the block via dictionary codes.
+        NULL conv_id coalesces to '' (both sides), so the dictionary
+        indices are never null."""
+        enc = pc.fill_null(col, "").dictionary_encode()
         uniq = np.fromiter(
             (
                 int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
@@ -358,11 +360,19 @@ def transcript_partition_checksums(sf_dir: str) -> "ray.data.Dataset":
         conv = batch["conv_id"].to_pylist()
         tix = batch["turn_idx"].to_pylist()
         txt = batch["text"].to_pylist()
+        # NULL key parts coalesce to '' — the same rule as the oracle's
+        # coalesce(), so a NULL never silently drops a row from the xor
         h = np.fromiter(
             (
                 int.from_bytes(
                     hashlib.md5(
-                        f"{c}|{t}|{x if x is not None else ''}".encode("utf-8")
+                        "|".join(
+                            (
+                                c if c is not None else "",
+                                str(t) if t is not None else "",
+                                x if x is not None else "",
+                            )
+                        ).encode("utf-8")
                     ).digest()[:8],
                     "big",
                 )
@@ -405,9 +415,10 @@ def transcript_partition_checksums(sf_dir: str) -> "ray.data.Dataset":
 def _partition_checksums_sql(path: str) -> str:
     return f"""
 WITH h AS (
-  SELECT CAST(('0x' || substr(md5(conv_id), 1, 16))::UBIGINT % {N_CHECKSUM_BUCKETS}
-              AS BIGINT) AS bucket,
-         ('0x' || substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|'
+  SELECT CAST(('0x' || substr(md5(coalesce(conv_id, '')), 1, 16))::UBIGINT
+              % {N_CHECKSUM_BUCKETS} AS BIGINT) AS bucket,
+         ('0x' || substr(md5(coalesce(conv_id, '') || '|'
+                              || coalesce(CAST(turn_idx AS VARCHAR), '') || '|'
                               || coalesce(text, '')), 1, 16))::UBIGINT AS rh
   FROM read_parquet('{path}')
 )

@@ -1080,7 +1080,10 @@ def events_daily_distinct_exact(sf_dir: str) -> "ray.data.Dataset":
                     "n_users": pd.Series([], dtype="int64"),
                 }
             )
-        df = df.dropna(subset=["user_id"])  # count(DISTINCT) excludes NULL
+        # count(DISTINCT) excludes NULL users; NULL event_type rows are
+        # excluded on BOTH sides (typed-event contract — pandas groupby
+        # would drop the NaN key the SQL GROUP BY keeps)
+        df = df.dropna(subset=["user_id", "event_type"])
         df = df.assign(day=df["ts"].dt.floor("D"))
         triples = df.drop_duplicates(["day", "event_type", "user_id"])
         out = (
@@ -1104,7 +1107,7 @@ def events_daily_distinct_exact(sf_dir: str) -> "ray.data.Dataset":
 EVENTS_DAILY_DISTINCT_EXACT_SQL = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1, 2
+FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 """
 
 register(
@@ -1147,8 +1150,10 @@ def events_decayed_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def decay_partial(batch: pa.Table) -> pa.Table:
-        valid = pc.is_valid(batch["ts"])
-        batch = batch.filter(valid)  # oracle: epoch_us(NULL) -> NULL, sum skips
+        # NULL ts: oracle epoch_us(NULL) -> NULL, sum skips the term;
+        # NULL event_type: typed-event contract (excluded both sides)
+        valid = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        batch = batch.filter(valid)
         ts = (
             batch["ts"]
             .combine_chunks()
@@ -1189,7 +1194,7 @@ SELECT event_type,
            (CAST(epoch_us(t.mx) - epoch_us(ts) AS DOUBLE) / 86400000000.0))
            * 1e6 + 0.5) AS BIGINT)
        ) AS BIGINT) AS decayed_e6
-FROM events, t GROUP BY 1
+FROM events, t WHERE event_type IS NOT NULL GROUP BY 1
 """
 
 register("events_decayed_counts", events_decayed_counts, sql=EVENTS_DECAYED_COUNTS_SQL)

@@ -4037,6 +4037,7 @@ class TestNullEdgeParity:
         add(2, 4, "view", -5.0)
         add(2, 5, "purchase", 4.0, props="garbage")
         add(3, 6, "signup", None, props="no k here")  # all-miss props group
+        add(3, 7, None, 1.0)                          # NULL event_type
         pq.write_table(
             pa.Table.from_pylist(
                 rows,
@@ -4190,7 +4191,7 @@ class TestLabelCentroids:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
             q = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
             want = q.sum(axis=0)
-            got = np.fromstring(out.loc[lab, "centroid_e6"], dtype=np.int64, sep=",")
+            got = np.array(out.loc[lab, "centroid_e6"].split(","), dtype=np.int64)
             assert (got == want).all() and out.loc[lab, "n"] == len(g)
 
 
@@ -4249,3 +4250,69 @@ class TestSlidingHll:
         rel = (est["n_users_hll"] - exact).abs() / exact
         # m=256 registers -> ~6.5% stderr; 25% is a generous uniform bound
         assert rel.max() <= 0.25
+
+
+class TestNullEdgeRound2:
+    """Second review batch: NULL embeddings/labels and NULL conv keys."""
+
+    def test_label_centroids_null_contract(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import emb_label_centroids
+
+        emb_t = pa.array(
+            [[1.0, 2.0], [None, 4.0], None, [5.0, 6.0]],
+            type=pa.list_(pa.float32()),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "embedding": emb_t,
+                    "label": pa.array([0, 0, 0, None], type=pa.int64()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        ours = emb_label_centroids(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        gold = con.execute(queryset.ORACLE_SQL["emb_label_centroids"]).df()
+        # row 3 (NULL list) and row 4 (NULL label) excluded; NULL element -> 0
+        assert len(ours) == len(gold) == 1
+        assert ours.iloc[0]["n"] == 2
+        assert ours.iloc[0]["centroid_e6"] == gold.iloc[0]["centroid_e6"] == "1000000,6000000"
+
+    def test_partition_checksums_null_conv(self, ray_session, tmp_path, monkeypatch):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import transcript_stats as ts
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import DRIVER_SF_DIR
+
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(["c1", None, "c2"], type=pa.string()),
+                    "turn_idx": pa.array([0, None, 1], type=pa.int32()),
+                    "text": pa.array(["a", None, "b"], type=pa.string()),
+                }
+            ),
+            tmp_path / "t.parquet",
+        )
+        path = str(tmp_path / "t.parquet")
+        monkeypatch.setattr(ts, "transcripts_for_sf", lambda sf: path)
+        ours = ts.transcript_partition_checksums(DRIVER_SF_DIR).to_pandas()
+        con = duckdb.connect()
+        gold = con.execute(ts._partition_checksums_sql(path)).df()
+        assert int(ours["n_rows"].sum()) == 3 == int(gold["n_rows"].sum())
+        a = ours.sort_values("bucket").reset_index(drop=True)
+        b = gold.sort_values("bucket").reset_index(drop=True)
+        assert (a["xor_hash"].astype("uint64").to_numpy()
+                == b["xor_hash"].astype("uint64").to_numpy()).all()
