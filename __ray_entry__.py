@@ -104,15 +104,20 @@ _DRIVER_WINDOW: list[str] = [
     "docs_bloom_gate",
     "events_profile",
     "tpch_q1_pricing",
-    # least-recently verdicted (r01/r02) — rotate back in
-    "events_value_quantiles",
-    "docs_sample",
-    "docs_split_counts",
-    "docs_length_histogram",
-    "docs_stratified_sample",
-    "events_asof_view_click",
-    "events_distinct_users",
-    "docs_distinct_shingles_kmv",
+    # round-5 session-3 additions, batch 2 (X85-X93) — never driver-verdicted,
+    # so they outrank the r01/r02 refresh candidates (events_value_quantiles,
+    # docs_sample, docs_split_counts, docs_length_histogram,
+    # docs_stratified_sample, events_asof_view_click, events_distinct_users,
+    # docs_distinct_shingles_kmv stay covered by tests/test_oracle_parity.py
+    # and tools/check_driver_contract.py)
+    "dedup_source_flow",
+    "orders_join_size_kmv",
+    "events_decayed_counts",
+    "bloom_semi_join_pricing",
+    "conversation_dedup_exact",
+    "emb_label_centroids",
+    "user_event_trigrams",
+    "transcript_partition_checksums",
     # newly value-oracled this round (rows-only / no_oracle through r04)
     "media_features",
     "media_resized_features",
@@ -132,7 +137,7 @@ _DRIVER_WINDOW: list[str] = [
     "conversation_role_transitions",
     "tool_cooccurrence",
     "user_conversion_lag",
-    "user_funnel_counts",
+    "events_sliding_distinct_hll",
     # new this round, never driver-verdicted (take the last refresh slots —
     # events_winsorized / conversation_plain_texts / events_median_value_by
     # _type / user_sessions stay covered by tests/test_oracle_parity.py)
