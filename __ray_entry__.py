@@ -104,7 +104,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_bloom_gate",
     "events_profile",
     "tpch_q1_pricing",
-    # round-5 session-3 additions, batch 2 (X85-X93) — never driver-verdicted,
+    # round-5 session-3 additions, batch 2 (X85-X92) — never driver-verdicted,
     # so they outrank the r01/r02 refresh candidates (events_value_quantiles,
     # docs_sample, docs_split_counts, docs_length_histogram,
     # docs_stratified_sample, events_asof_view_click, events_distinct_users,
@@ -122,7 +122,8 @@ _DRIVER_WINDOW: list[str] = [
     "media_features",
     "media_resized_features",
     "emb_pca_project",
-    # round-5 session-2 additions, never driver-verdicted (X75-X84) — they
+    # round-5 session-2 additions (X75-X84) plus the sliding-window HLL
+    # (X93), never driver-verdicted — they
     # take the refresh slots; the r03-verdicted fill they displace
     # (winnowing, tf-idf, PMI, the dedup family, IVF, the join trio) stays
     # value-checked every run by tests/test_oracle_parity.py and

@@ -59,6 +59,11 @@ def _hot_intervals(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Timestamped-event contract (mirrored in the SQL WHERE): an hour
+        # bucket needs a ts — otherwise the NaT hour becomes an int64-min
+        # keyed "hot hour" here while SQL keeps a NULL-h group that can
+        # never join, and both sides' n_hours/grand-total drift apart.
+        batch = batch.filter(pc.is_valid(batch["ts"]))
         hours = pc.floor_temporal(batch["ts"], unit="hour")
         t = pa.table(
             {"h": hours, "tot": pa.array(_value_e6(batch["value"]), type=pa.int64())}
@@ -147,7 +152,7 @@ WITH ht AS (
          SUM(CAST(CASE WHEN value IS NULL THEN 0
                        WHEN value >= 0 THEN floor(value*1e6 + 0.5)
                        ELSE -floor(-value*1e6 + 0.5) END AS BIGINT)) AS tot
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 g AS (SELECT SUM(CAST(tot AS HUGEINT)) AS gt, count(*) AS nh FROM ht),
 hot AS (SELECT h FROM ht, g WHERE CAST(tot AS HUGEINT) * nh > gt),

@@ -312,8 +312,9 @@ def emb_label_centroids(sf_dir: str) -> "pd.DataFrame":
             col = col.combine_chunks()
         import pyarrow.compute as pc
 
+        # flatten(), not .values: a sliced ListArray's .values returns the
+        # full unsliced child (same slice-safety rule as exchange.list_matrix)
         if pa.types.is_fixed_size_list(col.type):
-            vals = pc.fill_null(col.values, 0.0)
             w = col.type.list_size
         else:
             offs = col.offsets.to_numpy(zero_copy_only=False)
@@ -321,7 +322,7 @@ def emb_label_centroids(sf_dir: str) -> "pd.DataFrame":
             if widths.size and (widths != widths[0]).any():
                 raise ValueError("ragged list column cannot form a matrix")
             w = int(widths[0]) if widths.size else 0
-            vals = pc.fill_null(col.values, 0.0)
+        vals = pc.fill_null(col.flatten(), 0.0)
         flat = vals.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         return flat.reshape(len(col), w) if len(col) else np.zeros((0, 0))
 

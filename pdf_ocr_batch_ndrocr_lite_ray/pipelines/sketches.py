@@ -998,25 +998,26 @@ def events_sliding_distinct_hll(sf_dir: str) -> "ray.data.Dataset":
     # sort once; each window is a searchsorted SLICE of the register
     # frame (a full-frame boolean mask per window would be O(#hours²·256))
     regs = regs.sort_values("hr", kind="mergesort").reset_index(drop=True)
-    hr_ns = regs["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    hours = np.unique(hr_ns)
-    starts, ests = [], []
-    span = HLL_WINDOW_HOURS * 3_600_000_000
+    hr_us = regs["hr"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    hours = np.unique(hr_us)
+    ests = []
+    span = HLL_WINDOW_HOURS * 3_600_000_000  # window span in microseconds
     for h_us in hours:
-        lo = int(np.searchsorted(hr_ns, h_us, side="left"))
-        hi = int(np.searchsorted(hr_ns, h_us + span, side="left"))
+        lo = int(np.searchsorted(hr_us, h_us, side="left"))
+        hi = int(np.searchsorted(hr_us, h_us + span, side="left"))
         g = regs.iloc[lo:hi].groupby("bucket")["rho"].max()
         v_empty = HLL_M - len(g)
         s_num = v_empty * (1 << (HLL_RHO_BITS + 1)) + int(
             np.sum(1 << (HLL_RHO_BITS + 1 - g.to_numpy()))
         )
         est = hll_estimate(v_empty, s_num)
-        starts.append(np.int64(h_us).astype("datetime64[us]"))
         ests.append(int(np.floor(est + 0.5)))
     return ray.data.from_pandas(
         pd.DataFrame(
             {
-                "window_start": pd.Series(starts, dtype="datetime64[us]"),
+                "window_start": pd.Series(
+                    hours.astype("datetime64[us]"), dtype="datetime64[us]"
+                ),
                 "n_users_hll": pd.Series(ests, dtype="int64"),
             }
         )

@@ -1080,10 +1080,13 @@ def events_daily_distinct_exact(sf_dir: str) -> "ray.data.Dataset":
                     "n_users": pd.Series([], dtype="int64"),
                 }
             )
-        # count(DISTINCT) excludes NULL users; NULL event_type rows are
-        # excluded on BOTH sides (typed-event contract — pandas groupby
-        # would drop the NaN key the SQL GROUP BY keeps)
-        df = df.dropna(subset=["user_id", "event_type"])
+        # Timestamped-event contract (mirrored in the SQL WHERE): a tumbling
+        # window needs a ts, distinct-user counting needs a user, and NULL
+        # event_type follows the typed-event contract — rows missing any of
+        # the three are excluded on BOTH sides, so no group can consist
+        # solely of NULL members (pandas would drop it, SQL would keep it
+        # with n_users = 0 / a NULL day key).
+        df = df.dropna(subset=["ts", "user_id", "event_type"])
         df = df.assign(day=df["ts"].dt.floor("D"))
         triples = df.drop_duplicates(["day", "event_type", "user_id"])
         out = (
@@ -1107,7 +1110,9 @@ def events_daily_distinct_exact(sf_dir: str) -> "ray.data.Dataset":
 EVENTS_DAILY_DISTINCT_EXACT_SQL = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(DISTINCT user_id) AS n_users
-FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2
 """
 
 register(
@@ -1150,8 +1155,11 @@ def events_decayed_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def decay_partial(batch: pa.Table) -> pa.Table:
-        # NULL ts: oracle epoch_us(NULL) -> NULL, sum skips the term;
-        # NULL event_type: typed-event contract (excluded both sides)
+        # Timestamped-event contract (mirrored in the SQL WHERE): a decay
+        # weight needs a ts, NULL event_type follows the typed-event
+        # contract — rows missing either are excluded on BOTH sides, so a
+        # type whose every ts is NULL yields no row anywhere (without the
+        # WHERE, SQL would keep a (type, NULL) group the engine drops).
         valid = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
         batch = batch.filter(valid)
         ts = (
@@ -1194,7 +1202,7 @@ SELECT event_type,
            (CAST(epoch_us(t.mx) - epoch_us(ts) AS DOUBLE) / 86400000000.0))
            * 1e6 + 0.5) AS BIGINT)
        ) AS BIGINT) AS decayed_e6
-FROM events, t WHERE event_type IS NOT NULL GROUP BY 1
+FROM events, t WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1
 """
 
 register("events_decayed_counts", events_decayed_counts, sql=EVENTS_DECAYED_COUNTS_SQL)

@@ -4038,6 +4038,9 @@ class TestNullEdgeParity:
         add(2, 5, "purchase", 4.0, props="garbage")
         add(3, 6, "signup", None, props="no k here")  # all-miss props group
         add(3, 7, None, 1.0)                          # NULL event_type
+        add(4, 0, "view", 6.0, ts_null=True)          # NULL ts, known type
+        add(5, 0, "refund", 7.0, ts_null=True)        # type whose EVERY ts is NULL
+        add(None, 8, "ghost", 8.0)                    # type whose every user is NULL
         pq.write_table(
             pa.Table.from_pylist(
                 rows,
