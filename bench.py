@@ -757,6 +757,13 @@ def q_hot_window_join(sf_dir: str) -> int:
     return _consume(events_hot_window_join(sf_dir))
 
 
+def q_band_pairs(sf_dir: str) -> int:
+    """Temporal band self-join: same-type pair counts within 10 min."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import events_band_pairs
+
+    return _consume(events_band_pairs(sf_dir))
+
+
 def q_daily_distinct_exact(sf_dir: str) -> int:
     """Exact distinct users per (day, type): one user_id exchange."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
@@ -910,6 +917,7 @@ BENCH_QUERIES = {
     "pack_efficiency": q_pack_efficiency,
     "tool_stats": q_tool_stats,
     "hot_window_join": q_hot_window_join,
+    "band_pairs": q_band_pairs,
     "daily_distinct_exact": q_daily_distinct_exact,
     "edit1_pairs": q_edit1_pairs,
     "event_transitions": q_event_transitions,

@@ -171,3 +171,124 @@ FROM events e JOIN iv
 """
 
 register("events_hot_window_join", events_hot_window_join, sql=EVENTS_HOT_WINDOW_JOIN_SQL)
+
+
+#: band half-width for the temporal self-join, in microseconds (10 minutes)
+BAND_DELTA_US = 600_000_000
+
+
+def events_band_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Temporal band self-join: ordered pairs of same-type events at most
+    ``BAND_DELTA_US`` apart, counted per event_type — the coordinated-burst
+    / near-simultaneous-activity signal, the classic |a.ts − b.ts| ≤ Δ
+    band join that equi-join engines can't express directly.
+
+    Scale shape (bucket + ghost fan-out, never an all-pairs shuffle):
+    rows bucket by ``floor(ts / Δ)``; a qualifying partner of row *a* in
+    bucket k lives in bucket k or k+1 only (Δ = bucket width), so each row
+    additionally ships ONE ghost copy keyed to the previous bucket and a
+    single ``(event_type, bucket)`` hash exchange co-locates every pair at
+    the earlier row's bucket. In-partition the count is O(n log n)
+    searchsorted over the (ts, event_id) lex order — pair COUNTS are exact
+    even when the pair set itself is quadratic, because no pair row is ever
+    materialized. Ghosts never act as the earlier row, so nothing double
+    counts; partials fold over the bounded type enum.
+
+    Timestamped-event contract (mirrored in the SQL): rows missing ts or
+    event_type are excluded on both sides. A hot (type, Δ-bucket) group is
+    bounded by the type's event rate × Δ — the documented partitioning
+    assumption; shrink Δ (or sub-salt the bucket and correct the boundary
+    terms) if a single bucket outgrows a worker.
+    """
+    import pandas as pd
+
+    from .exchange import enum_group_sum, hash_partitioned
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        )
+        ts = (
+            batch["ts"]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        bucket = ts // BAND_DELTA_US
+        etype = batch["event_type"].combine_chunks()
+        eid = batch["event_id"].combine_chunks()
+
+        def keyed(bk: np.ndarray, ghost: bool) -> pa.Table:
+            bkey = pc.binary_join_element_wise(
+                etype.cast(pa.string()),
+                pa.array(bk.astype("U"), type=pa.string()),
+                "|",
+            )
+            return pa.table(
+                {
+                    "bkey": bkey,
+                    "event_type": etype,
+                    "bucket": pa.array(bk, type=pa.int64()),
+                    "ts_us": pa.array(ts, type=pa.int64()),
+                    "event_id": eid,
+                    "ghost": pa.array(
+                        np.full(len(bk), ghost, dtype=bool), type=pa.bool_()
+                    ),
+                }
+            )
+
+        return pa.concat_tables([keyed(bucket, False), keyed(bucket - 1, True)])
+
+    def count_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                }
+            )
+        out: dict[str, int] = {}
+        for (et, _bk), g in df.groupby(["event_type", "bucket"], sort=False):
+            ts = g["ts_us"].to_numpy()
+            eid = g["event_id"].to_numpy()
+            ghost = g["ghost"].to_numpy()
+            order = np.lexsort((eid, ts))
+            ts, ghost = ts[order], ghost[order]
+            native_idx = np.flatnonzero(~ghost)
+            if native_idx.size == 0:
+                continue
+            hi = np.searchsorted(ts, ts[native_idx] + BAND_DELTA_US, side="right")
+            n = int(np.sum(hi - native_idx - 1))
+            if n:
+                out[et] = out.get(et, 0) + n
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(list(out.keys()), dtype="object"),
+                "n_pairs": pd.Series(list(out.values()), dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "ts", "event_type"]
+    ).map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+    partials = hash_partitioned(ds, "bkey", count_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["event_type"], ["n_pairs"])
+    )
+
+
+EVENTS_BAND_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, ts FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT a.event_type, count(*) AS n_pairs
+FROM e a JOIN e b ON a.event_type = b.event_type
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {BAND_DELTA_US}
+GROUP BY 1
+"""
+
+register("events_band_pairs", events_band_pairs, sql=EVENTS_BAND_PAIRS_SQL)

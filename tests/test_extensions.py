@@ -202,6 +202,7 @@ class TestEmptyEvents:
             "events_value_ntile",
             "events_moving_avg",
             "events_hot_window_join",
+            "events_band_pairs",
             "events_daily_distinct_exact",
             "user_event_transitions",
             "user_conversion_lag",
@@ -1648,6 +1649,7 @@ class TestAdversarialEventsParity:
             "events_value_ntile",
             "events_moving_avg",
             "events_hot_window_join",
+            "events_band_pairs",
             "events_daily_distinct_exact",
             "user_event_transitions",
             "user_conversion_lag",
@@ -4068,6 +4070,7 @@ class TestNullEdgeParity:
             "user_event_transitions",
             "user_conversion_lag",
             "events_hot_window_join",
+            "events_band_pairs",
             "events_props_stats",
             "events_decayed_counts",
             "user_event_trigrams",
