@@ -757,6 +757,15 @@ def q_hot_window_join(sf_dir: str) -> int:
     return _consume(events_hot_window_join(sf_dir))
 
 
+def q_heavy_hitters_by_source(sf_dir: str) -> int:
+    """Per-source Misra-Gries candidates + exact recount."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import (
+        docs_heavy_hitters_by_source,
+    )
+
+    return len(docs_heavy_hitters_by_source(sf_dir))
+
+
 def q_band_pairs(sf_dir: str) -> int:
     """Temporal band self-join: same-type pair counts within 10 min."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import events_band_pairs
@@ -855,6 +864,7 @@ BENCH_QUERIES = {
     "version_diff": q_version_diff,
     "top_ngrams": q_top_ngrams,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_by_source": q_heavy_hitters_by_source,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

@@ -134,3 +134,130 @@ SELECT token, n FROM c, tot WHERE n * {HH_K} > n_tot
 """
 
 register("docs_heavy_hitters", docs_heavy_hitters, sql=HEAVY_HITTERS_SQL)
+
+
+def docs_heavy_hitters_by_source(sf_dir: str, k: int = HH_K) -> "pa.Table":
+    """(source, token, n): per-SOURCE heavy hitters — tokens whose exact
+    within-source count clears a 1/k share of that source's tokens (the
+    per-domain boilerplate-term list a mixture curator prunes with).
+
+    Same two-pass mergeable shape as the global op, keyed by the bounded
+    source enum: pass 1 folds one Misra-Gries summary PER (block, source)
+    and the driver merges per source (≤ #sources × 2k counter rows held at
+    any moment); pass 2 recounts the per-source candidate sets exactly
+    under the bounded (source, token) fold. Zero all-to-all exchanges at
+    any corpus size. Enum contract: NULL source is excluded on both sides.
+    """
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["source", "text"]
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["source"])
+        parts = []
+        for src, g in df.groupby("source", sort=False):
+            toks = _tokens(g["text"])
+            total = int(len(toks))
+            vc = _compress(toks.value_counts()) if total else pd.Series(dtype="int64")
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "source": src,
+                        "token": np.append(vc.index.to_numpy(dtype=object), [_TOTAL_KEY]),
+                        "cnt": np.append(vc.to_numpy(dtype=np.int64), [total]),
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "token": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    summaries = ds.map_batches(summarize, batch_format="pandas")
+    merged: dict[str, "pd.Series"] = {}
+    totals: dict[str, int] = {}
+    for b in summaries.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for src, g in b.groupby("source", sort=False):
+            s = g.groupby("token", sort=False)["cnt"].sum()
+            if _TOTAL_KEY in s.index:
+                totals[src] = totals.get(src, 0) + int(s.pop(_TOTAL_KEY))
+            prev = merged.get(src, pd.Series(dtype="int64"))
+            merged[src] = _compress(prev.add(s, fill_value=0).astype("int64"))
+    merged = {src: s for src, s in merged.items() if not s.empty and totals.get(src)}
+    empty = pa.table(
+        {
+            "source": pa.array([], type=pa.string()),
+            "token": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+    if not merged:
+        return empty
+
+    cand_ref = ray.put({src: set(s.index) for src, s in merged.items()})
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        df = df.dropna(subset=["source"])
+        parts = []
+        for src, g in df.groupby("source", sort=False):
+            cs = cands.get(src)
+            if not cs:
+                continue
+            toks = _tokens(g["text"])
+            vc = toks[toks.isin(cs)].value_counts()
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "source": src,
+                        "token": vc.index.to_numpy(dtype=object),
+                        "n": vc.to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "token": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    exact = enum_group_sum(
+        ds.map_batches(recount, batch_format="pandas"), ["source", "token"], ["n"]
+    )
+    thresh = exact["source"].map(totals).astype("int64")
+    out = exact[exact["n"] * k > thresh].reset_index(drop=True)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], type=pa.string()),
+            "token": pa.array(out["token"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+HEAVY_HITTERS_BY_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents WHERE source IS NOT NULL
+),
+tot AS (SELECT source, count(*) AS n_tot FROM toks GROUP BY source),
+c AS (SELECT source, token, count(*) AS n FROM toks GROUP BY source, token)
+SELECT c.source, c.token, c.n
+FROM c JOIN tot ON c.source = tot.source
+WHERE c.n * {HH_K} > tot.n_tot
+"""
+
+register(
+    "docs_heavy_hitters_by_source",
+    docs_heavy_hitters_by_source,
+    sql=HEAVY_HITTERS_BY_SOURCE_SQL,
+)

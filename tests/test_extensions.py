@@ -2051,6 +2051,69 @@ class TestHeavyHitters:
         assert int(out["n"].iloc[0]) == 1000
 
 
+class TestHeavyHittersBySource:
+    """Per-source heavy hitters: oracle parity plus source isolation —
+    a token heavy inside one source but diluted corpus-wide must report
+    under exactly that source."""
+
+    def _write(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                    "source": pa.array([r[0] for r in rows], type=pa.string()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_source_isolation_matches_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import heavy
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # "forum" is dominated by one token; "web" has a long unique tail
+        # that dilutes it corpus-wide; one NULL-source row is excluded by
+        # the enum contract on both sides.
+        rows = [("forum", "spam " * 50)] * 5
+        rows += [("web", f"w{i} x{i} y{i} z{i}") for i in range(200)]
+        rows += [(None, "spam " * 999)]
+        self._write(tmp_path, rows)
+        ours = (
+            heavy.docs_heavy_hitters_by_source(str(tmp_path))
+            .to_pandas()
+            .sort_values(["source", "token"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = (
+            con.execute(ORACLE_SQL["docs_heavy_hitters_by_source"])
+            .df()
+            .sort_values(["source", "token"])
+            .reset_index(drop=True)
+        )
+        assert _value_hash(ours) == _value_hash(gold)
+        assert set(zip(ours["source"], ours["token"])) == {("forum", "spam")}
+        assert int(ours["n"].iloc[0]) == 250
+
+    def test_empty_corpus_yields_typed_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import heavy
+
+        self._write(tmp_path, [])
+        out = heavy.docs_heavy_hitters_by_source(str(tmp_path)).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["source", "token", "n"]
+
+
 class TestInvertedIndex:
     """Term → (df, capped postings) build: oracle parity plus cap semantics."""
 
