@@ -766,6 +766,15 @@ def q_heavy_hitters_by_source(sf_dir: str) -> int:
     return len(docs_heavy_hitters_by_source(sf_dir))
 
 
+def q_session_window_overlap(sf_dir: str) -> int:
+    """Interval-overlap join: user sessions x hot windows."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import (
+        session_window_overlap,
+    )
+
+    return _consume(session_window_overlap(sf_dir))
+
+
 def q_band_pairs(sf_dir: str) -> int:
     """Temporal band self-join: same-type pair counts within 10 min."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import events_band_pairs
@@ -928,6 +937,7 @@ BENCH_QUERIES = {
     "tool_stats": q_tool_stats,
     "hot_window_join": q_hot_window_join,
     "band_pairs": q_band_pairs,
+    "session_window_overlap": q_session_window_overlap,
     "daily_distinct_exact": q_daily_distinct_exact,
     "edit1_pairs": q_edit1_pairs,
     "event_transitions": q_event_transitions,

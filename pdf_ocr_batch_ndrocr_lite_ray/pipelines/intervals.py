@@ -292,3 +292,129 @@ GROUP BY 1
 """
 
 register("events_band_pairs", events_band_pairs, sql=EVENTS_BAND_PAIRS_SQL)
+
+
+def session_window_overlap(sf_dir: str) -> "ray.data.Dataset":
+    """Interval-OVERLAP join: per-user activity sessions (30-min gap rule,
+    closed [first_ts, last_ts]) × derived hot windows (half-open
+    [start, end)) → (window_start, n_sessions) distinct sessions touching
+    each window. Complements ``events_hot_window_join``: that op places
+    POINTS in intervals; this one joins two interval sets on overlap.
+
+    Scale shape: the window side is small and broadcast (sorted disjoint
+    bounds, same ceiling discipline); the session side derives in-partition
+    after ONE user_id hash exchange — each session's overlapping windows
+    are a contiguous [lo, hi) slice of the sorted window list found by two
+    searchsorteds, accumulated with ``np.add.at`` into a bounded per-window
+    count array. Partials fold over the bounded window enum; no session
+    row ever leaves its partition.
+
+    Timestamped contract (mirrored in SQL): sessions need ts AND user_id;
+    rows missing either are excluded on both sides.
+    """
+    import pandas as pd
+
+    from .exchange import hash_partitioned
+
+    starts, ends = _hot_intervals(sf_dir)
+    if len(starts) > MAX_BROADCAST_INTERVALS:
+        raise ValueError(
+            f"session_window_overlap: {len(starts):,} intervals exceeds the "
+            f"broadcast ceiling ({MAX_BROADCAST_INTERVALS:,}) — co-partition "
+            "sessions and windows on a time bucket (replicating windows "
+            "into every bucket they overlap) instead of broadcasting"
+        )
+    empty = pd.DataFrame(
+        {
+            "window_start": pd.Series([], dtype="datetime64[us]"),
+            "n_sessions": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(starts) == 0:
+        return ray.data.from_pandas(empty)
+    ref = ray.put((starts, ends))
+    gap_us = 1_800_000_000  # SESSION_GAP_SEC, kept equal to windows.py's rule
+
+    def overlap_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        # a session's overlapping windows are the contiguous sorted slice
+        # [lo, hi); a difference array + prefix sum turns each session into
+        # two O(1) writes instead of an O(hi-lo) scatter
+        s, e = ray.get(ref)
+        df = df.dropna(subset=["ts", "user_id"])
+        if len(df) == 0:
+            return empty
+        delta = np.zeros(len(s) + 1, dtype=np.int64)
+        for _uid, g in df.groupby("user_id", sort=False):
+            ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+            b = np.flatnonzero(np.diff(ts) > gap_us)
+            s0 = ts[np.concatenate(([0], b + 1))]
+            s1 = ts[np.concatenate((b, [len(ts) - 1]))]
+            lo = np.searchsorted(e, s0, side="right")
+            hi = np.searchsorted(s, s1, side="right")
+            valid = hi > lo
+            np.add.at(delta, lo[valid], 1)
+            np.add.at(delta, hi[valid], -1)
+        counts = np.cumsum(delta[:-1])
+        nz = np.flatnonzero(counts)
+        if nz.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "window_start": pd.Series(
+                    s[nz].astype("datetime64[us]"), dtype="datetime64[us]"
+                ),
+                "n_sessions": pd.Series(counts[nz], dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts"]
+    )
+    partials = hash_partitioned(ds, "user_id", overlap_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["window_start"], ["n_sessions"])
+    )
+
+
+SESSION_WINDOW_OVERLAP_SQL = """
+WITH ht AS (
+  SELECT date_trunc('hour', ts) AS h,
+         SUM(CAST(CASE WHEN value IS NULL THEN 0
+                       WHEN value >= 0 THEN floor(value*1e6 + 0.5)
+                       ELSE -floor(-value*1e6 + 0.5) END AS BIGINT)) AS tot
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+g AS (SELECT SUM(CAST(tot AS HUGEINT)) AS gt, count(*) AS nh FROM ht),
+hot AS (SELECT h FROM ht, g WHERE CAST(tot AS HUGEINT) * nh > gt),
+runs AS (
+  SELECT h,
+         h - to_hours(CAST(row_number() OVER (ORDER BY h) AS BIGINT)) AS grp
+  FROM hot
+),
+iv AS (
+  SELECT min(h) AS window_start, max(h) + INTERVAL 1 HOUR AS window_end
+  FROM runs GROUP BY grp
+),
+se AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1800 SECOND
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM se
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1 FROM tagged GROUP BY 1, 2
+)
+SELECT iv.window_start, count(*) AS n_sessions
+FROM iv JOIN sess ON sess.s0 < iv.window_end AND sess.s1 >= iv.window_start
+GROUP BY 1
+"""
+
+register("session_window_overlap", session_window_overlap, sql=SESSION_WINDOW_OVERLAP_SQL)

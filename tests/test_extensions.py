@@ -203,6 +203,7 @@ class TestEmptyEvents:
             "events_moving_avg",
             "events_hot_window_join",
             "events_band_pairs",
+            "session_window_overlap",
             "events_daily_distinct_exact",
             "user_event_transitions",
             "user_conversion_lag",
@@ -1650,6 +1651,7 @@ class TestAdversarialEventsParity:
             "events_moving_avg",
             "events_hot_window_join",
             "events_band_pairs",
+            "session_window_overlap",
             "events_daily_distinct_exact",
             "user_event_transitions",
             "user_conversion_lag",
@@ -4134,6 +4136,7 @@ class TestNullEdgeParity:
             "user_conversion_lag",
             "events_hot_window_join",
             "events_band_pairs",
+            "session_window_overlap",
             "events_props_stats",
             "events_decayed_counts",
             "user_event_trigrams",
