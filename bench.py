@@ -757,6 +757,15 @@ def q_hot_window_join(sf_dir: str) -> int:
     return _consume(events_hot_window_join(sf_dir))
 
 
+def q_source_similarity_kmv(sf_dir: str) -> int:
+    """Per-source KMV sketches -> pairwise Beyer Jaccard matrix."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+        source_similarity_kmv,
+    )
+
+    return len(source_similarity_kmv(sf_dir))
+
+
 def q_heavy_hitters_by_source(sf_dir: str) -> int:
     """Per-source Misra-Gries candidates + exact recount."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.heavy import (
@@ -874,6 +883,7 @@ BENCH_QUERIES = {
     "top_ngrams": q_top_ngrams,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_by_source": q_heavy_hitters_by_source,
+    "source_similarity_kmv": q_source_similarity_kmv,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

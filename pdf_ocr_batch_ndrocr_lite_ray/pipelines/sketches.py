@@ -1060,3 +1060,109 @@ FROM s
 """
 
 register("events_sliding_distinct_hll", events_sliding_distinct_hll, sql=EVENTS_SLIDING_HLL_SQL)
+
+
+def source_similarity_kmv(sf_dir: str) -> "pd.DataFrame":
+    """(source_a, source_b, rho, jaccard_e6): estimated shingle-set Jaccard
+    similarity between every SOURCE pair — the corpus-mixture overlap
+    heatmap a curator reads before weighting sources.
+
+    One mergeable KMV sketch per source (bounded enum × K uint64s), folded
+    exactly like ``docs_distinct_shingles_kmv``; every pairwise estimate is
+    then pure driver arithmetic on the ≤ #sources sketches via the Beyer
+    et al. intersection rule (rho of the K-min union in both sketches).
+    The sketch VALUE is a deterministic md5 function, so the whole matrix
+    is SQL-oracle-checkable; only its relation to the true Jaccard is
+    approximate (pinned in tests). Zero shuffles; one text-column scan.
+    Enum contract: NULL source excluded both sides; a source whose every
+    document yields zero shingles has an empty sketch and joins no pair
+    (it never enters the SQL k-min relation either).
+    """
+
+    def block_sketch(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["source"])
+        srcs, sketches = [], []
+        for src, g in df.groupby("source", sort=False):
+            smallest = np.empty(0, dtype=np.uint64)
+            for text in g["text"]:
+                doc_hashes = _kmv_hash(sorted(_doc_shingles(text or "")))
+                smallest = kmv_merge(smallest, doc_hashes)
+            if len(smallest):
+                srcs.append(src)
+                sketches.append(smallest.tolist())
+        return pd.DataFrame({"source": pd.Series(srcs, dtype="object"),
+                             "min_hashes": pd.Series(sketches, dtype="object")})
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["source", "text"]
+    ).map_batches(block_sketch, batch_format="pandas")
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for src, mh in zip(b["source"], b["min_hashes"]):
+            merged[src] = kmv_merge(merged.get(src, np.empty(0, dtype=np.uint64)), mh)
+
+    rows_a, rows_b, rows_rho, rows_j = [], [], [], []
+    for sa, sb in ((a, b) for a in sorted(merged) for b in sorted(merged) if a < b):
+        u = kmv_merge(merged[sa], merged[sb])
+        n_u = len(u)
+        rho = int((np.isin(u, merged[sa]) & np.isin(u, merged[sb])).sum())
+        rows_a.append(sa)
+        rows_b.append(sb)
+        rows_rho.append(rho)
+        rows_j.append(int(np.floor(float(rho) * 1e6 / float(n_u) + 0.5)))
+    return pd.DataFrame(
+        {
+            "source_a": pd.Series(rows_a, dtype="object"),
+            "source_b": pd.Series(rows_b, dtype="object"),
+            "rho": pd.Series(rows_rho, dtype="int64"),
+            "jaccard_e6": pd.Series(rows_j, dtype="int64"),
+        }
+    )
+
+
+SOURCE_SIMILARITY_KMV_SQL = f"""
+WITH w AS (
+  SELECT source, regexp_extract_all(text, '\\S+') AS ws
+  FROM documents WHERE source IS NOT NULL
+),
+s AS (
+  SELECT source,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+),
+d AS (SELECT DISTINCT source, sh FROM s),
+h AS (SELECT source, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS hv FROM d),
+r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+k AS (SELECT source, hv FROM r WHERE rn <= {KMV_K}),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM k) a
+  JOIN (SELECT DISTINCT source FROM k) b ON a.source < b.source
+),
+pu AS (
+  SELECT p.sa, p.sb, k.hv FROM pairs p
+  JOIN k ON k.source = p.sa OR k.source = p.sb
+  GROUP BY p.sa, p.sb, k.hv
+),
+ur AS (
+  SELECT sa, sb, hv,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+  FROM pu
+),
+u AS (SELECT sa, sb, hv FROM ur WHERE rn <= {KMV_K}),
+agg AS (SELECT sa, sb, count(*) AS n FROM u GROUP BY 1, 2),
+rh AS (
+  SELECT u.sa, u.sb, count(*) AS rho FROM u
+  WHERE EXISTS (SELECT 1 FROM k WHERE k.source = u.sa AND k.hv = u.hv)
+    AND EXISTS (SELECT 1 FROM k WHERE k.source = u.sb AND k.hv = u.hv)
+  GROUP BY 1, 2
+)
+SELECT agg.sa AS source_a, agg.sb AS source_b,
+       coalesce(rh.rho, 0) AS rho,
+       CAST(round(coalesce(rh.rho, 0) * 1e6 / agg.n, 0) AS BIGINT) AS jaccard_e6
+FROM agg LEFT JOIN rh ON agg.sa = rh.sa AND agg.sb = rh.sb
+"""
+
+register("source_similarity_kmv", source_similarity_kmv, sql=SOURCE_SIMILARITY_KMV_SQL)

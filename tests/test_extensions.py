@@ -4016,6 +4016,64 @@ class TestJoinSizeKmv:
         assert abs(out["intersect_estimate"] - truth) <= max(0.15 * truth, 5)
 
 
+class TestSourceSimilarityKmv:
+    def test_identical_and_disjoint_sources(self, ray_session, tmp_path):
+        """Two sources sharing every shingle estimate Jaccard 1.0; a third
+        with disjoint text estimates 0 against both. NULL source excluded."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            source_similarity_kmv,
+        )
+
+        shared = " ".join(f"tok{i}" for i in range(300))
+        other = " ".join(f"alien{i}" for i in range(300))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), type=pa.int64()),
+                    "source": pa.array(["a", "b", "c", None], type=pa.string()),
+                    "text": pa.array([shared, shared, other, shared]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = source_similarity_kmv(str(tmp_path)).set_index(["source_a", "source_b"])
+        assert set(out.index) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert int(out.loc[("a", "b"), "jaccard_e6"]) == 1_000_000
+        assert int(out.loc[("a", "c"), "jaccard_e6"]) == 0
+        assert int(out.loc[("b", "c"), "rho"]) == 0
+
+    def test_estimate_tracks_true_jaccard(self, ray_session, tmp_path):
+        """A planted 50% shingle overlap estimates within KMV error bounds."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            source_similarity_kmv,
+        )
+
+        # sources share tokens 0..2999 of 0..5999 → Jaccard ≈ (3000-2)/(9000-4)
+        # on trigram shingles ≈ 1/3
+        a = " ".join(f"t{i}" for i in range(6000))
+        b = " ".join(f"t{i}" for i in range(3000)) + " " + " ".join(
+            f"u{i}" for i in range(3000)
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], type=pa.int64()),
+                    "source": pa.array(["a", "b"], type=pa.string()),
+                    "text": pa.array([a, b]),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = source_similarity_kmv(str(tmp_path)).iloc[0]
+        assert abs(out["jaccard_e6"] / 1e6 - 1 / 3) < 0.08
+
+
 class TestBloomSemiJoin:
     def test_bloom_prunes_most_rows_before_exchange(self, ray_session):
         import duckdb
