@@ -757,6 +757,13 @@ def q_hot_window_join(sf_dir: str) -> int:
     return _consume(events_hot_window_join(sf_dir))
 
 
+def q_lineitem_corr(sf_dir: str) -> int:
+    """Exact-moment Pearson correlation per return flag."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import lineitem_corr_by_flag
+
+    return len(lineitem_corr_by_flag(sf_dir))
+
+
 def q_source_similarity_kmv(sf_dir: str) -> int:
     """Per-source KMV sketches -> pairwise Beyer Jaccard matrix."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
@@ -884,6 +891,7 @@ BENCH_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_by_source": q_heavy_hitters_by_source,
     "source_similarity_kmv": q_source_similarity_kmv,
+    "lineitem_corr": q_lineitem_corr,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

@@ -310,3 +310,147 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 register("tpch_q1_pricing", tpch_q1_pricing, sql=TPCH_Q1_SQL)
+
+
+#: per-block row cap for the correlation moment fold: the largest per-row
+#: product (p2² ≤ (1e7)² = 1e14) times this many rows stays under 2^63,
+#: so int64 block partials cannot overflow; the DRIVER fold then runs in
+#: arbitrary-precision Python ints, exact at any corpus size (same
+#: discipline as the Gram fold's overflow pre-check).
+_CORR_BLOCK_ROWS = 50_000
+
+
+def lineitem_corr_by_flag(sf_dir: str) -> "pd.DataFrame":
+    """(l_returnflag, n, corr_e6): exact-moment Pearson correlation of
+    quantity vs extended price per return flag — the distributed
+    five-moment fold (n, Σx, Σy, Σx², Σy², Σxy) every profiler/drift
+    monitor needs, with the correlation itself reproduced bit-for-bit by
+    the SQL oracle.
+
+    Exactness: inputs quantize to e2 fixed point per row (prices carry two
+    decimals); block partials are int64 under the pre-checked row cap; the
+    driver folds Python ints (no overflow at any scale) and the final r is
+    ONE shared IEEE chain — int→double conversions, two correctly-rounded
+    sqrts, one divide — identical in numpy and DuckDB, e6-quantized
+    half-up. Zero-variance groups are excluded on both sides (their r is
+    undefined); the group enum is bounded so partials drive a driver fold,
+    never a shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) > _CORR_BLOCK_ROWS:
+            raise ValueError(
+                f"corr partial got a {len(batch):,}-row block; int64 moment "
+                f"partials are overflow-safe only under {_CORR_BLOCK_ROWS:,} "
+                "rows — lower batch_size on this map_batches"
+            )
+        q2 = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(batch["l_quantity"], pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        p2 = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "sq": pa.array(q2),
+                "sp": pa.array(p2),
+                "sqq": pa.array(q2 * q2),
+                "spp": pa.array(p2 * p2),
+                "sqp": pa.array(q2 * p2),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sp", "sum"),
+             ("sqq", "sum"), ("spp", "sum"), ("sqp", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n", "sq", "sp", "sqq", "spp", "sqp"]
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_CORR_BLOCK_ROWS,
+    )
+
+    import math
+
+    acc: dict[str, list[int]] = {}
+    for b in ds.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            a = acc.setdefault(row.l_returnflag, [0, 0, 0, 0, 0, 0])
+            a[0] += int(row.n)
+            a[1] += int(row.sq)
+            a[2] += int(row.sp)
+            a[3] += int(row.sqq)
+            a[4] += int(row.spp)
+            a[5] += int(row.sqp)
+
+    flags, ns, corrs = [], [], []
+    for flag in sorted(acc):
+        n, sq, sp, sqq, spp, sqp = acc[flag]
+        va = n * sqq - sq * sq
+        vb = n * spp - sp * sp
+        if va <= 0 or vb <= 0:
+            continue  # zero variance: r undefined, excluded both sides
+        num = n * sqp - sq * sp
+        r = float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+        flags.append(flag)
+        ns.append(n)
+        corrs.append(int(np.floor(r * 1e6 + 0.5)))
+    return pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(flags, dtype="object"),
+            "n": pd.Series(ns, dtype="int64"),
+            "corr_e6": pd.Series(corrs, dtype="int64"),
+        }
+    )
+
+
+LINEITEM_CORR_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS q2,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p2
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(CAST(q2 AS HUGEINT)) AS sq, SUM(CAST(p2 AS HUGEINT)) AS sp,
+         SUM(CAST(q2 AS HUGEINT) * q2) AS sqq,
+         SUM(CAST(p2 AS HUGEINT) * p2) AS spp,
+         SUM(CAST(q2 AS HUGEINT) * p2) AS sqp
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CAST(floor(
+         CAST(n * sqp - sq * sp AS DOUBLE)
+         / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+            * sqrt(CAST(n * spp - sp * sp AS DOUBLE)))
+         * 1e6 + 0.5) AS BIGINT) AS corr_e6
+FROM s
+WHERE n * sqq - sq * sq > 0 AND n * spp - sp * sp > 0
+"""
+
+register("lineitem_corr_by_flag", lineitem_corr_by_flag, sql=LINEITEM_CORR_SQL)

@@ -4446,3 +4446,65 @@ class TestNullEdgeRound2:
         b = gold.sort_values("bucket").reset_index(drop=True)
         assert (a["xor_hash"].astype("uint64").to_numpy()
                 == b["xor_hash"].astype("uint64").to_numpy()).all()
+
+
+class TestLineitemCorr:
+    def test_planted_perfect_and_inverse_correlation(self, ray_session, tmp_path):
+        """y = 3x gives corr_e6 exactly 1e6; y = -2x gives -1e6; a
+        zero-variance group is excluded on both sides."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_corr_by_flag,
+        )
+
+        n = 50
+        flags = ["P"] * n + ["M"] * n + ["Z"] * n
+        qty = list(range(1, n + 1)) * 2 + [7.0] * n
+        price = [3.0 * q for q in range(1, n + 1)]
+        price += [-2.0 * q for q in range(1, n + 1)]
+        price += [9.0] * n  # constant in both columns → excluded
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(flags, type=pa.string()),
+                    "l_quantity": pa.array([float(q) for q in qty], type=pa.float64()),
+                    "l_extendedprice": pa.array(price, type=pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        ours = lineitem_corr_by_flag(str(tmp_path)).set_index("l_returnflag")
+        assert set(ours.index) == {"P", "M"}
+        assert int(ours.loc["P", "corr_e6"]) == 1_000_000
+        assert int(ours.loc["M", "corr_e6"]) == -1_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lineitem_corr_by_flag"]).df()
+        assert _value_hash(ours.reset_index()) == _value_hash(gold)
+
+    def test_matches_duckdb_corr_to_quantization(self, ray_session):
+        """On the real table the e6-fixed-point r agrees with DuckDB's own
+        corr() aggregate to the quantization step (the oracle reproduces
+        the engine's exact chain; corr() is the independent floatier twin)."""
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_corr_by_flag,
+        )
+
+        ours = lineitem_corr_by_flag(SF).set_index("l_returnflag")
+        ref = duckdb.connect().execute(
+            f"""
+            SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS r
+            FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1
+            """
+        ).df().set_index("l_returnflag")
+        for flag in ours.index:
+            assert abs(ours.loc[flag, "corr_e6"] / 1e6 - ref.loc[flag, "r"]) < 1e-4
