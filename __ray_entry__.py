@@ -118,10 +118,11 @@ _DRIVER_WINDOW: list[str] = [
     "emb_label_centroids",
     "user_event_trigrams",
     "transcript_partition_checksums",
-    # newly value-oracled this round (rows-only / no_oracle through r04)
-    "media_features",
-    "media_resized_features",
+    # newly value-oracled this round (no_oracle through r04); the two media
+    # golden-table twins rotate out (recorded 140/140 contract MATCH) in
+    # favor of the judge-named events_value_quantiles
     "emb_pca_project",
+    "events_value_quantiles",
     # round-5 session-2 additions (X75-X84) plus the sliding-window HLL
     # (X93), never driver-verdicted — they
     # take the refresh slots; the r03-verdicted fill they displace
@@ -139,13 +140,17 @@ _DRIVER_WINDOW: list[str] = [
     "tool_cooccurrence",
     "user_conversion_lag",
     "events_sliding_distinct_hll",
-    # new this round, never driver-verdicted (take the last refresh slots —
-    # events_winsorized / conversation_plain_texts / events_median_value_by
-    # _type / user_sessions stay covered by tests/test_oracle_parity.py)
-    "docs_quality_report",
-    "dedup_cluster_sizes",
-    "docs_pack_efficiency",
-    "transcript_tool_stats",
+    # round-5 session-5 additions (X94-X98), never driver-verdicted — they
+    # take the last refresh slots; the session-1 audit quartet they displace
+    # (docs_quality_report, dedup_cluster_sizes, docs_pack_efficiency,
+    # transcript_tool_stats — recorded 140/140 contract MATCH) plus the
+    # media golden twins stay value-checked by tests/test_oracle_parity.py
+    # and tools/check_driver_contract.py
+    "events_band_pairs",
+    "docs_heavy_hitters_by_source",
+    "session_window_overlap",
+    "source_similarity_kmv",
+    "lineitem_corr_by_flag",
 ]
 
 
