@@ -757,6 +757,15 @@ def q_hot_window_join(sf_dir: str) -> int:
     return _consume(events_hot_window_join(sf_dir))
 
 
+def q_token_spectrum(sf_dir: str) -> int:
+    """Count-of-counts token frequency spectrum (one token exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+        token_frequency_spectrum,
+    )
+
+    return _consume(token_frequency_spectrum(sf_dir))
+
+
 def q_lineitem_corr(sf_dir: str) -> int:
     """Exact-moment Pearson correlation per return flag."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import lineitem_corr_by_flag
@@ -892,6 +901,7 @@ BENCH_QUERIES = {
     "heavy_hitters_by_source": q_heavy_hitters_by_source,
     "source_similarity_kmv": q_source_similarity_kmv,
     "lineitem_corr": q_lineitem_corr,
+    "token_spectrum": q_token_spectrum,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

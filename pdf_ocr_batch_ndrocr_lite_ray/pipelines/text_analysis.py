@@ -496,3 +496,77 @@ FROM t LEFT JOIN e USING (doc_id)
 """
 
 register("docs_char_entropy", docs_char_entropy, sql=DOCS_CHAR_ENTROPY_SQL)
+
+
+def token_frequency_spectrum(sf_dir: str) -> "ray.data.Dataset":
+    """(bucket, n_tokens): the corpus frequency SPECTRUM — how many
+    distinct tokens occur with count in [2^bucket, 2^{bucket+1}) — the
+    count-of-counts curve a corpus linguist reads for Zipf shape and a
+    dedup engineer reads for boilerplate mass.
+
+    Scale shape: per-block ``value_counts`` collapses duplicates before
+    anything moves; ONE token hash exchange co-locates each token's
+    partial counts, so the in-partition sum IS the exact global count;
+    each partition then folds its tokens into ≤ 64 bucket rows
+    (``frexp`` exponent = exact integer log2 for counts < 2^53) and the
+    bounded bucket fold merges. Exchange volume is (token, cnt) partials —
+    distinct tokens per block, never token instances.
+    """
+    import pandas as pd
+
+    from .dedup import _hash_partitioned
+    from .exchange import enum_group_sum
+    from .heavy import _tokens
+
+    def partial_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = _tokens(df["text"]).value_counts()
+        return pd.DataFrame(
+            {
+                "token": vc.index.to_numpy(dtype=object),
+                "cnt": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    def spectrum_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        totals = df.groupby("token", sort=False)["cnt"].sum().to_numpy()
+        # exact integer log2 via the float64 exponent (counts < 2^53)
+        buckets = np.frexp(totals.astype(np.float64))[1] - 1
+        vb = pd.Series(buckets).value_counts()
+        return pd.DataFrame(
+            {
+                "bucket": vb.index.to_numpy(dtype=np.int64),
+                "n_tokens": vb.to_numpy(dtype=np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["text"]
+    ).map_batches(partial_counts, batch_format="pandas")
+    partials = _hash_partitioned(ds, "token", spectrum_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["bucket"], ["n_tokens"])
+    )
+
+
+TOKEN_FREQUENCY_SPECTRUM_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+       count(*) AS n_tokens
+FROM c GROUP BY 1
+"""
+
+register(
+    "token_frequency_spectrum",
+    token_frequency_spectrum,
+    sql=TOKEN_FREQUENCY_SPECTRUM_SQL,
+)

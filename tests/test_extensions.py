@@ -124,6 +124,7 @@ class TestEmptyCorpus:
             "docs_bloom_gate",
             "docs_count_min",
             "docs_pack_efficiency",
+            "token_frequency_spectrum",
             "dedup_cluster_sizes",
             "docs_quality_report",
         ],
@@ -1531,6 +1532,7 @@ class TestAdversarialCorpusParity:
             "docs_dedup_segments",
             "docs_count_min",
             "docs_pack_efficiency",
+            "token_frequency_spectrum",
         ],
     )
     def test_matches_oracle_on_nasty_corpus(self, ray_session, nasty_dir, name):
@@ -4508,3 +4510,48 @@ class TestLineitemCorr:
         ).df().set_index("l_returnflag")
         for flag in ours.index:
             assert abs(ours.loc[flag, "corr_e6"] / 1e6 - ref.loc[flag, "r"]) < 1e-4
+
+
+class TestTokenFrequencySpectrum:
+    def test_planted_spectrum_exact(self, ray_session, tmp_path):
+        """Tokens planted at counts 1, 2, 3, 4, 8, 1000 land in exactly the
+        right log2 buckets with exact distinct-token counts, across
+        adversarial block splits (each token's instances scattered over
+        many docs)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            token_frequency_spectrum,
+        )
+
+        # counts: a→1, b→2, c→3, d→4, e→8, f→1000; scattered one per doc
+        plan = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 8, "f": 1000}
+        toks = [t for t, n in plan.items() for _ in range(n)]
+        texts = [" ".join(toks[i::37]) for i in range(37)]  # 37 scattered docs
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = (
+            token_frequency_spectrum(str(tmp_path))
+            .to_pandas()
+            .set_index("bucket")["n_tokens"]
+            .to_dict()
+        )
+        # bucket 0: {a}, 1: {b,c}, 2: {d}, 3: {e}, 9: {f: 1000 in [512,1024)}
+        assert out == {0: 1, 1: 2, 2: 1, 3: 1, 9: 1}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["token_frequency_spectrum"]).df()
+        assert {int(r.bucket): int(r.n_tokens) for r in gold.itertuples()} == out
