@@ -757,6 +757,13 @@ def q_hot_window_join(sf_dir: str) -> int:
     return _consume(events_hot_window_join(sf_dir))
 
 
+def q_source_drift_ks(sf_dir: str) -> int:
+    """Pairwise binned-KS drift matrix over per-source length CDFs."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import source_drift_ks
+
+    return len(source_drift_ks(sf_dir))
+
+
 def q_token_spectrum(sf_dir: str) -> int:
     """Count-of-counts token frequency spectrum (one token exchange)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
@@ -902,6 +909,7 @@ BENCH_QUERIES = {
     "source_similarity_kmv": q_source_similarity_kmv,
     "lineitem_corr": q_lineitem_corr,
     "token_spectrum": q_token_spectrum,
+    "source_drift_ks": q_source_drift_ks,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

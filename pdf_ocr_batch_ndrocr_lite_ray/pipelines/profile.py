@@ -223,3 +223,150 @@ register("docs_profile", docs_profile, sql=_profile_sql("documents", PROFILE_COL
 register(
     "events_profile", events_profile, sql=_profile_sql("events", EVENTS_PROFILE_COLUMNS)
 )
+
+
+#: equal-width bins for the source-drift KS statistic
+KS_BINS = 1024
+
+
+def source_drift_ks(sf_dir: str) -> "pd.DataFrame":
+    """(source_a, source_b, ks_e6): two-sample Kolmogorov–Smirnov distance
+    between every source pair's document-length distribution — the
+    distribution-drift monitor a mixture curator alarms on.
+
+    Exact for the BINNED distributions: lengths map to equal-width integer
+    bins (pure int arithmetic, identical in numpy and DuckDB for
+    non-negative values); per-block (source, bin) count partials fold over
+    the bounded #sources × KS_BINS enum, and every pairwise
+    D = max |CDF_a − CDF_b| is driver arithmetic on exact integer counts
+    through one shared IEEE chain (cum/total per bin, difference, max) —
+    bit-equal to the SQL twin. One column-pruned scan plus a min/max
+    pre-pass; nothing shuffles. Contract: rows with NULL source or NULL
+    n_chars are excluded on both sides; the max over the full bin grid
+    equals the max over occupied bins because a step CDF only changes at
+    occupied bins.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    source = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["source", "n_chars"]
+    )
+
+    # min/max pre-pass under the SAME contract filter as the bin pass —
+    # a global extreme on an excluded (NULL-source) row would shift the
+    # bin domain away from the oracle's
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["source"]), pc.is_valid(batch["n_chars"])
+        )
+        n = batch.filter(keep)["n_chars"]
+        mn, mx = pc.min(n).as_py(), pc.max(n).as_py()
+        if mn is None:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([mn], type=pa.int64()),
+                         "hi": pa.array([mx], type=pa.int64())})
+
+    lo_hi = [
+        (int(v_lo), int(v_hi))
+        for b in source.map_batches(
+            mm_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pandas")
+        for v_lo, v_hi in zip(b["lo"], b["hi"])
+    ]
+    lo = min((p[0] for p in lo_hi), default=None)
+    hi = max((p[1] for p in lo_hi), default=None)
+    empty = pd.DataFrame(
+        {
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "ks_e6": pd.Series([], dtype="int64"),
+        }
+    )
+    if lo is None or hi is None:
+        return empty
+    lo, hi = int(lo), int(hi)
+    width = hi - lo + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["source"]), pc.is_valid(batch["n_chars"])
+        )
+        batch = batch.filter(keep)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = (n - lo) * KS_BINS // width
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "bin": pa.array(bins, type=pa.int64()),
+                "n": pa.array(np.ones(len(bins), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["source", "bin"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "bin", "n"])
+
+    counts = enum_group_sum(
+        source.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "bin"],
+        ["n"],
+    )
+    if len(counts) == 0:
+        return empty
+    cdfs: dict[str, np.ndarray] = {}
+    for src, g in counts.groupby("source", sort=True):
+        hist = np.zeros(KS_BINS, dtype=np.int64)
+        hist[g["bin"].to_numpy()] = g["n"].to_numpy()
+        cum = np.cumsum(hist)
+        cdfs[src] = cum.astype(np.float64) / np.float64(cum[-1])
+
+    rows_a, rows_b, rows_ks = [], [], []
+    srcs = sorted(cdfs)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            d = float(np.max(np.abs(cdfs[sa] - cdfs[sb])))
+            rows_a.append(sa)
+            rows_b.append(sb)
+            rows_ks.append(int(np.floor(d * 1e6 + 0.5)))
+    return pd.DataFrame(
+        {
+            "source_a": pd.Series(rows_a, dtype="object"),
+            "source_b": pd.Series(rows_b, dtype="object"),
+            "ks_e6": pd.Series(rows_ks, dtype="int64"),
+        }
+    )
+
+
+SOURCE_DRIFT_KS_SQL = f"""
+WITH m AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+b AS (
+  SELECT source, (n_chars - lo) * {KS_BINS} // (hi - lo + 1) AS bin
+  FROM documents, m WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+c AS (SELECT source, bin, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+grid AS (
+  SELECT s.source, g.bin
+  FROM (SELECT DISTINCT source FROM c) s, (SELECT DISTINCT bin FROM c) g
+),
+f AS (
+  SELECT grid.source, grid.bin, coalesce(c.n, 0) AS n
+  FROM grid LEFT JOIN c ON grid.source = c.source AND grid.bin = c.bin
+),
+cdf AS (
+  SELECT f.source, f.bin,
+         CAST(sum(f.n) OVER (PARTITION BY f.source ORDER BY f.bin) AS DOUBLE)
+         / CAST(t.tot AS DOUBLE) AS p
+  FROM f JOIN t ON f.source = t.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(floor(max(abs(a.p - b.p)) * 1e6 + 0.5) AS BIGINT) AS ks_e6
+FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+register("source_drift_ks", source_drift_ks, sql=SOURCE_DRIFT_KS_SQL)

@@ -4555,3 +4555,44 @@ class TestTokenFrequencySpectrum:
         )
         gold = con.execute(ORACLE_SQL["token_frequency_spectrum"]).df()
         assert {int(r.bucket): int(r.n_tokens) for r in gold.itertuples()} == out
+
+
+class TestSourceDriftKs:
+    def test_planted_drift_and_null_source_extreme(self, ray_session, tmp_path):
+        """Identical distributions give ks_e6 = 0; disjoint ones give 1e6;
+        a NULL-source row holding the global max n_chars must NOT shift the
+        bin domain (the min/max pre-pass applies the same contract filter
+        as the bin pass)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import source_drift_ks
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = [("a", n) for n in range(100, 200)]
+        rows += [("b", n) for n in range(100, 200)]   # identical to a
+        rows += [("c", n) for n in range(5000, 5100)]  # disjoint from both
+        rows += [(None, 10_000_000)]                   # NULL-source extreme
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                    "source": pa.array([r[0] for r in rows], type=pa.string()),
+                    "text": pa.array(["x"] * len(rows)),
+                    "n_chars": pa.array([r[1] for r in rows], type=pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = source_drift_ks(str(tmp_path)).set_index(["source_a", "source_b"])
+        assert int(out.loc[("a", "b"), "ks_e6"]) == 0
+        assert int(out.loc[("a", "c"), "ks_e6"]) == 1_000_000
+        assert int(out.loc[("b", "c"), "ks_e6"]) == 1_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["source_drift_ks"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
