@@ -74,50 +74,109 @@ def _tokens(texts: "pd.Series") -> "pd.Series":
     return texts.fillna("").str.findall(_WORDS_RE).explode().dropna()
 
 
+#: pseudo-group key for the global (un-keyed) heavy-hitters pass
+_GLOBAL = ""
+
+
+def _mg_hitters(sf_dir: str, key, k: int) -> "pd.DataFrame":
+    """THE two-pass Misra-Gries candidates-then-exact-recount core, shared
+    by the global and per-source operators (global = single pseudo-group).
+
+    Pass 1 folds one MG summary per (block, group); the driver merges per
+    group (≤ #groups × 2k counter rows, with ``key=None`` exactly one
+    group). Pass 2 recounts each group's candidate set exactly under the
+    bounded (group, token) fold, and the strict ``n·k > N_group`` filter
+    runs on exact counts. Enum contract for keyed calls: NULL group keys
+    are excluded on both sides. Returns (gkey, token, n).
+    """
+    cols = ["text"] if key is None else [key, "text"]
+    ds = ray.data.read_parquet(table_path(sf_dir, "documents"), columns=cols)
+
+    def groups(df: "pd.DataFrame"):
+        if key is None:
+            yield _GLOBAL, df
+        else:
+            yield from df.dropna(subset=[key]).groupby(key, sort=False)
+
+    def summarize(df: "pd.DataFrame") -> "pd.DataFrame":
+        parts = []
+        for gkey, g in groups(df):
+            toks = _tokens(g["text"])
+            total = int(len(toks))
+            vc = _compress(toks.value_counts()) if total else pd.Series(dtype="int64")
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "gkey": gkey,
+                        "token": np.append(vc.index.to_numpy(dtype=object), [_TOTAL_KEY]),
+                        "cnt": np.append(vc.to_numpy(dtype=np.int64), [total]),
+                    }
+                )
+            )
+        if not parts:
+            return _empty_hitters("cnt")
+        return pd.concat(parts, ignore_index=True)
+
+    merged: dict = {}
+    totals: dict = {}
+    for b in ds.map_batches(summarize, batch_format="pandas").iter_batches(
+        batch_size=65_536, batch_format="pandas"
+    ):
+        for gkey, g in b.groupby("gkey", sort=False):
+            part = g.groupby("token", sort=False)["cnt"].sum()
+            if _TOTAL_KEY in part.index:
+                totals[gkey] = totals.get(gkey, 0) + int(part.pop(_TOTAL_KEY))
+            prev = merged.get(gkey, pd.Series(dtype="int64"))
+            merged[gkey] = _compress(prev.add(part, fill_value=0).astype("int64"))
+    merged = {g: c for g, c in merged.items() if not c.empty and totals.get(g)}
+    if not merged:
+        return _empty_hitters("n")
+
+    cand_ref = ray.put({g: set(c.index) for g, c in merged.items()})
+
+    def recount(df: "pd.DataFrame") -> "pd.DataFrame":
+        cands = ray.get(cand_ref)
+        parts = []
+        for gkey, g in groups(df):
+            cs = cands.get(gkey)
+            if not cs:
+                continue
+            toks = _tokens(g["text"])
+            vc = toks[toks.isin(cs)].value_counts()
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "gkey": gkey,
+                        "token": vc.index.to_numpy(dtype=object),
+                        "n": vc.to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        if not parts:
+            return _empty_hitters("n")
+        return pd.concat(parts, ignore_index=True)
+
+    exact = enum_group_sum(
+        ds.map_batches(recount, batch_format="pandas"), ["gkey", "token"], ["n"]
+    )
+    thresh = exact["gkey"].map(totals).astype("int64")
+    return exact[exact["n"] * k > thresh].reset_index(drop=True)
+
+
+def _empty_hitters(count_col: str) -> "pd.DataFrame":
+    return pd.DataFrame(
+        {
+            "gkey": pd.Series([], dtype="object"),
+            "token": pd.Series([], dtype="object"),
+            count_col: pd.Series([], dtype="int64"),
+        }
+    )
+
+
 def docs_heavy_hitters(sf_dir: str, k: int = HH_K) -> "pa.Table":
     """(token, n): tokens whose EXACT corpus count n satisfies n·k > N
     where N = total whitespace tokens. Two streaming passes, no shuffle."""
-    ds = ray.data.read_parquet(table_path(sf_dir, "documents"), columns=["text"])
-
-    # --- pass 1: per-block Misra-Gries summaries → driver fold -------------
-    def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(df["text"])
-        total = int(len(toks))
-        vc = _compress(toks.value_counts()) if total else pd.Series(dtype="int64")
-        return pd.DataFrame(
-            {
-                "token": np.append(vc.index.to_numpy(dtype=object), [_TOTAL_KEY]),
-                "cnt": np.append(vc.to_numpy(dtype=np.int64), [total]),
-            }
-        )
-
-    summaries = ds.map_batches(summarize, batch_format="pandas")
-    merged = pd.Series(dtype="int64")
-    total = 0
-    for b in summaries.iter_batches(batch_size=65_536, batch_format="pandas"):
-        g = b.groupby("token", sort=False)["cnt"].sum()
-        total += int(g.pop(_TOTAL_KEY)) if _TOTAL_KEY in g.index else 0
-        merged = _compress(merged.add(g, fill_value=0).astype("int64"))
-    if total == 0 or merged.empty:
-        return pa.table({"token": pa.array([], type=pa.string()),
-                         "n": pa.array([], type=pa.int64())})
-
-    # --- pass 2: exact recount of the ≤ 2K candidates ----------------------
-    cand_ref = ray.put(set(merged.index))
-
-    def recount(df: pd.DataFrame) -> pd.DataFrame:
-        cands = ray.get(cand_ref)
-        toks = _tokens(df["text"])
-        vc = toks[toks.isin(cands)].value_counts()
-        return pd.DataFrame(
-            {"token": vc.index.to_numpy(dtype=object),
-             "n": vc.to_numpy(dtype=np.int64)}
-        )
-
-    exact = enum_group_sum(
-        ds.map_batches(recount, batch_format="pandas"), ["token"], ["n"]
-    )
-    out = exact[exact["n"] * k > total].reset_index(drop=True)
+    out = _mg_hitters(sf_dir, None, k)
     return pa.table(
         {"token": pa.array(out["token"], type=pa.string()),
          "n": pa.array(out["n"], type=pa.int64())}
@@ -140,104 +199,12 @@ def docs_heavy_hitters_by_source(sf_dir: str, k: int = HH_K) -> "pa.Table":
     """(source, token, n): per-SOURCE heavy hitters — tokens whose exact
     within-source count clears a 1/k share of that source's tokens (the
     per-domain boilerplate-term list a mixture curator prunes with).
-
-    Same two-pass mergeable shape as the global op, keyed by the bounded
-    source enum: pass 1 folds one Misra-Gries summary PER (block, source)
-    and the driver merges per source (≤ #sources × 2k counter rows held at
-    any moment); pass 2 recounts the per-source candidate sets exactly
-    under the bounded (source, token) fold. Zero all-to-all exchanges at
-    any corpus size. Enum contract: NULL source is excluded on both sides.
-    """
-    ds = ray.data.read_parquet(
-        table_path(sf_dir, "documents"), columns=["source", "text"]
-    )
-
-    def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.dropna(subset=["source"])
-        parts = []
-        for src, g in df.groupby("source", sort=False):
-            toks = _tokens(g["text"])
-            total = int(len(toks))
-            vc = _compress(toks.value_counts()) if total else pd.Series(dtype="int64")
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "source": src,
-                        "token": np.append(vc.index.to_numpy(dtype=object), [_TOTAL_KEY]),
-                        "cnt": np.append(vc.to_numpy(dtype=np.int64), [total]),
-                    }
-                )
-            )
-        if not parts:
-            return pd.DataFrame(
-                {
-                    "source": pd.Series([], dtype="object"),
-                    "token": pd.Series([], dtype="object"),
-                    "cnt": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(parts, ignore_index=True)
-
-    summaries = ds.map_batches(summarize, batch_format="pandas")
-    merged: dict[str, "pd.Series"] = {}
-    totals: dict[str, int] = {}
-    for b in summaries.iter_batches(batch_size=65_536, batch_format="pandas"):
-        for src, g in b.groupby("source", sort=False):
-            s = g.groupby("token", sort=False)["cnt"].sum()
-            if _TOTAL_KEY in s.index:
-                totals[src] = totals.get(src, 0) + int(s.pop(_TOTAL_KEY))
-            prev = merged.get(src, pd.Series(dtype="int64"))
-            merged[src] = _compress(prev.add(s, fill_value=0).astype("int64"))
-    merged = {src: s for src, s in merged.items() if not s.empty and totals.get(src)}
-    empty = pa.table(
-        {
-            "source": pa.array([], type=pa.string()),
-            "token": pa.array([], type=pa.string()),
-            "n": pa.array([], type=pa.int64()),
-        }
-    )
-    if not merged:
-        return empty
-
-    cand_ref = ray.put({src: set(s.index) for src, s in merged.items()})
-
-    def recount(df: pd.DataFrame) -> pd.DataFrame:
-        cands = ray.get(cand_ref)
-        df = df.dropna(subset=["source"])
-        parts = []
-        for src, g in df.groupby("source", sort=False):
-            cs = cands.get(src)
-            if not cs:
-                continue
-            toks = _tokens(g["text"])
-            vc = toks[toks.isin(cs)].value_counts()
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "source": src,
-                        "token": vc.index.to_numpy(dtype=object),
-                        "n": vc.to_numpy(dtype=np.int64),
-                    }
-                )
-            )
-        if not parts:
-            return pd.DataFrame(
-                {
-                    "source": pd.Series([], dtype="object"),
-                    "token": pd.Series([], dtype="object"),
-                    "n": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(parts, ignore_index=True)
-
-    exact = enum_group_sum(
-        ds.map_batches(recount, batch_format="pandas"), ["source", "token"], ["n"]
-    )
-    thresh = exact["source"].map(totals).astype("int64")
-    out = exact[exact["n"] * k > thresh].reset_index(drop=True)
+    Same ``_mg_hitters`` core keyed by the bounded source enum; zero
+    all-to-all exchanges at any corpus size."""
+    out = _mg_hitters(sf_dir, "source", k)
     return pa.table(
         {
-            "source": pa.array(out["source"], type=pa.string()),
+            "source": pa.array(out["gkey"], type=pa.string()),
             "token": pa.array(out["token"], type=pa.string()),
             "n": pa.array(out["n"], type=pa.int64()),
         }

@@ -35,6 +35,7 @@ import ray.data
 
 from .exchange import enum_group_sum
 from .queryset import register, table_path
+from .windows import SESSION_GAP_SEC as _SESSION_GAP_SEC
 
 #: broadcast ceiling for the interval side — far above any real derived
 #: window set (hot hours are time-range-bounded), mirroring the
@@ -146,7 +147,10 @@ def events_hot_window_join(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
-EVENTS_HOT_WINDOW_JOIN_SQL = """
+#: shared hot-window derivation CTE chain (ht → g → hot → runs → iv) —
+#: ONE copy of the hot-hour rule for every oracle that joins against the
+#: derived windows (point-in-interval join, session-overlap join)
+_HOT_WINDOW_CTES = """
 WITH ht AS (
   SELECT date_trunc('hour', ts) AS h,
          SUM(CAST(CASE WHEN value IS NULL THEN 0
@@ -164,7 +168,9 @@ runs AS (
 iv AS (
   SELECT min(h) AS window_start, max(h) + INTERVAL 1 HOUR AS window_end
   FROM runs GROUP BY grp
-)
+)"""
+
+EVENTS_HOT_WINDOW_JOIN_SQL = _HOT_WINDOW_CTES + """
 SELECT e.event_id, iv.window_start, iv.window_end
 FROM events e JOIN iv
   ON e.ts >= iv.window_start AND e.ts < iv.window_end
@@ -333,7 +339,7 @@ def session_window_overlap(sf_dir: str) -> "ray.data.Dataset":
     if len(starts) == 0:
         return ray.data.from_pandas(empty)
     ref = ray.put((starts, ends))
-    gap_us = 1_800_000_000  # SESSION_GAP_SEC, kept equal to windows.py's rule
+    gap_us = _SESSION_GAP_SEC * 1_000_000  # THE session rule, shared with user_sessions
 
     def overlap_partition(df: "pd.DataFrame") -> "pd.DataFrame":
         # a session's overlapping windows are the contiguous sorted slice
@@ -376,29 +382,11 @@ def session_window_overlap(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-SESSION_WINDOW_OVERLAP_SQL = """
-WITH ht AS (
-  SELECT date_trunc('hour', ts) AS h,
-         SUM(CAST(CASE WHEN value IS NULL THEN 0
-                       WHEN value >= 0 THEN floor(value*1e6 + 0.5)
-                       ELSE -floor(-value*1e6 + 0.5) END AS BIGINT)) AS tot
-  FROM events WHERE ts IS NOT NULL GROUP BY 1
-),
-g AS (SELECT SUM(CAST(tot AS HUGEINT)) AS gt, count(*) AS nh FROM ht),
-hot AS (SELECT h FROM ht, g WHERE CAST(tot AS HUGEINT) * nh > gt),
-runs AS (
-  SELECT h,
-         h - to_hours(CAST(row_number() OVER (ORDER BY h) AS BIGINT)) AS grp
-  FROM hot
-),
-iv AS (
-  SELECT min(h) AS window_start, max(h) + INTERVAL 1 HOUR AS window_end
-  FROM runs GROUP BY grp
-),
+SESSION_WINDOW_OVERLAP_SQL = _HOT_WINDOW_CTES + f""",
 se AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 1800 SECOND
+                   > INTERVAL {_SESSION_GAP_SEC} SECOND
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
