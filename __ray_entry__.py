@@ -56,6 +56,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import sequences as _seq  # noqa: F
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import semistruct as _ss  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import integrity as _ri  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import bloomjoin as _bj  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import compaction as _cp  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -76,15 +77,19 @@ def entry() -> Any:
 # queries rotate out of the window — they stay covered by pytest's oracle loop
 # and ``tools/check_driver_contract.py``.
 _DRIVER_WINDOW: list[str] = [
-    # flagship + extraction family (kept in-window every round; the two
-    # r4-green twins extract_fallback_turns / extract_plain_turns_jsonl
-    # cede their slots to the session's last two never-verdicted ops and
-    # stay covered by tests/test_oracle_parity.py + the contract checker)
+    # flagship anchors (the end-to-end extraction hash and the span
+    # boundaries; the four r04-green extraction twins — paged, action
+    # counts, plain turns, kind counts — cede their slots to the four
+    # never-verdicted session-5 ops below and stay value-checked every run
+    # by tests/test_oracle_parity.py + tools/check_driver_contract.py)
     "extract_flagship",
-    "extract_paged",
-    "extract_action_counts",
-    "extract_plain_turns",
-    "extract_kind_counts",
+    # round-5 session-5 additions (X101-X104), never driver-verdicted:
+    # latest-per-key compaction, grouped mode, chi-square independence,
+    # and the reducible non-equi semi-join
+    "events_latest_per_user",
+    "user_modal_event_type",
+    "events_type_hour_chi2",
+    "orders_late_shipment_priority",
     # never driver-verdicted before r05 (registered past entry 50 in r04):
     # the TPC-H trio, the round-4 window family, sketch gates, k-NN graph,
     # flagship span boundaries, the table profiler.

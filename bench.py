@@ -888,6 +888,38 @@ def q_orders_in_segment(sf_dir: str) -> int:
     return _consume(orders_in_segment(sf_dir))
 
 
+
+
+def q_latest_per_user(sf_dir: str) -> int:
+    """Latest-per-key compaction (SCD-1 MERGE result) over the event log."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import events_latest_per_user
+
+    return _consume(events_latest_per_user(sf_dir))
+
+
+def q_modal_event_type(sf_dir: str) -> int:
+    """Exact grouped mode with count-partial pre-aggregation."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import user_modal_event_type
+
+    return _consume(user_modal_event_type(sf_dir))
+
+
+def q_type_hour_chi2(sf_dir: str) -> int:
+    """Chi-square independence of event_type x hour-of-day (enum fold)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import events_type_hour_chi2
+
+    return events_type_hour_chi2(sf_dir).num_rows
+
+
+def q_late_shipment(sf_dir: str) -> int:
+    """Reducible non-equi semi-join (TPC-H Q4 shape) fact-to-fact."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+        orders_late_shipment_priority,
+    )
+
+    return _consume(orders_late_shipment_priority(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_actors": q_extract_actors,
@@ -910,6 +942,10 @@ BENCH_QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "token_spectrum": q_token_spectrum,
     "source_drift_ks": q_source_drift_ks,
+    "latest_per_user": q_latest_per_user,
+    "modal_event_type": q_modal_event_type,
+    "type_hour_chi2": q_type_hour_chi2,
+    "late_shipment": q_late_shipment,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

@@ -1233,3 +1233,112 @@ GROUP BY n.n_name
 """
 
 register("tpch_q5_local_volume", tpch_q5_local_volume, sql=TPCH_Q5_SQL)
+
+
+# --- reducible non-equi semi-join: late-shipment order priorities -----------
+
+#: an order is "late-shipped" when ANY of its line items shipped more than
+#: this many days after the order date (TPC-H Q4's EXISTS shape, adapted to
+#: this schema's columns)
+LATE_SHIP_DAYS = 60
+_LATE_SHIP_US = LATE_SHIP_DAYS * 86_400 * 1_000_000
+
+
+def orders_late_shipment_priority(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderpriority, n_late): orders with at least one line item shipped
+    more than ``LATE_SHIP_DAYS`` after the order date, counted by priority —
+    an EXISTS semi-join whose predicate is an INEQUALITY across the two
+    tables (TPC-H Q4's shape; reference has no joins at all, SURVEY §2.6).
+
+    The non-equi predicate is MONOTONE in the fact column (`exists shipdate
+    > threshold` ⇔ `max(shipdate) > threshold`), so the fact side reduces
+    to one (orderkey, max_shipdate) partial per key per block BEFORE the
+    exchange — the shuffle carries per-key partials, never line items. One
+    co-partition on the order key evaluates the inequality in-partition and
+    emits bounded per-priority count partials; neither side is broadcast,
+    so the plan is fact-to-fact safe at any scale.
+    """
+    from .exchange import hash_partitioned as _hpx
+
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["l_orderkey"].cast(pa.int64()),
+                "ship_max_us": g["l_shipdate_max"].cast(pa.int64()),
+                "odate_us": pa.nulls(n, type=pa.int64()),
+                "prio": pa.nulls(n, type=pa.string()),
+                "is_fact": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"].cast(pa.int64()),
+                "ship_max_us": pa.nulls(n, type=pa.int64()),
+                "odate_us": batch["o_orderdate"].cast(pa.int64()),
+                "prio": batch["o_orderpriority"],
+                "is_fact": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    both = lines.map_batches(
+        line_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def late_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "n_late": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        fact = df[df["is_fact"]]
+        dims = df[~df["is_fact"]]
+        if len(fact) == 0 or len(dims) == 0:
+            return empty
+        smax = fact.groupby("key", sort=False)["ship_max_us"].max()
+        m = dims.merge(smax.rename("smax"), left_on="key", right_index=True, how="inner")
+        late = m[m["smax"].to_numpy(dtype=np.int64)
+                 > m["odate_us"].to_numpy(dtype=np.int64) + _LATE_SHIP_US]
+        g = late.groupby("prio", sort=False).size().rename("n_late").reset_index()
+        g["n_late"] = g["n_late"].astype("int64")
+        return g.rename(columns={"prio": "o_orderpriority"})
+
+    partials = _hpx(both, "key", late_partition)
+    return ray.data.from_pandas(
+        enum_group_sum(partials, ["o_orderpriority"], ["n_late"])
+    )
+
+
+ORDERS_LATE_SHIPMENT_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+)
+GROUP BY 1
+"""
+
+register(
+    "orders_late_shipment_priority",
+    orders_late_shipment_priority,
+    sql=ORDERS_LATE_SHIPMENT_SQL,
+)

@@ -1,0 +1,214 @@
+"""Key-compaction operators: latest-record-per-key and grouped mode.
+
+The reference engine processes each file once and has no notion of a
+mutable keyed stream (SURVEY.md §2); these are the change-data-capture
+shapes a corpus that RECEIVES updates needs — the upsert compaction every
+lakehouse MERGE performs, and the per-entity majority label a curator
+derives from an event log.
+
+- ``events_latest_per_user`` (X101): last-write-wins compaction. One hash
+  exchange on the key co-locates each key's full history; the partition
+  sorts by the total order (``ts``, tie ``event_id``) and keeps the last
+  row per key — the same vectorized in-partition-order idiom as the
+  window family (windows.py), never a global sort. Output is one row per
+  key regardless of history depth, so the exchange is the corpus but the
+  result is the key set. NULL contract matches the SQL window twin:
+  NULL keys form one group; NULL ``ts`` sorts LAST under the descending
+  pick (``NULLS LAST``), so a non-null timestamp always beats a null one
+  and an all-null-ts key falls back to max ``event_id``.
+- ``user_modal_event_type`` (X102): exact grouped mode. Per-block
+  (key, value) count partials shrink the exchange to distinct pairs
+  BEFORE the shuffle (the partial-aggregate discipline); one hash
+  exchange on the key makes in-partition sums the exact global counts,
+  and the argmax applies the SQL tie rule (count DESC, value ASC, NULL
+  value last) in-partition. Nothing reaches the driver.
+
+Scale: both operators move one exchange of (key, payload) rows and hold
+no driver state; outputs are bounded by key cardinality, not history
+length. At 100 TB the compaction IS the workload (that's what MERGE
+does); the mode's pre-aggregation caps the exchange at
+#distinct-(key, value) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .exchange import hash_partitioned as _hash_partitioned
+from .queryset import register, table_path
+
+#: µs sentinel order for NULL timestamps: NaT→int64 min sorts FIRST under
+#: ascending, i.e. LAST under the "latest wins" pick — exactly the SQL
+#: twin's ``ORDER BY ts DESC NULLS LAST``.
+_LATEST_COLUMNS = ["user_id", "ts", "event_id", "event_type", "value"]
+
+
+def _round6(v: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero 1e-6 quantization — the repo-wide DuckDB
+    ``round(x, 6)`` parity expression (windows.py median/winsorize)."""
+    s = v * 1e6
+    return np.sign(s) * np.floor(np.abs(s) + 0.5) / 1e6
+
+
+def _string_array(s: pd.Series) -> pa.Array:
+    """Arrow string array from a pandas column that may carry NaN floats
+    for nulls (an ALL-null string column converts to float64 NaN on some
+    block paths — pa.array would raise 'Expected bytes, got float')."""
+    obj = s.to_numpy(dtype=object)
+    na = pd.isna(obj)
+    if na.any():
+        obj = obj.copy()
+        obj[na] = None
+    return pa.array(obj, type=pa.string())
+
+
+#: output blocks are ARROW (nullable int64), never pandas ``Int64`` — the
+#: Arrow→pandas conversion then matches DuckDB's exactly (int64 when the
+#: column has no nulls, float64+NaN when it does), so the value-hash
+#: contract holds at every scale and on the adversarial NULL fixture.
+_LATEST_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("last_ts_us", pa.int64()),
+        ("last_type", pa.string()),
+        ("last_value", pa.float64()),
+    ]
+)
+
+
+def _latest_partition(df: pd.DataFrame) -> pa.Table:
+    if len(df) == 0:
+        return _LATEST_SCHEMA.empty_table()
+    # NaT → int64 min: ascending sort puts null timestamps first, so
+    # keep='last' picks the max-ts row and never a null-ts row unless the
+    # key has ONLY null timestamps (then max event_id wins the tie).
+    ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    d = df.assign(_ts_us=ts_us).sort_values(
+        ["_ts_us", "event_id"], kind="mergesort"
+    )
+    # pandas duplicated() treats NaN keys as equal — NULL keys form ONE
+    # group, matching the SQL window partition
+    sel = d[~d["user_id"].duplicated(keep="last")]
+    key_na = sel["user_id"].isna().to_numpy()
+    return pa.table(
+        {
+            "user_id": pa.array(
+                np.nan_to_num(sel["user_id"].to_numpy(dtype=np.float64)).astype(
+                    np.int64
+                ),
+                mask=key_na,
+                type=pa.int64(),
+            ),
+            "last_ts_us": pa.array(
+                sel["_ts_us"].to_numpy(),
+                mask=sel["ts"].isna().to_numpy(),
+                type=pa.int64(),
+            ),
+            "last_type": _string_array(sel["event_type"]),
+            "last_value": pa.array(
+                _round6(sel["value"].to_numpy(dtype=np.float64)), type=pa.float64()
+            ),
+        }
+    )
+
+
+def events_latest_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, last_ts_us, last_type, last_value): each key's latest
+    record under the (ts, event_id) total order — the upsert-compaction /
+    SCD-1 MERGE result over the event log."""
+    ds = ray.data.read_parquet(table_path(sf_dir, "events"), columns=_LATEST_COLUMNS)
+    return _hash_partitioned(ds, "user_id", _latest_partition)
+
+
+EVENTS_LATEST_PER_USER_SQL = """
+SELECT user_id, epoch_us(ts) AS last_ts_us, event_type AS last_type,
+       round(CAST(value AS DOUBLE), 6) AS last_value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC
+) = 1
+"""
+
+register("events_latest_per_user", events_latest_per_user, sql=EVENTS_LATEST_PER_USER_SQL)
+
+
+def _mode_count_partial(batch: pa.Table) -> pa.Table:
+    g = (
+        batch.select(["user_id", "event_type"])
+        .group_by(["user_id", "event_type"])
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns(["user_id", "event_type", "n"])
+
+
+_MODE_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("modal_type", pa.string()),
+        ("n_events", pa.int64()),
+    ]
+)
+
+
+def _mode_partition(df: pd.DataFrame) -> pa.Table:
+    if len(df) == 0:
+        return _MODE_SCHEMA.empty_table()
+    # partials from different blocks sum to the exact global count here
+    # because the exchange routed every row of this key to this partition
+    g = (
+        df.groupby(["user_id", "event_type"], sort=False, dropna=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    # SQL tie rule: highest count, then lexicographically smallest type,
+    # NULL type last
+    g = g.sort_values(
+        ["n", "event_type"], ascending=[False, True], na_position="last",
+        kind="mergesort",
+    )
+    sel = g[~g["user_id"].duplicated(keep="first")]
+    key_na = sel["user_id"].isna().to_numpy()
+    return pa.table(
+        {
+            "user_id": pa.array(
+                np.nan_to_num(sel["user_id"].to_numpy(dtype=np.float64)).astype(
+                    np.int64
+                ),
+                mask=key_na,
+                type=pa.int64(),
+            ),
+            "modal_type": _string_array(sel["event_type"]),
+            "n_events": pa.array(sel["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
+def user_modal_event_type(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, modal_type, n_events): each key's most frequent value
+    with the deterministic SQL tie rule (count DESC, value ASC NULLS
+    LAST). Exchange carries distinct (key, value) count partials, not
+    rows."""
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    partials = ds.map_batches(
+        _mode_count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _hash_partitioned(partials, "user_id", _mode_partition)
+
+
+USER_MODAL_EVENT_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS modal_type, n AS n_events FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY n DESC, event_type ASC NULLS LAST
+) = 1
+"""
+
+register("user_modal_event_type", user_modal_event_type, sql=USER_MODAL_EVENT_TYPE_SQL)

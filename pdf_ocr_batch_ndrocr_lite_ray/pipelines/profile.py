@@ -370,3 +370,114 @@ GROUP BY 1, 2
 """
 
 register("source_drift_ks", source_drift_ks, sql=SOURCE_DRIFT_KS_SQL)
+
+
+# --- chi-square independence: event_type × hour-of-day ----------------------
+
+#: fixed-point scale for the chi-square statistic's per-cell terms
+CHI2_SCALE = 1_000_000
+
+
+def events_type_hour_chi2(sf_dir: str) -> "pa.Table":
+    """One-row (chi2_e6, dof, n_obs): Pearson chi-square independence
+    statistic of event_type × hour-of-day — the seasonality/skew monitor a
+    mixture curator alarms on (X103, companion to the KS drift X100).
+
+    Exact under the fixed-point contract: observed counts fold over the
+    bounded #types × 24 enum (one column-pruned scan, no shuffle); each
+    cell's term ((obs − e)² / e, e = row·col/N in float64) is quantized to
+    1e-6 BEFORE the sum, so the total is an ORDER-FREE integer sum —
+    bit-equal to the SQL twin, which quantizes per cell through the same
+    IEEE chain. The grid is observed-marginals × observed-marginals
+    (every present type × every present hour, zero cells included); rows
+    with NULL ts or NULL event_type are excluded on both sides.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        batch = batch.filter(keep)
+        t = pa.table(
+            {
+                "t": batch["event_type"],
+                "h": pc.hour(batch["ts"]).cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["t", "h"]).aggregate([("n", "sum")])
+        return g.rename_columns(["t", "h", "n"])
+
+    counts = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "h"],
+        ["n"],
+    )
+    schema = pa.schema(
+        [("chi2_e6", pa.int64()), ("dof", pa.int64()), ("n_obs", pa.int64())]
+    )
+    if len(counts) == 0:
+        # mirror the SQL twin's empty-input row exactly: aggregates over an
+        # empty cell set are NULL, (count(*)-1)² over empty marginals is 1
+        return pa.table(
+            {
+                "chi2_e6": pa.array([None], type=pa.int64()),
+                "dof": pa.array([1], type=pa.int64()),
+                "n_obs": pa.array([None], type=pa.int64()),
+            },
+            schema=schema,
+        )
+    obs = (
+        counts.pivot_table(index="t", columns="h", values="n", fill_value=0)
+        .to_numpy()
+        .astype(np.float64)
+    )
+    rn = obs.sum(axis=1)  # exact: integer-valued float64 sums
+    cn = obs.sum(axis=0)
+    n = np.float64(obs.sum())
+    # per-cell chain shared with the SQL twin: e = (r*c)/n, term =
+    # ((obs-e)*(obs-e)/e)*1e6, half-up floor — all elementwise float64
+    e = (rn[:, None] * cn[None, :]) / n
+    term = ((obs - e) * (obs - e) / e) * np.float64(CHI2_SCALE)
+    q = np.floor(term + 0.5).astype(np.int64)
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pa.table(
+        {
+            "chi2_e6": pa.array([int(q.sum())], type=pa.int64()),
+            "dof": pa.array([int(dof)], type=pa.int64()),
+            "n_obs": pa.array([int(n)], type=pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+EVENTS_TYPE_HOUR_CHI2_SQL = f"""
+WITH f AS (
+  SELECT event_type AS t, hour(ts) AS h FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (SELECT t, h, count(*) AS n FROM f GROUP BY 1, 2),
+rt AS (SELECT t, sum(n) AS rn FROM c GROUP BY 1),
+ct AS (SELECT h, sum(n) AS cn FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),
+cells AS (
+  SELECT coalesce(c.n, 0) AS obs,
+         (CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE)) / (SELECT n FROM tot) AS e
+  FROM rt CROSS JOIN ct
+  LEFT JOIN c ON rt.t = c.t AND ct.h = c.h
+)
+SELECT
+  CAST(sum(CAST(floor(
+    ((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e) * {CHI2_SCALE} + 0.5
+  ) AS BIGINT)) AS BIGINT) AS chi2_e6,
+  (SELECT (count(*) - 1) FROM rt) * (SELECT (count(*) - 1) FROM ct) AS dof,
+  (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs
+FROM cells
+"""
+
+register("events_type_hour_chi2", events_type_hour_chi2, sql=EVENTS_TYPE_HOUR_CHI2_SQL)

@@ -4200,13 +4200,18 @@ class TestNullEdgeParity:
             "events_props_stats",
             "events_decayed_counts",
             "user_event_trigrams",
+            "events_latest_per_user",
+            "user_modal_event_type",
+            "events_type_hour_chi2",
         ],
     )
     def test_null_edges_match_oracle(self, ray_session, null_events_dir, name):
         import duckdb
 
         from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
+            compaction,
             intervals,
+            profile,
             semistruct,
             sequences,
             windows,
@@ -4596,3 +4601,174 @@ class TestSourceDriftKs:
         )
         gold = con.execute(ORACLE_SQL["source_drift_ks"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestCompactionOps:
+    """X101-X104: latest-per-key compaction, grouped mode, chi-square
+    independence, and the reducible non-equi semi-join."""
+
+    def _events_dir(self, tmp_path, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_latest_picks_max_ts_then_max_event_id(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import (
+            events_latest_per_user,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: later ts wins regardless of event_id order
+            dict(event_id=5, ts=t0, user_id=1, event_type="old", value=1.0, props="{}"),
+            dict(event_id=1, ts=t0.replace(hour=2), user_id=1, event_type="new", value=2.0, props="{}"),
+            # user 2: equal ts -> max event_id wins
+            dict(event_id=7, ts=t0, user_id=2, event_type="lo", value=1.0, props="{}"),
+            dict(event_id=9, ts=t0, user_id=2, event_type="hi", value=2.0, props="{}"),
+            # user 3: all-null ts -> max event_id wins, ts output NULL
+            dict(event_id=3, ts=None, user_id=3, event_type="a", value=1.0, props="{}"),
+            dict(event_id=4, ts=None, user_id=3, event_type="b", value=2.0, props="{}"),
+            # user 4: null ts never beats a non-null one
+            dict(event_id=99, ts=None, user_id=4, event_type="nullts", value=0.0, props="{}"),
+            dict(event_id=1, ts=t0, user_id=4, event_type="real", value=1.0, props="{}"),
+        ]
+        out = (
+            events_latest_per_user(self._events_dir(tmp_path, rows))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert out.loc[1, "last_type"] == "new"
+        assert out.loc[2, "last_type"] == "hi"
+        assert out.loc[3, "last_type"] == "b"
+        assert pd.isna(out.loc[3, "last_ts_us"])
+        assert out.loc[4, "last_type"] == "real"
+
+    def test_modal_tie_breaks_lexicographically(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import (
+            user_modal_event_type,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            dict(event_id=i, ts=t0, user_id=1, event_type=t, value=0.0, props="{}")
+            for i, t in enumerate(["zeta", "zeta", "alpha", "alpha", "mid"])
+        ]
+        out = user_modal_event_type(self._events_dir(tmp_path, rows)).to_pandas()
+        assert out.loc[0, "modal_type"] == "alpha"  # 2-2 tie -> lexicographic min
+        assert int(out.loc[0, "n_events"]) == 2
+
+    def test_chi2_independent_grid_is_zero(self, ray_session, tmp_path):
+        """A perfectly independent type × hour grid has chi2 == 0, and the
+        zero cells of a dependent grid are counted (statistic > 0)."""
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            events_type_hour_chi2,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in (1, 2):
+            for t in ("a", "b"):
+                for _ in range(3):  # equal counts everywhere -> independent
+                    rows.append(
+                        dict(event_id=eid, ts=t0.replace(hour=h), user_id=1,
+                             event_type=t, value=0.0, props="{}")
+                    )
+                    eid += 1
+        out = events_type_hour_chi2(self._events_dir(tmp_path, rows)).to_pandas()
+        assert int(out.loc[0, "chi2_e6"]) == 0
+        assert int(out.loc[0, "dof"]) == 1
+        assert int(out.loc[0, "n_obs"]) == 12
+
+        rows2 = [
+            dict(event_id=0, ts=t0.replace(hour=1), user_id=1, event_type="a",
+                 value=0.0, props="{}"),
+            dict(event_id=1, ts=t0.replace(hour=2), user_id=1, event_type="b",
+                 value=0.0, props="{}"),
+        ]
+        import pathlib
+
+        d2 = tmp_path / "dep"
+        d2.mkdir()
+        out2 = events_type_hour_chi2(self._events_dir(d2, rows2)).to_pandas()
+        assert int(out2.loc[0, "chi2_e6"]) == 2_000_000  # chi2 == n == 2 exact
+
+    def test_late_shipment_reduction_equals_exists(self, ray_session, tmp_path):
+        """max(shipdate) reduction == EXISTS semantics on a handmade case
+        where only ONE of several lines crosses the threshold."""
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            ORDERS_LATE_SHIPMENT_SQL,
+            orders_late_shipment_priority,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+                "o_orderstatus": pa.array(["F", "F", "F"]),
+                "o_totalprice": pa.array([1.0, 1.0, 1.0], type=pa.float64()),
+                "o_orderdate": pa.array([d0, d0, d0], type=pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"]),
+            }
+        )
+        lines = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+                "l_partkey": pa.array([1, 1, 1, 1], type=pa.int64()),
+                "l_suppkey": pa.array([1, 1, 1, 1], type=pa.int64()),
+                "l_linenumber": pa.array([1, 2, 1, 1], type=pa.int32()),
+                "l_quantity": pa.array([1.0] * 4, type=pa.float64()),
+                "l_extendedprice": pa.array([1.0] * 4, type=pa.float64()),
+                "l_discount": pa.array([0.0] * 4, type=pa.float64()),
+                "l_tax": pa.array([0.0] * 4, type=pa.float64()),
+                "l_returnflag": pa.array(["N"] * 4),
+                "l_linestatus": pa.array(["O"] * 4),
+                # order 1: one early + one late line -> late; order 2: exactly
+                # at +60d (NOT strictly greater) -> not late; order 3: early
+                "l_shipdate": pa.array(
+                    [
+                        d0 + dt.timedelta(days=1),
+                        d0 + dt.timedelta(days=61),
+                        d0 + dt.timedelta(days=60),
+                        d0 + dt.timedelta(days=2),
+                    ],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        pq.write_table(lines, tmp_path / "lineitem.parquet")
+        out = orders_late_shipment_priority(str(tmp_path)).to_pandas()
+        assert dict(zip(out["o_orderpriority"], out["n_late"])) == {"1-URGENT": 1}
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORDERS_LATE_SHIPMENT_SQL).df()
+        assert _value_hash(out) == _value_hash(gold)
