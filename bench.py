@@ -920,6 +920,22 @@ def q_late_shipment(sf_dir: str) -> int:
     return _consume(orders_late_shipment_priority(sf_dir))
 
 
+
+
+def q_snapshot_asof(sf_dir: str) -> int:
+    """As-of snapshot reconstruction (pushdown filter + compaction)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import orders_snapshot_asof
+
+    return _consume(orders_snapshot_asof(sf_dir))
+
+
+def q_gini_by_source(sf_dir: str) -> int:
+    """Per-source exact Gini concentration over document lengths."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import docs_gini_by_source
+
+    return _consume(docs_gini_by_source(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_actors": q_extract_actors,
@@ -946,6 +962,8 @@ BENCH_QUERIES = {
     "modal_event_type": q_modal_event_type,
     "type_hour_chi2": q_type_hour_chi2,
     "late_shipment": q_late_shipment,
+    "snapshot_asof": q_snapshot_asof,
+    "gini_by_source": q_gini_by_source,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

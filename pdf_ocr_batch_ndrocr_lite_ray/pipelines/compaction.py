@@ -212,3 +212,78 @@ QUALIFY row_number() OVER (
 """
 
 register("user_modal_event_type", user_modal_event_type, sql=USER_MODAL_EVENT_TYPE_SQL)
+
+
+# --- as-of snapshot reconstruction (X105) ------------------------------------
+
+#: snapshot cutoff: the state "as of" this instant is reconstructed from the
+#: order change log (inclusive — SQL twin uses <=)
+SNAPSHOT_CUTOFF = "1996-12-31"
+_SNAPSHOT_COLUMNS = ["o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+
+_SNAPSHOT_SCHEMA = pa.schema(
+    [
+        ("o_custkey", pa.int64()),
+        ("last_orderdate_us", pa.int64()),
+        ("last_status", pa.string()),
+        ("last_price_e2", pa.int64()),
+    ]
+)
+
+
+def _snapshot_partition(df: pd.DataFrame) -> pa.Table:
+    if len(df) == 0:
+        return _SNAPSHOT_SCHEMA.empty_table()
+    d_us = df["o_orderdate"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    d = df.assign(_d_us=d_us).sort_values(["_d_us", "o_orderkey"], kind="mergesort")
+    sel = d[~d["o_custkey"].duplicated(keep="last")]
+    # money at exact cents: the repo-wide fixed-point price contract
+    cents = sel["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+    cents = (np.sign(cents) * np.floor(np.abs(cents) + 0.5)).astype(np.int64)
+    return pa.table(
+        {
+            "o_custkey": pa.array(
+                sel["o_custkey"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+            "last_orderdate_us": pa.array(sel["_d_us"].to_numpy(), type=pa.int64()),
+            "last_status": _string_array(sel["o_orderstatus"]),
+            "last_price_e2": pa.array(cents, type=pa.int64()),
+        }
+    )
+
+
+def orders_snapshot_asof(sf_dir: str) -> "ray.data.Dataset":
+    """(o_custkey, last_orderdate_us, last_status, last_price_e2): each
+    customer's state reconstructed AS OF ``SNAPSHOT_CUTOFF`` — time-travel
+    over the order change log (X105).
+
+    The same latest-per-key compaction core as X101 with the snapshot
+    predicate pushed INTO the parquet read (``filter=``): row groups whose
+    date statistics exceed the cutoff never leave storage, so the exchange
+    carries only the pre-cutoff slice. At 100 TB the cutoff typically
+    prunes most of the log — the filter-at-read is the operator's scale
+    story, not an optimization detail.
+    """
+    import pyarrow.dataset as pads
+
+    cutoff = np.datetime64(SNAPSHOT_CUTOFF, "us")
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=_SNAPSHOT_COLUMNS,
+        filter=(pads.field("o_orderdate") <= pa.scalar(cutoff.item(), type=pa.timestamp("us")))
+    )
+    return _hash_partitioned(ds, "o_custkey", _snapshot_partition)
+
+
+ORDERS_SNAPSHOT_ASOF_SQL = f"""
+SELECT o_custkey, epoch_us(o_orderdate) AS last_orderdate_us,
+       o_orderstatus AS last_status,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS last_price_e2
+FROM orders
+WHERE o_orderdate <= TIMESTAMP '{SNAPSHOT_CUTOFF}'
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+"""
+
+register("orders_snapshot_asof", orders_snapshot_asof, sql=ORDERS_SNAPSHOT_ASOF_SQL)

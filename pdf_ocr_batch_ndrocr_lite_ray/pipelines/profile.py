@@ -481,3 +481,96 @@ FROM cells
 """
 
 register("events_type_hour_chi2", events_type_hour_chi2, sql=EVENTS_TYPE_HOUR_CHI2_SQL)
+
+
+# --- per-source Gini concentration index (X106) ------------------------------
+
+#: int64 headroom bound for the rank-weighted sum: per source,
+#: S1 = Σ i·x_i ≤ n²·max_x must stay below 2^62 — checked per group, raise
+#: (never silently wrap), mirroring the X98 moment-fold discipline.
+_GINI_S1_BOUND = 1 << 62
+
+
+def docs_gini_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """(source, gini_e6, n, total_chars): exact Gini coefficient of the
+    document-length distribution per source — the inequality /
+    concentration monitor (is one crawl dominated by a few huge pages?).
+
+    Exact integer order statistics: one hash exchange on ``source``
+    co-locates each source's lengths; the partition sorts ascending and
+    folds the two integer moments S0 = Σx and S1 = Σ i·x_i (rank-weighted,
+    invariant to tie order because tied values are equal). Gini =
+    2·S1/(n·S0) − (n+1)/n is then a THREE-step float64 chain shared with
+    the SQL twin and quantized e6 — bit-equal. Rows with NULL source or
+    NULL n_chars are excluded on both sides. Per-group sort is the same
+    per-key order-stat discipline as the window family; nothing reaches
+    the driver.
+    """
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    def gini_partition(df: "pd.DataFrame") -> pa.Table:
+        schema = pa.schema(
+            [
+                ("source", pa.string()),
+                ("gini_e6", pa.int64()),
+                ("n", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        )
+        df = df.dropna(subset=["source", "n_chars"])
+        if len(df) == 0:
+            return schema.empty_table()
+        out_src, out_g, out_n, out_s0 = [], [], [], []
+        for src, g in df.groupby("source", sort=True):
+            x = np.sort(g["n_chars"].to_numpy(dtype=np.int64))
+            n = x.size
+            if n * n * int(x[-1] if n else 0) >= _GINI_S1_BOUND:
+                raise OverflowError(
+                    f"docs_gini_by_source: rank-weighted sum for source "
+                    f"{src!r} (n={n}, max={int(x[-1])}) exceeds int64 headroom"
+                )
+            s0 = int(x.sum())
+            s1 = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+            # shared IEEE chain with the SQL twin: t1 = (2*S1)/(n*S0),
+            # t2 = (n+1)/n, g = t1 - t2, half-up e6
+            t1 = (2.0 * np.float64(s1)) / (np.float64(n) * np.float64(s0))
+            t2 = (np.float64(n) + 1.0) / np.float64(n)
+            out_src.append(src)
+            out_g.append(int(np.floor((t1 - t2) * 1e6 + 0.5)))
+            out_n.append(n)
+            out_s0.append(s0)
+        return pa.table(
+            {
+                "source": pa.array(out_src, type=pa.string()),
+                "gini_e6": pa.array(out_g, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+                "total_chars": pa.array(out_s0, type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["source", "n_chars"]
+    )
+    return _hash_partitioned(ds, "source", gini_partition)
+
+
+DOCS_GINI_BY_SOURCE_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+a AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s0, sum(i * n_chars) AS s1
+  FROM r GROUP BY 1
+)
+SELECT source,
+  CAST(floor((
+    (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+  ) * 1e6 + 0.5) AS BIGINT) AS gini_e6,
+  n, CAST(s0 AS BIGINT) AS total_chars
+FROM a
+"""
+
+register("docs_gini_by_source", docs_gini_by_source, sql=DOCS_GINI_BY_SOURCE_SQL)

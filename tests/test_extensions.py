@@ -4772,3 +4772,81 @@ class TestCompactionOps:
             )
         gold = con.execute(ORDERS_LATE_SHIPMENT_SQL).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestSnapshotAndGini:
+    """X105 as-of snapshot (pushdown + compaction) and X106 per-source Gini."""
+
+    def test_snapshot_keeps_only_pre_cutoff_state(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import (
+            SNAPSHOT_CUTOFF,
+            orders_snapshot_asof,
+        )
+
+        cutoff = dt.datetime.fromisoformat(SNAPSHOT_CUTOFF)
+        pre, post = cutoff - dt.timedelta(days=30), cutoff + dt.timedelta(days=30)
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+                "o_orderstatus": pa.array(["OLD", "NEW", "POST"]),
+                "o_totalprice": pa.array([10.005, 20.0, 30.0], type=pa.float64()),
+                # cust 1: two pre-cutoff orders (latest wins); cust 2: only a
+                # post-cutoff order -> absent from the snapshot entirely
+                "o_orderdate": pa.array(
+                    [pre - dt.timedelta(days=5), pre, post], type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1", "1", "1"]),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        out = orders_snapshot_asof(str(tmp_path)).to_pandas().set_index("o_custkey")
+        assert list(out.index) == [1]
+        assert out.loc[1, "last_status"] == "NEW"
+        assert int(out.loc[1, "last_price_e2"]) == 2000
+
+    def test_gini_known_values_and_null_contract(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            DOCS_GINI_BY_SOURCE_SQL,
+            docs_gini_by_source,
+        )
+
+        rows = (
+            [("equal", 7)] * 4                       # all equal -> gini 0
+            + [("skew", 0), ("skew", 0), ("skew", 10)]  # 2*30/(3*10)-4/3 = 2/3
+            + [("solo", 123)]                         # n=1 -> gini 0
+            + [(None, 50), ("skew", None)]            # excluded on both sides
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+                "text": pa.array(["x"] * len(rows)),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_chars": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (
+            docs_gini_by_source(str(tmp_path)).to_pandas().set_index("source")
+        )
+        assert int(out.loc["equal", "gini_e6"]) == 0
+        assert int(out.loc["skew", "gini_e6"]) == 666_667
+        assert int(out.loc["solo", "gini_e6"]) == 0
+        assert int(out.loc["skew", "n"]) == 3  # NULL n_chars row excluded
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(DOCS_GINI_BY_SOURCE_SQL).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
