@@ -936,6 +936,15 @@ def q_gini_by_source(sf_dir: str) -> int:
     return _consume(docs_gini_by_source(sf_dir))
 
 
+
+
+def q_orders_cube(sf_dir: str) -> int:
+    """Full 2^3 CUBE derived from one finest-grain fold."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import orders_cube
+
+    return _consume(orders_cube(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_actors": q_extract_actors,
@@ -964,6 +973,7 @@ BENCH_QUERIES = {
     "late_shipment": q_late_shipment,
     "snapshot_asof": q_snapshot_asof,
     "gini_by_source": q_gini_by_source,
+    "orders_cube": q_orders_cube,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

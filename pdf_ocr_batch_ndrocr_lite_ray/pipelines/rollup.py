@@ -454,3 +454,80 @@ WHERE n * sqq - sq * sq > 0 AND n * spp - sp * sp > 0
 """
 
 register("lineitem_corr_by_flag", lineitem_corr_by_flag, sql=LINEITEM_CORR_SQL)
+
+
+# --- GROUP BY CUBE(priority, status, year) (X107) ----------------------------
+
+
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderpriority, o_orderstatus, order_year, n_orders, revenue_e2)
+    at ALL 2³ = 8 grouping sets — the full CUBE a BI layer asks for, where
+    ROLLUP (above) walks only the hierarchy prefix chain.
+
+    Same plan shape as the ROLLUP: one pass over the fact table emitting
+    bounded finest-grain integer partials (≤ #priorities × #statuses ×
+    #years cells per block), one driver fold, and every super-aggregate
+    level DERIVED by re-summing the finest level — the 8 grouping sets
+    cost zero extra scans and zero shuffles. ``ROLLUP_ALL`` marks the
+    aggregated-out dimensions (same sentinel contract as the ROLLUP;
+    the year is emitted as VARCHAR so the sentinel shares the column).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        v = price * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "order_year": pc.year(batch["o_orderdate"]).cast(pa.string()),
+                "n_orders": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "revenue_e2": pa.array(cents),
+            }
+        )
+        return t.group_by(
+            ["o_orderpriority", "o_orderstatus", "order_year"]
+        ).aggregate([("n_orders", "sum"), ("revenue_e2", "sum")]).rename_columns(
+            ["o_orderpriority", "o_orderstatus", "order_year", "n_orders", "revenue_e2"]
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderstatus", "o_orderdate", "o_totalprice"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    dims = ["o_orderpriority", "o_orderstatus", "order_year"]
+    vals = ["n_orders", "revenue_e2"]
+    finest = enum_group_sum(ds, dims, vals)
+    frames = []
+    for mask in range(8):
+        keep = [d for i, d in enumerate(dims) if (mask >> i) & 1]
+        if keep:
+            g = finest.groupby(keep, sort=False)[vals].sum().reset_index()
+        else:
+            g = pd.DataFrame({v: [finest[v].sum()] for v in vals})
+        for d in dims:
+            if d not in keep:
+                g[d] = ROLLUP_ALL
+        frames.append(g[dims + vals])
+    out = pd.concat(frames, ignore_index=True)
+    for v in vals:
+        out[v] = out[v].astype("int64")
+    return ray.data.from_pandas(out.sort_values(dims).reset_index(drop=True))
+
+
+ORDERS_CUBE_SQL = f"""
+SELECT coalesce(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
+       coalesce(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), '{ROLLUP_ALL}') AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e2
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus, year(o_orderdate))
+"""
+
+register("orders_cube", orders_cube, sql=ORDERS_CUBE_SQL)

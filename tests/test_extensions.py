@@ -4850,3 +4850,25 @@ class TestSnapshotAndGini:
         )
         gold = con.execute(DOCS_GINI_BY_SOURCE_SQL).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestOrdersCube:
+    def test_cube_has_all_grouping_sets_and_consistent_totals(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            ROLLUP_ALL,
+            orders_cube,
+        )
+
+        out = orders_cube("/root/testdata/sf0.001").to_pandas()
+        dims = ["o_orderpriority", "o_orderstatus", "order_year"]
+        # every one of the 2^3 grouping sets is present
+        masks = {
+            tuple(c == ROLLUP_ALL for c in row)
+            for row in out[dims].itertuples(index=False)
+        }
+        assert len(masks) == 8
+        # the grand total equals the finest level's sum, for both measures
+        grand = out[(out[dims] == ROLLUP_ALL).all(axis=1)]
+        finest = out[(out[dims] != ROLLUP_ALL).all(axis=1)]
+        assert int(grand["n_orders"].iloc[0]) == int(finest["n_orders"].sum())
+        assert int(grand["revenue_e2"].iloc[0]) == int(finest["revenue_e2"].sum())
