@@ -1314,6 +1314,12 @@ def orders_late_shipment_priority(sf_dir: str) -> "ray.data.Dataset":
             return empty
         smax = fact.groupby("key", sort=False)["ship_max_us"].max()
         m = dims.merge(smax.rename("smax"), left_on="key", right_index=True, how="inner")
+        # SQL NULL semantics: a NULL o_orderdate (or a key whose every
+        # shipdate is NULL, so max is NULL) makes the EXISTS predicate
+        # NULL → the order is NOT counted. Drop those rows BEFORE the
+        # int64 cast — casting NaN would silently produce INT64_MIN and
+        # count the order as late.
+        m = m.dropna(subset=["smax", "odate_us"])
         late = m[m["smax"].to_numpy(dtype=np.int64)
                  > m["odate_us"].to_numpy(dtype=np.int64) + _LATE_SHIP_US]
         g = late.groupby("prio", sort=False).size().rename("n_late").reset_index()

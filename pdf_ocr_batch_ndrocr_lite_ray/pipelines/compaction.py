@@ -39,6 +39,7 @@ import pyarrow as pa
 import ray.data
 
 from .exchange import hash_partitioned as _hash_partitioned
+from .exchange import round6 as _round6
 from .queryset import register, table_path
 
 #: µs sentinel order for NULL timestamps: NaT→int64 min sorts FIRST under
@@ -47,11 +48,18 @@ from .queryset import register, table_path
 _LATEST_COLUMNS = ["user_id", "ts", "event_id", "event_type", "value"]
 
 
-def _round6(v: np.ndarray) -> np.ndarray:
-    """Half-away-from-zero 1e-6 quantization — the repo-wide DuckDB
-    ``round(x, 6)`` parity expression (windows.py median/winsorize)."""
-    s = v * 1e6
-    return np.sign(s) * np.floor(np.abs(s) + 0.5) / 1e6
+def _int64_key_array(s: pd.Series) -> pa.Array:
+    """Nullable int64 Arrow array from a pandas key column WITHOUT the
+    unconditional float64 detour: a null-free integer column passes through
+    exactly (keys above 2^53 stay intact). Only a column that actually
+    carries NULLs takes the float path — there pandas has already widened
+    to float64 upstream, so the 2^53 precision bound is inherent to the
+    null representation, not added here."""
+    if s.dtype.kind in "iu":
+        return pa.array(s.to_numpy(dtype=np.int64, copy=False), type=pa.int64())
+    na = s.isna().to_numpy()
+    vals = np.nan_to_num(s.to_numpy(dtype=np.float64)).astype(np.int64)
+    return pa.array(vals, mask=na, type=pa.int64())
 
 
 def _string_array(s: pd.Series) -> pa.Array:
@@ -93,16 +101,9 @@ def _latest_partition(df: pd.DataFrame) -> pa.Table:
     # pandas duplicated() treats NaN keys as equal — NULL keys form ONE
     # group, matching the SQL window partition
     sel = d[~d["user_id"].duplicated(keep="last")]
-    key_na = sel["user_id"].isna().to_numpy()
     return pa.table(
         {
-            "user_id": pa.array(
-                np.nan_to_num(sel["user_id"].to_numpy(dtype=np.float64)).astype(
-                    np.int64
-                ),
-                mask=key_na,
-                type=pa.int64(),
-            ),
+            "user_id": _int64_key_array(sel["user_id"]),
             "last_ts_us": pa.array(
                 sel["_ts_us"].to_numpy(),
                 mask=sel["ts"].isna().to_numpy(),
@@ -171,16 +172,9 @@ def _mode_partition(df: pd.DataFrame) -> pa.Table:
         kind="mergesort",
     )
     sel = g[~g["user_id"].duplicated(keep="first")]
-    key_na = sel["user_id"].isna().to_numpy()
     return pa.table(
         {
-            "user_id": pa.array(
-                np.nan_to_num(sel["user_id"].to_numpy(dtype=np.float64)).astype(
-                    np.int64
-                ),
-                mask=key_na,
-                type=pa.int64(),
-            ),
+            "user_id": _int64_key_array(sel["user_id"]),
             "modal_type": _string_array(sel["event_type"]),
             "n_events": pa.array(sel["n"].to_numpy(dtype=np.int64), type=pa.int64()),
         }
@@ -236,18 +230,20 @@ def _snapshot_partition(df: pd.DataFrame) -> pa.Table:
         return _SNAPSHOT_SCHEMA.empty_table()
     d_us = df["o_orderdate"].to_numpy(dtype="datetime64[us]").astype(np.int64)
     d = df.assign(_d_us=d_us).sort_values(["_d_us", "o_orderkey"], kind="mergesort")
+    # NULL keys form one group (pandas duplicated treats NaN as equal),
+    # same contract as the X101 core; a NULL price stays NULL, never a
+    # garbage NaN→int cast
     sel = d[~d["o_custkey"].duplicated(keep="last")]
-    # money at exact cents: the repo-wide fixed-point price contract
-    cents = sel["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+    price = sel["o_totalprice"].to_numpy(dtype=np.float64)
+    price_na = np.isnan(price)
+    cents = np.nan_to_num(price) * 100.0
     cents = (np.sign(cents) * np.floor(np.abs(cents) + 0.5)).astype(np.int64)
     return pa.table(
         {
-            "o_custkey": pa.array(
-                sel["o_custkey"].to_numpy(dtype=np.int64), type=pa.int64()
-            ),
+            "o_custkey": _int64_key_array(sel["o_custkey"]),
             "last_orderdate_us": pa.array(sel["_d_us"].to_numpy(), type=pa.int64()),
             "last_status": _string_array(sel["o_orderstatus"]),
-            "last_price_e2": pa.array(cents, type=pa.int64()),
+            "last_price_e2": pa.array(cents, mask=price_na, type=pa.int64()),
         }
     )
 

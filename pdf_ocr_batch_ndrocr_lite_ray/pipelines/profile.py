@@ -531,12 +531,17 @@ def docs_gini_by_source(sf_dir: str) -> "ray.data.Dataset":
                 )
             s0 = int(x.sum())
             s1 = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
-            # shared IEEE chain with the SQL twin: t1 = (2*S1)/(n*S0),
-            # t2 = (n+1)/n, g = t1 - t2, half-up e6
-            t1 = (2.0 * np.float64(s1)) / (np.float64(n) * np.float64(s0))
-            t2 = (np.float64(n) + 1.0) / np.float64(n)
             out_src.append(src)
-            out_g.append(int(np.floor((t1 - t2) * 1e6 + 0.5)))
+            if s0 == 0:
+                # all-zero lengths: 0/0 — the SQL twin's NaN chain casts to
+                # a NULL gini; emit NULL, never crash on a NaN→int cast
+                out_g.append(None)
+            else:
+                # shared IEEE chain with the SQL twin: t1 = (2*S1)/(n*S0),
+                # t2 = (n+1)/n, g = t1 - t2, half-up e6
+                t1 = (2.0 * np.float64(s1)) / (np.float64(n) * np.float64(s0))
+                t2 = (np.float64(n) + 1.0) / np.float64(n)
+                out_g.append(int(np.floor((t1 - t2) * 1e6 + 0.5)))
             out_n.append(n)
             out_s0.append(s0)
         return pa.table(

@@ -4872,3 +4872,167 @@ class TestOrdersCube:
         finest = out[(out[dims] != ROLLUP_ALL).all(axis=1)]
         assert int(grand["n_orders"].iloc[0]) == int(finest["n_orders"].sum())
         assert int(grand["revenue_e2"].iloc[0]) == int(finest["revenue_e2"].sum())
+
+
+class TestSession5NullEdges:
+    """Review regressions: X104/X105/X106 NULL- and zero-edge parity with
+    their DuckDB twins (the events-based X101-X103 ride the shared
+    TestNullEdgeParity fixture)."""
+
+    def test_late_shipment_null_dates_match_oracle(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            ORDERS_LATE_SHIPMENT_SQL,
+            orders_late_shipment_priority,
+        )
+
+        d0 = dt.datetime(2024, 1, 1)
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_custkey": pa.array([1, 1, 1], type=pa.int64()),
+                "o_orderstatus": pa.array(["F", "F", "F"]),
+                "o_totalprice": pa.array([1.0, 1.0, 1.0], type=pa.float64()),
+                # order 1 has NULL orderdate (EXISTS predicate NULL -> never
+                # late); order 2's only shipdate is NULL (max NULL -> never
+                # late); order 3 is genuinely late
+                "o_orderdate": pa.array([None, d0, d0], type=pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-LOW"]),
+            }
+        )
+        lines = pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "l_partkey": pa.array([1] * 3, type=pa.int64()),
+                "l_suppkey": pa.array([1] * 3, type=pa.int64()),
+                "l_linenumber": pa.array([1] * 3, type=pa.int32()),
+                "l_quantity": pa.array([1.0] * 3, type=pa.float64()),
+                "l_extendedprice": pa.array([1.0] * 3, type=pa.float64()),
+                "l_discount": pa.array([0.0] * 3, type=pa.float64()),
+                "l_tax": pa.array([0.0] * 3, type=pa.float64()),
+                "l_returnflag": pa.array(["N"] * 3),
+                "l_linestatus": pa.array(["O"] * 3),
+                "l_shipdate": pa.array(
+                    [d0 + dt.timedelta(days=90), None, d0 + dt.timedelta(days=90)],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        pq.write_table(lines, tmp_path / "lineitem.parquet")
+        out = orders_late_shipment_priority(str(tmp_path)).to_pandas()
+        assert dict(zip(out["o_orderpriority"], out["n_late"])) == {"3-LOW": 1}
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORDERS_LATE_SHIPMENT_SQL).df()
+        assert _value_hash(out) == _value_hash(gold)
+
+    def test_snapshot_null_key_price_status_match_oracle(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import (
+            ORDERS_SNAPSHOT_ASOF_SQL,
+            SNAPSHOT_CUTOFF,
+            orders_snapshot_asof,
+        )
+
+        pre = dt.datetime.fromisoformat(SNAPSHOT_CUTOFF) - dt.timedelta(days=10)
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                # two NULL-key rows form ONE group; latest (orderkey 3) wins
+                "o_custkey": pa.array([1, None, None, 1], type=pa.int64()),
+                "o_orderstatus": pa.array(["F", "O", None, "F"]),
+                "o_totalprice": pa.array([10.0, 20.0, None, None], type=pa.float64()),
+                "o_orderdate": pa.array(
+                    [pre, pre, pre + dt.timedelta(days=1), pre + dt.timedelta(days=1)],
+                    type=pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1"] * 4),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        out = orders_snapshot_asof(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORDERS_SNAPSHOT_ASOF_SQL).df()
+        assert len(out) == len(gold) == 2
+        assert _value_hash(out) == _value_hash(gold)
+
+    def test_gini_all_zero_source_is_null_not_crash(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            DOCS_GINI_BY_SOURCE_SQL,
+            docs_gini_by_source,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(["x"] * 4),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["zeros", "zeros", "zeros", "ok"]),
+                "n_chars": pa.array([0, 0, 0, 5], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = docs_gini_by_source(str(tmp_path)).to_pandas()
+        z = out.set_index("source")
+        assert pd.isna(z.loc["zeros", "gini_e6"])  # NULL, not a crash
+        assert int(z.loc["ok", "gini_e6"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(DOCS_GINI_BY_SOURCE_SQL).df()
+        assert _value_hash(out) == _value_hash(gold)
+
+    def test_latest_per_user_big_int64_keys_survive(self, ray_session, tmp_path):
+        """Keys above 2^53 must pass through exactly (no float detour)."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.compaction import (
+            events_latest_per_user,
+        )
+
+        big = (1 << 53) + 1  # not representable in float64
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            {"event_id": 1, "ts": t0, "user_id": big, "event_type": "a",
+             "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": t0, "user_id": big + 2, "event_type": "b",
+             "value": 2.0, "props": "{}"},
+        ]
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "events.parquet")
+        out = events_latest_per_user(str(tmp_path)).to_pandas()
+        assert sorted(out["user_id"].tolist()) == [big, big + 2]

@@ -65,6 +65,12 @@ def gen(src: str, dst: str, copies: int = 10) -> None:
                 col = t[name]
                 if name in keys:
                     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    if arr.null_count:
+                        raise ValueError(
+                            f"{table}.{name}: {arr.null_count} NULL key values — "
+                            "key-offset replication needs non-null keys; drop or "
+                            "fill them in the source before generating replicas"
+                        )
                     v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
                     cols[name] = pa.array(
                         v + np.int64(c * span_for(table, name)), type=pa.int64()
