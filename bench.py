@@ -945,6 +945,15 @@ def q_orders_cube(sf_dir: str) -> int:
     return _consume(orders_cube(sf_dir))
 
 
+
+
+def q_user_type_entropy(sf_dir: str) -> int:
+    """Per-user event-type Shannon entropy (e9 fixed point)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import user_type_entropy
+
+    return _consume(user_type_entropy(sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_actors": q_extract_actors,
@@ -974,6 +983,7 @@ BENCH_QUERIES = {
     "snapshot_asof": q_snapshot_asof,
     "gini_by_source": q_gini_by_source,
     "orders_cube": q_orders_cube,
+    "user_type_entropy": q_user_type_entropy,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

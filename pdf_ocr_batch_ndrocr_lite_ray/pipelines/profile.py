@@ -579,3 +579,95 @@ FROM a
 """
 
 register("docs_gini_by_source", docs_gini_by_source, sql=DOCS_GINI_BY_SOURCE_SQL)
+
+
+# --- per-user event-type entropy (X108) ---------------------------------------
+
+#: fixed-point scale for per-term entropy quantization (nats × 1e9); terms
+#: quantize BEFORE the per-user sum so the total is an order-free integer
+#: sum — same discipline as the chi-square's per-cell e6 contract.
+ENTROPY_SCALE = 1_000_000_000
+
+
+def user_type_entropy(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, entropy_e9, n_events): Shannon entropy (nats, e9 fixed
+    point) of each user's event-type distribution — the behavioral
+    diversity signal (0 for single-type bots, high for organic mixes),
+    the grouped companion of ``docs_char_entropy``.
+
+    Per-block (user, type) count partials collapse duplicates before the
+    shuffle (the X102 pre-aggregation); one hash exchange on the key makes
+    in-partition sums exact global counts; each term −p·ln(p) is computed
+    through the shared libm/IEEE chain and quantized e9 BEFORE the
+    per-user sum, so engine and SQL totals are bit-equal integers. NULL
+    event_type is a category (SQL GROUP BY keeps it); NULL users form one
+    group via the window-partition twin.
+    """
+    from .compaction import _int64_key_array, _mode_count_partial
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    def entropy_partition(df: "pd.DataFrame") -> pa.Table:
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("entropy_e9", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        )
+        if len(df) == 0:
+            return schema.empty_table()
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        tot = g.groupby("user_id", sort=False, dropna=False)["n"].transform("sum")
+        p = g["n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        # shared chain with the SQL twin: ((-p) * ln(p)) * 1e9, half-up floor
+        term = np.floor(((-p) * np.log(p)) * np.float64(ENTROPY_SCALE) + 0.5).astype(
+            np.int64
+        )
+        out = (
+            g.assign(_term=term, _tot=tot)
+            .groupby("user_id", sort=False, dropna=False)
+            .agg(entropy_e9=("_term", "sum"), n_events=("_tot", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": _int64_key_array(out["user_id"]),
+                "entropy_e9": pa.array(
+                    out["entropy_e9"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "n_events": pa.array(
+                    out["n_events"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    partials = ds.map_batches(
+        _mode_count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _hash_partitioned(partials, "user_id", entropy_partition)
+
+
+USER_TYPE_ENTROPY_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n FROM c
+)
+SELECT user_id,
+  CAST(sum(CAST(floor(
+    ((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * {ENTROPY_SCALE} + 0.5
+  ) AS BIGINT)) AS BIGINT) AS entropy_e9,
+  CAST(max(n) AS BIGINT) AS n_events
+FROM w GROUP BY user_id
+"""
+
+register("user_type_entropy", user_type_entropy, sql=USER_TYPE_ENTROPY_SQL)

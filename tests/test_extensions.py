@@ -4203,6 +4203,7 @@ class TestNullEdgeParity:
             "events_latest_per_user",
             "user_modal_event_type",
             "events_type_hour_chi2",
+            "user_type_entropy",
         ],
     )
     def test_null_edges_match_oracle(self, ray_session, null_events_dir, name):
