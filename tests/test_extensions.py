@@ -5037,3 +5037,77 @@ class TestSession5NullEdges:
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "events.parquet")
         out = events_latest_per_user(str(tmp_path)).to_pandas()
         assert sorted(out["user_id"].tolist()) == [big, big + 2]
+
+
+class TestCompactionFuzz:
+    """Randomized engine-vs-DuckDB parity for the compaction family: random
+    small event tables with NULL keys/ts/types/values and heavy ties must
+    hash-match the registered oracles on every draw (the tie rules and NULL
+    orders are exactly where hand-built fixtures under-cover)."""
+
+    @pytest.mark.parametrize("seed", [3, 17, 41, 97, 211])
+    def test_random_tables_match_oracles(self, ray_session, tmp_path, seed):
+        import datetime as dt
+
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import (  # noqa: F401
+            compaction,
+            profile,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20, 120))
+        base = dt.datetime(2024, 1, 1)
+        # few users and types, coarse timestamps -> dense tie structure
+        users = rng.integers(0, 6, size=n).astype(object)
+        users[rng.random(n) < 0.15] = None
+        hours = rng.integers(0, 8, size=n)
+        ts = np.array([base + dt.timedelta(hours=int(h)) for h in hours], dtype=object)
+        ts[rng.random(n) < 0.15] = None
+        types = rng.choice(["a", "b", "c"], size=n).astype(object)
+        types[rng.random(n) < 0.15] = None
+        vals = np.round(rng.normal(0, 3, size=n), 3).astype(object)
+        vals[rng.random(n) < 0.15] = None
+        rows = [
+            {
+                "event_id": i,
+                "ts": ts[i],
+                "user_id": None if users[i] is None else int(users[i]),
+                "event_type": types[i],
+                "value": None if vals[i] is None else float(vals[i]),
+                "props": "{}",
+            }
+            for i in range(n)
+        ]
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), d / "events.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        for name in (
+            "events_latest_per_user",
+            "user_modal_event_type",
+            "user_type_entropy",
+            "events_type_hour_chi2",
+        ):
+            ours = queryset.QUERIES[name](str(d)).to_pandas()
+            gold = con.execute(queryset.ORACLE_SQL[name]).df()
+            assert len(ours) == len(gold), f"{name} seed={seed}"
+            assert _value_hash(ours) == _value_hash(gold), f"{name} seed={seed}"
