@@ -38,40 +38,17 @@ import pyarrow as pa
 
 import ray.data
 
+from .exchange import half_up_int64 as _half_up_int64
 from .exchange import hash_partitioned as _hash_partitioned
+from .exchange import int64_out as _int64_key_array
 from .exchange import round6 as _round6
+from .exchange import string_out as _string_array
 from .queryset import register, table_path
 
 #: µs sentinel order for NULL timestamps: NaT→int64 min sorts FIRST under
 #: ascending, i.e. LAST under the "latest wins" pick — exactly the SQL
 #: twin's ``ORDER BY ts DESC NULLS LAST``.
 _LATEST_COLUMNS = ["user_id", "ts", "event_id", "event_type", "value"]
-
-
-def _int64_key_array(s: pd.Series) -> pa.Array:
-    """Nullable int64 Arrow array from a pandas key column WITHOUT the
-    unconditional float64 detour: a null-free integer column passes through
-    exactly (keys above 2^53 stay intact). Only a column that actually
-    carries NULLs takes the float path — there pandas has already widened
-    to float64 upstream, so the 2^53 precision bound is inherent to the
-    null representation, not added here."""
-    if s.dtype.kind in "iu":
-        return pa.array(s.to_numpy(dtype=np.int64, copy=False), type=pa.int64())
-    na = s.isna().to_numpy()
-    vals = np.nan_to_num(s.to_numpy(dtype=np.float64)).astype(np.int64)
-    return pa.array(vals, mask=na, type=pa.int64())
-
-
-def _string_array(s: pd.Series) -> pa.Array:
-    """Arrow string array from a pandas column that may carry NaN floats
-    for nulls (an ALL-null string column converts to float64 NaN on some
-    block paths — pa.array would raise 'Expected bytes, got float')."""
-    obj = s.to_numpy(dtype=object)
-    na = pd.isna(obj)
-    if na.any():
-        obj = obj.copy()
-        obj[na] = None
-    return pa.array(obj, type=pa.string())
 
 
 #: output blocks are ARROW (nullable int64), never pandas ``Int64`` — the
@@ -236,8 +213,7 @@ def _snapshot_partition(df: pd.DataFrame) -> pa.Table:
     sel = d[~d["o_custkey"].duplicated(keep="last")]
     price = sel["o_totalprice"].to_numpy(dtype=np.float64)
     price_na = np.isnan(price)
-    cents = np.nan_to_num(price) * 100.0
-    cents = (np.sign(cents) * np.floor(np.abs(cents) + 0.5)).astype(np.int64)
+    cents = _half_up_int64(np.nan_to_num(price) * 100.0)
     return pa.table(
         {
             "o_custkey": _int64_key_array(sel["o_custkey"]),

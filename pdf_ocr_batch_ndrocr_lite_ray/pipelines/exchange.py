@@ -256,6 +256,50 @@ def driver_topk_fold(ds: "ray.data.Dataset", by: list, ascending: list, k: int):
     return best
 
 
+def half_up_int64(v):
+    """Half-away-from-zero integer quantization of a pre-scaled float array
+    (the cents/e6/e9 fixed-point contracts' final step — DuckDB
+    ``CAST(round(x) AS BIGINT)`` parity; numpy's own round is half-even)."""
+    import numpy as np
+
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
+def int64_out(s):
+    """Nullable int64 Arrow OUTPUT column from a pandas key/value series.
+
+    The Arrow→pandas conversion of the result then matches DuckDB's
+    ``.df()`` exactly (int64 when null-free, float64+NaN when not), so the
+    value-hash contract holds at every scale and on NULL fixtures. A
+    null-free integer column passes through exactly — keys above 2^53 stay
+    intact; only a column that actually carries NULLs takes the float64
+    path, where pandas has already widened upstream.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if s.dtype.kind in "iu":
+        return pa.array(s.to_numpy(dtype=np.int64, copy=False), type=pa.int64())
+    na = s.isna().to_numpy()
+    vals = np.nan_to_num(s.to_numpy(dtype=np.float64)).astype(np.int64)
+    return pa.array(vals, mask=na, type=pa.int64())
+
+
+def string_out(s):
+    """Arrow string OUTPUT column from a pandas series that may carry NaN
+    floats for nulls (an ALL-null string column converts to float64 NaN on
+    some block paths — pa.array would raise 'Expected bytes, got float')."""
+    import pandas as pd
+    import pyarrow as pa
+
+    obj = s.to_numpy(dtype=object)
+    na = pd.isna(obj)
+    if na.any():
+        obj = obj.copy()
+        obj[na] = None
+    return pa.array(obj, type=pa.string())
+
+
 def round6(v):
     """Half-away-from-zero rounding to 6 decimals — matches DuckDB
     ``round(x, 6)`` (numpy's own round is half-even). THE one copy of the

@@ -603,8 +603,9 @@ def user_type_entropy(sf_dir: str) -> "ray.data.Dataset":
     event_type is a category (SQL GROUP BY keeps it); NULL users form one
     group via the window-partition twin.
     """
-    from .compaction import _int64_key_array, _mode_count_partial
+    from .compaction import _mode_count_partial
     from .exchange import hash_partitioned as _hash_partitioned
+    from .exchange import int64_out as _int64_key_array
 
     def entropy_partition(df: "pd.DataFrame") -> pa.Table:
         schema = pa.schema(

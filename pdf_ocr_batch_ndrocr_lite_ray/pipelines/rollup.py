@@ -476,9 +476,10 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from .exchange import half_up_int64
+
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-        v = price * 100.0
-        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        cents = half_up_int64(price * 100.0)
         t = pa.table(
             {
                 "o_orderpriority": batch["o_orderpriority"],

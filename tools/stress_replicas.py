@@ -52,8 +52,13 @@ def gen(src: str, dst: str, copies: int = 10) -> None:
         key = f"{st}.{sc}"
         if key not in spans:
             v = pq.read_table(f"{src}/{st}.parquet", columns=[sc])[sc]
-            spans[key] = int(v.combine_chunks().cast(pa.int64()).to_numpy(
-                zero_copy_only=False).max()) + 1 if len(v) else 1
+            if len(v):
+                vmax = v.combine_chunks().cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ).max()
+                spans[key] = int(vmax) + 1
+            else:
+                spans[key] = 1
         return spans[key]
 
     for table, keys in _OFFSET_KEYS.items():
