@@ -166,7 +166,10 @@ def normalize_text_sql(col: str, iters: int = _NORM_SQL_ITERS) -> str:
 
 
 def _plain_turns_cte(
-    path: str, turn_filter: str | None = None, reader: str = "read_parquet"
+    path: str,
+    turn_filter: str | None = None,
+    reader: str = "read_parquet",
+    source_sql: str | None = None,
 ) -> str:
     """CTE chain computing the plain-path extraction over a transcript file.
 
@@ -177,8 +180,9 @@ def _plain_turns_cte(
     the same chain also oracles the NDJSON source (``read_json_auto``).
     """
     turn_filter = turn_filter or f"{SNIFF_CASE_SQL} = 'plain'"
+    source_sql = source_sql or f"{reader}('{path}')"
     return f"""
-WITH t AS (SELECT conv_id, turn_idx, text FROM {reader}('{path}')),
+WITH t AS (SELECT conv_id, turn_idx, text FROM {source_sql}),
 p AS (SELECT conv_id, turn_idx, text, substr(text, 1, {SNIFF_PREFIX_BYTES}) AS pre FROM t),
 plain AS (SELECT conv_id, turn_idx, text FROM p WHERE {turn_filter}),
 sl AS (SELECT conv_id, turn_idx, text,
@@ -299,6 +303,56 @@ _ORACLE_TRANSCRIPTS_JSONL = _jsonl_path_for_sf("/root/testdata/sf0.01")
 
 EXTRACT_PLAIN_TURNS_JSONL_SQL = (
     _plain_turns_cte(_ORACLE_TRANSCRIPTS_JSONL, reader="read_json_auto")
+    + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
+)
+
+def q_extract_plain_turns_csv(sf_dir: str):
+    """Plain-path extraction over the CSV twin of the transcript table.
+
+    The third source format (after parquet and NDJSON): ``ray.data.read_csv``
+    with quoted-newline parsing replaces the parquet read; the sniffer,
+    kernels, and output schema are byte-identical. The oracle runs the same
+    CTE chain over DuckDB's ``read_csv`` with explicit column types and
+    ``allow_quoted_nulls=false`` so quoted empty strings stay empty strings
+    on both engines.
+    """
+    from pyarrow import csv as pacsv
+
+    from .extraction import build_extraction
+    from .queryset import csv_transcripts_for_sf
+
+    path = csv_transcripts_for_sf(sf_dir)
+    ds = ray.data.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            include_columns=["conv_id", "turn_idx", "text"],
+            column_types={
+                "conv_id": pa.string(),
+                "turn_idx": pa.int32(),
+                "text": pa.string(),
+            },
+        ),
+    )
+    return build_extraction(ds).map_batches(_plain_filter, batch_format="pyarrow")
+
+
+def _csv_source_sql(path: str) -> str:
+    cols = (
+        "{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER', 'role': 'VARCHAR', "
+        "'text': 'VARCHAR', 'tool': 'VARCHAR', 'ts': 'VARCHAR'}"
+    )
+    return (
+        f"read_csv('{path}', header=true, allow_quoted_nulls=false, "
+        f"columns={cols})"
+    )
+
+
+from .queryset import csv_transcripts_path_for_sf as _csv_path_for_sf
+
+_ORACLE_TRANSCRIPTS_CSV = _csv_path_for_sf("/root/testdata/sf0.01")
+EXTRACT_PLAIN_TURNS_CSV_SQL = (
+    _plain_turns_cte("", source_sql=_csv_source_sql(_ORACLE_TRANSCRIPTS_CSV))
     + "\nSELECT conv_id, turn_idx, extracted_text, action FROM plain_turns"
 )
 
@@ -624,6 +678,13 @@ register(
     sql=EXTRACT_PLAIN_TURNS_JSONL_SQL,
 )
 MATERIALIZERS.append(_jsonl_for_sf)
+register(
+    "extract_plain_turns_csv",
+    q_extract_plain_turns_csv,
+    sql=EXTRACT_PLAIN_TURNS_CSV_SQL,
+)
+from .queryset import csv_transcripts_for_sf as _csv_for_sf
+MATERIALIZERS.append(_csv_for_sf)
 register(
     "extract_plain_action_counts",
     q_extract_plain_action_counts,

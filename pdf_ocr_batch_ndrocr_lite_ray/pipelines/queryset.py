@@ -136,7 +136,33 @@ def jsonl_transcripts_for_sf(sf_dir: str) -> str:
     return str(path)
 
 
+def csv_transcripts_path_for_sf(sf_dir: str) -> str:
+    """Deterministic CSV twin of the transcript cache (pure path math)."""
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    return str(
+        _CACHE_DIR
+        / f"transcripts-{name}-c{n_convs}-s{_SYNTH_SEED}-v{_SYNTH_VERSION}.csv"
+    )
+
+
+def csv_transcripts_for_sf(sf_dir: str) -> str:
+    """Materialize the CSV transcript twin for a scale dir (cached)."""
+    from ..sources.transcripts import write_transcript_csv
+
+    name = Path(sf_dir).name or "sf0.001"
+    n_convs = _SF_CONVS.get(name, 40)
+    path = Path(csv_transcripts_path_for_sf(sf_dir))
+    if not path.exists():
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.csv")
+        write_transcript_csv(tmp, n_convs=n_convs, seed=_SYNTH_SEED)
+        tmp.replace(path)
+    return str(path)
+
+
 SF_PATH_HELPERS.append(transcripts_path_for_sf)
+SF_PATH_HELPERS.append(csv_transcripts_path_for_sf)
 SF_PATH_HELPERS.append(jsonl_transcripts_path_for_sf)
 
 

@@ -378,6 +378,37 @@ def write_transcript_jsonl(
     return len(rows)
 
 
+def write_transcript_csv(
+    path: str | Path,
+    n_convs: int,
+    seed: int,
+    first_conv: int = 0,
+) -> int:
+    """Write the same deterministic rows as CSV (QUOTE_ALL, header row).
+
+    Byte-for-byte the same payloads as the parquet writer — only the
+    container differs (``ts`` ISO-8601, every field quoted so empty strings
+    survive both parsers as empty strings, payload newlines/commas ride
+    inside quotes). Proves the third source format: ``ray.data.read_csv``
+    over this file must extract identically to the parquet and NDJSON
+    twins.
+    """
+    import csv
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rows = generate_rows(n_convs, seed, first_conv)
+    fields = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, quoting=csv.QUOTE_ALL)
+        w.writeheader()
+        for r in rows:
+            rec = dict(r)
+            rec["ts"] = rec["ts"].isoformat()
+            w.writerow(rec)
+    return len(rows)
+
+
 def write_transcripts(
     path: str | Path,
     n_convs: int,
