@@ -954,6 +954,31 @@ def q_user_type_entropy(sf_dir: str) -> int:
     return _consume(user_type_entropy(sf_dir))
 
 
+
+
+def q_weighted_median(sf_dir: str) -> int:
+    """Quantity-weighted median price per flag (distinct-price exchange)."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import lineitem_weighted_median
+
+    return _consume(lineitem_weighted_median(sf_dir))
+
+
+def q_lexical_diversity(sf_dir: str) -> int:
+    """Per-source type-token ratio via one token-partitioned exchange."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+        source_lexical_diversity,
+    )
+
+    return len(source_lexical_diversity(sf_dir))
+
+
+def q_extract_plain_csv(sf_dir: str) -> int:
+    """Plain-path extraction over the CSV transcript twin."""
+    from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import QUERIES
+
+    return _consume(QUERIES["extract_plain_turns_csv"](sf_dir))
+
+
 BENCH_QUERIES = {
     "extract": q_extract,
     "extract_actors": q_extract_actors,
@@ -984,6 +1009,9 @@ BENCH_QUERIES = {
     "gini_by_source": q_gini_by_source,
     "orders_cube": q_orders_cube,
     "user_type_entropy": q_user_type_entropy,
+    "weighted_median": q_weighted_median,
+    "lexical_diversity": q_lexical_diversity,
+    "extract_plain_csv": q_extract_plain_csv,
     "inverted_index": q_inverted_index,
     "importance_resample": q_importance_resample,
     "temperature_mixture": q_temperature_mixture,

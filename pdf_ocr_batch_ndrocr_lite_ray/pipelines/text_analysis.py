@@ -570,3 +570,118 @@ register(
     token_frequency_spectrum,
     sql=TOKEN_FREQUENCY_SPECTRUM_SQL,
 )
+
+
+# --- per-source lexical diversity: type-token ratio (X111) --------------------
+
+
+def source_lexical_diversity(sf_dir: str) -> "pd.DataFrame":
+    """(source, distinct_tokens, total_tokens, ttr_e6): exact type-token
+    ratio per source — the lexical-diversity signal that separates
+    template/boilerplate farms (few types, many tokens) from organic text.
+
+    One read, one exchange: per-block (source, token, n) count partials
+    collapse duplicates first; hash-partitioning on the TOKEN makes the
+    in-partition (source, token) groupby a GLOBAL dedup (every copy of a
+    token lands together) while spreading load across partitions instead
+    of hot-spotting one partition per source; each partition then emits
+    ≤ #sources bounded partials (distinct-count, token-total) and the
+    driver folds and takes the ratio through the shared e6 chain. Rows
+    with NULL source are excluded on both sides; a source whose docs have
+    no tokens never appears (no token rows — same on both engines).
+    """
+    import pandas as pd
+
+    from .exchange import enum_group_sum
+    from .exchange import hash_partitioned as _hash_partitioned
+    from .heavy import _tokens
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.dropna(subset=["source"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "token": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        toks = _tokens(df["text"])
+        src = df["source"].reindex(toks.index)
+        g = (
+            pd.DataFrame({"source": src.to_numpy(), "token": toks.to_numpy()})
+            .groupby(["source", "token"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def fold_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "d": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        # all copies of a token are in this partition: the (source, token)
+        # group IS the global pair, its sum the global count
+        g = df.groupby(["source", "token"], sort=False)["n"].sum().reset_index()
+        out = (
+            g.groupby("source", sort=False)
+            .agg(d=("token", "size"), t=("n", "sum"))
+            .reset_index()
+        )
+        out["d"] = out["d"].astype("int64")
+        out["t"] = out["t"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["source", "text"]
+    ).map_batches(partial, batch_format="pandas")
+    partials = _hash_partitioned(ds, "token", fold_partition)
+    folded = enum_group_sum(partials, ["source"], ["d", "t"])
+    if len(folded) == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "distinct_tokens": pd.Series([], dtype="int64"),
+                "total_tokens": pd.Series([], dtype="int64"),
+                "ttr_e6": pd.Series([], dtype="int64"),
+            }
+        )
+    d = folded["d"].to_numpy(dtype=np.int64)
+    t = folded["t"].to_numpy(dtype=np.int64)
+    ratio = d.astype(np.float64) / t.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "source": folded["source"].to_numpy(dtype=object),
+            "distinct_tokens": d,
+            "total_tokens": t,
+            "ttr_e6": np.floor(ratio * 1e6 + 0.5).astype(np.int64),
+        }
+    )
+
+
+SOURCE_LEXICAL_DIVERSITY_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS token
+  FROM documents WHERE source IS NOT NULL
+)
+SELECT source,
+       CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(floor(CAST(count(DISTINCT token) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS ttr_e6
+FROM toks GROUP BY 1
+"""
+
+register(
+    "source_lexical_diversity",
+    source_lexical_diversity,
+    sql=SOURCE_LEXICAL_DIVERSITY_SQL,
+)

@@ -1206,3 +1206,111 @@ FROM events, t WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1
 """
 
 register("events_decayed_counts", events_decayed_counts, sql=EVENTS_DECAYED_COUNTS_SQL)
+
+
+# --- weighted median per group (X110) ----------------------------------------
+
+
+def lineitem_weighted_median(sf_dir: str) -> "ray.data.Dataset":
+    """(l_returnflag, wmedian_price_e2, total_qty_e2): quantity-WEIGHTED
+    median of extended price per return flag — the order statistic where
+    each row counts with its weight (the lower weighted median: smallest
+    price p with cumulative weight ≥ half the total).
+
+    Exact integer arithmetic end to end: prices and quantities quantize to
+    e2 cents per row; per-block partials collapse to (flag, price) weight
+    sums BEFORE the exchange, so the shuffle carries distinct prices, not
+    line items; the partition sorts each flag's prices once and
+    binary-searches the cumulative weights. NULL price/quantity rows are
+    excluded on both sides; a NULL flag forms its own group.
+    """
+    from .exchange import enum_group_sum as _enum_group_sum
+    from .exchange import half_up_int64 as _half_up
+    from .exchange import hash_partitioned as _hp
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.is_valid(batch["l_extendedprice"]), pc.is_valid(batch["l_quantity"])
+        )
+        batch = batch.filter(keep)
+        price_e2 = _half_up(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        )
+        q_e2 = _half_up(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100.0)
+        t = pa.table(
+            {
+                "flag": batch["l_returnflag"],
+                "price_e2": pa.array(price_e2, type=pa.int64()),
+                "qw": pa.array(q_e2, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["flag", "price_e2"]).aggregate([("qw", "sum")])
+        return g.rename_columns(["flag", "price_e2", "qw"])
+
+    def wmedian_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype="object"),
+                "wmedian_price_e2": pd.Series([], dtype="int64"),
+                "total_qty_e2": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        out_f, out_m, out_t = [], [], []
+        for flag, g in df.groupby("flag", sort=True, dropna=False):
+            gg = g.groupby("price_e2", sort=True)["qw"].sum()
+            prices = gg.index.to_numpy(dtype=np.int64)
+            cw = np.cumsum(gg.to_numpy(dtype=np.int64))
+            tot = int(cw[-1])
+            # lower weighted median: first price with 2*cum >= total
+            idx = int(np.searchsorted(2 * cw, tot, side="left"))
+            # a NULL flag group must emit None (DuckDB NULL), not NaN
+            out_f.append(None if pd.isna(flag) else flag)
+            out_m.append(int(prices[idx]))
+            out_t.append(tot)
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series(out_f, dtype="object"),
+                "wmedian_price_e2": pd.Series(out_m, dtype="int64"),
+                "total_qty_e2": pd.Series(out_t, dtype="int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _hp(ds, "flag", wmedian_partition)
+
+
+LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_e2,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS q_e2
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+g AS (SELECT flag, price_e2, sum(q_e2) AS qw FROM w GROUP BY 1, 2),
+o AS (
+  SELECT flag, price_e2,
+         sum(qw) OVER (PARTITION BY flag ORDER BY price_e2
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(qw) OVER (PARTITION BY flag) AS tot
+  FROM g
+)
+SELECT flag AS l_returnflag,
+       CAST(min(CASE WHEN 2 * cw >= tot THEN price_e2 END) AS BIGINT)
+         AS wmedian_price_e2,
+       CAST(max(tot) AS BIGINT) AS total_qty_e2
+FROM o GROUP BY 1
+"""
+
+register(
+    "lineitem_weighted_median",
+    lineitem_weighted_median,
+    sql=LINEITEM_WEIGHTED_MEDIAN_SQL,
+)

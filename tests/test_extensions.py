@@ -5111,3 +5111,101 @@ class TestCompactionFuzz:
             gold = con.execute(queryset.ORACLE_SQL[name]).df()
             assert len(ours) == len(gold), f"{name} seed={seed}"
             assert _value_hash(ours) == _value_hash(gold), f"{name} seed={seed}"
+
+
+class TestWeightedMedianAndTTR:
+    """X110 weighted median (known crossings, NULL contract) and X111
+    type-token ratio (known values, NULL source exclusion)."""
+
+    def test_weighted_median_known_values(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            LINEITEM_WEIGHTED_MEDIAN_SQL,
+            lineitem_weighted_median,
+        )
+
+        def li(flag, price, qty):
+            return dict(
+                l_orderkey=1, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                l_quantity=qty, l_extendedprice=price, l_discount=0.0,
+                l_tax=0.0, l_returnflag=flag, l_linestatus="O",
+                l_shipdate=None,
+            )
+
+        rows = [
+            # flag A: weights 1,1,10 over prices 1,2,3 -> median 3 (weight
+            # mass concentrated at the top)
+            li("A", 1.0, 1.0), li("A", 2.0, 1.0), li("A", 3.0, 10.0),
+            # flag B: equal weights over 1,2,3 -> lower weighted median 2
+            li("B", 1.0, 1.0), li("B", 2.0, 1.0), li("B", 3.0, 1.0),
+            # flag C: NULL price/qty rows excluded; only the 5.0 row counts
+            li("C", None, 1.0), li("C", 5.0, None), li("C", 5.0, 2.0),
+        ]
+        schema = pa.schema(
+            [
+                ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = (
+            lineitem_weighted_median(str(tmp_path))
+            .to_pandas()
+            .set_index("l_returnflag")
+        )
+        assert int(out.loc["A", "wmedian_price_e2"]) == 300
+        assert int(out.loc["B", "wmedian_price_e2"]) == 200
+        assert int(out.loc["C", "wmedian_price_e2"]) == 500
+        assert int(out.loc["C", "total_qty_e2"]) == 200
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(LINEITEM_WEIGHTED_MEDIAN_SQL).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_ttr_known_values_and_null_source(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            SOURCE_LEXICAL_DIVERSITY_SQL,
+            source_lexical_diversity,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": pa.array(
+                    ["a b a b", "a c", None, "x y z", "dropped tokens"],
+                    type=pa.string(),
+                ),
+                "lang": pa.array(["en"] * 5),
+                # s1: tokens a b a b a c -> 3 distinct / 6 total = 0.5
+                # s2: one doc NULL text, one with 3 distinct / 3 total
+                # NULL source: excluded entirely
+                "source": pa.array(["s1", "s1", "s2", "s2", None], type=pa.string()),
+                "n_chars": pa.array([7, 3, 0, 5, 14], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = source_lexical_diversity(str(tmp_path)).set_index("source")
+        assert int(out.loc["s1", "distinct_tokens"]) == 3
+        assert int(out.loc["s1", "total_tokens"]) == 6
+        assert int(out.loc["s1", "ttr_e6"]) == 500_000
+        assert int(out.loc["s2", "ttr_e6"]) == 1_000_000
+        assert set(out.index) == {"s1", "s2"}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(SOURCE_LEXICAL_DIVERSITY_SQL).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
