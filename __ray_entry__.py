@@ -90,22 +90,30 @@ _DRIVER_WINDOW: list[str] = [
     "user_modal_event_type",
     "events_type_hour_chi2",
     "orders_late_shipment_priority",
+    # session-5 batch 2 (X105-X111), never verdicted by ANYONE's driver-style
+    # run before this session: as-of snapshot, Gini, CUBE, entropy, the CSV
+    # source, weighted median, lexical diversity. They take the slots of
+    # seven r4-era ops the round-4 judge personally contract-MATCHed
+    # (orders_in_segment, customer_order_full_outer, percent_rank,
+    # hourly_dense, value_ntile, moving_avg, hll_by_type) — those stay
+    # value-checked every run by tests/test_oracle_parity.py and
+    # tools/check_driver_contract.py.
+    "orders_snapshot_asof",
+    "docs_gini_by_source",
+    "orders_cube",
+    "user_type_entropy",
+    "extract_plain_turns_csv",
+    "lineitem_weighted_median",
+    "source_lexical_diversity",
     # never driver-verdicted before r05 (registered past entry 50 in r04):
-    # the TPC-H trio, the round-4 window family, sketch gates, k-NN graph,
-    # flagship span boundaries, the table profiler.
+    # the TPC-H trio, sketch gates, k-NN graph, flagship span boundaries,
+    # the table profiler, cohorts, MAD flags.
     "extract_flagship_spans",
     "emb_knn_graph",
-    "orders_in_segment",
     "tpch_q3_topk",
-    "customer_order_full_outer",
     "tpch_q5_local_volume",
     "user_retention_cohorts",
-    "events_percent_rank",
-    "events_hourly_dense",
     "events_anomaly_mad",
-    "events_value_ntile",
-    "events_moving_avg",
-    "events_distinct_users_hll_by_type",
     "docs_count_min",
     "docs_bloom_gate",
     "events_profile",
