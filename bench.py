@@ -957,10 +957,10 @@ def q_user_type_entropy(sf_dir: str) -> int:
 
 
 def q_weighted_median(sf_dir: str) -> int:
-    """Quantity-weighted median price per flag (distinct-price exchange)."""
+    """Quantity-weighted median price per flag (counting passes)."""
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import lineitem_weighted_median
 
-    return _consume(lineitem_weighted_median(sf_dir))
+    return len(lineitem_weighted_median(sf_dir))
 
 
 def q_lexical_diversity(sf_dir: str) -> int:

@@ -1211,79 +1211,145 @@ register("events_decayed_counts", events_decayed_counts, sql=EVENTS_DECAYED_COUN
 # --- weighted median per group (X110) ----------------------------------------
 
 
-def lineitem_weighted_median(sf_dir: str) -> "ray.data.Dataset":
+#: bin count for the weighted-median counting passes (integer bin math —
+#: the KS-statistic binning rule)
+_WMEDIAN_BINS = 4096
+
+
+def lineitem_weighted_median(sf_dir: str) -> "pd.DataFrame":
     """(l_returnflag, wmedian_price_e2, total_qty_e2): quantity-WEIGHTED
     median of extended price per return flag — the order statistic where
     each row counts with its weight (the lower weighted median: smallest
-    price p with cumulative weight ≥ half the total).
+    price p with cumulative weight >= half the total).
 
-    Exact integer arithmetic end to end: prices and quantities quantize to
-    e2 cents per row; per-block partials collapse to (flag, price) weight
-    sums BEFORE the exchange, so the shuffle carries distinct prices, not
-    line items; the partition sorts each flag's prices once and
-    binary-searches the cumulative weights. NULL price/quantity rows are
-    excluded on both sides; a NULL flag forms its own group.
+    COUNTING, not sorting (the X27/X34 idiom: exact order statistics
+    without a skewed exchange — a flag-keyed shuffle would route a third
+    of the fact table to one partition). Three column-pruned scans, each
+    a bounded fold: (1) global price min/max; (2) a (flag, bin) integer
+    weight histogram (<= #flags x 4096 rows) locating each flag's median
+    bin and the cumulative weight below it; (3) exact (flag, price)
+    weight partials for rows INSIDE each flag's median bin only (~1/4096
+    of the distinct prices), sorted on the driver to pick the exact
+    price. All arithmetic is e2-quantized int64. NULL price/quantity rows
+    are excluded on both sides; a NULL flag forms its own group.
     """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_agg as _enum_group_agg
     from .exchange import enum_group_sum as _enum_group_sum
     from .exchange import half_up_int64 as _half_up
-    from .exchange import hash_partitioned as _hp
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    cols = ["l_returnflag", "l_extendedprice", "l_quantity"]
 
+    def quantize(batch: pa.Table):
         keep = pc.and_(
             pc.is_valid(batch["l_extendedprice"]), pc.is_valid(batch["l_quantity"])
         )
         batch = batch.filter(keep)
-        price_e2 = _half_up(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        price = _half_up(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0)
+        qw = _half_up(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100.0)
+        return batch["l_returnflag"], price, qw
+
+    empty = pd.DataFrame(
+        {
+            "l_returnflag": pd.Series([], dtype="object"),
+            "wmedian_price_e2": pd.Series([], dtype="int64"),
+            "total_qty_e2": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def read():
+        return ray.data.read_parquet(table_path(sf_dir, "lineitem"), columns=cols)
+
+    # pass 1: global price_e2 domain under the same null contract
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        _, price, _ = quantize(batch)
+        if price.size == 0:
+            return pa.table({"one": pa.array([], type=pa.int64()),
+                             "lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"one": pa.array([1], type=pa.int64()),
+                         "lo": pa.array([int(price.min())], type=pa.int64()),
+                         "hi": pa.array([int(price.max())], type=pa.int64())})
+
+    mm = _enum_group_agg(
+        read().map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"],
+        {"lo": "min", "hi": "max"},
+    )
+    if len(mm) == 0:
+        return empty
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    width = hi - lo + 1
+
+    # pass 2: (flag, bin) weight histogram — bounded #flags x bins fold
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        flags, price, qw = quantize(batch)
+        bins = (price - lo) * _WMEDIAN_BINS // width
+        t = pa.table({"flag": flags, "bin": pa.array(bins, type=pa.int64()),
+                      "w": pa.array(qw, type=pa.int64())})
+        g = t.group_by(["flag", "bin"]).aggregate([("w", "sum")])
+        return g.rename_columns(["flag", "bin", "w"])
+
+    hist = _enum_group_sum(
+        read().map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["flag", "bin"],
+        ["w"],
+    )
+    if len(hist) == 0:
+        return empty
+    target: dict = {}  # flag -> (median_bin, weight_below_bin, total)
+    for flag, g in hist.groupby("flag", sort=True, dropna=False):
+        g = g.sort_values("bin")
+        w = g["w"].to_numpy(dtype=np.int64)
+        cw = np.cumsum(w)
+        tot = int(cw[-1])
+        i = int(np.searchsorted(2 * cw, tot, side="left"))
+        key = None if pd.isna(flag) else flag
+        target[key] = (int(g["bin"].to_numpy()[i]), int(cw[i - 1]) if i else 0, tot)
+
+    # pass 3: exact (flag, price) weights inside each flag's median bin only
+    def inbin_partial(batch: pa.Table) -> pa.Table:
+        flags, price, qw = quantize(batch)
+        bins = (price - lo) * _WMEDIAN_BINS // width
+        fl = flags.to_pylist()
+        keep = np.fromiter(
+            (f in target and target[f][0] == b for f, b in zip(fl, bins)),
+            dtype=bool, count=len(fl),
         )
-        q_e2 = _half_up(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100.0)
         t = pa.table(
             {
-                "flag": batch["l_returnflag"],
-                "price_e2": pa.array(price_e2, type=pa.int64()),
-                "qw": pa.array(q_e2, type=pa.int64()),
+                "flag": pa.array([f for f, k in zip(fl, keep) if k], type=pa.string()),
+                "price_e2": pa.array(price[keep], type=pa.int64()),
+                "w": pa.array(qw[keep], type=pa.int64()),
             }
         )
-        g = t.group_by(["flag", "price_e2"]).aggregate([("qw", "sum")])
-        return g.rename_columns(["flag", "price_e2", "qw"])
+        g = t.group_by(["flag", "price_e2"]).aggregate([("w", "sum")])
+        return g.rename_columns(["flag", "price_e2", "w"])
 
-    def wmedian_partition(df: "pd.DataFrame") -> "pd.DataFrame":
-        empty = pd.DataFrame(
-            {
-                "l_returnflag": pd.Series([], dtype="object"),
-                "wmedian_price_e2": pd.Series([], dtype="int64"),
-                "total_qty_e2": pd.Series([], dtype="int64"),
-            }
-        )
-        if len(df) == 0:
-            return empty
-        out_f, out_m, out_t = [], [], []
-        for flag, g in df.groupby("flag", sort=True, dropna=False):
-            gg = g.groupby("price_e2", sort=True)["qw"].sum()
-            prices = gg.index.to_numpy(dtype=np.int64)
-            cw = np.cumsum(gg.to_numpy(dtype=np.int64))
-            tot = int(cw[-1])
-            # lower weighted median: first price with 2*cum >= total
-            idx = int(np.searchsorted(2 * cw, tot, side="left"))
-            # a NULL flag group must emit None (DuckDB NULL), not NaN
-            out_f.append(None if pd.isna(flag) else flag)
-            out_m.append(int(prices[idx]))
-            out_t.append(tot)
-        return pd.DataFrame(
-            {
-                "l_returnflag": pd.Series(out_f, dtype="object"),
-                "wmedian_price_e2": pd.Series(out_m, dtype="int64"),
-                "total_qty_e2": pd.Series(out_t, dtype="int64"),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        table_path(sf_dir, "lineitem"),
-        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
-    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return _hp(ds, "flag", wmedian_partition)
+    inbin = _enum_group_sum(
+        read().map_batches(inbin_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["flag", "price_e2"],
+        ["w"],
+    )
+    out_f, out_m, out_t = [], [], []
+    for flag, (b, below, tot) in sorted(
+        target.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        g = inbin[inbin["flag"].isna()] if flag is None else inbin[inbin["flag"] == flag]
+        g = g.sort_values("price_e2")
+        cw = below + np.cumsum(g["w"].to_numpy(dtype=np.int64))
+        i = int(np.searchsorted(2 * cw, tot, side="left"))
+        out_f.append(flag)
+        out_m.append(int(g["price_e2"].to_numpy()[i]))
+        out_t.append(tot)
+    return pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(out_f, dtype="object"),
+            "wmedian_price_e2": pd.Series(out_m, dtype="int64"),
+            "total_qty_e2": pd.Series(out_t, dtype="int64"),
+        }
+    )
 
 
 LINEITEM_WEIGHTED_MEDIAN_SQL = """

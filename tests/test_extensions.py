@@ -5155,11 +5155,7 @@ class TestWeightedMedianAndTTR:
             ]
         )
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
-        out = (
-            lineitem_weighted_median(str(tmp_path))
-            .to_pandas()
-            .set_index("l_returnflag")
-        )
+        out = lineitem_weighted_median(str(tmp_path)).set_index("l_returnflag")
         assert int(out.loc["A", "wmedian_price_e2"]) == 300
         assert int(out.loc["B", "wmedian_price_e2"]) == 200
         assert int(out.loc["C", "wmedian_price_e2"]) == 500
