@@ -1,0 +1,552 @@
+"""TPC-H Q6/Q14/Q18/Q10 over the synthetic tables (X112-X115).
+
+The reference has no relational layer at all (its aggregation surface is
+the flat run counters, SURVEY.md §2.7); these four round out the TPC-H
+family started by Q1/Q3/Q5 (rollup.py / analytics.py) with the remaining
+shapes a warehouse engine is judged on that this schema can express:
+
+- ``tpch_q6_forecast_revenue``: the pure scan-filter-aggregate — zero
+  exchanges, one int64 partial per block, driver fold in Python ints
+  (exact at any corpus size; the int64 OUTPUT bound is ~9.2e14 dollars
+  of e4 discount-revenue, unreachable).
+- ``tpch_q14_promo_revenue``: scan + ONE broadcast dimension (part →
+  is-promo bitmap under the same parquet-footer ceiling check as Q5) —
+  still zero exchanges; the ratio is derived on the driver from two
+  exact integer sums.
+- ``tpch_q18_large_orders``: the group-filter-join — per-order quantity
+  sums in one co-partition exchange that ALSO carries the orders stubs
+  (qty partials and order rows join in-partition, so qualifying orders
+  never round-trip the driver), then a mergeable local-top-k fold.
+- ``tpch_q10_returned_revenue``: the two-exchange star — lineitem 'R'
+  partials co-partition with order stubs on the order key, re-key to the
+  customer, ONE second exchange sums per customer, and only the folded
+  top-20 rows ever see the driver-side customer/nation maps.
+
+Verbatim Q6/Q14 (TPC-H 2.18 §2.4) apply unchanged; Q18/Q10 keep the
+verbatim plan shape with this schema's columns (no l_commitdate /
+c_phone here) and a TOTAL tie-break key (orderkey / custkey ASC) so the
+LIMIT row-set is deterministic and the order-insensitive value hash is
+well-defined at every scale.
+
+Money contract: products are quantized to fixed point PER ROW before
+any sum (e2 for one-factor, e4 for the two-factor discount product —
+the tpch_q1_pricing rule), so totals are independent of both float
+summation order and partitioning.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as _pq
+
+import ray
+import ray.data
+
+from .analytics import MAX_BROADCAST_KEYS
+from .exchange import (
+    broadcast_lookup,
+    driver_topk_fold,
+    hash_partitioned,
+    int64_array,
+    probe_lookup,
+    round6,
+)
+from .queryset import register, table_path
+
+# Q6: one forecast year, the mid-band discount, small quantities.
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24.0
+
+# Q14: one promotion month.
+Q14_DATE_LO = "1996-03-01"
+Q14_DATE_HI = "1996-04-01"
+Q14_PROMO_PREFIX = "PROMO"
+
+# Q18: orders whose total quantity exceeds the threshold; top by price.
+Q18_QTY_MIN_E2 = 250 * 100  # sum(l_quantity) > 250, in e2 fixed point
+Q18_TOP_N = 100
+
+# Q10: one quarter of returned-item revenue; top customers.
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+Q10_TOP_N = 20
+
+
+def _rev_e2(t: pa.Table) -> pa.Array:
+    """round(l_extendedprice * (1 - l_discount) * 100) as int64 — THE
+    per-row revenue quantization shared by Q3/Q5/Q10/Q14/Q18."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(
+                pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+                pa.scalar(100.0),
+            ),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def _scalar_fold(ds: "ray.data.Dataset", cols: list[str]) -> list[int]:
+    """Driver fold of single-row int64 block partials in Python ints —
+    exact past 2^63, bounded by (1 row × blocks)."""
+    totals = [0] * len(cols)
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i, c in enumerate(cols):
+            totals[i] += sum(b[c].to_pylist())
+    return totals
+
+
+def tpch_q6_forecast_revenue(sf_dir: str) -> "pd.DataFrame":
+    """(revenue_e4, n_lines): revenue increase if mid-band discounts had
+    been dropped — sum(l_extendedprice * l_discount) over one shipped
+    year, discount in [0.05, 0.07], quantity < 24. The canonical
+    predicate-pushdown scan: no exchange at all, one (revenue, count)
+    int64 partial per block, Python-int driver fold. Both factors carry
+    two decimals, so the e4 quantization is exact per row."""
+    lo = _dt.datetime.fromisoformat(Q6_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q6_DATE_HI)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(Q6_DISC_LO)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(Q6_DISC_HI)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(Q6_QTY_MAX)),
+            ),
+        )
+        t = batch.filter(m)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], t["l_discount"]),
+                    pa.scalar(10_000.0),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "revenue_e4": pa.array([pc.sum(rev).as_py() or 0], type=pa.int64()),
+                "n_lines": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    revenue_e4, n_lines = _scalar_fold(ds, ["revenue_e4", "n_lines"])
+    return pd.DataFrame(
+        {
+            "revenue_e4": pd.Series([revenue_e4], dtype="int64"),
+            "n_lines": pd.Series([n_lines], dtype="int64"),
+        }
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}
+"""
+
+
+def tpch_q14_promo_revenue(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(promo_e2, total_e2, promo_pct): share of one month's revenue from
+    promotional parts. The part side is a broadcast is-promo bitmap
+    (ceiling-enforced from the parquet footer BEFORE the read, the Q5
+    rule — past the ceiling the fix is a partkey co-partition like
+    Q3's); the fact scan emits one two-sum partial per block and never
+    shuffles. Rows whose partkey misses the map are dropped (inner-join
+    parity); the percentage is derived on the driver from the two exact
+    integer sums with the shared round6 contract."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q14_promo_revenue: part has {n_rows:,} rows, past the "
+            f"broadcast ceiling ({max_broadcast_keys:,}); reroute the "
+            "part→is-promo lookup through a partkey co-partition exchange "
+            "(the tpch_q3_topk fallback shape) instead of a broadcast map"
+        )
+    part = _pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    is_promo = pc.starts_with(part["p_type"], Q14_PROMO_PREFIX)
+    p_keys, p_promo = broadcast_lookup(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        is_promo.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    ref = ray.put((p_keys, p_promo))
+    lo = _dt.datetime.fromisoformat(Q14_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q14_DATE_HI)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, pv = ray.get(ref)
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        promo = probe_lookup(pk, pv, int64_array(t["l_partkey"]), missing=-1)
+        t = t.filter(pa.array(promo >= 0))  # inner-join parity on the part key
+        promo = promo[promo >= 0]
+        rev = _rev_e2(t).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_e2": pa.array([int(rev[promo == 1].sum())], type=pa.int64()),
+                "total_e2": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    promo_e2, total_e2 = _scalar_fold(ds, ["promo_e2", "total_e2"])
+    pct = round6(np.array([100.0 * promo_e2 / total_e2]))[0] if total_e2 else 0.0
+    return pd.DataFrame(
+        {
+            "promo_e2": pd.Series([promo_e2], dtype="int64"),
+            "total_e2": pd.Series([total_e2], dtype="int64"),
+            "promo_pct": pd.Series([pct], dtype="float64"),
+        }
+    )
+
+
+TPCH_Q14_SQL = f"""
+SELECT CAST(sum(CASE WHEN p.p_type LIKE '{Q14_PROMO_PREFIX}%'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_e2,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS total_e2,
+       round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE '{Q14_PROMO_PREFIX}%'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100, 0) AS BIGINT)) AS DOUBLE),
+             6) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
+  AND l.l_shipdate < TIMESTAMP '{Q14_DATE_HI}'
+"""
+
+
+def tpch_q18_large_orders(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(c_custkey, c_name, o_orderkey, o_orderdate, totalprice_e2,
+    qty_e2): orders whose line quantities sum past the threshold, top-N
+    by total price — the HAVING-on-a-group-join. Per-block (orderkey,
+    qty_e2) partials and (orderkey, custkey, price, date) order stubs
+    share ONE co-partition exchange; each partition finishes its group
+    sums, applies the threshold, and joins locally, so qualifying rows
+    flow straight into the mergeable local-top-N fold (driver holds ≤ N
+    + one block's N rows). Only the N winners probe the driver-side
+    customer-name map (ceiling-checked). Tie-break is total
+    (price DESC, orderkey ASC) so the LIMIT set is deterministic."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q18_large_orders: customer has {n_rows:,} rows, past the "
+            f"broadcast ceiling ({max_broadcast_keys:,}); resolve the top-N "
+            "winners' names through a custkey co-partition exchange instead"
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.round(
+                pc.multiply(batch["l_quantity"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"key": batch["l_orderkey"], "qty_e2": qty})
+            .group_by(["key"])
+            .aggregate([("qty_e2", "sum")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "qty_e2": g["qty_e2_sum"],
+                "custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "price_e2": pa.array(np.zeros(n, dtype=np.int64)),
+                "odate": pa.array([None] * n, type=pa.timestamp("us")),
+                "is_order": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "qty_e2": pa.array(np.zeros(n, dtype=np.int64)),
+                "custkey": batch["o_custkey"],
+                "price_e2": price,
+                "odate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                "is_order": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_join(df: pd.DataFrame) -> pd.DataFrame:
+        qty = (
+            df[~df["is_order"]].groupby("key", sort=False)["qty_e2"].sum()
+        )
+        qty = qty[qty > Q18_QTY_MIN_E2]
+        ords = df[df["is_order"]]
+        hit = ords[ords["key"].isin(qty.index)].copy()
+        hit["qty_e2"] = hit["key"].map(qty).astype("int64")
+        return hit[["key", "custkey", "price_e2", "odate", "qty_e2"]]
+
+    qualified = hash_partitioned(lines.union(orders), "key", local_join)
+    top = driver_topk_fold(
+        qualified, by=["price_e2", "key"], ascending=[False, True], k=Q18_TOP_N
+    )
+    if top is None or len(top) == 0:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "totalprice_e2": pd.Series([], dtype="int64"),
+                "qty_e2": pd.Series([], dtype="int64"),
+            }
+        )
+    cust = _pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+    name_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())
+    )
+    top = top.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "c_custkey": top["custkey"].astype("int64"),
+            "c_name": top["custkey"].map(name_of),
+            "o_orderkey": top["key"].astype("int64"),
+            "o_orderdate": top["odate"],
+            "totalprice_e2": top["price_e2"].astype("int64"),
+            "qty_e2": top["qty_e2"].astype("int64"),
+        }
+    )
+
+
+TPCH_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey AS key,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS qty_e2
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > {Q18_QTY_MIN_E2}
+)
+SELECT o.o_custkey AS c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_e2,
+       big.qty_e2
+FROM big
+JOIN orders o ON o.o_orderkey = big.key
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_e2 DESC, o.o_orderkey ASC
+LIMIT {Q18_TOP_N}
+"""
+
+
+def tpch_q10_returned_revenue(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(c_custkey, c_name, n_name, acctbal_e2, revenue_e2): customers who
+    returned the most revenue in one quarter — the returned-item report.
+    Two bounded exchanges: lineitem 'R' revenue partials co-partition
+    with date-filtered order stubs on the ORDER key (join + re-key to
+    the customer in-partition, emitting per-partition (custkey, rev)
+    partials), then ONE exchange on the CUSTOMER key finishes the sums.
+    The mergeable top-N fold keeps ≤ N rows on the driver; only those
+    winners probe the customer/nation maps (ceiling-checked). Tie-break
+    (revenue DESC, custkey ASC) is total."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q10_returned_revenue: customer has {n_rows:,} rows, past "
+            f"the broadcast ceiling ({max_broadcast_keys:,}); resolve the "
+            "top-N winners' attributes through a custkey co-partition "
+            "exchange instead"
+        )
+    lo = _dt.datetime.fromisoformat(Q10_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q10_DATE_HI)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        g = (
+            pa.table({"key": t["l_orderkey"], "rev_e2": _rev_e2(t)})
+            .group_by(["key"])
+            .aggregate([("rev_e2", "sum")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "rev_e2": g["rev_e2_sum"],
+                "custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_order": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "rev_e2": pa.array(np.zeros(n, dtype=np.int64)),
+                "custkey": t["o_custkey"],
+                "is_order": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_rekey(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df["is_order"]].drop_duplicates("key").set_index("key")["custkey"]
+        lins = df[~df["is_order"]]
+        ck = lins["key"].map(ords)
+        hit = lins[ck.notna()].copy()
+        hit["custkey"] = ck[ck.notna()].astype("int64")
+        g = hit.groupby("custkey", sort=False)["rev_e2"].sum().reset_index()
+        g["rev_e2"] = g["rev_e2"].astype("int64")
+        return g
+
+    per_cust_partials = hash_partitioned(lines.union(orders), "key", join_rekey)
+
+    def cust_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("custkey", sort=False)["rev_e2"].sum().reset_index()
+        g["rev_e2"] = g["rev_e2"].astype("int64")
+        return g
+
+    per_cust = hash_partitioned(per_cust_partials, "custkey", cust_sum)
+    top = driver_topk_fold(
+        per_cust, by=["rev_e2", "custkey"], ascending=[False, True], k=Q10_TOP_N
+    )
+    if top is None or len(top) == 0:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+                "n_name": pd.Series([], dtype="object"),
+                "acctbal_e2": pd.Series([], dtype="int64"),
+                "revenue_e2": pd.Series([], dtype="int64"),
+            }
+        )
+    cust = _pq.read_table(
+        table_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+    nat = _pq.read_table(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    info = {
+        int(k): (nm, n_name.get(int(nk)), int(round(bal * 100)))
+        for k, nm, nk, bal in zip(
+            cust["c_custkey"].to_pylist(),
+            cust["c_name"].to_pylist(),
+            cust["c_nationkey"].to_pylist(),
+            cust["c_acctbal"].to_pylist(),
+        )
+    }
+    top = top.reset_index(drop=True)
+    rows = [info[int(k)] for k in top["custkey"]]
+    return pd.DataFrame(
+        {
+            "c_custkey": top["custkey"].astype("int64"),
+            "c_name": [r[0] for r in rows],
+            "n_name": [r[1] for r in rows],
+            "acctbal_e2": pd.Series([r[2] for r in rows], dtype="int64"),
+            "revenue_e2": top["rev_e2"].astype("int64"),
+        }
+    )
+
+
+TPCH_Q10_SQL = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey AS c_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS revenue_e2
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+    AND o.o_orderdate < TIMESTAMP '{Q10_DATE_HI}'
+  GROUP BY o.o_custkey
+)
+SELECT p.c_custkey, c.c_name, n.n_name,
+       CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_e2,
+       p.revenue_e2
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY p.revenue_e2 DESC, p.c_custkey ASC
+LIMIT {Q10_TOP_N}
+"""
+
+register("tpch_q6_forecast_revenue", tpch_q6_forecast_revenue, sql=TPCH_Q6_SQL)
+register("tpch_q14_promo_revenue", tpch_q14_promo_revenue, sql=TPCH_Q14_SQL)
+register("tpch_q18_large_orders", tpch_q18_large_orders, sql=TPCH_Q18_SQL)
+register("tpch_q10_returned_revenue", tpch_q10_returned_revenue, sql=TPCH_Q10_SQL)

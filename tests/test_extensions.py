@@ -5205,3 +5205,102 @@ class TestWeightedMedianAndTTR:
         )
         gold = con.execute(SOURCE_LEXICAL_DIVERSITY_SQL).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestTpchQuartet:
+    """X112-X115: Q6 (scan-agg), Q14 (broadcast dimension), Q18
+    (group-filter-join + top-N), Q10 (two-exchange star + top-N).
+    Value parity vs DuckDB is in the blanket loop; these pin the
+    structural invariants and the ceiling guards."""
+
+    def test_q6_known_values(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q6_forecast_revenue,
+        )
+
+        def li(ship, disc, qty, price):
+            return dict(
+                l_shipdate=ship, l_discount=disc, l_quantity=qty,
+                l_extendedprice=price,
+            )
+
+        import datetime as dt
+
+        in_win = dt.datetime(1996, 6, 1)
+        out_win = dt.datetime(1997, 6, 1)
+        rows = [
+            li(in_win, 0.06, 10.0, 100.0),   # kept: 100*0.06 = 6.00 -> 60000 e4
+            li(in_win, 0.04, 10.0, 100.0),   # discount below band
+            li(in_win, 0.06, 30.0, 100.0),   # quantity past cap
+            li(out_win, 0.06, 10.0, 100.0),  # outside the year
+        ]
+        schema = pa.schema(
+            [
+                ("l_shipdate", pa.timestamp("us")), ("l_discount", pa.float64()),
+                ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = tpch_q6_forecast_revenue(str(tmp_path))
+        assert int(out["revenue_e4"].iloc[0]) == 60_000
+        assert int(out["n_lines"].iloc[0]) == 1
+
+    def test_q14_and_q18_and_q10_ceilings_raise_before_reading(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q10_returned_revenue,
+            tpch_q14_promo_revenue,
+            tpch_q18_large_orders,
+        )
+
+        with pytest.raises(ValueError, match="broadcast ceiling.*co-partition"):
+            tpch_q14_promo_revenue(SF, max_broadcast_keys=10)
+        with pytest.raises(ValueError, match="broadcast ceiling.*co-partition"):
+            tpch_q18_large_orders(SF, max_broadcast_keys=10)
+        with pytest.raises(ValueError, match="broadcast ceiling.*co-partition"):
+            tpch_q10_returned_revenue(SF, max_broadcast_keys=10)
+
+    def test_q18_threshold_and_total_order(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            Q18_QTY_MIN_E2,
+            tpch_q18_large_orders,
+        )
+
+        out = tpch_q18_large_orders(SF)
+        assert (out["qty_e2"] > Q18_QTY_MIN_E2).all()
+        # total tie-break: (price DESC, orderkey ASC) is a strict order
+        key = list(zip(-out["totalprice_e2"], out["o_orderkey"]))
+        assert key == sorted(key)
+        assert out["c_name"].notna().all()
+
+    def test_q10_returned_only_and_topn(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            Q10_TOP_N,
+            tpch_q10_returned_revenue,
+        )
+
+        out = tpch_q10_returned_revenue(SF)
+        assert len(out) <= Q10_TOP_N
+        assert (out["revenue_e2"] > 0).all()
+        # the winners' revenue is reproduced by a direct DuckDB recount
+        con = duckdb.connect()
+        gold = con.execute(
+            f"""
+            SELECT o.o_custkey AS c_custkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                        * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/orders.parquet') o
+              ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+            """
+        ).df().set_index("c_custkey")["rev"]
+        for _, r in out.iterrows():
+            assert int(gold.loc[int(r["c_custkey"])]) == int(r["revenue_e2"])
