@@ -1,4 +1,5 @@
-"""TPC-H Q6/Q14/Q18/Q10 over the synthetic tables (X112-X115).
+"""TPC-H Q6/Q14/Q18/Q10 + Q7/Q15/Q13 over the synthetic tables
+(X112-X118).
 
 The reference has no relational layer at all (its aggregation surface is
 the flat run counters, SURVEY.md §2.7); these four round out the TPC-H
@@ -22,11 +23,22 @@ shapes a warehouse engine is judged on that this schema can express:
   customer, ONE second exchange sums per customer, and only the folded
   top-20 rows ever see the driver-side customer/nation maps.
 
+The second trio (appended below): ``tpch_q7_volume_shipping`` (the
+directional two-nation pair star — both fact sides pre-filter to the
+two nations before ONE co-partition exchange), ``tpch_q15_top_supplier``
+(max-with-ties over one supplier-key exchange; each partition emits
+only its local-max ties), and ``tpch_q13_customer_distribution`` (the
+LEFT-JOIN count-of-counts with the zero-order row derived from the
+exact parquet footer count — no customer row ever shuffles).
+
 Verbatim Q6/Q14 (TPC-H 2.18 §2.4) apply unchanged; Q18/Q10 keep the
 verbatim plan shape with this schema's columns (no l_commitdate /
 c_phone here) and a TOTAL tie-break key (orderkey / custkey ASC) so the
 LIMIT row-set is deterministic and the order-insensitive value hash is
-well-defined at every scale.
+well-defined at every scale. Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 are schema-
+blocked (no partsupp table, l_commitdate/l_receiptdate/l_shipmode
+columns); their closest expressible shapes are covered elsewhere
+(orders_late_shipment_priority is the Q4-shaped non-equi semi-join).
 
 Money contract: products are quantized to fixed point PER ROW before
 any sum (e2 for one-factor, e4 for the two-factor discount product —
@@ -51,6 +63,7 @@ from .analytics import MAX_BROADCAST_KEYS
 from .exchange import (
     broadcast_lookup,
     driver_topk_fold,
+    enum_group_sum,
     hash_partitioned,
     int64_array,
     probe_lookup,
@@ -550,3 +563,335 @@ register("tpch_q6_forecast_revenue", tpch_q6_forecast_revenue, sql=TPCH_Q6_SQL)
 register("tpch_q14_promo_revenue", tpch_q14_promo_revenue, sql=TPCH_Q14_SQL)
 register("tpch_q18_large_orders", tpch_q18_large_orders, sql=TPCH_Q18_SQL)
 register("tpch_q10_returned_revenue", tpch_q10_returned_revenue, sql=TPCH_Q10_SQL)
+
+
+# --- Q7 / Q15 / Q13 (X116-X118) ---------------------------------------------
+
+# Q7: two-nation shipping volume, both directions, by ship year.
+Q7_NATION_A = "NATION_18"
+Q7_NATION_B = "NATION_19"
+Q7_DATE_LO = "1995-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+# Q15: one quarter's top supplier(s) by revenue (ties kept, verbatim rule).
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def tpch_q7_volume_shipping(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(supp_nation, cust_nation, l_year, revenue_e2): trade volume
+    between two nations in both directions, by ship year — the
+    directional-pair star. Supplier and customer nation maps broadcast
+    (ceiling-enforced, Q5 rule); both fact sides pre-filter to the two
+    nations BEFORE the one co-partition exchange on the order key, so
+    the exchange carries only the two nations' stubs/partials; the final
+    (supp, cust, year) grid is a bounded enum fold (2 × years)."""
+    for tbl in ("supplier", "customer"):
+        n_rows = _pq.ParquetFile(table_path(sf_dir, tbl)).metadata.num_rows
+        if n_rows > max_broadcast_keys:
+            raise ValueError(
+                f"tpch_q7_volume_shipping: {tbl} has {n_rows:,} rows, past "
+                f"the broadcast ceiling ({max_broadcast_keys:,}); reroute "
+                f"the {tbl}→nation lookup through a co-partition exchange "
+                "(the tpch_q3_topk fallback shape)"
+            )
+    nat = _pq.read_table(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    key_of = {n: int(k) for k, n in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+    name_of = {v: k for k, v in key_of.items()}
+    ka, kb = key_of[Q7_NATION_A], key_of[Q7_NATION_B]
+    pair = np.array(sorted((ka, kb)), dtype=np.int64)
+
+    sup = _pq.read_table(table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_keys, s_nats = broadcast_lookup(
+        sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    cust = _pq.read_table(table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    c_keys, c_nats = broadcast_lookup(
+        cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    ref = ray.put((s_keys, s_nats, c_keys, c_nats, pair))
+    lo = _dt.datetime.fromisoformat(Q7_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q7_DATE_HI)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        sk, sn, ck, cn, pr = ray.get(ref)
+        cnat = probe_lookup(ck, cn, int64_array(batch["o_custkey"]), missing=-1)
+        keep = np.isin(cnat, pr)
+        t = batch.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "nat": pa.array(cnat[keep]),
+                "year": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev_e2": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_order": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sk, sn, ck, cn, pr = ray.get(ref)
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        snat = probe_lookup(sk, sn, int64_array(t["l_suppkey"]), missing=-1)
+        keep = np.isin(snat, pr)
+        t = t.filter(pa.array(keep))
+        g = (
+            pa.table(
+                {
+                    "key": t["l_orderkey"],
+                    "nat": pa.array(snat[keep]),
+                    "year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                    "rev_e2": _rev_e2(t),
+                }
+            )
+            .group_by(["key", "nat", "year"])
+            .aggregate([("rev_e2", "sum")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "nat": g["nat"],
+                "year": g["year"],
+                "rev_e2": g["rev_e2_sum"],
+                "is_order": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_join(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df["is_order"]].drop_duplicates("key").set_index("key")["nat"]
+        lins = df[~df["is_order"]]
+        cn = lins["key"].map(ords)
+        hit = lins[cn.notna() & (cn != lins["nat"])].copy()  # opposite nations
+        hit["cust_nat"] = cn[hit.index].astype("int64")
+        g = (
+            hit.groupby(["nat", "cust_nat", "year"], sort=False)["rev_e2"]
+            .sum()
+            .reset_index()
+        )
+        g["rev_e2"] = g["rev_e2"].astype("int64")
+        return g.rename(columns={"nat": "supp_nat"})
+
+    partials = hash_partitioned(orders.union(lines), "key", local_join)
+    folded = enum_group_sum(partials, ["supp_nat", "cust_nat", "year"], ["rev_e2"])
+    folded["supp_nation"] = folded["supp_nat"].map(name_of)
+    folded["cust_nation"] = folded["cust_nat"].map(name_of)
+    out = (
+        folded.rename(columns={"year": "l_year", "rev_e2": "revenue_e2"})[
+            ["supp_nation", "cust_nation", "l_year", "revenue_e2"]
+        ]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+    OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+  AND l.l_shipdate >= TIMESTAMP '{Q7_DATE_LO}'
+  AND l.l_shipdate < TIMESTAMP '{Q7_DATE_HI}'
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q15_top_supplier(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(s_suppkey, s_name, total_revenue_e2): the supplier(s) with the
+    highest revenue in one quarter — verbatim Q15's max-with-ties rule.
+    Per-block (suppkey, rev) partials, ONE exchange on the supplier key;
+    each partition emits only its rows that tie the PARTITION max (the
+    global max is among them), and the driver folds the global max over
+    that tiny candidate set. Names resolve from the supplier table on
+    the driver (ceiling-checked)."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "supplier")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q15_top_supplier: supplier has {n_rows:,} rows, past the "
+            f"broadcast ceiling ({max_broadcast_keys:,}); resolve the "
+            "winners' names through a suppkey co-partition exchange instead"
+        )
+    lo = _dt.datetime.fromisoformat(Q15_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q15_DATE_HI)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        g = (
+            pa.table({"suppkey": t["l_suppkey"], "rev_e2": _rev_e2(t)})
+            .group_by(["suppkey"])
+            .aggregate([("rev_e2", "sum")])
+        )
+        return g.rename_columns(["suppkey", "rev_e2"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("suppkey", sort=False)["rev_e2"].sum()
+        if len(g) == 0:
+            return pd.DataFrame({"suppkey": [], "rev_e2": []}).astype("int64")
+        top = g[g == g.max()].reset_index()
+        top["rev_e2"] = top["rev_e2"].astype("int64")
+        return top
+
+    candidates = hash_partitioned(ds, "suppkey", local_max)
+    best: pd.DataFrame | None = None
+    for b in candidates.iter_batches(batch_size=4096, batch_format="pandas"):
+        best = b if best is None else pd.concat([best, b])
+        if len(best):
+            best = best[best["rev_e2"] == best["rev_e2"].max()]
+    if best is None or len(best) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+                "total_revenue_e2": pd.Series([], dtype="int64"),
+            }
+        )
+    sup = _pq.read_table(table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+    best = best.sort_values("suppkey").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "s_suppkey": best["suppkey"].astype("int64"),
+            "s_name": best["suppkey"].map(name_of),
+            "total_revenue_e2": best["rev_e2"].astype("int64"),
+        }
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_e2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_HI}'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s.s_name, r.total_revenue_e2
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_e2 = (SELECT max(total_revenue_e2) FROM rev)
+"""
+
+
+def tpch_q13_customer_distribution(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(c_count, custdist): how many customers placed exactly N orders —
+    the LEFT-JOIN count-of-counts, INCLUDING the zero-order customers.
+    Orders stubs filter against a broadcast customer-key set (inner-side
+    membership = the LEFT JOIN's match rule; ceiling-checked), one
+    exchange on the customer key; each partition emits its bounded
+    count-of-counts partial plus its matched-customer count, and the
+    zero row is derived on the driver as footer_total − matched (the
+    parquet footer count is exact). No customer row ever shuffles."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q13_customer_distribution: customer has {n_rows:,} rows, "
+            f"past the broadcast ceiling ({max_broadcast_keys:,}); reroute "
+            "the membership filter through a custkey co-partition exchange "
+            "(the tpch_q3_topk fallback shape)"
+        )
+    cust = _pq.read_table(table_path(sf_dir, "customer"), columns=["c_custkey"])
+    c_keys = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    total_customers = int(n_rows)
+    ref = ray.put(c_keys)
+
+    def order_stub(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ref)
+        keys = int64_array(batch["o_custkey"])
+        pos = np.searchsorted(ck, keys)
+        pos = np.minimum(pos, max(len(ck) - 1, 0))
+        hit = (len(ck) > 0) & (ck[pos] == keys)
+        g = (
+            pa.table(
+                {
+                    "custkey": pa.array(keys[hit]),
+                    "n": pa.array(np.ones(int(hit.sum()), dtype=np.int64)),
+                }
+            )
+            .group_by(["custkey"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["custkey", "n"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey"]
+    ).map_batches(order_stub, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_of_counts(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("custkey", sort=False)["n"].sum()
+        cc = per_cust.value_counts()
+        return pd.DataFrame(
+            {"c_count": cc.index.astype("int64"), "custdist": cc.values.astype("int64")}
+        )
+
+    partials = hash_partitioned(ds, "custkey", count_of_counts)
+    folded = enum_group_sum(partials, ["c_count"], ["custdist"])
+    matched = int(folded["custdist"].sum())
+    zero_row = pd.DataFrame(
+        {"c_count": [0], "custdist": [total_customers - matched]}
+    )
+    out = (
+        pd.concat([folded, zero_row], ignore_index=True)
+        .astype({"c_count": "int64", "custdist": "int64"})
+        .sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+    return out[out["custdist"] > 0].reset_index(drop=True)
+
+
+TPCH_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+register("tpch_q7_volume_shipping", tpch_q7_volume_shipping, sql=TPCH_Q7_SQL)
+register("tpch_q15_top_supplier", tpch_q15_top_supplier, sql=TPCH_Q15_SQL)
+register(
+    "tpch_q13_customer_distribution", tpch_q13_customer_distribution, sql=TPCH_Q13_SQL
+)

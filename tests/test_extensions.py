@@ -5304,3 +5304,81 @@ class TestTpchQuartet:
         ).df().set_index("c_custkey")["rev"]
         for _, r in out.iterrows():
             assert int(gold.loc[int(r["c_custkey"])]) == int(r["revenue_e2"])
+
+
+class TestTpchSecondTrio:
+    """X116-X118: Q7 directional pairs, Q15 max-with-ties, Q13 zero-
+    inclusive count-of-counts. Value parity is in the blanket loop."""
+
+    def test_q7_directions_and_bounds(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            Q7_NATION_A,
+            Q7_NATION_B,
+            tpch_q7_volume_shipping,
+        )
+
+        out = tpch_q7_volume_shipping(SF)
+        assert len(out) > 0
+        pairs = set(zip(out["supp_nation"], out["cust_nation"]))
+        assert pairs <= {(Q7_NATION_A, Q7_NATION_B), (Q7_NATION_B, Q7_NATION_A)}
+        assert (out["revenue_e2"] > 0).all()
+        assert out["l_year"].between(1995, 1997).all()
+
+    def test_q15_ties_rule_on_fixture(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q15_top_supplier,
+        )
+
+        in_win = dt.datetime(1996, 2, 1)
+        rows = [
+            # suppliers 1 and 2 tie at 200.00; supplier 3 trails
+            dict(l_suppkey=1, l_shipdate=in_win, l_extendedprice=200.0, l_discount=0.0),
+            dict(l_suppkey=2, l_shipdate=in_win, l_extendedprice=100.0, l_discount=0.0),
+            dict(l_suppkey=2, l_shipdate=in_win, l_extendedprice=100.0, l_discount=0.0),
+            dict(l_suppkey=3, l_shipdate=in_win, l_extendedprice=50.0, l_discount=0.0),
+        ]
+        schema = pa.schema(
+            [
+                ("l_suppkey", pa.int64()), ("l_shipdate", pa.timestamp("us")),
+                ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "s_name": pa.array(["S1", "S2", "S3"], type=pa.string()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        out = tpch_q15_top_supplier(str(tmp_path))
+        assert list(out["s_suppkey"]) == [1, 2]  # BOTH tied winners, verbatim rule
+        assert set(out["total_revenue_e2"]) == {20_000}
+
+    def test_q13_includes_zero_order_customers(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q13_customer_distribution,
+        )
+
+        out = tpch_q13_customer_distribution(SF)
+        con = duckdb.connect()
+        total = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+        ).fetchone()[0]
+        assert int(out["custdist"].sum()) == total  # every customer in exactly one bucket
+        zero = con.execute(
+            f"""SELECT count(*) FROM read_parquet('{SF}/customer.parquet') c
+                WHERE c.c_custkey NOT IN
+                  (SELECT o_custkey FROM read_parquet('{SF}/orders.parquet'))"""
+        ).fetchone()[0]
+        got_zero = out.loc[out["c_count"] == 0, "custdist"]
+        assert (int(got_zero.iloc[0]) if len(got_zero) else 0) == zero
