@@ -895,3 +895,548 @@ register("tpch_q15_top_supplier", tpch_q15_top_supplier, sql=TPCH_Q15_SQL)
 register(
     "tpch_q13_customer_distribution", tpch_q13_customer_distribution, sql=TPCH_Q13_SQL
 )
+
+
+# --- Q8 / Q17 / Q19 / Q22 (X119-X122) ---------------------------------------
+# These four close out the TPC-H surface this schema can express. With
+# them the expressible set is Q1/Q3/Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/
+# Q18/Q19/Q22 (+ the Q4-shaped orders_late_shipment_priority); the rest
+# need partsupp / commitdate / shipmode columns this corpus lacks.
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_18"  # the nation whose market share is measured
+Q8_TYPE = "ECONOMY"
+Q8_DATE_LO = "1995-01-01"
+Q8_DATE_HI = "1997-01-01"
+
+Q17_BRAND = "Brand#3"
+
+# Q19: three disjunctive (brand, max size, qty band) predicates.
+Q19_DISJUNCTS = (
+    ("Brand#1", 5, 1.0, 11.0),
+    ("Brand#2", 10, 10.0, 20.0),
+    ("Brand#3", 15, 20.0, 30.0),
+)
+
+
+def tpch_q8_market_share(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(o_year, nation_e2, total_e2, mkt_share): one nation's share of a
+    region's market for one part type, by order year. Three broadcast
+    sides (type partkeys as a sorted membership array; supplier and
+    customer nation maps, ceiling-enforced); both fact scans pre-filter
+    (orders to region customers in the window, lineitem to the type's
+    parts) before the ONE co-partition exchange on the order key; the
+    final (year, is-target) grid is a bounded enum fold and the share is
+    derived on the driver from exact integer sums."""
+    for tbl in ("supplier", "customer", "part"):
+        n_rows = _pq.ParquetFile(table_path(sf_dir, tbl)).metadata.num_rows
+        if n_rows > max_broadcast_keys:
+            raise ValueError(
+                f"tpch_q8_market_share: {tbl} has {n_rows:,} rows, past the "
+                f"broadcast ceiling ({max_broadcast_keys:,}); reroute that "
+                "side through a co-partition exchange (the tpch_q3_topk "
+                "fallback shape)"
+            )
+    nat = _pq.read_table(table_path(sf_dir, "nation"))
+    reg = _pq.read_table(table_path(sf_dir, "region"))
+    region_keys = {
+        int(k)
+        for k, name in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if name == Q8_REGION
+    }
+    region_nations = np.array(
+        sorted(
+            int(k)
+            for k, rk in zip(
+                nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+            )
+            if int(rk) in region_keys
+        ),
+        dtype=np.int64,
+    )
+    target_key = {
+        n: int(k)
+        for k, n in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }[Q8_NATION]
+
+    part = _pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    econ = pc.equal(part["p_type"], Q8_TYPE)
+    type_parts = np.sort(
+        part.filter(econ)["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    sup = _pq.read_table(table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_keys, s_nats = broadcast_lookup(
+        sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    cust = _pq.read_table(table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    c_keys, c_nats = broadcast_lookup(
+        cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    ref = ray.put((type_parts, s_keys, s_nats, c_keys, c_nats, region_nations))
+    lo = _dt.datetime.fromisoformat(Q8_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q8_DATE_HI)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        tp, sk, sn, ck, cn, rn = ray.get(ref)
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        t = batch.filter(m)
+        cnat = probe_lookup(ck, cn, int64_array(t["o_custkey"]), missing=-1)
+        keep = np.isin(cnat, rn)
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "is_t": pa.array(np.zeros(n, dtype=bool)),
+                "rev_e2": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_order": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        tp, sk, sn, ck, cn, rn = ray.get(ref)
+        keys = int64_array(batch["l_partkey"])
+        pos = np.searchsorted(tp, keys)
+        pos = np.minimum(pos, max(len(tp) - 1, 0))
+        hit = (len(tp) > 0) & (tp[pos] == keys)
+        t = batch.filter(pa.array(hit))
+        snat = probe_lookup(sk, sn, int64_array(t["l_suppkey"]), missing=-1)
+        g = (
+            pa.table(
+                {
+                    "key": t["l_orderkey"],
+                    "is_t": pa.array(snat == target_key),
+                    "rev_e2": _rev_e2(t),
+                }
+            )
+            .group_by(["key", "is_t"])
+            .aggregate([("rev_e2", "sum")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "year": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_t": g["is_t"],
+                "rev_e2": g["rev_e2_sum"],
+                "is_order": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_join(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df["is_order"]].drop_duplicates("key").set_index("key")["year"]
+        lins = df[~df["is_order"]]
+        yr = lins["key"].map(ords)
+        hit = lins[yr.notna()].copy()
+        hit["year"] = yr[hit.index].astype("int64")
+        g = hit.groupby(["year", "is_t"], sort=False)["rev_e2"].sum().reset_index()
+        g["rev_e2"] = g["rev_e2"].astype("int64")
+        return g
+
+    partials = hash_partitioned(orders.union(lines), "key", local_join)
+    folded = enum_group_sum(partials, ["year", "is_t"], ["rev_e2"])
+    years = sorted(folded["year"].unique())
+    rows = []
+    for y in years:
+        sub = folded[folded["year"] == y]
+        tot = int(sub["rev_e2"].sum())
+        tgt = int(sub.loc[sub["is_t"], "rev_e2"].sum())
+        share = round6(np.array([tgt / tot]))[0] if tot else 0.0
+        rows.append((int(y), tgt, tot, share))
+    return pd.DataFrame(
+        rows, columns=["o_year", "nation_e2", "total_e2", "mkt_share"]
+    ).astype({"o_year": "int64", "nation_e2": "int64", "total_e2": "int64"})
+
+
+TPCH_Q8_SQL = f"""
+WITH base AS (
+  SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+              AS BIGINT) AS rev,
+         (s.s_nationkey = (SELECT n_nationkey FROM nation
+                           WHERE n_name = '{Q8_NATION}')) AS is_t
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = '{Q8_REGION}'
+    AND p.p_type = '{Q8_TYPE}'
+    AND o.o_orderdate >= TIMESTAMP '{Q8_DATE_LO}'
+    AND o.o_orderdate < TIMESTAMP '{Q8_DATE_HI}'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN is_t THEN rev ELSE 0 END) AS BIGINT) AS nation_e2,
+       CAST(sum(rev) AS BIGINT) AS total_e2,
+       round(CAST(sum(CASE WHEN is_t THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM base
+GROUP BY o_year
+"""
+
+
+def tpch_q17_small_quantity(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(avg_yearly, total_e2, n_small): revenue lost if one brand's
+    small-quantity orders (below 20%% of the part's average quantity)
+    moved to bulk — sum(price)/7 over qualifying lines. The brand's
+    partkeys broadcast as a sorted membership array; only that brand's
+    lines (≈1/25 of the fact table — the predicate IS the bound,
+    documented) enter the ONE partkey co-partition exchange, where each
+    partition owns every line of its parts and applies the threshold
+    with EXACT integer arithmetic: qty < 0.2·avg(qty) ⇔
+    qty_e2·cnt·5 < sum_qty_e2 (no float average crosses the oracle
+    boundary; overflow needs cnt > 7.3e13 lines per part)."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q17_small_quantity: part has {n_rows:,} rows, past the "
+            f"broadcast ceiling ({max_broadcast_keys:,}); reroute the brand "
+            "membership filter through a partkey co-partition exchange "
+            "(the tpch_q3_topk fallback shape)"
+        )
+    part = _pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brand_parts = np.sort(
+        part.filter(pc.equal(part["p_brand"], Q17_BRAND))["p_partkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ref = ray.put(brand_parts)
+
+    def brand_lines(batch: pa.Table) -> pa.Table:
+        bp = ray.get(ref)
+        keys = int64_array(batch["l_partkey"])
+        pos = np.searchsorted(bp, keys)
+        pos = np.minimum(pos, max(len(bp) - 1, 0))
+        hit = (len(bp) > 0) & (bp[pos] == keys)
+        t = batch.filter(pa.array(hit))
+        qty = pc.cast(
+            pc.round(
+                pc.multiply(t["l_quantity"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        price = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"partkey": t["l_partkey"], "qty_e2": qty, "price_e2": price})
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(brand_lines, batch_format="pyarrow", zero_copy_batch=True)
+
+    def threshold_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("partkey", sort=False)["qty_e2"].agg(["sum", "count"])
+        sums = df["partkey"].map(g["sum"]).to_numpy(dtype=np.int64)
+        cnts = df["partkey"].map(g["count"]).to_numpy(dtype=np.int64)
+        qty = df["qty_e2"].to_numpy(dtype=np.int64)
+        small = qty * cnts * 5 < sums
+        return pd.DataFrame(
+            {
+                "total_e2": pd.Series(
+                    [int(df["price_e2"].to_numpy(dtype=np.int64)[small].sum())],
+                    dtype="int64",
+                ),
+                "n_small": pd.Series([int(small.sum())], dtype="int64"),
+            }
+        )
+
+    partials = hash_partitioned(ds, "partkey", threshold_sum)
+    total_e2, n_small = _scalar_fold(partials, ["total_e2", "n_small"])
+    avg_yearly = round6(np.array([total_e2 / 100.0 / 7.0]))[0]
+    return pd.DataFrame(
+        {
+            "avg_yearly": pd.Series([avg_yearly], dtype="float64"),
+            "total_e2": pd.Series([total_e2], dtype="int64"),
+            "n_small": pd.Series([n_small], dtype="int64"),
+        }
+    )
+
+
+TPCH_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty_e2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+  GROUP BY l_partkey
+),
+small AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_e2
+  FROM lineitem l
+  JOIN per_part pp ON pp.l_partkey = l.l_partkey
+  WHERE CAST(round(l.l_quantity * 100, 0) AS BIGINT) * pp.cnt * 5
+        < pp.sum_qty_e2
+)
+SELECT round(CAST(COALESCE(sum(price_e2), 0) AS DOUBLE) / 100.0 / 7.0, 6)
+         AS avg_yearly,
+       CAST(COALESCE(sum(price_e2), 0) AS BIGINT) AS total_e2,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM small
+"""
+
+
+def tpch_q19_disjunctive_revenue(
+    sf_dir: str, max_broadcast_keys: int = MAX_BROADCAST_KEYS
+) -> "pd.DataFrame":
+    """(revenue_e2, n_lines): discounted revenue matching any of three
+    (brand, size-cap, quantity-band) disjuncts — the OR-of-conjunctions
+    predicate a pushdown planner must not naively split. The three
+    brands' (partkey → disjunct index, size) map broadcasts as sorted
+    arrays; the fact scan evaluates all three bands vectorized in one
+    pass with NO exchange (single-row block partials, Python-int driver
+    fold)."""
+    n_rows = _pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    if n_rows > max_broadcast_keys:
+        raise ValueError(
+            f"tpch_q19_disjunctive_revenue: part has {n_rows:,} rows, past "
+            f"the broadcast ceiling ({max_broadcast_keys:,}); reroute the "
+            "part attribute lookup through a partkey co-partition exchange "
+            "(the tpch_q3_topk fallback shape)"
+        )
+    part = _pq.read_table(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    brands = pc.cast(part["p_brand"], pa.string()).to_pylist()
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand_idx = {b: i for i, (b, _, _, _) in enumerate(Q19_DISJUNCTS)}
+    codes = np.array([brand_idx.get(b, -1) for b in brands], dtype=np.int64)
+    keep = codes >= 0
+    order = np.argsort(keys[keep])
+    p_keys = keys[keep][order]
+    p_codes = codes[keep][order]
+    p_sizes = sizes[keep][order]
+    ref = ray.put((p_keys, p_codes, p_sizes))
+    size_caps = np.array([d[1] for d in Q19_DISJUNCTS], dtype=np.int64)
+    qty_lo = np.array([d[2] for d in Q19_DISJUNCTS], dtype=np.float64)
+    qty_hi = np.array([d[3] for d in Q19_DISJUNCTS], dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, pcodes, psz = ray.get(ref)
+        keys = int64_array(batch["l_partkey"])
+        pos = np.searchsorted(pk, keys)
+        pos = np.minimum(pos, max(len(pk) - 1, 0))
+        hit = (len(pk) > 0) & (pk[pos] == keys)
+        t = batch.filter(pa.array(hit))
+        code = pcodes[pos[hit]]
+        size = psz[pos[hit]]
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = (
+            (size >= 1)
+            & (size <= size_caps[code])
+            & (qty >= qty_lo[code])
+            & (qty <= qty_hi[code])
+        )
+        rev = _rev_e2(t).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "revenue_e2": pa.array([int(rev[ok].sum())], type=pa.int64()),
+                "n_lines": pa.array([int(ok.sum())], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    revenue_e2, n_lines = _scalar_fold(ds, ["revenue_e2", "n_lines"])
+    return pd.DataFrame(
+        {
+            "revenue_e2": pd.Series([revenue_e2], dtype="int64"),
+            "n_lines": pd.Series([n_lines], dtype="int64"),
+        }
+    )
+
+
+def _q19_disjunct_sql(brand: str, size_cap: int, lo: float, hi: float) -> str:
+    return (
+        f"(p.p_brand = '{brand}' AND p.p_size BETWEEN 1 AND {size_cap} "
+        f"AND l.l_quantity BETWEEN {lo} AND {hi})"
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100, 0) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {" OR ".join(_q19_disjunct_sql(*d) for d in Q19_DISJUNCTS)}
+"""
+
+
+Q22_CUTOFF = "2000-01-01"  # "lapsed" = no order on/after this date
+
+
+def tpch_q22_global_sales_opportunity(sf_dir: str) -> "pd.DataFrame":
+    """(c_nationkey, numcust, totacctbal_e2): wealthy customers with no
+    order since the cutoff, by nation — the above-average anti-join
+    (verbatim Q22's seven-years-idle form; "never ordered" is vacuous on
+    this corpus where every customer has pre-cutoff orders). Pass 1 folds the
+    positive-balance average as EXACT integers (one (sum, count) partial
+    per customer block); pass 2 sends only the qualifying customer stubs
+    and each order block's DISTINCT customer keys through ONE
+    co-partition exchange where the anti-join and the per-nation partial
+    happen in-partition (the qualifying threshold is applied with
+    integer cross-multiplication — acctbal_e2·n > sum_e2 — so no float
+    average crosses the oracle boundary). No ceiling needed: neither
+    full table is ever driver-resident."""
+
+    def balance_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"]
+        posm = pc.greater(bal, pa.scalar(0.0))
+        t = batch.filter(posm)
+        e2 = pc.cast(
+            pc.round(
+                pc.multiply(t["c_acctbal"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "sum_e2": pa.array([pc.sum(e2).as_py() or 0], type=pa.int64()),
+                "n_pos": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    bal_ds = ray.data.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_acctbal"]
+    ).map_batches(balance_partial, batch_format="pyarrow", zero_copy_batch=True)
+    sum_e2, n_pos = _scalar_fold(bal_ds, ["sum_e2", "n_pos"])
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        e2 = pc.cast(
+            pc.round(
+                pc.multiply(batch["c_acctbal"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        vals = e2.to_numpy(zero_copy_only=False).astype(np.int64)
+        null = pc.is_null(batch["c_acctbal"]).to_numpy(zero_copy_only=False)
+        rich = (~null) & (vals * n_pos > sum_e2)
+        t = batch.filter(pa.array(rich))
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["c_custkey"],
+                "nationkey": t["c_nationkey"],
+                "bal_e2": pa.array(vals[rich]),
+                "is_cust": pa.array([True] * n, type=pa.bool_()),
+            }
+        )
+
+    cutoff = _dt.datetime.fromisoformat(Q22_CUTOFF)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(cutoff))
+        )
+        keys = t["o_custkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.drop_null().unique()
+        n = len(keys)
+        return pa.table(
+            {
+                "key": keys,
+                "nationkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "bal_e2": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_cust": pa.array([False] * n, type=pa.bool_()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        table_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cust_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def anti_join(df: pd.DataFrame) -> pd.DataFrame:
+        ordered = set(df.loc[~df["is_cust"], "key"])
+        cu = df[df["is_cust"] & ~df["key"].isin(ordered)]
+        g = cu.groupby("nationkey", sort=False, dropna=False).agg(
+            numcust=("key", "size"), totacctbal_e2=("bal_e2", "sum")
+        )
+        out = g.reset_index()
+        out["numcust"] = out["numcust"].astype("int64")
+        out["totacctbal_e2"] = out["totacctbal_e2"].astype("int64")
+        return out
+
+    partials = hash_partitioned(cust.union(orders), "key", anti_join)
+    folded = enum_group_sum(partials, ["nationkey"], ["numcust", "totacctbal_e2"])
+    out = (
+        folded.rename(columns={"nationkey": "c_nationkey"})
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    return out[["c_nationkey", "numcust", "totacctbal_e2"]]
+
+
+TPCH_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS totacctbal_e2
+FROM customer c, pos
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * pos.n > pos.s
+  AND c.c_custkey NOT IN
+      (SELECT o_custkey FROM orders
+       WHERE o_custkey IS NOT NULL
+         AND o_orderdate >= TIMESTAMP '{CUTOFF}')
+GROUP BY c.c_nationkey
+""".replace("{CUTOFF}", Q22_CUTOFF)
+
+register("tpch_q8_market_share", tpch_q8_market_share, sql=TPCH_Q8_SQL)
+register("tpch_q17_small_quantity", tpch_q17_small_quantity, sql=TPCH_Q17_SQL)
+register(
+    "tpch_q19_disjunctive_revenue", tpch_q19_disjunctive_revenue, sql=TPCH_Q19_SQL
+)
+register(
+    "tpch_q22_global_sales_opportunity",
+    tpch_q22_global_sales_opportunity,
+    sql=TPCH_Q22_SQL,
+)

@@ -5382,3 +5382,141 @@ class TestTpchSecondTrio:
         ).fetchone()[0]
         got_zero = out.loc[out["c_count"] == 0, "custdist"]
         assert (int(got_zero.iloc[0]) if len(got_zero) else 0) == zero
+
+
+class TestTpchFinalFour:
+    """X119-X122: Q8 market share, Q17 exact-integer threshold, Q19
+    disjunctive scan, Q22 recency anti-join. Value parity is in the
+    blanket loop; these pin structure and edge rules."""
+
+    def test_q8_share_bounds_and_grid(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q8_market_share,
+        )
+
+        out = tpch_q8_market_share(SF)
+        assert set(out["o_year"]) <= {1995, 1996}
+        assert (out["mkt_share"] >= 0.0).all() and (out["mkt_share"] <= 1.0).all()
+        assert (out["nation_e2"] <= out["total_e2"]).all()
+
+    def test_q17_integer_threshold_on_fixture(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            Q17_BRAND,
+            tpch_q17_small_quantity,
+        )
+
+        # part 1: qties 1, 1, 10 -> avg 4, 0.2*avg = 0.8 -> nothing below
+        # part 2: qties 1, 9, 10 -> avg 20/3, 0.2*avg = 4/3 -> the 1 row
+        # qualifies (exact rule: 100*3*5=1500 < 2000)
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "p_brand": pa.array([Q17_BRAND, Q17_BRAND, "Brand#9"]),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        rows = []
+        for pk, q in [(1, 1.0), (1, 1.0), (1, 10.0), (2, 1.0), (2, 9.0), (2, 10.0), (3, 1.0)]:
+            rows.append(dict(l_partkey=pk, l_quantity=q, l_extendedprice=70.0))
+        schema = pa.schema(
+            [
+                ("l_partkey", pa.int64()), ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = tpch_q17_small_quantity(str(tmp_path))
+        assert int(out["n_small"].iloc[0]) == 1
+        assert int(out["total_e2"].iloc[0]) == 7000
+        assert float(out["avg_yearly"].iloc[0]) == 10.0
+
+    def test_q19_known_disjuncts(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q19_disjunctive_revenue,
+        )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+                    "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#1"]),
+                    "p_size": pa.array([3, 8, 40], type=pa.int64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        rows = [
+            dict(l_partkey=1, l_quantity=5.0, l_extendedprice=100.0, l_discount=0.0),   # in (d1)
+            dict(l_partkey=1, l_quantity=20.0, l_extendedprice=100.0, l_discount=0.0),  # qty out
+            dict(l_partkey=2, l_quantity=15.0, l_extendedprice=50.0, l_discount=0.0),   # in (d2)
+            dict(l_partkey=3, l_quantity=5.0, l_extendedprice=100.0, l_discount=0.0),   # size out
+        ]
+        schema = pa.schema(
+            [
+                ("l_partkey", pa.int64()), ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = tpch_q19_disjunctive_revenue(str(tmp_path))
+        assert int(out["revenue_e2"].iloc[0]) == 15_000
+        assert int(out["n_lines"].iloc[0]) == 2
+
+    def test_q22_anti_join_rules_on_fixture(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q22_global_sales_opportunity,
+        )
+
+        # balances: 100, 200, 300, -50 -> positive avg = 200; "rich" = >200
+        # cust 3 (300): no recent order -> the one winner
+        # cust 4 (300): recent order -> excluded by the anti-join
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                    "c_nationkey": pa.array([7, 7, 7, 7, 8], type=pa.int64()),
+                    "c_acctbal": pa.array([100.0, 200.0, 300.0, 300.0, -50.0]),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        old, new = dt.datetime(1999, 1, 1), dt.datetime(2000, 6, 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array([3, 4], type=pa.int64()),
+                    "o_orderdate": pa.array([old, new], type=pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        out = tpch_q22_global_sales_opportunity(str(tmp_path))
+        assert len(out) == 1
+        assert int(out["c_nationkey"].iloc[0]) == 7
+        assert int(out["numcust"].iloc[0]) == 1
+        assert int(out["totacctbal_e2"].iloc[0]) == 30_000
+
+    def test_final_four_ceilings(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.tpchx import (
+            tpch_q8_market_share,
+            tpch_q17_small_quantity,
+            tpch_q19_disjunctive_revenue,
+        )
+
+        for fn in (tpch_q8_market_share, tpch_q17_small_quantity,
+                   tpch_q19_disjunctive_revenue):
+            with pytest.raises(ValueError, match="broadcast ceiling.*co-partition"):
+                fn(SF, max_broadcast_keys=10)
