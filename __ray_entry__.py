@@ -151,23 +151,29 @@ _DRIVER_WINDOW: list[str] = [
     "order_gap_histogram",
     "events_props_stats",
     "ref_integrity_report",
-    "conversation_role_transitions",
-    "tool_cooccurrence",
-    "user_conversion_lag",
-    "events_sliding_distinct_hll",
-    # round-5 session-5 additions (X94-X98), never driver-verdicted — they
-    # take the last refresh slots; the session-1 audit quartet they displace
-    # (docs_quality_report, dedup_cluster_sizes, docs_pack_efficiency,
-    # transcript_tool_stats — recorded 140/140 contract MATCH) plus the
-    # media golden twins stay value-checked by tests/test_oracle_parity.py
-    # and tools/check_driver_contract.py
-    "events_band_pairs",
-    "docs_heavy_hitters_by_source",
-    "session_window_overlap",
-    "source_similarity_kmv",
-    "lineitem_corr_by_flag",
-    "token_frequency_spectrum",
-    "source_drift_ks",
+    # round-5 final-session additions: the complete expressible TPC-H
+    # surface (X112-X122 — Q6/Q14/Q18/Q10/Q7/Q15/Q13/Q8/Q17/Q19/Q22),
+    # brand-new this session and never checked by any external run. They
+    # take the last refresh slots; the never-verdicted session-2/3/4 ops
+    # they displace (conversation_role_transitions, tool_cooccurrence,
+    # user_conversion_lag, events_sliding_distinct_hll, events_band_pairs,
+    # docs_heavy_hitters_by_source, session_window_overlap,
+    # source_similarity_kmv, lineitem_corr_by_flag,
+    # token_frequency_spectrum, source_drift_ks — all recorded
+    # contract-MATCH in BASELINE.md round-5 session gates) stay
+    # value-checked every run by tests/test_oracle_parity.py and
+    # tools/check_driver_contract.py.
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q10_returned_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
