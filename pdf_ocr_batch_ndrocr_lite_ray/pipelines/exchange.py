@@ -170,7 +170,8 @@ def probe_lookup(sorted_keys, sorted_values, probe, missing=-1):
 
 
 def hash_partitioned(
-    ds: "ray.data.Dataset", key: str, per_partition, num_partitions: int = _GROUP_PARTITIONS
+    ds: "ray.data.Dataset", key: str, per_partition,
+    num_partitions: int = _GROUP_PARTITIONS, coalesce_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """Apply ``per_partition(df)`` once per hash partition of ``key``.
 
@@ -229,6 +230,16 @@ def hash_partitioned(
             out = out.drop(columns=["_pid"])
         return out
 
+    # ``coalesce_rows``: bundle tiny upstream blocks (one per read task
+    # when the input is a partial-emitting map stage) into ~that many-row
+    # batches before the sort — the shuffle pays per-(block × partition)
+    # metadata overhead that dwarfs the data cost on hundreds of small
+    # blocks (see recombine_partials; identity version for mixed/stub
+    # schemas that a keyed re-aggregation can't express).
+    if coalesce_rows is not None:
+        ds = ds.map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=coalesce_rows
+        )
     return (
         ds.map_batches(add_pid, batch_format="pyarrow")
         .groupby("_pid")
@@ -322,3 +333,28 @@ def quantile_cont_duckdb(sorted_vals, q: float) -> float:
     if crn == frn:
         return float(sorted_vals[frn])
     return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
+
+
+def recombine_partials(
+    ds: "ray.data.Dataset", keys: list[str], sums: list[str],
+    batch_size: int = 1 << 20,
+) -> "ray.data.Dataset":
+    """Coalesce + re-aggregate keyed sum-partials across blocks BEFORE an
+    exchange. A partial-emitting map stage produces one (small) block per
+    read task; feeding hundreds of tiny blocks into the sort-based
+    groupby exchange pays per-block shuffle overhead far above the data
+    cost (measured 9s on 161k partial rows in 160 blocks vs <1s in 2).
+    One cross-block ``map_batches`` with a large ``batch_size`` bundles
+    those blocks into ~``batch_size``-row batches and re-runs the same
+    keyed sum, shrinking both the block COUNT and the row count that
+    reach the exchange. Streaming-safe: no all-to-all, bounded memory
+    (one bundle at a time), and the re-aggregation is the same mergeable
+    sum the downstream fold performs anyway."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        return g.rename_columns(list(keys) + list(sums))
+
+    return ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -359,7 +359,9 @@ def tpch_q18_large_orders(
         hit["qty_e2"] = hit["key"].map(qty).astype("int64")
         return hit[["key", "custkey", "price_e2", "odate", "qty_e2"]]
 
-    qualified = hash_partitioned(lines.union(orders), "key", local_join)
+    qualified = hash_partitioned(
+        lines.union(orders), "key", local_join, coalesce_rows=1 << 20
+    )
     top = driver_topk_fold(
         qualified, by=["price_e2", "key"], ascending=[False, True], k=Q18_TOP_N
     )
@@ -488,14 +490,18 @@ def tpch_q10_returned_revenue(
         g["rev_e2"] = g["rev_e2"].astype("int64")
         return g
 
-    per_cust_partials = hash_partitioned(lines.union(orders), "key", join_rekey)
+    per_cust_partials = hash_partitioned(
+        lines.union(orders), "key", join_rekey, coalesce_rows=1 << 20
+    )
 
     def cust_sum(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("custkey", sort=False)["rev_e2"].sum().reset_index()
         g["rev_e2"] = g["rev_e2"].astype("int64")
         return g
 
-    per_cust = hash_partitioned(per_cust_partials, "custkey", cust_sum)
+    per_cust = hash_partitioned(
+        per_cust_partials, "custkey", cust_sum, coalesce_rows=1 << 20
+    )
     top = driver_topk_fold(
         per_cust, by=["rev_e2", "custkey"], ascending=[False, True], k=Q10_TOP_N
     )
@@ -688,7 +694,9 @@ def tpch_q7_volume_shipping(
         g["rev_e2"] = g["rev_e2"].astype("int64")
         return g.rename(columns={"nat": "supp_nat"})
 
-    partials = hash_partitioned(orders.union(lines), "key", local_join)
+    partials = hash_partitioned(
+        orders.union(lines), "key", local_join, coalesce_rows=1 << 20
+    )
     folded = enum_group_sum(partials, ["supp_nat", "cust_nat", "year"], ["rev_e2"])
     folded["supp_nation"] = folded["supp_nat"].map(name_of)
     folded["cust_nation"] = folded["cust_nat"].map(name_of)
@@ -754,10 +762,16 @@ def tpch_q15_top_supplier(
         )
         return g.rename_columns(["suppkey", "rev_e2"])
 
-    ds = ray.data.read_parquet(
-        table_path(sf_dir, "lineitem"),
-        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from .exchange import recombine_partials
+
+    ds = recombine_partials(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["suppkey"],
+        ["rev_e2"],
+    )
 
     def local_max(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("suppkey", sort=False)["rev_e2"].sum()
@@ -863,7 +877,9 @@ def tpch_q13_customer_distribution(
             {"c_count": cc.index.astype("int64"), "custdist": cc.values.astype("int64")}
         )
 
-    partials = hash_partitioned(ds, "custkey", count_of_counts)
+    partials = hash_partitioned(
+        ds, "custkey", count_of_counts, coalesce_rows=1 << 20
+    )
     folded = enum_group_sum(partials, ["c_count"], ["custdist"])
     matched = int(folded["custdist"].sum())
     zero_row = pd.DataFrame(
@@ -1050,7 +1066,9 @@ def tpch_q8_market_share(
         g["rev_e2"] = g["rev_e2"].astype("int64")
         return g
 
-    partials = hash_partitioned(orders.union(lines), "key", local_join)
+    partials = hash_partitioned(
+        orders.union(lines), "key", local_join, coalesce_rows=1 << 20
+    )
     folded = enum_group_sum(partials, ["year", "is_t"], ["rev_e2"])
     years = sorted(folded["year"].unique())
     rows = []
@@ -1169,7 +1187,9 @@ def tpch_q17_small_quantity(
             }
         )
 
-    partials = hash_partitioned(ds, "partkey", threshold_sum)
+    partials = hash_partitioned(
+        ds, "partkey", threshold_sum, coalesce_rows=1 << 20
+    )
     total_e2, n_small = _scalar_fold(partials, ["total_e2", "n_small"])
     avg_yearly = round6(np.array([total_e2 / 100.0 / 7.0]))[0]
     return pd.DataFrame(
@@ -1401,7 +1421,9 @@ def tpch_q22_global_sales_opportunity(sf_dir: str) -> "pd.DataFrame":
         out["totacctbal_e2"] = out["totacctbal_e2"].astype("int64")
         return out
 
-    partials = hash_partitioned(cust.union(orders), "key", anti_join)
+    partials = hash_partitioned(
+        cust.union(orders), "key", anti_join, coalesce_rows=1 << 20
+    )
     folded = enum_group_sum(partials, ["nationkey"], ["numcust", "totacctbal_e2"])
     out = (
         folded.rename(columns={"nationkey": "c_nationkey"})

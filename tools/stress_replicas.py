@@ -33,9 +33,16 @@ import pyarrow.parquet as pq
 _OFFSET_KEYS = {
     "events": ["event_id", "user_id"],
     "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
     "documents": ["doc_id"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
 }
+
+#: dimension tables copied verbatim (shared by every replica — nation keys
+#: are a fixed 25-row enum, offsetting them would break the region join)
+_VERBATIM_TABLES = ("nation", "region")
 
 
 def gen(src: str, dst: str, copies: int = 10) -> None:
@@ -44,7 +51,12 @@ def gen(src: str, dst: str, copies: int = 10) -> None:
     # foreign keys offset in lockstep (lineitem.l_orderkey uses the span of
     # orders.o_orderkey — a per-table max would break the join when the
     # widest orderkey has no line items)
-    span_of = {"l_orderkey": ("orders", "o_orderkey")}
+    span_of = {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "o_custkey": ("customer", "c_custkey"),
+    }
     spans: dict[str, int] = {}
 
     def span_for(table: str, col: str) -> int:
@@ -85,6 +97,9 @@ def gen(src: str, dst: str, copies: int = 10) -> None:
             parts.append(pa.table(cols))
         pq.write_table(pa.concat_tables(parts), f"{dst}/{table}.parquet")
         print(f"{table}: {t.num_rows} -> {t.num_rows * copies}", file=sys.stderr)
+    for table in _VERBATIM_TABLES:
+        pq.write_table(pq.read_table(f"{src}/{table}.parquet"), f"{dst}/{table}.parquet")
+        print(f"{table}: copied verbatim", file=sys.stderr)
 
 
 def run(query: str, sf_dir: str, num_cpus: int = 32) -> None:
