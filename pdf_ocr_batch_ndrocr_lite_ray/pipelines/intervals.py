@@ -406,3 +406,106 @@ GROUP BY 1
 """
 
 register("session_window_overlap", session_window_overlap, sql=SESSION_WINDOW_OVERLAP_SQL)
+
+
+# --- per-user interval-union coverage (X124) ---------------------------------
+
+#: each event claims a fixed activity window [ts, ts + this) — the union of
+#: those windows per user is the classic interval-coverage measure.
+COVERAGE_WINDOW_SEC = 300
+
+
+def user_interval_coverage(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, n_islands, covered_us, n_events): total UNION length of
+    each user's event windows [ts, ts+300s) plus the merged-island count —
+    the interval-union aggregate (ad attribution, uptime, billable-time
+    shapes). ONE user-key exchange; inside a partition the island
+    detection is fully vectorized (sort by ts, running max of window ends,
+    a window is a new island iff its start exceeds every previous end —
+    touching windows merge). All arithmetic is integer microseconds, so
+    the SQL window twin is bit-equal. NULL user/ts rows are excluded
+    (the SQL inner WHERE)."""
+    from .exchange import hash_partitioned
+
+    win_us = COVERAGE_WINDOW_SEC * 1_000_000
+
+    def stub(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])
+        )
+        t = batch.filter(m)
+        ts = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts_us": ts})
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts"]
+    ).map_batches(stub, batch_format="pyarrow", zero_copy_batch=True)
+
+    def coverage(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "ts_us"], kind="mergesort")
+        users = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        te = ts + win_us
+        # running max of interval ends WITHIN each user, shifted by one —
+        # grouped cummax/shift are vectorized C paths, no per-user loop
+        g = df.assign(te=te).groupby("user_id", sort=False)
+        prev_end = g["te"].cummax().groupby(df["user_id"], sort=False).shift(1)
+        new_island = prev_end.isna().to_numpy() | (
+            ts > prev_end.fillna(np.iinfo(np.int64).min).to_numpy(dtype=np.int64)
+        )
+        island_id = np.cumsum(new_island) - 1
+        out = pd.DataFrame(
+            {"user_id": users, "island": island_id, "ts": ts, "te": te}
+        )
+        g = out.groupby(["user_id", "island"], sort=False).agg(
+            start=("ts", "min"), end=("te", "max"), n_events=("ts", "size")
+        )
+        cov = (g["end"] - g["start"]).groupby(level=0).sum()
+        isl = g.groupby(level=0).size()
+        nev = g["n_events"].groupby(level=0).sum()
+        return pd.DataFrame(
+            {
+                "user_id": cov.index,
+                "n_islands": isl.to_numpy(dtype=np.int64),
+                "covered_us": cov.to_numpy(dtype=np.int64),
+                "n_events": nev.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return hash_partitioned(ds, "user_id", coverage)
+
+
+USER_INTERVAL_COVERAGE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + {COVERAGE_WINDOW_SEC * 1_000_000} AS te_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+m AS (
+  SELECT user_id, ts_us, te_us,
+         max(te_us) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM e
+),
+g AS (
+  SELECT user_id, ts_us, te_us,
+         sum(CASE WHEN prev_end IS NULL OR ts_us > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+s AS (
+  SELECT user_id, island, max(te_us) - min(ts_us) AS cov_us,
+         count(*) AS n_ev
+  FROM g GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov_us) AS BIGINT) AS covered_us,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+"""
+
+register("user_interval_coverage", user_interval_coverage, sql=USER_INTERVAL_COVERAGE_SQL)

@@ -5520,3 +5520,112 @@ class TestTpchFinalFour:
                    tpch_q19_disjunctive_revenue):
             with pytest.raises(ValueError, match="broadcast ceiling.*co-partition"):
                 fn(SF, max_broadcast_keys=10)
+
+
+class TestSkylineAndCoverage:
+    """X123 2-D skyline (kernel invariants, dominance fixture, cap) and
+    X124 interval-union coverage (island rules, NULL exclusion). Value
+    parity vs DuckDB is in the blanket loop."""
+
+    def test_skyline_kernel_fixture(self):
+        import numpy as np
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pareto import _skyline_kernel
+
+        # rows: (key, price, date)
+        # A (1, 100, 10): on front
+        # B (2, 100, 10): duplicate of A -> co-survives
+        # C (3, 100, 11): same price, later date -> dominated by A
+        # D (4, 90, 5): cheaper but earlier -> on front
+        # E (5, 80, 7): dominated by D (90>=80? no wait 90>80 and 5<7 -> dominated)
+        # F (6, 120, 20): highest price -> on front despite late date
+        keys = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+        price = np.array([100, 100, 100, 90, 80, 120], dtype=np.int64)
+        date = np.array([10, 10, 11, 5, 7, 20], dtype=np.int64)
+        keep = _skyline_kernel(keys, price, date)
+        assert set(keys[keep]) == {1, 2, 4, 6}
+
+    def test_skyline_matches_brute_force(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pareto import (
+            orders_price_date_skyline,
+        )
+
+        out = orders_price_date_skyline(SF)
+        con = duckdb.connect()
+        gold = con.execute(
+            f"""
+            WITH s AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice*100,0) AS BIGINT) AS p,
+                              o_orderdate AS d
+                       FROM read_parquet('{SF}/orders.parquet')
+                       WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+            SELECT a.o_orderkey FROM s a
+            WHERE NOT EXISTS (SELECT 1 FROM s b WHERE b.p >= a.p AND b.d <= a.d
+                              AND (b.p > a.p OR b.d < a.d))
+            ORDER BY 1
+            """
+        ).df()
+        assert list(out["o_orderkey"]) == list(gold["o_orderkey"])
+
+    def test_skyline_cap_raises_loud(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pareto import (
+            orders_price_date_skyline,
+        )
+
+        with pytest.raises(ValueError, match="candidate rows.*paginate"):
+            orders_price_date_skyline(SF, max_candidates=1)
+
+    def test_coverage_islands_fixture(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.intervals import (
+            COVERAGE_WINDOW_SEC,
+            USER_INTERVAL_COVERAGE_SQL,
+            user_interval_coverage,
+        )
+
+        base = dt.datetime(2000, 1, 1)
+        W = COVERAGE_WINDOW_SEC
+
+        def ev(uid, sec):
+            return dict(
+                event_id=1, ts=base + dt.timedelta(seconds=sec), user_id=uid,
+                event_type="view", value=1.0, props="{}",
+            )
+
+        rows = [
+            # u1: events at 0 and 100 overlap (window 300) -> one island
+            #     covering [0, 400); event at 1000 -> second island [1000, 1300)
+            ev(1, 0), ev(1, 100), ev(1, 1000),
+            # u2: touching windows (0 and 300) merge -> one island [0, 600)
+            ev(2, 0), ev(2, 300),
+            # NULL user and NULL ts excluded
+            dict(event_id=2, ts=base, user_id=None, event_type="x", value=0.0, props="{}"),
+            dict(event_id=3, ts=None, user_id=9, event_type="x", value=0.0, props="{}"),
+        ]
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("value", pa.float64()), ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "events.parquet")
+        out = user_interval_coverage(str(tmp_path)).to_pandas().set_index("user_id")
+        assert int(out.loc[1, "n_islands"]) == 2
+        assert int(out.loc[1, "covered_us"]) == (400 + 300) * 1_000_000
+        assert int(out.loc[2, "n_islands"]) == 1
+        assert int(out.loc[2, "covered_us"]) == 600 * 1_000_000
+        assert set(out.index) == {1, 2}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(USER_INTERVAL_COVERAGE_SQL).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
