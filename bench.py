@@ -1097,6 +1097,42 @@ BENCH_QUERIES = {
 }
 
 
+def _q_registered(name: str):
+    """Bench wrapper over a registry query — the final-session ops (the
+    TPC-H surface completion, skyline, interval coverage, grouped OLS)
+    register through queryset like everything else; wrapping the registry
+    avoids 14 copy-paste thunks."""
+
+    def run(sf_dir: str) -> int:
+        import __ray_entry__  # noqa: F401  (registers every query module)
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+
+        return _consume(queryset.QUERIES[name](sf_dir))
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+for _key, _name in [
+    ("tpch_q6", "tpch_q6_forecast_revenue"),
+    ("tpch_q14", "tpch_q14_promo_revenue"),
+    ("tpch_q18", "tpch_q18_large_orders"),
+    ("tpch_q10", "tpch_q10_returned_revenue"),
+    ("tpch_q7", "tpch_q7_volume_shipping"),
+    ("tpch_q15", "tpch_q15_top_supplier"),
+    ("tpch_q13", "tpch_q13_customer_distribution"),
+    ("tpch_q8", "tpch_q8_market_share"),
+    ("tpch_q17", "tpch_q17_small_quantity"),
+    ("tpch_q19", "tpch_q19_disjunctive_revenue"),
+    ("tpch_q22", "tpch_q22_global_sales_opportunity"),
+    ("price_date_skyline", "orders_price_date_skyline"),
+    ("interval_coverage", "user_interval_coverage"),
+    ("regression_by_flag", "lineitem_regression_by_flag"),
+]:
+    BENCH_QUERIES[_key] = _q_registered(_name)
+
+
 def kernel_microbench(n_convs: int = 60, seed: int = 42) -> dict:
     """Single-threaded per-kind kernel cost in µs/turn — no Ray, no I/O.
 

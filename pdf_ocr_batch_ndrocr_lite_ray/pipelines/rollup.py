@@ -456,6 +456,142 @@ WHERE n * sqq - sq * sq > 0 AND n * spp - sp * sp > 0
 register("lineitem_corr_by_flag", lineitem_corr_by_flag, sql=LINEITEM_CORR_SQL)
 
 
+def lineitem_regression_by_flag(sf_dir: str) -> "pd.DataFrame":
+    """(l_returnflag, n, slope_e6, intercept_e6): ordinary-least-squares
+    fit of extended price on quantity per return flag — the grouped
+    regression every drift monitor and pricing model needs, sharing the
+    X98 exact-moment fold: the same five int64 block partials (under the
+    same ``_CORR_BLOCK_ROWS`` overflow cap), a Python-int driver fold,
+    and then ONE shared IEEE chain per group (int→double conversions,
+    one divide for the slope, one fused subtract-multiply-divide for the
+    intercept) that the SQL twin spells out literally — not DuckDB's
+    ``regr_slope``, whose float accumulation order differs. Zero-variance
+    groups are excluded on both sides (slope undefined). Intercept is
+    reported in natural price units quantized e6 (the e2 input scales of
+    x and y cancel in the slope, so slope is natural-unit price/qty)."""
+    import math  # noqa: F401  (parity with the corr chain's imports)
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) > _CORR_BLOCK_ROWS:
+            raise ValueError(
+                f"regression partial got a {len(batch):,}-row block; int64 "
+                f"moment partials are overflow-safe only under "
+                f"{_CORR_BLOCK_ROWS:,} rows — lower batch_size"
+            )
+        q2 = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(batch["l_quantity"], pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        p2 = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "sq": pa.array(q2),
+                "sp": pa.array(p2),
+                "sqq": pa.array(q2 * q2),
+                "sqp": pa.array(q2 * p2),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sp", "sum"),
+             ("sqq", "sum"), ("sqp", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "n", "sq", "sp", "sqq", "sqp"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=_CORR_BLOCK_ROWS,
+    )
+
+    acc: dict[str, list[int]] = {}
+    for b in ds.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            a = acc.setdefault(row.l_returnflag, [0, 0, 0, 0, 0])
+            a[0] += int(row.n)
+            a[1] += int(row.sq)
+            a[2] += int(row.sp)
+            a[3] += int(row.sqq)
+            a[4] += int(row.sqp)
+
+    flags, ns, slopes, inters = [], [], [], []
+    for flag in sorted(acc):
+        n, sq, sp, sqq, sqp = acc[flag]
+        va = n * sqq - sq * sq
+        if va <= 0:
+            continue  # zero x-variance: slope undefined, excluded both sides
+        slope = float(n * sqp - sq * sp) / float(va)
+        inter = (float(sp) - slope * float(sq)) / float(n) / 100.0
+        flags.append(flag)
+        ns.append(n)
+        slopes.append(int(np.floor(slope * 1e6 + 0.5)))
+        inters.append(int(np.floor(inter * 1e6 + 0.5)))
+    return pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(flags, dtype="object"),
+            "n": pd.Series(ns, dtype="int64"),
+            "slope_e6": pd.Series(slopes, dtype="int64"),
+            "intercept_e6": pd.Series(inters, dtype="int64"),
+        }
+    )
+
+
+LINEITEM_REGRESSION_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS q2,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p2
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         SUM(CAST(q2 AS HUGEINT)) AS sq, SUM(CAST(p2 AS HUGEINT)) AS sp,
+         SUM(CAST(q2 AS HUGEINT) * q2) AS sqq,
+         SUM(CAST(q2 AS HUGEINT) * p2) AS sqp
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CAST(floor(
+         CAST(n * sqp - sq * sp AS DOUBLE) / CAST(n * sqq - sq * sq AS DOUBLE)
+         * 1e6 + 0.5) AS BIGINT) AS slope_e6,
+       CAST(floor(
+         (CAST(sp AS DOUBLE)
+          - CAST(n * sqp - sq * sp AS DOUBLE)
+            / CAST(n * sqq - sq * sq AS DOUBLE)
+            * CAST(sq AS DOUBLE))
+         / CAST(n AS DOUBLE) / 100.0 * 1e6 + 0.5) AS BIGINT) AS intercept_e6
+FROM s
+WHERE n * sqq - sq * sq > 0
+"""
+
+register(
+    "lineitem_regression_by_flag", lineitem_regression_by_flag,
+    sql=LINEITEM_REGRESSION_SQL,
+)
+
+
 # --- GROUP BY CUBE(priority, status, year) (X107) ----------------------------
 
 

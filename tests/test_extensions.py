@@ -5629,3 +5629,37 @@ class TestSkylineAndCoverage:
         )
         gold = con.execute(USER_INTERVAL_COVERAGE_SQL).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestRegressionByFlag:
+    """X125 grouped OLS: known-value fixture + zero-variance exclusion.
+    Value parity vs DuckDB is in the blanket loop."""
+
+    def test_known_fit_and_zero_variance(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_regression_by_flag,
+        )
+
+        rows = [
+            # flag A: y = 2x + 1 exactly -> slope 2, intercept 1
+            dict(l_returnflag="A", l_quantity=1.0, l_extendedprice=3.0),
+            dict(l_returnflag="A", l_quantity=2.0, l_extendedprice=5.0),
+            dict(l_returnflag="A", l_quantity=3.0, l_extendedprice=7.0),
+            # flag B: constant x -> zero variance, excluded
+            dict(l_returnflag="B", l_quantity=4.0, l_extendedprice=1.0),
+            dict(l_returnflag="B", l_quantity=4.0, l_extendedprice=9.0),
+        ]
+        schema = pa.schema(
+            [
+                ("l_returnflag", pa.string()), ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = lineitem_regression_by_flag(str(tmp_path))
+        assert list(out["l_returnflag"]) == ["A"]
+        assert int(out["slope_e6"].iloc[0]) == 2_000_000
+        assert int(out["intercept_e6"].iloc[0]) == 1_000_000
