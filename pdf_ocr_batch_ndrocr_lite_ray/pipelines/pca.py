@@ -409,3 +409,106 @@ FROM s GROUP BY label
 """
 
 register("emb_label_centroids", emb_label_centroids, sql=EMB_LABEL_CENTROIDS_SQL)
+
+
+# --- per-dimension stats + int8 quantization scales (X126) -------------------
+
+EMB_DIM = 64  # the synthetic embedding width (embeddings.parquet)
+
+
+def emb_dimension_stats(sf_dir: str) -> "pd.DataFrame":
+    """(dim, n, min_e9, max_e9, scale_e9): per-dimension value range over
+    the embedding corpus plus the int8 quantization step each dimension
+    would use — the calibration pass every scalar-quantized ANN index
+    (FAISS SQ8 shape) runs before encoding. min/max are order-free exact
+    folds (no summation): one (dim, n, min, max) partial per block via
+    the zero-copy list→matrix view, driver enum fold over the fixed 64
+    dims, zero exchanges. NULL rows and ragged lists are excluded; NULL
+    ELEMENTS are skipped per dimension (nan-aware min/max) — both
+    mirrored by the SQL unnest twin. Quantization: e9 fixed point
+    half-away (the shared contract), scale = ceil(span/255) in INTEGER
+    arithmetic so engine and oracle pick the same step."""
+    import pandas as pd
+
+    from .exchange import half_up_int64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(col)
+        m = pc.and_(pc.is_valid(col), pc.equal(pc.fill_null(lens, -1), EMB_DIM))
+        t = col.filter(m)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "mn": pa.array([], type=pa.float64()),
+                    "mx": pa.array([], type=pa.float64()),
+                }
+            )
+        mat = list_matrix(t)  # NULL elements arrive as NaN
+        n = (~np.isnan(mat)).sum(axis=0).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            mn = np.nanmin(mat, axis=0)
+            mx = np.nanmax(mat, axis=0)
+        keep = n > 0
+        dims = np.arange(1, EMB_DIM + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims[keep]),
+                "n": pa.array(n[keep]),
+                "mn": pa.array(mn[keep]),
+                "mx": pa.array(mx[keep]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["embedding"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    acc: dict[int, list] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            a = acc.setdefault(int(row.dim), [0, np.inf, -np.inf])
+            a[0] += int(row.n)
+            a[1] = min(a[1], float(row.mn))
+            a[2] = max(a[2], float(row.mx))
+    dims = sorted(acc)
+    mins = half_up_int64(np.array([acc[d][1] for d in dims]) * 1e9)
+    maxs = half_up_int64(np.array([acc[d][2] for d in dims]) * 1e9)
+    span = maxs - mins
+    scale = (span + 254) // 255  # integer ceil(span/255); 0 for flat dims
+    return pd.DataFrame(
+        {
+            "dim": pd.Series(dims, dtype="int64"),
+            "n": pd.Series([acc[d][0] for d in dims], dtype="int64"),
+            "min_e9": pd.Series(mins, dtype="int64"),
+            "max_e9": pd.Series(maxs, dtype="int64"),
+            "scale_e9": pd.Series(scale, dtype="int64"),
+        }
+    )
+
+
+EMB_DIMENSION_STATS_SQL = f"""
+WITH x AS (
+  SELECT unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
+),
+s AS (
+  SELECT dim, CAST(count(v) AS BIGINT) AS n,
+         CAST(round(CAST(min(v) AS DOUBLE) * 1e9, 0) AS BIGINT) AS min_e9,
+         CAST(round(CAST(max(v) AS DOUBLE) * 1e9, 0) AS BIGINT) AS max_e9
+  FROM x GROUP BY dim HAVING count(v) > 0
+)
+SELECT CAST(dim AS BIGINT) AS dim, n, min_e9, max_e9,
+       CAST(floor((max_e9 - min_e9 + 254) / 255.0) AS BIGINT) AS scale_e9
+FROM s
+"""
+
+register("emb_dimension_stats", emb_dimension_stats, sql=EMB_DIMENSION_STATS_SQL)

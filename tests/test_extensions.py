@@ -5663,3 +5663,51 @@ class TestRegressionByFlag:
         assert list(out["l_returnflag"]) == ["A"]
         assert int(out["slope_e6"].iloc[0]) == 2_000_000
         assert int(out["intercept_e6"].iloc[0]) == 1_000_000
+
+
+class TestEmbDimensionStats:
+    """X126 per-dimension quantization calibration: NULL element/row and
+    ragged-list exclusion on a fixture. Value parity is in the blanket
+    loop."""
+
+    def test_null_and_ragged_rules(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import (
+            EMB_DIM,
+            EMB_DIMENSION_STATS_SQL,
+            emb_dimension_stats,
+        )
+
+        good1 = [float(i) for i in range(EMB_DIM)]
+        good2 = [float(-i) for i in range(EMB_DIM)]
+        with_null_elem = [1.0] + [None] * (EMB_DIM - 1)
+        ragged = [1.0, 2.0]
+        t = pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "embedding": pa.array(
+                    [good1, good2, with_null_elem, ragged, None],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 0, 0, 0], type=pa.int32()),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = emb_dimension_stats(str(tmp_path)).set_index("dim")
+        assert len(out) == EMB_DIM
+        # dim 1: values {0, -0, 1} -> min 0/-0 max 1; NULL element counted out
+        assert int(out.loc[1, "n"]) == 3
+        assert int(out.loc[2, "n"]) == 2  # null element skipped
+        assert int(out.loc[2, "min_e9"]) == -1_000_000_000
+        assert int(out.loc[2, "max_e9"]) == 1_000_000_000
+        # int8 step: ceil(2e9 / 255)
+        assert int(out.loc[2, "scale_e9"]) == -(-2_000_000_000 // 255)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        gold = con.execute(EMB_DIMENSION_STATS_SQL).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
