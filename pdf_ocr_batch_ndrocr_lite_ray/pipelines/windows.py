@@ -1380,3 +1380,109 @@ register(
     lineitem_weighted_median,
     sql=LINEITEM_WEIGHTED_MEDIAN_SQL,
 )
+
+
+# --- late-event (watermark) accounting (X127) --------------------------------
+
+
+def events_late_arrivals(sf_dir: str) -> "pd.DataFrame":
+    """(event_type, n_events, n_late, max_lateness_us): out-of-order
+    arrival accounting — an event is LATE when its timestamp is behind
+    the high-water mark of the same user's earlier-ingested events
+    (ingestion order = event_id). This is the calibration every
+    streaming watermark needs: how often does time run backwards, and by
+    how much. ONE user-key exchange; in-partition the high-water mark is
+    a grouped cummax/shift (vectorized C paths), and each partition
+    emits a bounded per-type partial — the driver folds ≤ types ×
+    partitions rows. NULL user/ts/event_id/type rows are excluded on
+    both sides; all lateness arithmetic is integer microseconds."""
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum, hash_partitioned
+
+    def stub(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])),
+            pc.and_(pc.is_valid(batch["event_id"]), pc.is_valid(batch["event_type"])),
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["user_id", "event_id", "ts", "event_type"],
+    ).map_batches(stub, batch_format="pyarrow", zero_copy_batch=True)
+
+    def account(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        hwm = (
+            df.groupby("user_id", sort=False)["ts_us"]
+            .cummax()
+            .groupby(df["user_id"], sort=False)
+            .shift(1)
+        )
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        have = hwm.notna().to_numpy()
+        hv = hwm.fillna(np.iinfo(np.int64).min).to_numpy(dtype=np.int64)
+        late = have & (ts < hv)
+        lateness = np.where(late, hv - ts, 0)
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "n_events": np.ones(len(df), dtype=np.int64),
+                "n_late": late.astype(np.int64),
+                "max_lateness_us": lateness.astype(np.int64),
+            }
+        )
+        g = out.groupby("event_type", sort=False).agg(
+            n_events=("n_events", "sum"),
+            n_late=("n_late", "sum"),
+            max_lateness_us=("max_lateness_us", "max"),
+        )
+        return g.reset_index().astype(
+            {"n_events": "int64", "n_late": "int64", "max_lateness_us": "int64"}
+        )
+
+    parts = hash_partitioned(ds, "user_id", account)
+    folded = enum_group_sum(parts, ["event_type"], ["n_events", "n_late"])
+    # max is folded separately (enum_group_sum only sums); both folds read
+    # the SAME bounded partial frame, so the extra pass is driver-local
+    maxes: dict[str, int] = {}
+    for b in parts.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            k = row.event_type
+            maxes[k] = max(maxes.get(k, 0), int(row.max_lateness_us))
+    folded["max_lateness_us"] = folded["event_type"].map(maxes).astype("int64")
+    return (
+        folded[["event_type", "n_events", "n_late", "max_lateness_us"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_LATE_ARRIVALS_SQL = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hwm
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE ts < hwm) AS BIGINT) AS n_late,
+       CAST(COALESCE(max(epoch_us(hwm) - epoch_us(ts))
+                     FILTER (WHERE ts < hwm), 0) AS BIGINT)
+         AS max_lateness_us
+FROM w GROUP BY event_type
+"""
+
+register("events_late_arrivals", events_late_arrivals, sql=EVENTS_LATE_ARRIVALS_SQL)

@@ -5711,3 +5711,48 @@ class TestEmbDimensionStats:
         )
         gold = con.execute(EMB_DIMENSION_STATS_SQL).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestLateArrivals:
+    """X127 watermark accounting: known out-of-order fixture with exact
+    lateness; NULL exclusion. Value parity is in the blanket loop."""
+
+    def test_known_lateness(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            events_late_arrivals,
+        )
+
+        base = dt.datetime(2000, 1, 1)
+
+        def ev(eid, uid, sec, typ):
+            return dict(
+                event_id=eid, ts=base + dt.timedelta(seconds=sec), user_id=uid,
+                event_type=typ, value=1.0, props="{}",
+            )
+
+        rows = [
+            # u1 ingestion order (event_id): ts 100, 50 (late by 50s), 200
+            ev(1, 1, 100, "view"), ev(2, 1, 50, "view"), ev(3, 1, 200, "click"),
+            # u2: monotone -> nothing late
+            ev(4, 2, 10, "view"), ev(5, 2, 20, "view"),
+            # NULL ts excluded
+            dict(event_id=6, ts=None, user_id=1, event_type="view", value=0.0, props="{}"),
+        ]
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("value", pa.float64()), ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "events.parquet")
+        out = events_late_arrivals(str(tmp_path)).set_index("event_type")
+        assert int(out.loc["view", "n_events"]) == 4
+        assert int(out.loc["view", "n_late"]) == 1
+        assert int(out.loc["view", "max_lateness_us"]) == 50 * 1_000_000
+        assert int(out.loc["click", "n_late"]) == 0
