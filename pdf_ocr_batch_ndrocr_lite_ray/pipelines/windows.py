@@ -1486,3 +1486,81 @@ FROM w GROUP BY event_type
 """
 
 register("events_late_arrivals", events_late_arrivals, sql=EVENTS_LATE_ARRIVALS_SQL)
+
+
+# --- user growth accounting (X128) -------------------------------------------
+
+
+def user_growth_accounting(sf_dir: str) -> "pd.DataFrame":
+    """(hour, new_users, cumulative_users): each hour's first-ever-seen
+    user count and the running total — the growth curve every activation
+    dashboard opens with (hourly grain: this corpus activates its whole
+    user base within ~2 days, so daily buckets would collapse to one
+    row). Per-block (user, min_ts) partials pre-aggregate inside the
+    scan, ONE user-key exchange finishes the true first-seen per user
+    and emits bounded per-HOUR counts (hours are time-range-bounded),
+    and the driver folds + cumsums that tiny enum frame. Hours are
+    integer epoch_us // 3600e6 — no timezone, bit-equal to the SQL twin.
+    NULL user/ts rows are excluded."""
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum, hash_partitioned
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        t = batch.filter(m)
+        g = (
+            pa.table(
+                {"user_id": t["user_id"], "ts_us": pc.cast(t["ts"], pa.int64())}
+            )
+            .group_by(["user_id"])
+            .aggregate([("ts_us", "min")])
+        )
+        return g.rename_columns(["user_id", "first_us"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_day_new(df: "pd.DataFrame") -> "pd.DataFrame":
+        first = df.groupby("user_id", sort=False)["first_us"].min()
+        hour = (first.to_numpy(dtype=np.int64) // HOUR_US).astype(np.int64)
+        import pandas as pd
+
+        cnt = pd.Series(hour).value_counts()
+        return pd.DataFrame(
+            {
+                "hour": cnt.index.astype("int64"),
+                "new_users": cnt.values.astype("int64"),
+            }
+        )
+
+    parts = hash_partitioned(ds, "user_id", per_day_new, coalesce_rows=1 << 20)
+    folded = enum_group_sum(parts, ["hour"], ["new_users"])
+    out = folded.sort_values("hour").reset_index(drop=True)
+    out["cumulative_users"] = out["new_users"].cumsum().astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    out["new_users"] = out["new_users"].astype("int64")
+    return out[["hour", "new_users", "cumulative_users"]]
+
+
+USER_GROWTH_SQL = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+d AS (
+  SELECT CAST(epoch_us(first_ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS new_users
+  FROM f GROUP BY 1
+)
+SELECT hour, new_users,
+       CAST(sum(new_users) OVER (ORDER BY hour
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM d
+"""
+
+register("user_growth_accounting", user_growth_accounting, sql=USER_GROWTH_SQL)

@@ -5756,3 +5756,45 @@ class TestLateArrivals:
         assert int(out.loc["view", "n_late"]) == 1
         assert int(out.loc["view", "max_lateness_us"]) == 50 * 1_000_000
         assert int(out.loc["click", "n_late"]) == 0
+
+
+class TestUserGrowthAccounting:
+    """X128 growth curve: first-seen dedup across hours and the running
+    total on a fixture. Value parity is in the blanket loop."""
+
+    def test_first_seen_and_cumsum(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            user_growth_accounting,
+        )
+
+        base = dt.datetime(2000, 1, 1)
+
+        def ev(eid, uid, hours):
+            return dict(
+                event_id=eid, ts=base + dt.timedelta(hours=hours), user_id=uid,
+                event_type="view", value=1.0, props="{}",
+            )
+
+        rows = [
+            ev(1, 1, 0.1), ev(2, 1, 5.0),   # u1 first in hour 0; later event ignored
+            ev(3, 2, 0.9),                   # u2 also hour 0
+            ev(4, 3, 2.5),                   # u3 hour 2
+            dict(event_id=5, ts=None, user_id=4, event_type="x", value=0.0, props="{}"),
+        ]
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("value", pa.float64()), ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "events.parquet")
+        out = user_growth_accounting(str(tmp_path))
+        assert list(out["new_users"]) == [2, 1]
+        assert list(out["cumulative_users"]) == [2, 3]
+        assert out["hour"].iloc[1] - out["hour"].iloc[0] == 2
