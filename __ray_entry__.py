@@ -59,6 +59,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import bloomjoin as _bj  # noqa: F4
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import compaction as _cp  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import tpchx as _tx  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import pareto as _pf  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import baskets as _bk  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

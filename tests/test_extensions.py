@@ -5798,3 +5798,94 @@ class TestUserGrowthAccounting:
         assert list(out["new_users"]) == [2, 1]
         assert list(out["cumulative_users"]) == [2, 3]
         assert out["hour"].iloc[1] - out["hour"].iloc[0] == 2
+
+
+class TestBasketPartPairs:
+    """X129 market-basket support counts: duplicate-line dedup, complete
+    in-basket fan-out, threshold pruning, and the (support DESC, a, b)
+    tie order on a fixture. Value parity is in the blanket loop."""
+
+    def test_supports_and_order(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.baskets import (
+            basket_part_pairs,
+        )
+
+        def li(ok, pk, ln):
+            return dict(
+                l_orderkey=ok, l_partkey=pk, l_suppkey=1, l_linenumber=ln,
+                l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0,
+                l_tax=0.0, l_returnflag="N", l_linestatus="O", l_shipdate=None,
+            )
+
+        rows = [
+            # order 1: parts {10, 20, 30} → pairs (10,20) (10,30) (20,30);
+            # part 10 appears on TWO lines — distinct-order support counts it once
+            li(1, 10, 1), li(1, 10, 2), li(1, 20, 3), li(1, 30, 4),
+            # order 2: {10, 20} → (10,20) again → support 2
+            li(2, 20, 1), li(2, 10, 2),
+            # order 3: {20, 30} → (20,30) again → support 2
+            li(3, 30, 1), li(3, 20, 2),
+            # order 4: singleton basket → no pairs
+            li(4, 40, 1),
+            # NULL keys are excluded before pairing
+            li(5, None, 1), li(None, 50, 1), li(5, 60, 2), li(5, 70, 3),
+        ]
+        schema = pa.schema(
+            [
+                ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = basket_part_pairs(str(tmp_path))
+        # threshold MIN_SUPPORT=2 prunes (10,30) and order 5's (60,70)
+        assert list(out.itertuples(index=False, name=None)) == [
+            (10, 20, 2),
+            (20, 30, 2),
+        ]
+
+    def test_wide_basket_fanout(self, ray_session, tmp_path):
+        """A 5-part basket replicated twice: all C(5,2)=10 pairs at
+        support 2 — pins the vectorized fan-out index arithmetic."""
+        import itertools
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.baskets import (
+            basket_part_pairs,
+        )
+
+        rows = []
+        for ok in (1, 2):
+            for i, pk in enumerate([3, 1, 4, 5, 2]):  # unsorted input order
+                rows.append(
+                    dict(
+                        l_orderkey=ok, l_partkey=pk, l_suppkey=1,
+                        l_linenumber=i + 1, l_quantity=1.0,
+                        l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+                        l_returnflag="N", l_linestatus="O", l_shipdate=None,
+                    )
+                )
+        schema = pa.schema(
+            [
+                ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "lineitem.parquet")
+        out = basket_part_pairs(str(tmp_path))
+        expect = sorted(itertools.combinations([1, 2, 3, 4, 5], 2))
+        assert list(out[["part_a", "part_b"]].itertuples(index=False, name=None)) == expect
+        assert (out["n_orders"] == 2).all()
