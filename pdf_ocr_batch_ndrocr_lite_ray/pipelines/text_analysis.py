@@ -685,3 +685,143 @@ register(
     source_lexical_diversity,
     sql=SOURCE_LEXICAL_DIVERSITY_SQL,
 )
+
+
+#: equal-width doc_id bins for the vocabulary growth curve — fixed so the
+#: output is a bounded enum fold at any corpus size.
+VOCAB_GROWTH_BUCKETS = 16
+
+
+def vocabulary_growth(sf_dir: str) -> "pd.DataFrame":
+    """(bucket, new_tokens, vocab_size): the Heaps'-law vocabulary growth
+    curve over word-trigram shingles (the exact shingle contract of
+    ``dedup.py``) — how many NEVER-before-seen shingles each doc_id range
+    introduces (16 equal-width id bins) and the running vocabulary size.
+    A flattening curve means new data stops paying for itself; a linear
+    one means the corpus is still lexically open — the go/no-go signal
+    for "collect more of this source". (Shingles, not single tokens: this
+    corpus' unigram vocabulary saturates in the first dozen docs, so the
+    unigram curve is a constant.)
+
+    Scale shape: the bin bounds come from the parquet FOOTER min/max of
+    ``doc_id`` (zero scan; a Ray fold fallback when a footer lacks stats),
+    so bucketing is a pure per-row function. Per-block (shingle, min
+    doc_id) partials collapse duplicates before anything moves; ONE
+    shingle-key exchange makes the in-partition min the exact global
+    first-occurrence; each partition folds its shingles into ≤ 16 bucket
+    rows and the driver merges + cumsums that enum frame. Exchange volume
+    is distinct (shingle, first_id) partials per block — never shingle
+    instances, never text.
+    """
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from .dedup import _shingle_rows
+    from .exchange import enum_group_sum
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    path = table_path(sf_dir, "documents")
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    col_idx = next(
+        j for j in range(md.num_columns)
+        if md.row_group(0).column(j).path_in_schema == "doc_id"
+    ) if md.num_row_groups else 0
+    mn = mx = None
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            mn = mx = None
+            break
+        if st.num_values:  # all-NULL groups carry no min/max
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if mn is None or mx is None:
+        # footer lacks stats (or is all-NULL groups): one cheap projected
+        # scan through Ray's own distributed Min/Max fold
+        from ray.data.aggregate import Max, Min
+
+        bounds = ray.data.read_parquet(path, columns=["doc_id"]).aggregate(
+            Min("doc_id"), Max("doc_id")
+        )
+        if bounds is None or bounds.get("min(doc_id)") is None:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "new_tokens": pd.Series([], dtype="int64"),
+                    "vocab_size": pd.Series([], dtype="int64"),
+                }
+            )
+        mn = int(bounds["min(doc_id)"])
+        mx = int(bounds["max(doc_id)"])
+    mn, mx = int(mn), int(mx)
+    span = mx - mn + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rows = _shingle_rows(
+            batch.filter(pc.is_valid(batch["doc_id"]))
+        ).select(["doc_id", "sh"])
+        g = rows.group_by(["sh"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["sh", "first_id"])
+
+    def bucket_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "new_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        first = df.groupby("sh", sort=False)["first_id"].min().to_numpy()
+        b = (first - mn) * VOCAB_GROWTH_BUCKETS // span
+        vb = pd.Series(b).value_counts()
+        return pd.DataFrame(
+            {
+                "bucket": vb.index.to_numpy(dtype=np.int64),
+                "new_tokens": vb.to_numpy(dtype=np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text"]
+    ).map_batches(partial, batch_format="pyarrow")
+    partials = _hash_partitioned(ds, "sh", bucket_fold)
+    out = enum_group_sum(partials, ["bucket"], ["new_tokens"])
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["vocab_size"] = out["new_tokens"].cumsum().astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
+    out["new_tokens"] = out["new_tokens"].astype("int64")
+    return out[["bucket", "new_tokens", "vocab_size"]]
+
+
+VOCABULARY_GROWTH_SQL = rf"""
+WITH b AS (
+  SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span
+  FROM documents WHERE doc_id IS NOT NULL
+),
+w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+      FROM documents WHERE doc_id IS NOT NULL),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2, CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+  WHERE len(ws) > 0
+),
+f AS (SELECT sh, min(doc_id) AS first_id FROM s GROUP BY sh),
+d AS (
+  SELECT CAST((first_id - mn) * {VOCAB_GROWTH_BUCKETS} // span AS BIGINT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS new_tokens
+  FROM f, b GROUP BY 1
+)
+SELECT bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM d
+"""
+
+register("vocabulary_growth", vocabulary_growth, sql=VOCABULARY_GROWTH_SQL)

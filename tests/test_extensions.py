@@ -5889,3 +5889,67 @@ class TestBasketPartPairs:
         expect = sorted(itertools.combinations([1, 2, 3, 4, 5], 2))
         assert list(out[["part_a", "part_b"]].itertuples(index=False, name=None)) == expect
         assert (out["n_orders"] == 2).all()
+
+
+class TestVocabularyGrowth:
+    """X130 Heaps curve: global first-occurrence min across blocks, the
+    equal-width bucket rule, the cumulative sum, and the footer-less
+    min/max fallback. Value parity is in the blanket loop."""
+
+    @staticmethod
+    def _docs(rows, tmp_path, stats=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()), ("text", pa.string()),
+                ("lang", pa.string()), ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            tmp_path / "documents.parquet",
+            write_statistics=stats,
+        )
+
+    def test_curve_and_buckets(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            vocabulary_growth,
+        )
+
+        def d(i, text):
+            return dict(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+
+        rows = [
+            d(0, "a b c d"),          # shingles "a b c", "b c d" first at id 0
+            d(15, "a b c x y z"),     # "a b c" already seen; 3 new at id 15
+            d(31, "a b c"),           # nothing new in the last bucket
+            d(16, "short one"),       # <3 tokens → whole-text shingle at id 16
+            dict(doc_id=None, text="n u l l", lang="en", source="s", n_chars=7),
+        ]
+        self._docs(rows, tmp_path)
+        out = vocabulary_growth(str(tmp_path))
+        # span = 32, 16 buckets → width 2: id 0→b0, 15→b7, 16→b8, 31→b15
+        assert list(out["bucket"]) == [0, 7, 8]
+        assert list(out["new_tokens"]) == [2, 3, 1]
+        assert list(out["vocab_size"]) == [2, 5, 6]
+
+    def test_footerless_fallback_and_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            vocabulary_growth,
+        )
+
+        self._docs(
+            [dict(doc_id=4, text="p q r", lang="en", source="s", n_chars=5)],
+            tmp_path,
+            stats=False,
+        )
+        out = vocabulary_growth(str(tmp_path))
+        assert list(out.itertuples(index=False, name=None)) == [(0, 1, 1)]
+
+        self._docs([], tmp_path)
+        out2 = vocabulary_growth(str(tmp_path))
+        assert len(out2) == 0
+        assert list(out2.columns) == ["bucket", "new_tokens", "vocab_size"]
