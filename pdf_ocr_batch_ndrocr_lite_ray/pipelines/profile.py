@@ -672,3 +672,112 @@ FROM w GROUP BY user_id
 """
 
 register("user_type_entropy", user_type_entropy, sql=USER_TYPE_ENTROPY_SQL)
+
+
+# --- daily-series autocorrelation (X131) -------------------------------------
+
+#: autocorrelation lags reported (days)
+ACF_MAX_LAG = 7
+
+
+def orders_daily_autocorrelation(sf_dir: str) -> "pd.DataFrame":
+    """(lag, r_e6): lag-1..7 autocorrelation of the DAILY order-count
+    series — the weekly-seasonality / burstiness probe over the order
+    stream (a strong lag-7 spike means day-of-week cycling; near-zero
+    everywhere means a memoryless arrival process).
+
+    Exactness contract: the day series is the DENSE integer-day grid
+    [min_day, max_day] with missing days = 0 (both engines build the same
+    grid). With S = Σx and N = grid length, the centered series
+    c_t = N·x_t − S is integer; r_k = Σ c_t·c_{t+k} / Σ c_t² is a ratio
+    of EXACT integers (Python ints on the driver, HUGEINT sums in the
+    SQL twin), pushed through one shared IEEE division and the e6
+    floor(x·1e6 + 0.5) quantization — bit-equal by construction.
+
+    Scale shape: per-block (day, n) count partials fold through the
+    bounded enum exchange (days are time-range-bounded regardless of
+    corpus size); the driver's exact integer pass runs over that ≤ #days
+    frame, never over order rows.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["o_orderdate"]))
+        days = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), DAY_US)
+        g = pa.table({"day": days}).group_by(["day"]).aggregate([("day", "count")])
+        return g.rename_columns(["day", "n"])
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderdate"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    folded = enum_group_sum(ds, ["day"], ["n"])
+    empty = pd.DataFrame(
+        {"lag": pd.Series([], dtype="int64"), "r_e6": pd.Series([], dtype="int64")}
+    )
+    if len(folded) == 0:
+        return empty
+    days = folded["day"].to_numpy(dtype=np.int64)
+    counts = folded["n"].to_numpy(dtype=np.int64)
+    mn, mx = int(days.min()), int(days.max())
+    dense = np.zeros(mx - mn + 1, dtype=np.int64)
+    dense[days - mn] = counts
+    n_days = dense.size
+    # exact integer arithmetic via Python ints (c_t can exceed int64 at
+    # corpus scale: N·x_t with x_t ~ rows/day)
+    xs = [int(v) for v in dense]
+    s = sum(xs)
+    c = [n_days * v - s for v in xs]
+    den = sum(v * v for v in c)
+    rows = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        if den == 0 or k >= n_days:
+            continue  # constant series or lag beyond range: SQL emits no row
+        num = sum(c[t] * c[t + k] for t in range(n_days - k))
+        r = float(num) / float(den)
+        rows.append((k, int(np.floor(r * 1e6 + 0.5))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["lag", "r_e6"])
+    return out.astype({"lag": "int64", "r_e6": "int64"})
+
+
+ORDERS_DAILY_AUTOCORRELATION_SQL = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+g AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+x AS (
+  SELECT g.day, coalesce(d.n, 0) AS n FROM g LEFT JOIN d USING (day)
+),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(n) AS BIGINT) AS sm FROM x),
+c AS (
+  SELECT x.day, CAST(s.nn * x.n - s.sm AS HUGEINT) AS ct FROM x, s
+),
+den AS (SELECT sum(ct * ct) AS dd FROM c),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+num AS (
+  SELECT l.lag, sum(a.ct * b2.ct) AS nu
+  FROM lags l
+  JOIN c a ON TRUE
+  JOIN c b2 ON b2.day = a.day + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(num.lag AS BIGINT) AS lag,
+       CAST(floor(CAST(num.nu AS DOUBLE) / CAST(den.dd AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS r_e6
+FROM num, den
+WHERE den.dd <> 0
+"""
+
+register(
+    "orders_daily_autocorrelation",
+    orders_daily_autocorrelation,
+    sql=ORDERS_DAILY_AUTOCORRELATION_SQL,
+)

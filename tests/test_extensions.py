@@ -5953,3 +5953,67 @@ class TestVocabularyGrowth:
         out2 = vocabulary_growth(str(tmp_path))
         assert len(out2) == 0
         assert list(out2.columns) == ["bucket", "new_tokens", "vocab_size"]
+
+
+class TestOrdersDailyAutocorrelation:
+    """X131 ACF: dense-grid zero fill, the exact centered-integer ratio,
+    and the degenerate-series rules. Value parity is in the blanket loop."""
+
+    @staticmethod
+    def _orders(days, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = dt.datetime(2000, 1, 1)
+        rows = [
+            dict(
+                o_orderkey=i, o_custkey=1, o_orderstatus="O",
+                o_totalprice=1.0,
+                o_orderdate=None if d is None else base + dt.timedelta(days=d),
+                o_orderpriority="1-URGENT",
+            )
+            for i, d in enumerate(days)
+        ]
+        schema = pa.schema(
+            [
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "orders.parquet")
+
+    def test_alternating_series(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_daily_autocorrelation,
+        )
+
+        # grid days 0..4 with counts [2,0,2,0,2] (days 1,3 absent →
+        # zero-filled); N=5, S=6, c = 5x−6 = [4,−6,4,−6,4], den = 120:
+        # r1 = −96/120, r2 = 68/120, r3 = −48/120, r4 = 16/120
+        self._orders([0, 0, 2, 2, 4, 4, None], tmp_path)
+        out = orders_daily_autocorrelation(str(tmp_path)).set_index("lag")
+        import math
+
+        assert int(out.loc[1, "r_e6"]) == math.floor(-96 / 120 * 1e6 + 0.5)
+        assert int(out.loc[2, "r_e6"]) == math.floor(68 / 120 * 1e6 + 0.5)
+        assert int(out.loc[3, "r_e6"]) == math.floor(-48 / 120 * 1e6 + 0.5)
+        # lags ≥ the 5-day grid length emit no row
+        assert set(out.index) == {1, 2, 3, 4}
+
+    def test_degenerate_series(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_daily_autocorrelation,
+        )
+
+        # constant series (one order every day) → zero variance → no rows
+        self._orders([0, 1, 2, 3], tmp_path)
+        assert len(orders_daily_autocorrelation(str(tmp_path))) == 0
+        # single day → no rows; all-NULL dates → no rows
+        self._orders([5, 5, 5], tmp_path)
+        assert len(orders_daily_autocorrelation(str(tmp_path))) == 0
+        self._orders([None, None], tmp_path)
+        assert len(orders_daily_autocorrelation(str(tmp_path))) == 0
