@@ -335,6 +335,40 @@ def quantile_cont_duckdb(sorted_vals, q: float) -> float:
     return float(sorted_vals[frn] * (crn - rn) + sorted_vals[crn] * (rn - frn))
 
 
+def footer_min_max(path: str, column: str):
+    """Exact (min, max) of a parquet column from ROW-GROUP FOOTER stats —
+    zero scan. Returns ``None`` when any row group lacks stats (caller
+    falls back to a distributed Min/Max fold) or every group is all-NULL.
+    NULL values never contribute (parquet stats exclude them), matching
+    SQL ``min``/``max``."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    if md.num_row_groups == 0:
+        return None
+    col_idx = next(
+        (
+            j
+            for j in range(md.num_columns)
+            if md.row_group(0).column(j).path_in_schema == column
+        ),
+        None,
+    )
+    if col_idx is None:
+        return None
+    mn = mx = None
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        if st.num_values:
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if mn is None:
+        return None
+    return mn, mx
+
+
 def recombine_partials(
     ds: "ray.data.Dataset", keys: list[str], sums: list[str],
     batch_size: int = 1 << 20,

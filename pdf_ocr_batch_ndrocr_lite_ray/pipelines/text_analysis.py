@@ -714,37 +714,22 @@ def vocabulary_growth(sf_dir: str) -> "pd.DataFrame":
     instances, never text.
     """
     import pandas as pd
-    import pyarrow.parquet as _pq
 
     from .dedup import _shingle_rows
-    from .exchange import enum_group_sum
+    from .exchange import enum_group_sum, footer_min_max
     from .exchange import hash_partitioned as _hash_partitioned
 
     path = table_path(sf_dir, "documents")
-    pf = _pq.ParquetFile(path)
-    md = pf.metadata
-    col_idx = next(
-        j for j in range(md.num_columns)
-        if md.row_group(0).column(j).path_in_schema == "doc_id"
-    ) if md.num_row_groups else 0
-    mn = mx = None
-    for i in range(md.num_row_groups):
-        st = md.row_group(i).column(col_idx).statistics
-        if st is None or not st.has_min_max:
-            mn = mx = None
-            break
-        if st.num_values:  # all-NULL groups carry no min/max
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
-    if mn is None or mx is None:
+    bounds = footer_min_max(path, "doc_id")
+    if bounds is None:
         # footer lacks stats (or is all-NULL groups): one cheap projected
         # scan through Ray's own distributed Min/Max fold
         from ray.data.aggregate import Max, Min
 
-        bounds = ray.data.read_parquet(path, columns=["doc_id"]).aggregate(
+        agg = ray.data.read_parquet(path, columns=["doc_id"]).aggregate(
             Min("doc_id"), Max("doc_id")
         )
-        if bounds is None or bounds.get("min(doc_id)") is None:
+        if agg is None or agg.get("min(doc_id)") is None:
             return pd.DataFrame(
                 {
                     "bucket": pd.Series([], dtype="int64"),
@@ -752,9 +737,8 @@ def vocabulary_growth(sf_dir: str) -> "pd.DataFrame":
                     "vocab_size": pd.Series([], dtype="int64"),
                 }
             )
-        mn = int(bounds["min(doc_id)"])
-        mx = int(bounds["max(doc_id)"])
-    mn, mx = int(mn), int(mx)
+        bounds = (agg["min(doc_id)"], agg["max(doc_id)"])
+    mn, mx = int(bounds[0]), int(bounds[1])
     span = mx - mn + 1
 
     def partial(batch: pa.Table) -> pa.Table:

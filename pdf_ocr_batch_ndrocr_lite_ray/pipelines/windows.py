@@ -1564,3 +1564,160 @@ FROM d
 """
 
 register("user_growth_accounting", user_growth_accounting, sql=USER_GROWTH_SQL)
+
+
+# --- global ntile without a global sort (X132) --------------------------------
+
+#: quintiles for the global price rank
+GLOBAL_NTILE_K = 5
+
+#: equal-width pre-bins for the counting pass — the rank resolution knob.
+#: More bins = flatter per-bin row counts in the assignment exchange; the
+#: fold stays a bounded enum either way.
+GLOBAL_NTILE_BINS = 4096
+
+
+def orders_price_quintile(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderkey, tile): the GLOBAL ``ntile(5)`` of every order by
+    ``(o_totalprice, o_orderkey)`` — exact SQL remainder-rule semantics
+    WITHOUT a global sort.
+
+    Two passes replace the all-to-all range sort:
+    1. equal-width value bins over the footer min/max (any deterministic
+       MONOTONE bucketing works — ranks come from in-bin sorting, bins
+       only need to preserve order BETWEEN bins) → bounded (bin, count)
+       enum fold → the driver cumsums bin start-ranks (≤ 4096 rows).
+    2. ONE bin-keyed exchange co-locates each bin's rows; each partition
+       sorts its bins' rows by (price, key), adds the bin's start rank,
+       and applies SQL's remainder rule (first ``n mod k`` tiles get one
+       extra row) as a pure function of global rank.
+
+    Scale: the exchange carries (key, price) once; skew follows the value
+    distribution (a massively-tied value concentrates its bin — the same
+    hotspot ANY rank operator has under ties). NULL prices are excluded
+    on both engines.
+    """
+    from .exchange import enum_group_sum, footer_min_max, hash_partitioned
+
+    path = table_path(sf_dir, "orders")
+    bounds = footer_min_max(path, "o_totalprice")
+    if bounds is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = ray.data.read_parquet(path, columns=["o_totalprice"]).aggregate(
+            Min("o_totalprice"), Max("o_totalprice")
+        )
+        if agg is None or agg.get("min(o_totalprice)") is None:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": pd.Series([], dtype="int64"),
+                        "tile": pd.Series([], dtype="int64"),
+                    }
+                )
+            )
+        bounds = (agg["min(o_totalprice)"], agg["max(o_totalprice)"])
+    mn, mx = float(bounds[0]), float(bounds[1])
+    span = mx - mn
+
+    def to_bin(vals: np.ndarray) -> np.ndarray:
+        if span <= 0.0:  # single distinct value: one bin
+            return np.zeros(vals.size, dtype=np.int64)
+        b = np.floor((vals - mn) * GLOBAL_NTILE_BINS / span).astype(np.int64)
+        return np.clip(b, 0, GLOBAL_NTILE_BINS - 1)
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["o_totalprice"]))
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        if v.size == 0:
+            return pa.table(
+                {
+                    "bin": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        cnt = np.bincount(to_bin(v), minlength=GLOBAL_NTILE_BINS)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz, type=pa.int64()),
+                "n": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+    counts = ray.data.read_parquet(
+        path, columns=["o_totalprice"]
+    ).map_batches(bin_counts, batch_format="pyarrow", zero_copy_batch=True)
+    folded = enum_group_sum(counts, ["bin"], ["n"])
+    if len(folded) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    folded = folded.sort_values("bin")
+    total = int(folded["n"].sum())
+    starts = np.zeros(GLOBAL_NTILE_BINS, dtype=np.int64)
+    starts[folded["bin"].to_numpy(dtype=np.int64)] = (
+        folded["n"].cumsum().to_numpy(dtype=np.int64)
+        - folded["n"].to_numpy(dtype=np.int64)
+    )
+    size, rem = divmod(total, GLOBAL_NTILE_K)
+    big = rem * (size + 1)
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        # SQL remainder rule over global rank (0-based): the first
+        # ``rem`` tiles hold size+1 rows each
+        return np.where(
+            rank < big,
+            rank // (size + 1) if size + 1 > 0 else 0,
+            rem + (np.maximum(rank - big, 0) // size if size else 0),
+        ).astype(np.int64) + 1
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["o_totalprice"]))
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return t.append_column("bin", pa.array(to_bin(v), type=pa.int64()))
+
+    def assign_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["bin", "o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        bins = df["bin"].to_numpy(dtype=np.int64)
+        # local index within each bin run (bins are sorted)
+        run_start = np.flatnonzero(np.r_[True, bins[1:] != bins[:-1]])
+        run_len = np.diff(np.r_[run_start, bins.size])
+        local = np.arange(bins.size) - np.repeat(run_start, run_len)
+        rank = starts[bins] + local
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+                "tile": tile_of(rank),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        path, columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(add_bin, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_partitioned(ds, "bin", assign_partition)
+
+
+ORDERS_PRICE_QUINTILE_SQL = f"""
+SELECT o_orderkey,
+       CAST(ntile({GLOBAL_NTILE_K}) OVER (
+         ORDER BY o_totalprice, o_orderkey
+       ) AS BIGINT) AS tile
+FROM orders WHERE o_totalprice IS NOT NULL
+"""
+
+register("orders_price_quintile", orders_price_quintile, sql=ORDERS_PRICE_QUINTILE_SQL)

@@ -6017,3 +6017,63 @@ class TestOrdersDailyAutocorrelation:
         assert len(orders_daily_autocorrelation(str(tmp_path))) == 0
         self._orders([None, None], tmp_path)
         assert len(orders_daily_autocorrelation(str(tmp_path))) == 0
+
+
+class TestOrdersPriceQuintile:
+    """X132 global ntile by counting: remainder rule, cross-bin ranks,
+    tie order, NULL exclusion, and the single-value degenerate bin.
+    Value parity is in the blanket loop."""
+
+    @staticmethod
+    def _orders(prices, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            dict(
+                o_orderkey=i + 1, o_custkey=1, o_orderstatus="O",
+                o_totalprice=p, o_orderdate=None, o_orderpriority="1-URGENT",
+            )
+            for i, p in enumerate(prices)
+        ]
+        schema = pa.schema(
+            [
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "orders.parquet")
+
+    def test_remainder_rule_and_ties(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            orders_price_quintile,
+        )
+
+        # 7 non-null prices, K=5 → tile sizes [2,2,1,1,1] in rank order;
+        # two ties at 10.0 break by orderkey (keys 2 then 5)
+        self._orders([30.0, 10.0, 20.0, None, 10.0, 50.0, 40.0, 15.0], tmp_path)
+        out = (
+            orders_price_quintile(str(tmp_path))
+            .to_pandas()
+            .set_index("o_orderkey")["tile"]
+        )
+        # rank order: k2(10), k5(10), k8(15), k3(20), k1(30), k7(40), k6(50)
+        assert out.to_dict() == {2: 1, 5: 1, 8: 2, 3: 2, 1: 3, 7: 4, 6: 5}
+
+    def test_single_value_and_all_null(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            orders_price_quintile,
+        )
+
+        # one distinct price → span 0 → one bin; ranks purely by key
+        self._orders([7.0] * 6, tmp_path)
+        out = (
+            orders_price_quintile(str(tmp_path))
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        assert list(out["tile"]) == [1, 1, 2, 3, 4, 5]
+        self._orders([None, None], tmp_path)
+        assert orders_price_quintile(str(tmp_path)).count() == 0
