@@ -1721,3 +1721,289 @@ FROM orders WHERE o_totalprice IS NOT NULL
 """
 
 register("orders_price_quintile", orders_price_quintile, sql=ORDERS_PRICE_QUINTILE_SQL)
+
+
+# --- RFM customer segmentation (X133) -----------------------------------------
+
+#: equal-width bins for the monetary rank fold (recency/frequency bins are
+#: their own values — day and count cardinalities are naturally bounded)
+_RFM_MONEY_BINS = 4096
+
+#: offset keeping combined (metric, bin) keys non-negative for negative
+#: epoch days
+_RFM_BIN_OFF = 1 << 31
+
+
+def customer_rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """(o_custkey, r_tile, f_tile, m_tile, rfm): classic RFM scoring —
+    every customer's recency (last order day), frequency (order count)
+    and monetary (cents sum) quintiles under exact global
+    ``ntile(5) OVER (ORDER BY metric, custkey)`` semantics, plus the
+    concatenated 3-digit segment code marketing tooling keys on.
+
+    Composition of the X132 counting-rank primitive, three ranks for the
+    price of one fold + one exchange:
+    1. ONE custkey exchange folds per-customer metrics; the result is
+       ``materialize()``d — bounded by #customers (orders-of-magnitude
+       smaller than the fact table) and re-read by the rank passes below,
+       which would otherwise re-execute the fact exchange each.
+    2. ONE stacked bounded fold counts all three metrics at once: recency
+       days and frequency counts bin AS THEMSELVES (time-range- and
+       basket-size-bounded enums), monetary through 4096 equal-width bins
+       over its Min/Max — ≤ days + counts + 4096 rows total; the driver
+       cumsums per-metric start ranks.
+    3. ONE stacked (metric, bin)-keyed exchange sorts in-bin by
+       (value, custkey), adds start ranks, applies the SQL remainder rule
+       (same N for all metrics — every customer carries all three rows).
+    4. ONE custkey exchange pivots the three tile rows back into columns.
+
+    NULL custkey / orderdate / totalprice orders are excluded on both
+    engines (the WHERE in the SQL twin).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .exchange import (
+        enum_group_sum,
+        half_up_int64,
+        hash_partitioned,
+        int64_array,
+    )
+
+    DAY_US = 86_400_000_000
+
+    def metrics_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "recency_day": pd.Series([], dtype="int64"),
+                    "frequency": pd.Series([], dtype="int64"),
+                    "monetary_c": pd.Series([], dtype="int64"),
+                }
+            )
+        cents = half_up_int64(df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0)
+        day = (
+            df["o_orderdate"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // DAY_US
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+                    "day": day,
+                    "c": cents,
+                }
+            )
+            .groupby("o_custkey", sort=False)
+            .agg(
+                recency_day=("day", "max"),
+                frequency=("day", "size"),
+                monetary_c=("c", "sum"),
+            )
+            .reset_index()
+        )
+        return g.astype(
+            {
+                "recency_day": "int64",
+                "frequency": "int64",
+                "monetary_c": "int64",
+            }
+        )
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["o_custkey"]), pc.is_valid(batch["o_orderdate"])
+            ),
+            pc.is_valid(batch["o_totalprice"]),
+        )
+        return batch.filter(m)
+
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(drop_nulls, batch_format="pyarrow", zero_copy_batch=True)
+    metrics = hash_partitioned(
+        orders, "o_custkey", metrics_partition, coalesce_rows=1 << 20
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {
+            "o_custkey": pd.Series([], dtype="int64"),
+            "r_tile": pd.Series([], dtype="int64"),
+            "f_tile": pd.Series([], dtype="int64"),
+            "m_tile": pd.Series([], dtype="int64"),
+            "rfm": pd.Series([], dtype="object"),
+        }
+    )
+    if metrics.count() == 0:
+        return ray.data.from_pandas(empty)
+    mm = metrics.aggregate(Min("monetary_c"), Max("monetary_c"))
+    m_mn = int(mm["min(monetary_c)"])
+    m_mx = int(mm["max(monetary_c)"])
+    m_span = m_mx - m_mn
+
+    def money_bin(c: np.ndarray) -> np.ndarray:
+        if m_span <= 0:
+            return np.zeros(c.size, dtype=np.int64)
+        b = (c - m_mn) * _RFM_MONEY_BINS // (m_span + 1)
+        return b.astype(np.int64)
+
+    def mkeys_of(df_like) -> dict:
+        r = int64_array(df_like["recency_day"])
+        f = int64_array(df_like["frequency"])
+        c = int64_array(df_like["monetary_c"])
+        return {
+            1: r + _RFM_BIN_OFF,
+            2: f + _RFM_BIN_OFF,
+            3: money_bin(c) + _RFM_BIN_OFF,
+        }
+
+    def stacked_counts(batch: pa.Table) -> pa.Table:
+        bins = mkeys_of(batch)
+        ks, ns = [], []
+        for metric, b in bins.items():
+            uniq, cnt = np.unique(b, return_counts=True)
+            ks.append((np.int64(metric) << 33) + uniq)
+            ns.append(cnt)
+        return pa.table(
+            {
+                "mkey": pa.array(np.concatenate(ks), type=pa.int64()),
+                "n": pa.array(
+                    np.concatenate(ns).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    fold = enum_group_sum(
+        metrics.map_batches(
+            stacked_counts, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["mkey"],
+        ["n"],
+    ).sort_values("mkey")
+    sorted_mkeys = fold["mkey"].to_numpy(dtype=np.int64)
+    ns = fold["n"].to_numpy(dtype=np.int64)
+    starts = np.zeros_like(ns)
+    for metric in (1, 2, 3):
+        sel = (sorted_mkeys >> 33) == metric
+        csum = np.cumsum(ns[sel])
+        starts[sel] = csum - ns[sel]
+    total = int(ns[(sorted_mkeys >> 33) == 1].sum())
+    size, rem = divmod(total, GLOBAL_NTILE_K)
+    big = rem * (size + 1)
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        return np.where(
+            rank < big,
+            rank // (size + 1) if size + 1 > 0 else 0,
+            rem + (np.maximum(rank - big, 0) // size if size else 0),
+        ).astype(np.int64) + 1
+
+    def stack_rows(batch: pa.Table) -> pa.Table:
+        bins = mkeys_of(batch)
+        cust = int64_array(batch["o_custkey"])
+        vals = {
+            1: int64_array(batch["recency_day"]),
+            2: int64_array(batch["frequency"]),
+            3: int64_array(batch["monetary_c"]),
+        }
+        return pa.table(
+            {
+                "o_custkey": pa.array(np.tile(cust, 3), type=pa.int64()),
+                "mkey": pa.array(
+                    np.concatenate(
+                        [(np.int64(m) << 33) + bins[m] for m in (1, 2, 3)]
+                    ),
+                    type=pa.int64(),
+                ),
+                "value": pa.array(
+                    np.concatenate([vals[m] for m in (1, 2, 3)]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def assign_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "metric": pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["mkey", "value", "o_custkey"], kind="mergesort")
+        mk = df["mkey"].to_numpy(dtype=np.int64)
+        run_start = np.flatnonzero(np.r_[True, mk[1:] != mk[:-1]])
+        run_len = np.diff(np.r_[run_start, mk.size])
+        local = np.arange(mk.size) - np.repeat(run_start, run_len)
+        pos = np.searchsorted(sorted_mkeys, mk)
+        rank = starts[pos] + local
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+                "metric": mk >> 33,
+                "tile": tile_of(rank),
+            }
+        )
+
+    tiles = hash_partitioned(
+        metrics.map_batches(
+            stack_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "mkey",
+        assign_partition,
+        coalesce_rows=1 << 20,
+    )
+
+    def pivot_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty.copy()
+        w = df.pivot_table(
+            index="o_custkey", columns="metric", values="tile", aggfunc="first"
+        ).reset_index()
+        w.columns = ["o_custkey", "r_tile", "f_tile", "m_tile"]
+        w = w.astype(
+            {"r_tile": "int64", "f_tile": "int64", "m_tile": "int64"}
+        )
+        w["rfm"] = (
+            w["r_tile"].astype(str)
+            + w["f_tile"].astype(str)
+            + w["m_tile"].astype(str)
+        )
+        return w
+
+    return hash_partitioned(
+        tiles, "o_custkey", pivot_partition, coalesce_rows=1 << 20
+    )
+
+
+CUSTOMER_RFM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+m AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS recency_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM o GROUP BY 1
+),
+t AS (
+  SELECT o_custkey,
+         CAST(ntile({GLOBAL_NTILE_K}) OVER (ORDER BY recency_day, o_custkey) AS BIGINT) AS r_tile,
+         CAST(ntile({GLOBAL_NTILE_K}) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_tile,
+         CAST(ntile({GLOBAL_NTILE_K}) OVER (ORDER BY monetary_c, o_custkey) AS BIGINT) AS m_tile
+  FROM m
+)
+SELECT o_custkey, r_tile, f_tile, m_tile,
+       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+         || CAST(m_tile AS VARCHAR) AS rfm
+FROM t
+"""
+
+register("customer_rfm_segments", customer_rfm_segments, sql=CUSTOMER_RFM_SQL)

@@ -6077,3 +6077,76 @@ class TestOrdersPriceQuintile:
         assert list(out["tile"]) == [1, 1, 2, 3, 4, 5]
         self._orders([None, None], tmp_path)
         assert orders_price_quintile(str(tmp_path)).count() == 0
+
+
+class TestCustomerRfmSegments:
+    """X133 RFM: per-customer metric fold, three independent global
+    quintile ranks, the segment code, and NULL exclusion. Value parity is
+    in the blanket loop."""
+
+    def test_tiles_and_code(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            customer_rfm_segments,
+        )
+
+        base = dt.datetime(2020, 1, 1)
+        rows = []
+
+        def o(key, cust, day, price):
+            rows.append(
+                dict(
+                    o_orderkey=key, o_custkey=cust, o_orderstatus="O",
+                    o_totalprice=price,
+                    o_orderdate=None if day is None else base + dt.timedelta(days=day),
+                    o_orderpriority="1-URGENT",
+                )
+            )
+
+        # 5 customers → quintile == rank+1 on each metric.
+        # cust 1: 3 orders, last day 10, total 30.00  → F rank high
+        o(1, 1, 1, 10.0); o(2, 1, 5, 10.0); o(3, 1, 10, 10.0)
+        # cust 2: 1 order, day 50, total 500.00       → R,M top; F bottom (tie, key order)
+        o(4, 2, 50, 500.0)
+        # cust 3: 2 orders, last day 20, total 2.00
+        o(5, 3, 2, 1.0); o(6, 3, 20, 1.0)
+        # cust 4: 1 order, day 30, total 100.00
+        o(7, 4, 30, 100.0)
+        # cust 5: 2 orders, last day 40, total 60.00
+        o(8, 5, 35, 30.0); o(9, 5, 40, 30.0)
+        # excluded rows: NULL custkey / date / price
+        o(10, None, 3, 9.0); o(11, 1, None, 9.0)
+        rows.append(
+            dict(
+                o_orderkey=12, o_custkey=1, o_orderstatus="O",
+                o_totalprice=None, o_orderdate=base, o_orderpriority="1-URGENT",
+            )
+        )
+        schema = pa.schema(
+            [
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp_path / "orders.parquet")
+        out = (
+            customer_rfm_segments(str(tmp_path))
+            .to_pandas()
+            .set_index("o_custkey")
+            .sort_index()
+        )
+        # recency_day:  c1=10 c2=50 c3=20 c4=30 c5=40 → ranks 1,5,2,3,4
+        # frequency:    c1=3  c2=1  c3=2  c4=1  c5=2  → (f, cust) order
+        #               c2,c4,c3,c5,c1 → tiles per cust = [5,1,3,2,4]
+        # monetary:     c1=30 c2=500 c3=2 c4=100 c5=60 → ranks 2,5,1,4,3
+        assert list(out["r_tile"]) == [1, 5, 2, 3, 4]
+        assert list(out["f_tile"]) == [5, 1, 3, 2, 4]
+        assert list(out["m_tile"]) == [2, 5, 1, 4, 3]
+        assert out.loc[2, "rfm"] == "515"
+        assert len(out) == 5
