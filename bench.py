@@ -1129,6 +1129,11 @@ for _key, _name in [
     ("price_date_skyline", "orders_price_date_skyline"),
     ("interval_coverage", "user_interval_coverage"),
     ("regression_by_flag", "lineitem_regression_by_flag"),
+    ("basket_pairs", "basket_part_pairs"),
+    ("vocab_growth", "vocabulary_growth"),
+    ("daily_acf", "orders_daily_autocorrelation"),
+    ("price_quintile", "orders_price_quintile"),
+    ("rfm_segments", "customer_rfm_segments"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 
