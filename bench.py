@@ -1134,6 +1134,7 @@ for _key, _name in [
     ("daily_acf", "orders_daily_autocorrelation"),
     ("price_quintile", "orders_price_quintile"),
     ("rfm_segments", "customer_rfm_segments"),
+    ("benford", "lineitem_benford_digits"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

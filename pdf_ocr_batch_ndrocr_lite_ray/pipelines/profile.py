@@ -781,3 +781,106 @@ register(
     orders_daily_autocorrelation,
     sql=ORDERS_DAILY_AUTOCORRELATION_SQL,
 )
+
+
+def lineitem_benford_digits(sf_dir: str) -> "pd.DataFrame":
+    """(digit, n, freq_e6, benford_e6): leading-digit profile of
+    ``l_extendedprice`` against Benford's law — the fraud/synthetic-data
+    smell test a 100 TB ingest runs on any money-like column (naturally
+    grown multiplicative quantities follow log10(1+1/d); fabricated or
+    truncated feeds don't).
+
+    Exactness contract: prices quantize to integer cents by the shared
+    ``floor(v*100 + 0.5)`` rule (identical IEEE multiply/floor in both
+    engines); the leading digit of a POSITIVE int is exact in numpy via an
+    int64 power-of-ten table (no float log in the hot path) and exact in
+    SQL via ``substr(CAST(x AS VARCHAR), 1, 1)``. ``freq_e6`` divides two
+    exact integers through one shared IEEE division; ``benford_e6`` is
+    ``log10(1 + 1/d)`` evaluated by libm on both sides (math.log10 here,
+    DuckDB std::log10 there) on bit-identical arguments.
+
+    Scale shape: per-block 9-bin bincount partials → bounded enum fold
+    (≤ 9 rows ever cross); zero shuffle, driver holds 9 rows.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    # 10^1 .. 10^18: digitize(x, pows) = #digits(x) - 1 for int64 x >= 1
+    pows = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["l_extendedprice"]
+        v = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        x = v.to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        cents = np.floor(x * 100.0 + 0.5)
+        cents = cents[cents > 0].astype(np.int64)
+        if cents.size == 0:
+            return pa.table(
+                {"digit": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # digitize(x, pows) = #digits(x) - 1 for 1 <= x < 10^18; 10^18
+        # still fits int64 so the power table never overflows.
+        lead = cents // 10 ** np.digitize(cents, pows).astype(np.int64)
+        counts = np.bincount(lead, minlength=10)[1:10]
+        digits = np.arange(1, 10, dtype=np.int64)
+        keep = counts > 0
+        return pa.table(
+            {
+                "digit": pa.array(digits[keep], pa.int64()),
+                "n": pa.array(counts[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    folded = enum_group_sum(ds, ["digit"], ["n"])
+    empty = pd.DataFrame(
+        {
+            "digit": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "freq_e6": pd.Series(dtype="int64"),
+            "benford_e6": pd.Series(dtype="int64"),
+        }
+    )
+    if len(folded) == 0:
+        return empty
+    folded = folded.sort_values("digit").reset_index(drop=True)
+    tot = int(folded["n"].sum())
+    freq = [
+        int(math.floor(float(int(n)) / float(tot) * 1e6 + 0.5))
+        for n in folded["n"]
+    ]
+    benford = [
+        int(math.floor(math.log10(1.0 + 1.0 / float(int(d))) * 1e6 + 0.5))
+        for d in folded["digit"]
+    ]
+    out = folded.assign(freq_e6=freq, benford_e6=benford)
+    return out.astype(
+        {"digit": "int64", "n": "int64", "freq_e6": "int64", "benford_e6": "int64"}
+    )
+
+
+LINEITEM_BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND floor(l_extendedprice * 100 + 0.5) > 0
+),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+SELECT g.digit, g.n,
+       CAST(floor(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS freq_e6,
+       CAST(floor(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) * 1e6 + 0.5)
+            AS BIGINT) AS benford_e6
+FROM g, t
+"""
+
+register("lineitem_benford_digits", lineitem_benford_digits, sql=LINEITEM_BENFORD_SQL)

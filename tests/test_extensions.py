@@ -6150,3 +6150,65 @@ class TestCustomerRfmSegments:
         assert list(out["m_tile"]) == [2, 5, 1, 4, 3]
         assert out.loc[2, "rfm"] == "515"
         assert len(out) == 5
+
+
+class TestLineitemBenford:
+    """X134 Benford leading-digit profile: exact cent quantization, the
+    int64 power-table digit extraction across 1..16-digit magnitudes,
+    non-positive/NULL exclusion, and the e6 fixed-point frequency
+    contract vs the DuckDB substr oracle."""
+
+    @staticmethod
+    def _lineitem(prices, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"l_extendedprice": pa.array(prices, type=pa.float64())}),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_planted_digits_and_exclusions(self, ray_session, tmp_path):
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            lineitem_benford_digits,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # cents: 1 (1 digit), 95, 950, 31_415, 2^44-ish 14-digit, plus
+        # excluded rows: NULL, negative, and 0.004 -> floor(0.9) = 0.
+        prices = [
+            0.01,            # cents 1  -> digit 1
+            0.95,            # cents 95 -> digit 9
+            9.5,             # cents 950 -> digit 9
+            314.15,          # cents 31415 -> digit 3
+            123456789012.34, # cents 12345678901234 -> digit 1
+            None,
+            -5.0,            # cents -500 -> excluded
+            0.004,           # cents 0 -> excluded
+        ]
+        self._lineitem(prices, tmp_path)
+        out = lineitem_benford_digits(str(tmp_path)).set_index("digit")
+        assert dict(out["n"]) == {1: 2, 3: 1, 9: 2}
+        assert int(out.loc[1, "freq_e6"]) == math.floor(2 / 5 * 1e6 + 0.5)
+        assert int(out.loc[9, "benford_e6"]) == math.floor(
+            math.log10(1 + 1 / 9) * 1e6 + 0.5
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lineitem_benford_digits"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_empty_and_all_excluded(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            lineitem_benford_digits,
+        )
+
+        self._lineitem([None, -1.0, 0.0], tmp_path)
+        assert len(lineitem_benford_digits(str(tmp_path))) == 0
