@@ -1135,6 +1135,7 @@ for _key, _name in [
     ("price_quintile", "orders_price_quintile"),
     ("rfm_segments", "customer_rfm_segments"),
     ("benford", "lineitem_benford_digits"),
+    ("ship_delay", "orders_ship_delay_profile"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -884,3 +884,194 @@ FROM g, t
 """
 
 register("lineitem_benford_digits", lineitem_benford_digits, sql=LINEITEM_BENFORD_SQL)
+
+
+US_PER_DAY = 86_400_000_000  # microseconds per day (epoch-us -> day index)
+
+SHIP_DELAY_QS = (0.5, 0.9, 0.99)
+
+
+def orders_ship_delay_profile(sf_dir: str) -> "pd.DataFrame":
+    """(o_orderpriority, n, neg_n, min_delay, p50, p90, p99, max_delay,
+    mean_e6): the fulfillment-SLA / data-integrity profile of ship-date
+    minus order-date per priority class — exact counting quantiles plus
+    the impossible-row counter (``neg_n`` = lines shipped BEFORE their
+    order date, the classic broken-feed smell).
+
+    Exactness contract: the day delta is pure int64 arithmetic
+    (``epoch_us // us_per_day`` each side, identical to DuckDB
+    ``datediff('day', ...)`` on post-1970 timestamps); quantiles are the
+    smallest delay whose cumulative count reaches ``q * n`` (one shared
+    IEEE multiply per (priority, q)); ``mean_e6`` divides two exact
+    integers through one shared IEEE division, ``floor(x*1e6+0.5)``.
+
+    Scale shape: both fact tables pre-reduce per block — lineitem to
+    (orderkey, ship_day, n) collapsed pairs, orders to stub rows — and
+    share ONE orderkey co-partition exchange (the Q18 idiom,
+    tpchx.py:276); each partition joins locally and emits bounded
+    (priority, delay) partials, so the second hop is an enum fold whose
+    cardinality is priorities x distinct day deltas (guarded by
+    MAX_ENUM_GROUPS). The driver holds that bounded table only.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum, hash_partitioned
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"key": batch["l_orderkey"], "sday": batch["l_shipdate"]}
+        ).filter(pc.is_valid(batch["l_shipdate"]))
+        sday = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["sday"], pa.int64()), US_PER_DAY)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"key": t["key"], "sday": sday, "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+            .group_by(["key", "sday"])
+            .aggregate([("n", "sum")])
+        )
+        m = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "day": g["sday"],
+                "n": g["n_sum"],
+                "prio": pa.array([None] * m, type=pa.string()),
+                "is_order": pa.array([False] * m, type=pa.bool_()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["o_orderdate"]), pc.is_valid(batch["o_orderpriority"])
+        )
+        t = batch.filter(keep)
+        oday = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["o_orderdate"], pa.int64()), US_PER_DAY)),
+            pa.int64(),
+        )
+        m = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "day": oday,
+                "n": pa.array(np.zeros(m, dtype=np.int64)),
+                "prio": t["o_orderpriority"],
+                "is_order": pa.array([True] * m, type=pa.bool_()),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_delays(df: "pd.DataFrame") -> "pd.DataFrame":
+        ords = df[df["is_order"]]
+        lns = df[~df["is_order"]]
+        if len(ords) == 0 or len(lns) == 0:
+            return pd.DataFrame(
+                {
+                    "prio": pd.Series(dtype="object"),
+                    "delay": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        oday = dict(zip(ords["key"], ords["day"]))
+        oprio = dict(zip(ords["key"], ords["prio"]))
+        hit = lns[lns["key"].isin(oday)].copy()
+        if len(hit) == 0:
+            return pd.DataFrame(
+                {
+                    "prio": pd.Series(dtype="object"),
+                    "delay": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        hit["delay"] = hit["day"].astype("int64") - hit["key"].map(oday).astype("int64")
+        hit["prio"] = hit["key"].map(oprio)
+        out = (
+            hit.groupby(["prio", "delay"], sort=False)["n"].sum().reset_index()
+        )
+        return out.astype({"delay": "int64", "n": "int64"})
+
+    folded = enum_group_sum(
+        hash_partitioned(lines.union(orders), "key", local_delays,
+                         coalesce_rows=1 << 20),
+        ["prio", "delay"],
+        ["n"],
+    )
+    cols = {
+        "o_orderpriority": "object", "n": "int64", "neg_n": "int64",
+        "min_delay": "int64", "p50": "int64", "p90": "int64",
+        "p99": "int64", "max_delay": "int64", "mean_e6": "int64",
+    }
+    if len(folded) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    rows = []
+    for prio, g in folded.groupby("prio", sort=True):
+        g = g.sort_values("delay").reset_index(drop=True)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        dly = g["delay"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        qv = [int(dly[np.searchsorted(cum, q * n)]) for q in SHIP_DELAY_QS]
+        s = sum(int(d) * int(c) for d, c in zip(dly, cnt))  # exact Python int
+        rows.append(
+            {
+                "o_orderpriority": prio,
+                "n": n,
+                "neg_n": int(cnt[dly < 0].sum()),
+                "min_delay": int(dly[0]),
+                "p50": qv[0],
+                "p90": qv[1],
+                "p99": qv[2],
+                "max_delay": int(dly[-1]),
+                "mean_e6": int(np.floor(float(s) / float(n) * 1e6 + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+ORDERS_SHIP_DELAY_SQL = """
+WITH j AS (
+  SELECT o_orderpriority AS prio,
+         datediff('day', o_orderdate, l_shipdate) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+),
+g AS (SELECT prio, delay, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY prio, delay),
+t AS (
+  SELECT prio, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(delay AS HUGEINT) * c) AS s,
+         CAST(min(delay) AS BIGINT) AS min_delay,
+         CAST(max(delay) AS BIGINT) AS max_delay,
+         CAST(coalesce(sum(c) FILTER (WHERE delay < 0), 0) AS BIGINT) AS neg_n
+  FROM g GROUP BY prio
+),
+cum AS (
+  SELECT prio, delay, sum(c) OVER (PARTITION BY prio ORDER BY delay) AS cum
+  FROM g
+),
+q AS (
+  SELECT cum.prio,
+         CAST(min(delay) FILTER (WHERE cum >= 0.5 * t.n) AS BIGINT) AS p50,
+         CAST(min(delay) FILTER (WHERE cum >= 0.9 * t.n) AS BIGINT) AS p90,
+         CAST(min(delay) FILTER (WHERE cum >= 0.99 * t.n) AS BIGINT) AS p99
+  FROM cum JOIN t ON cum.prio = t.prio GROUP BY cum.prio
+)
+SELECT t.prio AS o_orderpriority, t.n, t.neg_n, t.min_delay,
+       q.p50, q.p90, q.p99, t.max_delay,
+       CAST(floor(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS mean_e6
+FROM t JOIN q ON t.prio = q.prio
+"""
+
+register(
+    "orders_ship_delay_profile", orders_ship_delay_profile,
+    sql=ORDERS_SHIP_DELAY_SQL,
+)

@@ -6212,3 +6212,99 @@ class TestLineitemBenford:
 
         self._lineitem([None, -1.0, 0.0], tmp_path)
         assert len(lineitem_benford_digits(str(tmp_path))) == 0
+
+
+class TestOrdersShipDelayProfile:
+    """X135 fulfillment-delay profile: the co-partition join, exact
+    counting-quantile rule at the cum >= q*n boundary, negative-delay
+    integrity counter, NULL/orphan exclusion, and the e6 mean contract."""
+
+    @staticmethod
+    def _tables(tmp_path, orders, lines):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                    "o_custkey": pa.array([1] * len(orders), pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                    "o_totalprice": pa.array([1.0] * len(orders), pa.float64()),
+                    "o_orderdate": pa.array([o[1] for o in orders], pa.timestamp("us")),
+                    "o_orderpriority": pa.array([o[2] for o in orders], pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                    "l_shipdate": pa.array([l[1] for l in lines], pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_quantile_boundary_and_neg_counter(self, ray_session, tmp_path):
+        import datetime as dt
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_ship_delay_profile,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def day(k):
+            return d0 + dt.timedelta(days=k)
+
+        # priority U: delays [-2, 0, 1, 1, 3, 10] (n=6, cum 1,2,4,5,6):
+        #   p50: cum >= 3.0 -> delay 1 (cum 4); p90: cum >= 5.4 -> 10
+        #   (delay 3's cum is only 5); p99: cum >= 5.94 -> 10
+        #   neg_n = 1; mean = 13/6
+        # priority L: one line, delay 5 -> all quantiles 5
+        orders = [
+            (1, day(0), "U"), (2, day(10), "U"), (3, day(100), "L"),
+            (4, day(0), None),   # NULL priority: excluded
+            (5, None, "U"),      # NULL order date: excluded
+            (6, day(0), "U"),    # order with no lines: no row
+        ]
+        lines = [
+            (1, day(-2)), (1, day(0)), (1, day(1)), (1, day(1)), (1, day(3)),
+            (2, day(20)),            # delay 10
+            (3, day(105)),           # L delay 5
+            (4, day(1)), (5, day(1)),  # parents excluded
+            (9, day(7)),             # orphan line: dropped
+            (2, None),               # NULL shipdate: excluded
+        ]
+        self._tables(tmp_path, orders, lines)
+        out = orders_ship_delay_profile(str(tmp_path)).set_index("o_orderpriority")
+        assert set(out.index) == {"U", "L"}
+        u = out.loc["U"]
+        assert (int(u["n"]), int(u["neg_n"])) == (6, 1)
+        assert (int(u["p50"]), int(u["p90"]), int(u["p99"])) == (1, 10, 10)
+        assert (int(u["min_delay"]), int(u["max_delay"])) == (-2, 10)
+        assert int(u["mean_e6"]) == math.floor(13 / 6 * 1e6 + 0.5)
+        l = out.loc["L"]
+        assert (int(l["p50"]), int(l["p99"]), int(l["n"])) == (5, 5, 1)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORACLE_SQL["orders_ship_delay_profile"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_empty_inputs(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_ship_delay_profile,
+        )
+
+        self._tables(tmp_path, [(1, None, "U")], [(1, None)])
+        assert len(orders_ship_delay_profile(str(tmp_path))) == 0
