@@ -1136,6 +1136,7 @@ for _key, _name in [
     ("rfm_segments", "customer_rfm_segments"),
     ("benford", "lineitem_benford_digits"),
     ("ship_delay", "orders_ship_delay_profile"),
+    ("spearman", "lineitem_spearman_by_flag"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

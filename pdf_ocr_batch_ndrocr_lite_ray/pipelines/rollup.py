@@ -668,3 +668,373 @@ GROUP BY CUBE(o_orderpriority, o_orderstatus, year(o_orderdate))
 """
 
 register("orders_cube", orders_cube, sql=ORDERS_CUBE_SQL)
+
+
+# --- grouped Spearman rank correlation (X136) --------------------------------
+
+#: equal-width y-bins for the counting-rank exchange (any monotone bucketing
+#: works — between-bin order is what matters; ties share a bin by construction
+#: because equal cents produce equal bins)
+SPEARMAN_BINS = 4096
+
+
+def lineitem_spearman_by_flag(sf_dir: str) -> "pd.DataFrame":
+    """(l_returnflag, n, spearman_e6): Spearman rank correlation between
+    quantity and extended price per return flag — the monotone-association
+    twin of ``lineitem_corr_by_flag`` (Pearson), robust to the outliers
+    and curvature a drift monitor meets in practice. Exact tie handling
+    (average ranks) with NO global sort.
+
+    Exactness contract: Spearman = Pearson on average ranks; doubled
+    ranks ``2r = 2*cnt_less + cnt_eq + 1`` are integers, so every moment
+    (Sxy, Sxx, Syy, Sx = Sy = n(n+1)) is an exact integer on both
+    engines, and one shared IEEE chain (int→double, multiply, sqrt,
+    divide, floor-e6) produces the correlation. The SQL twin spells the
+    same doubled ranks via ``2*rank() + count(*) OVER (flag, v) - 1``.
+
+    Scale shape (three column-pruned passes, zero global sorts):
+    1. (flag, x-cents) count fold — quantity-like columns are
+       enum-bounded (MAX_ENUM_GROUPS guard); the driver derives each
+       flag's exact x-rank map, Sxx, n, and the y domain from the same
+       fold (Python-int arithmetic, no overflow cliff).
+    2. (flag, y-bin) count fold → per-bin start ranks (bins x flags
+       rows, driver-held).
+    3. ONE (flag, bin)-keyed exchange: each partition sorts its bins'
+       (y, x) rows, assigns exact global y-ranks from the bin start (a
+       tie never spans bins), looks x-ranks up in the broadcast map, and
+       emits per-flag int64 partial moments under an explicit overflow
+       guard (rows x (2n)^2 < 2^63, raising the string-decimal-partial
+       reroute by name past it). The driver folds partials in Python
+       ints, so the cross moment is exact at any corpus size the guard
+       admits.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray as ray_core
+
+    from .exchange import enum_group_agg, enum_group_sum, hash_partitioned
+
+    path = table_path(sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["l_returnflag"]),
+                pc.is_valid(batch["l_quantity"]),
+            ),
+            pc.is_valid(batch["l_extendedprice"]),
+        )
+        return batch.filter(m)
+
+    def _e2(col) -> pa.Array:
+        return pc.cast(
+            pc.round(
+                pc.multiply(col, pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+
+    empty = pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "spearman_e6": pd.Series(dtype="int64"),
+        }
+    )
+
+    # -- pass 1: (flag, x) counts + y min/max ---------------------------------
+    def partial_x(batch: pa.Table) -> pa.Table:
+        t = _keep(batch)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "flag": pa.array([], pa.string()),
+                    "x": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ylo": pa.array([], pa.int64()),
+                    "yhi": pa.array([], pa.int64()),
+                }
+            )
+        y = _e2(t["l_extendedprice"])
+        g = (
+            pa.table(
+                {
+                    "flag": t["l_returnflag"],
+                    "x": _e2(t["l_quantity"]),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "ylo": y,
+                    "yhi": y,
+                }
+            )
+            .group_by(["flag", "x"])
+            .aggregate([("n", "sum"), ("ylo", "min"), ("yhi", "max")])
+        )
+        return g.rename_columns(["flag", "x", "n", "ylo", "yhi"])
+
+    xfold = enum_group_agg(
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            partial_x, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["flag", "x"],
+        {"n": "sum", "ylo": "min", "yhi": "max"},
+    )
+    if len(xfold) == 0:
+        return empty
+
+    flags = sorted(xfold["flag"].unique())
+    flag_id = {f: i for i, f in enumerate(flags)}
+    n_of: dict[int, int] = {}
+    sxx_of: dict[int, int] = {}
+    r2x_of: dict[int, int] = {}  # (fid << 44) | x-cents -> doubled x-rank
+    lo_of: dict[int, int] = {}
+    hi_of: dict[int, int] = {}
+    X_OFF = 1 << 44  # x-cents ceiling for the combined key (guarded below)
+    for f, g in xfold.groupby("flag", sort=True):
+        fid = flag_id[f]
+        g = g.sort_values("x").reset_index(drop=True)
+        if int(g["x"].max()) >= X_OFF or int(g["x"].min()) < 0:
+            raise ValueError(
+                "lineitem_spearman_by_flag: x-cents outside [0, 2^44) — "
+                "widen the combined-key offset"
+            )
+        cnt = [int(v) for v in g["n"]]
+        m = 0
+        sxx = 0
+        for xv, c in zip(g["x"], cnt):
+            r2 = 2 * m + c + 1
+            r2x_of[(fid << 44) | int(xv)] = r2
+            sxx += c * r2 * r2
+            m += c
+        n_of[fid] = m
+        sxx_of[fid] = sxx
+        lo_of[fid] = int(g["ylo"].min())
+        hi_of[fid] = int(g["yhi"].max())
+
+    spans = {fid: hi_of[fid] - lo_of[fid] for fid in n_of}
+    if any(s * SPEARMAN_BINS >= 2**63 for s in spans.values()):
+        raise ValueError(
+            "lineitem_spearman_by_flag: y span too wide for int64 binning"
+        )
+    # broadcast payload as flat numpy (vectorized probes, no per-row Python):
+    # dense lo/span per fid, the x-rank map as sorted (key, value) arrays
+    from .exchange import broadcast_lookup, probe_lookup
+
+    n_flags = len(flags)
+    lo_arr = np.array([lo_of[i] for i in range(n_flags)], dtype=np.int64)
+    sp_arr = np.array([spans[i] for i in range(n_flags)], dtype=np.int64)
+    r2x_keys, r2x_vals = broadcast_lookup(
+        np.fromiter(r2x_of.keys(), dtype=np.int64, count=len(r2x_of)),
+        np.fromiter(r2x_of.values(), dtype=np.int64, count=len(r2x_of)),
+    )
+    n_max = max(n_of.values())
+    ref = ray_core.put(
+        (pa.array(flags, type=pa.string()), lo_arr, sp_arr, r2x_keys, r2x_vals, n_max)
+    )
+
+    def _binned(batch: pa.Table) -> pa.Table:
+        flag_set, lo, spn, _, _, _ = ray_core.get(ref)
+        t = _keep(batch)
+        fid = (
+            pc.index_in(t["l_returnflag"], value_set=flag_set)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = _e2(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        y = _e2(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        lo_v = lo[fid]
+        sp_v = spn[fid]
+        b = np.where(
+            sp_v > 0,
+            np.clip(
+                (y - lo_v) * SPEARMAN_BINS // np.maximum(sp_v, 1),
+                0,
+                SPEARMAN_BINS - 1,
+            ),
+            0,
+        )
+        return pa.table(
+            {
+                "key": pa.array(fid * SPEARMAN_BINS + b, type=pa.int64()),
+                "fid": pa.array(fid, type=pa.int64()),
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+            }
+        )
+
+    # -- pass 2: (flag, bin) counts → start ranks ------------------------------
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        t = _binned(batch)
+        if t.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(
+            t["key"].to_numpy(zero_copy_only=False),
+            minlength=n_flags * SPEARMAN_BINS,
+        )
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "key": pa.array(nz, type=pa.int64()),
+                "n": pa.array(cnt[nz], type=pa.int64()),
+            }
+        )
+
+    bfold = enum_group_sum(
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            bin_counts, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["key"],
+        ["n"],
+    )
+    bfold = bfold.sort_values("key").reset_index(drop=True)
+    keys = bfold["key"].to_numpy(dtype=np.int64)
+    cnts = bfold["n"].to_numpy(dtype=np.int64)
+    fid_of_key = keys // SPEARMAN_BINS
+    starts = np.zeros_like(cnts)
+    for fid in n_of:  # exclusive per-flag cumsum across that flag's bins
+        sel = fid_of_key == fid
+        c = cnts[sel]
+        starts[sel] = np.cumsum(c) - c
+    # dense start-rank array indexed by combined key (#flags x bins entries)
+    start_arr = np.zeros(n_flags * SPEARMAN_BINS, dtype=np.int64)
+    start_arr[keys] = starts
+    sref = ray_core.put(start_arr)
+
+    # -- pass 3: the rank exchange --------------------------------------------
+    def rank_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = {
+            "fid": pd.Series(dtype="int64"),
+            "rows": pd.Series(dtype="int64"),
+            "sxy": pd.Series(dtype="int64"),
+            "syy": pd.Series(dtype="int64"),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(out)
+        _, _, _, r2x_k, r2x_v, n_max = ray_core.get(ref)
+        start_dense = ray_core.get(sref)
+        df = df.sort_values(["key", "y"], kind="mergesort").reset_index(drop=True)
+        key = df["key"].to_numpy(dtype=np.int64)
+        y = df["y"].to_numpy(dtype=np.int64)
+        fid = df["fid"].to_numpy(dtype=np.int64)
+        x = df["x"].to_numpy(dtype=np.int64)
+        # runs of equal (key, y) = global tie groups; runs of key = bins
+        new_bin = np.r_[True, key[1:] != key[:-1]]
+        new_val = new_bin | np.r_[True, y[1:] != y[:-1]]
+        val_start = np.flatnonzero(new_val)
+        val_len = np.diff(np.r_[val_start, key.size])
+        bin_start = np.repeat(
+            np.flatnonzero(new_bin), np.diff(np.r_[np.flatnonzero(new_bin), key.size])
+        )
+        # in-bin cnt_less for each tie run = run start - its bin's start
+        run_first = np.repeat(val_start, val_len)
+        in_less = run_first - bin_start
+        r2y = 2 * (start_dense[key] + in_less) + np.repeat(val_len, val_len) + 1
+        r2xv = probe_lookup(r2x_k, r2x_v, (fid << 44) | x)
+        if (r2xv < 0).any():  # a probe miss would silently zero the moment
+            raise AssertionError(
+                "spearman rank exchange met an (flag, x) pair absent from "
+                "the pass-1 fold"
+            )
+        if key.size * (2 * n_max) ** 2 >= 2**63:
+            raise ValueError(
+                "lineitem_spearman_by_flag: partition moment exceeds int64 — "
+                "emit string-decimal partials per bin instead"
+            )
+        part = pd.DataFrame(
+            {"fid": fid, "rows": 1, "sxy": r2xv * r2y, "syy": r2y * r2y}
+        )
+        return (
+            part.groupby("fid", sort=False)[["rows", "sxy", "syy"]]
+            .sum()
+            .reset_index()
+            .astype("int64")
+        )
+
+    parts = hash_partitioned(
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            lambda b: _binned(b), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "key",
+        rank_partition,
+        coalesce_rows=1 << 20,
+    )
+    acc: dict[int, list[int]] = {}
+    for b in parts.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            a = acc.setdefault(int(row.fid), [0, 0, 0])
+            a[0] += int(row.rows)
+            a[1] += int(row.sxy)
+            a[2] += int(row.syy)
+
+    out_flags, out_n, out_rho = [], [], []
+    for f in flags:
+        fid = flag_id[f]
+        n = n_of[fid]
+        got = acc.get(fid, [0, 0, 0])
+        if got[0] != n:  # a dropped partial would silently corrupt the moment
+            raise AssertionError(
+                f"spearman rank exchange lost rows for flag {f!r}: "
+                f"{got[0]} != {n}"
+            )
+        sx = n * (n + 1)  # doubled ranks always sum to 2 * n(n+1)/2
+        sxy, syy = got[1], got[2]
+        dena = n * sxx_of[fid] - sx * sx
+        denb = n * syy - sx * sx
+        if dena <= 0 or denb <= 0:
+            continue  # zero rank variance: correlation undefined, both sides
+        rho = float(n * sxy - sx * sx) / math.sqrt(float(dena) * float(denb))
+        out_flags.append(f)
+        out_n.append(n)
+        out_rho.append(int(math.floor(rho * 1e6 + 0.5)))
+    return pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(out_flags, dtype="object"),
+            "n": pd.Series(out_n, dtype="int64"),
+            "spearman_e6": pd.Series(out_rho, dtype="int64"),
+        }
+    )
+
+
+LINEITEM_SPEARMAN_SQL = """
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT flag,
+         CAST(2 * rank() OVER (PARTITION BY flag ORDER BY x)
+              + count(*) OVER (PARTITION BY flag, x) - 1 AS HUGEINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY flag ORDER BY y)
+              + count(*) OVER (PARTITION BY flag, y) - 1 AS HUGEINT) AS ry
+  FROM q
+),
+s AS (
+  SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+         sum(rx) AS sx
+  FROM r GROUP BY flag
+)
+SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(floor(
+         CAST(n * sxy - sx * sx AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sx * sx AS DOUBLE))
+         * 1e6 + 0.5) AS BIGINT) AS spearman_e6
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sx * sx > 0
+"""
+
+register(
+    "lineitem_spearman_by_flag", lineitem_spearman_by_flag,
+    sql=LINEITEM_SPEARMAN_SQL,
+)

@@ -6308,3 +6308,68 @@ class TestOrdersShipDelayProfile:
 
         self._tables(tmp_path, [(1, None, "U")], [(1, None)])
         assert len(orders_ship_delay_profile(str(tmp_path))) == 0
+
+
+class TestLineitemSpearman:
+    """X136 grouped Spearman: exact average-rank tie handling through the
+    counting-rank exchange, perfect monotone (nonlinear) = +/-1e6,
+    zero-variance exclusion, NULL exclusion, DuckDB doubled-rank parity."""
+
+    @staticmethod
+    def _lineitem(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+                    "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+                    "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_ties_monotone_and_exclusions(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_spearman_by_flag,
+        )
+
+        rows = []
+        # flag T: x=[1,1,2,3], y=[10,20,20,30] -> doubled ranks
+        # rx=[3,3,6,8], ry=[2,5,5,8]; rho = 60/72 -> 833333
+        rows += [("T", 1.0, 10.0), ("T", 1.0, 20.0), ("T", 2.0, 20.0), ("T", 3.0, 30.0)]
+        # flag M: y = x^3 (nonlinear, strictly monotone) -> exactly 1e6
+        rows += [("M", float(i), float(i) ** 3) for i in range(1, 8)]
+        # flag D: strictly decreasing -> exactly -1e6
+        rows += [("D", float(i), float(100 - i)) for i in range(1, 6)]
+        # flag Z: constant y -> zero rank variance -> excluded
+        rows += [("Z", 1.0, 5.0), ("Z", 2.0, 5.0)]
+        # NULLs excluded everywhere
+        rows += [(None, 1.0, 1.0), ("T", None, 1.0), ("T", 1.0, None)]
+        self._lineitem(rows, tmp_path)
+        out = lineitem_spearman_by_flag(str(tmp_path)).set_index("l_returnflag")
+        assert set(out.index) == {"T", "M", "D"}
+        assert int(out.loc["T", "spearman_e6"]) == 833333
+        assert int(out.loc["M", "spearman_e6"]) == 1_000_000
+        assert int(out.loc["D", "spearman_e6"]) == -1_000_000
+        assert int(out.loc["T", "n"]) == 4
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lineitem_spearman_by_flag"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_all_excluded(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_spearman_by_flag,
+        )
+
+        self._lineitem([("Z", 1.0, 5.0), ("Z", 2.0, 5.0), (None, 1.0, 1.0)], tmp_path)
+        assert len(lineitem_spearman_by_flag(str(tmp_path))) == 0
