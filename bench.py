@@ -1137,6 +1137,7 @@ for _key, _name in [
     ("benford", "lineitem_benford_digits"),
     ("ship_delay", "orders_ship_delay_profile"),
     ("spearman", "lineitem_spearman_by_flag"),
+    ("vocab_overlap", "source_vocab_overlap"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

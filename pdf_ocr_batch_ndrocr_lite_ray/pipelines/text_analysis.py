@@ -809,3 +809,213 @@ FROM d
 """
 
 register("vocabulary_growth", vocabulary_growth, sql=VOCABULARY_GROWTH_SQL)
+
+
+# --- cross-source vocabulary overlap (X137) -----------------------------------
+
+#: source-enum ceiling for int64 bitmask safety. The fold's cardinality is
+#: the number of DISTINCT OBSERVED masks (corpora share vocabulary along a
+#: few co-occurrence patterns, not all 2^n) and enum_group_sum's
+#: MAX_ENUM_GROUPS guard fails loud if a pathological corpus ever realizes
+#: the exponential worst case — the reroute then is per-pair (a, b, inter)
+#: emission from the shingle exchange.
+MAX_OVERLAP_SOURCES = 30
+
+
+def source_vocab_overlap(sf_dir: str) -> "pd.DataFrame":
+    """(source_a, source_b, vocab_a, vocab_b, inter_n, union_n,
+    jaccard_e6): exact pairwise Jaccard between every two sources'
+    DISTINCT word-trigram vocabularies (the ``dedup.py`` shingle
+    contract) — the corpus-comparison matrix that tells a data buyer
+    whether a new source adds vocabulary or re-sells an existing one.
+
+    Scale shape: per-block (shingle, source-bitmask) partials collapse
+    duplicates before anything moves; ONE shingle-key exchange ORs each
+    shingle's mask global (``bitwise_or.reduceat`` over sorted runs, no
+    per-group Python); each partition then folds its shingles into
+    (mask, n) counts — a set whose cardinality is at most
+    2^n_sources (guarded) — and the driver reads every per-source
+    vocabulary size, every pairwise intersection, and the Jaccard off
+    that one bounded table with inclusion-over-bits sums. Shingle text
+    crosses the wire once per block-distinct occurrence; nothing
+    quadratic in documents or shingles ever exists.
+
+    Exactness: all counts are exact integers on both engines;
+    ``jaccard_e6`` divides two exact integers through one shared IEEE
+    division, ``floor(x*1e6+0.5)``. Zero-vocabulary sources still pair
+    (Jaccard 0 against non-empty ones); pairs whose union is empty are
+    excluded (undefined) on both engines.
+    """
+    import math
+
+    import pandas as pd
+
+    from .dedup import _doc_shingles
+    from .exchange import enum_group_sum
+    from .exchange import hash_partitioned as _hash_partitioned
+
+    path = table_path(sf_dir, "documents")
+
+    # pass 0: the source enum (includes zero-vocabulary sources)
+    def distinct_sources(batch: pa.Table) -> pa.Table:
+        col = batch["source"]
+        u = pc.unique(pc.drop_null(col))
+        return pa.table({"source": u, "n": pa.array([1] * len(u), pa.int64())})
+
+    sfold = enum_group_sum(
+        ray.data.read_parquet(path, columns=["source"]).map_batches(
+            distinct_sources, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source"],
+        ["n"],
+    )
+    sources = sorted(str(s) for s in sfold["source"])
+    empty = pd.DataFrame(
+        {
+            "source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "vocab_a": pd.Series(dtype="int64"),
+            "vocab_b": pd.Series(dtype="int64"),
+            "inter_n": pd.Series(dtype="int64"),
+            "union_n": pd.Series(dtype="int64"),
+            "jaccard_e6": pd.Series(dtype="int64"),
+        }
+    )
+    if len(sources) < 2:
+        return empty
+    if len(sources) > MAX_OVERLAP_SOURCES:
+        raise ValueError(
+            f"source_vocab_overlap: {len(sources)} sources exceeds the "
+            f"bitmask ceiling ({MAX_OVERLAP_SOURCES}); emit per-pair "
+            "(a, b, inter) counts from the shingle exchange instead"
+        )
+    bit_of = {s: 1 << i for i, s in enumerate(sources)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask_of: dict[str, int] = {}
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if src is None:
+                continue
+            b = bit_of[str(src)]
+            for sh in _doc_shingles(text or ""):
+                mask_of[sh] = mask_of.get(sh, 0) | b
+        return pa.table(
+            {
+                "sh": pa.array(list(mask_of.keys()), type=pa.string()),
+                "bits": pa.array(list(mask_of.values()), type=pa.int64()),
+            }
+        )
+
+    def mask_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "mask": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values("sh", kind="mergesort")
+        bits = df["bits"].to_numpy(dtype=np.int64)
+        sh = df["sh"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        masks = np.bitwise_or.reduceat(bits, starts)
+        vc = pd.Series(masks).value_counts()
+        return pd.DataFrame(
+            {
+                "mask": vc.index.to_numpy(dtype=np.int64),
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = enum_group_sum(
+        _hash_partitioned(ds, "sh", mask_counts), ["mask"], ["n"]
+    )
+    masks = folded["mask"].to_numpy(dtype=np.int64) if len(folded) else np.array([], dtype=np.int64)
+    ns = folded["n"].to_numpy(dtype=np.int64) if len(folded) else np.array([], dtype=np.int64)
+    vocab = {
+        s: int(ns[(masks & bit) != 0].sum()) for s, bit in bit_of.items()
+    }
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            inter = int(ns[(masks & bit_of[a] != 0) & (masks & bit_of[b] != 0)].sum())
+            union = vocab[a] + vocab[b] - inter
+            if union == 0:
+                continue  # both vocabularies empty: Jaccard undefined
+            rows.append(
+                {
+                    "source_a": a,
+                    "source_b": b,
+                    "vocab_a": vocab[a],
+                    "vocab_b": vocab[b],
+                    "inter_n": inter,
+                    "union_n": union,
+                    "jaccard_e6": int(
+                        math.floor(float(inter) / float(union) * 1e6 + 0.5)
+                    ),
+                }
+            )
+    if not rows:
+        return empty
+    return pd.DataFrame(rows).astype(
+        {
+            "vocab_a": "int64",
+            "vocab_b": "int64",
+            "inter_n": "int64",
+            "union_n": "int64",
+            "jaccard_e6": "int64",
+        }
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH w AS (
+  SELECT source, regexp_extract_all(text, '\S+') AS ws
+  FROM documents WHERE source IS NOT NULL
+),
+s AS (
+  SELECT DISTINCT source,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1]
+                   || ' ' || ws[CAST(i AS INT)+2]
+         END AS sh
+  FROM w, LATERAL UNNEST(generate_series(1, greatest(len(ws)-2,
+       CASE WHEN len(ws) > 0 THEN 1 ELSE 0 END))) u(i)
+  WHERE len(ws) > 0
+),
+src AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM s GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM src a JOIN src b ON a.source < b.source
+),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       coalesce(va.vocab, 0) AS vocab_a,
+       coalesce(vb.vocab, 0) AS vocab_b,
+       coalesce(i.inter_n, 0) AS inter_n,
+       coalesce(va.vocab, 0) + coalesce(vb.vocab, 0) - coalesce(i.inter_n, 0)
+         AS union_n,
+       CAST(floor(
+         CAST(coalesce(i.inter_n, 0) AS DOUBLE)
+         / CAST(coalesce(va.vocab, 0) + coalesce(vb.vocab, 0)
+                - coalesce(i.inter_n, 0) AS DOUBLE)
+         * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+FROM pairs p
+LEFT JOIN v va ON va.source = p.source_a
+LEFT JOIN v vb ON vb.source = p.source_b
+LEFT JOIN i ON i.source_a = p.source_a AND i.source_b = p.source_b
+WHERE coalesce(va.vocab, 0) + coalesce(vb.vocab, 0) - coalesce(i.inter_n, 0) > 0
+"""
+
+register("source_vocab_overlap", source_vocab_overlap, sql=SOURCE_VOCAB_OVERLAP_SQL)

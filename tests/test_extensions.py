@@ -6373,3 +6373,74 @@ class TestLineitemSpearman:
 
         self._lineitem([("Z", 1.0, 5.0), ("Z", 2.0, 5.0), (None, 1.0, 1.0)], tmp_path)
         assert len(lineitem_spearman_by_flag(str(tmp_path))) == 0
+
+
+class TestSourceVocabOverlap:
+    """X137 pairwise source-vocabulary Jaccard: exact intersection via the
+    bitmask fold, zero-vocab source pairing, short-doc single-shingle rule,
+    NULL exclusion, and the all-empty-union exclusion."""
+
+    @staticmethod
+    def _docs(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array([r[0] for r in rows], pa.string()),
+                    "n_chars": pa.array([0] * len(rows), pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_planted_overlap(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            source_vocab_overlap,
+        )
+
+        # source A vocab: {a b c, b c d} (two trigrams), B: {b c d, x y z},
+        # C: single short doc -> one sub-3-word shingle {"hi"}, D: empty text
+        # (zero vocab), NULL source excluded.
+        rows = [
+            ("A", "a b c d"),          # shingles: "a b c", "b c d"
+            ("B", "b c d"),            # exactly one trigram "b c d"
+            ("B", "x y z"),
+            ("C", "hi"),
+            ("D", ""),
+            (None, "a b c d"),
+        ]
+        self._docs(rows, tmp_path)
+        out = source_vocab_overlap(str(tmp_path)).set_index(["source_a", "source_b"])
+        ab = out.loc[("A", "B")]
+        assert (int(ab["vocab_a"]), int(ab["vocab_b"])) == (2, 2)
+        assert (int(ab["inter_n"]), int(ab["union_n"])) == (1, 3)
+        assert int(ab["jaccard_e6"]) == 333333
+        ad = out.loc[("A", "D")]
+        assert (int(ad["vocab_b"]), int(ad["inter_n"]), int(ad["jaccard_e6"])) == (0, 0, 0)
+        # every pair except those with union 0: D-D impossible; all 6 pairs present
+        assert len(out) == 6
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["source_vocab_overlap"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_single_source_and_all_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            source_vocab_overlap,
+        )
+
+        self._docs([("A", "a b c")], tmp_path)
+        assert len(source_vocab_overlap(str(tmp_path))) == 0
+        self._docs([("A", ""), ("B", "")], tmp_path)
+        assert len(source_vocab_overlap(str(tmp_path))) == 0
