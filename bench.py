@@ -1138,6 +1138,7 @@ for _key, _name in [
     ("ship_delay", "orders_ship_delay_profile"),
     ("spearman", "lineitem_spearman_by_flag"),
     ("vocab_overlap", "source_vocab_overlap"),
+    ("type_hour_mi", "events_type_hour_mi"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1075,3 +1075,141 @@ register(
     "orders_ship_delay_profile", orders_ship_delay_profile,
     sql=ORDERS_SHIP_DELAY_SQL,
 )
+
+
+#: 1e-9 fixed point for per-cell information terms (nats): MI cell terms are
+#: O(p · ln ratio) ≤ ~ln N, so e9 keeps 9 significant decimals and the
+#: integer sum stays far under 2^63 for any realistic cell count
+MI_SCALE = 1_000_000_000
+
+
+def events_type_hour_mi(sf_dir: str) -> "pa.Table":
+    """One-row (mi_e9, ht_e9, hh_e9, n_obs, n_types, n_hours): mutual
+    information (nats) between event_type and hour-of-day plus both
+    marginal entropies — the dependence-strength companion to the chi2
+    independence TEST above (chi2 says "is there dependence", MI says
+    "how many bits does the hour tell you about the type"; their ratio
+    to the marginal entropies is the normalized-MI a feature selector
+    thresholds).
+
+    Exact under the same per-cell fixed-point contract as
+    ``events_type_hour_chi2``: observed (type, hour, n) counts fold over
+    the bounded enum with zero shuffle; each NONZERO cell's term
+    ``(obs/n) * ln(obs*n / (rn*cn))`` and each marginal's ``-p*ln(p)``
+    is quantized to 1e-9 BEFORE summing (zero cells contribute exactly
+    zero to MI by the 0*ln(0) = 0 convention, so only observed cells are
+    evaluated on both engines), making every sum an order-free integer
+    sum; ln is the shared libm on bit-identical float64 arguments.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        batch = batch.filter(keep)
+        t = pa.table(
+            {
+                "t": batch["event_type"],
+                "h": pc.hour(batch["ts"]).cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["t", "h"]).aggregate([("n", "sum")])
+        return g.rename_columns(["t", "h", "n"])
+
+    counts = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "h"],
+        ["n"],
+    )
+    schema = pa.schema(
+        [
+            ("mi_e9", pa.int64()),
+            ("ht_e9", pa.int64()),
+            ("hh_e9", pa.int64()),
+            ("n_obs", pa.int64()),
+            ("n_types", pa.int64()),
+            ("n_hours", pa.int64()),
+        ]
+    )
+    if len(counts) == 0:
+        return pa.table(
+            {
+                "mi_e9": pa.array([None], type=pa.int64()),
+                "ht_e9": pa.array([None], type=pa.int64()),
+                "hh_e9": pa.array([None], type=pa.int64()),
+                "n_obs": pa.array([None], type=pa.int64()),
+                "n_types": pa.array([0], type=pa.int64()),
+                "n_hours": pa.array([0], type=pa.int64()),
+            },
+            schema=schema,
+        )
+    obs = counts["n"].to_numpy(dtype=np.float64)
+    rn = counts.groupby("t")["n"].transform("sum").to_numpy(dtype=np.float64)
+    cn = counts.groupby("h")["n"].transform("sum").to_numpy(dtype=np.float64)
+    n = np.float64(counts["n"].sum())
+    term = (obs / n) * np.log((obs * n) / (rn * cn)) * np.float64(MI_SCALE)
+    mi = int(np.floor(term + 0.5).astype(np.int64).sum())
+
+    def marg_entropy(col: str) -> int:
+        m = counts.groupby(col)["n"].sum().to_numpy(dtype=np.float64)
+        p = m / n
+        t = -p * np.log(p) * np.float64(MI_SCALE)
+        return int(np.floor(t + 0.5).astype(np.int64).sum())
+
+    return pa.table(
+        {
+            "mi_e9": pa.array([mi], type=pa.int64()),
+            "ht_e9": pa.array([marg_entropy("t")], type=pa.int64()),
+            "hh_e9": pa.array([marg_entropy("h")], type=pa.int64()),
+            "n_obs": pa.array([int(n)], type=pa.int64()),
+            "n_types": pa.array([counts["t"].nunique()], type=pa.int64()),
+            "n_hours": pa.array([counts["h"].nunique()], type=pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+EVENTS_TYPE_HOUR_MI_SQL = f"""
+WITH f AS (
+  SELECT event_type AS t, hour(ts) AS h FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (SELECT t, h, count(*) AS n FROM f GROUP BY 1, 2),
+rt AS (SELECT t, sum(n) AS rn FROM c GROUP BY 1),
+ct AS (SELECT h, sum(n) AS cn FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),
+mi AS (
+  SELECT sum(CAST(floor(
+    (CAST(c.n AS DOUBLE) / tot.n)
+    * ln((CAST(c.n AS DOUBLE) * tot.n)
+         / (CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE)))
+    * {MI_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM c JOIN rt ON c.t = rt.t JOIN ct ON c.h = ct.h CROSS JOIN tot
+),
+ht AS (
+  SELECT sum(CAST(floor(
+    -(CAST(rn AS DOUBLE) / tot.n) * ln(CAST(rn AS DOUBLE) / tot.n)
+    * {MI_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM rt CROSS JOIN tot
+),
+hh AS (
+  SELECT sum(CAST(floor(
+    -(CAST(cn AS DOUBLE) / tot.n) * ln(CAST(cn AS DOUBLE) / tot.n)
+    * {MI_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM ct CROSS JOIN tot
+)
+SELECT CAST((SELECT v FROM mi) AS BIGINT) AS mi_e9,
+       CAST((SELECT v FROM ht) AS BIGINT) AS ht_e9,
+       CAST((SELECT v FROM hh) AS BIGINT) AS hh_e9,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_obs,
+       (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_types,
+       (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_hours
+"""
+
+register("events_type_hour_mi", events_type_hour_mi, sql=EVENTS_TYPE_HOUR_MI_SQL)

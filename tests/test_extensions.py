@@ -6444,3 +6444,79 @@ class TestSourceVocabOverlap:
         assert len(source_vocab_overlap(str(tmp_path))) == 0
         self._docs([("A", ""), ("B", "")], tmp_path)
         assert len(source_vocab_overlap(str(tmp_path))) == 0
+
+
+class TestEventsTypeHourMI:
+    """X138 mutual information: independence -> exactly 0, deterministic
+    dependence -> MI == min marginal entropy, NULL exclusion, empty-input
+    NULL row, DuckDB per-cell e9 parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_independent_and_deterministic(self, ray_session, tmp_path):
+        import datetime as dt
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            events_type_hour_mi,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(h):
+            return d0 + dt.timedelta(hours=h)
+
+        # independent: every (type, hour) cell equal -> every cell term
+        # ln(1) = 0 -> mi exactly 0
+        rows = [(at(h), t) for h in (1, 2) for t in ("a", "b") for _ in range(3)]
+        rows += [(None, "a"), (at(1), None)]
+        self._events(rows, tmp_path)
+        out = events_type_hour_mi(str(tmp_path)).to_pandas().iloc[0]
+        assert int(out["mi_e9"]) == 0
+        assert int(out["n_obs"]) == 12
+        # uniform 2-way marginals: H = ln 2, quantized per the shared rule
+        half = math.floor(-0.5 * math.log(0.5) * 1e9 + 0.5)
+        assert int(out["ht_e9"]) == 2 * half
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_type_hour_mi"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+        # deterministic: hour fixes the type -> MI == H(type) == H(hour)
+        rows = [(at(1), "a")] * 4 + [(at(2), "b")] * 4
+        self._events(rows, tmp_path)
+        out = events_type_hour_mi(str(tmp_path)).to_pandas().iloc[0]
+        assert int(out["mi_e9"]) == int(out["ht_e9"]) == int(out["hh_e9"]) == 2 * half
+
+    def test_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            events_type_hour_mi,
+        )
+
+        self._events([(None, "a")], tmp_path)
+        out = events_type_hour_mi(str(tmp_path)).to_pandas().iloc[0]
+        assert out["mi_e9"] is None or np.isnan(out["mi_e9"])
+        assert int(out["n_types"]) == 0
