@@ -1139,6 +1139,7 @@ for _key, _name in [
     ("spearman", "lineitem_spearman_by_flag"),
     ("vocab_overlap", "source_vocab_overlap"),
     ("type_hour_mi", "events_type_hour_mi"),
+    ("twap", "user_twap"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

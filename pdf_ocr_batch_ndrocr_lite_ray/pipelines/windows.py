@@ -2007,3 +2007,148 @@ FROM t
 """
 
 register("customer_rfm_segments", customer_rfm_segments, sql=CUSTOMER_RFM_SQL)
+
+
+# --- sessionized time-weighted average value per user (X139) ------------------
+
+#: int64 headroom for the TWAP moment: per-row product |v_e6| * dur_us is
+#: bounded by this before any sum — raise (never wrap), X98 discipline
+_TWAP_P_BOUND = 1 << 62
+
+
+def user_twap(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, n_intervals, total_dur_us, twap_e6): TIME-weighted average
+    event value per user — each value weighted by how long it was the
+    user's latest observation, intervals longer than the 30-minute
+    session gap excluded (the value wasn't "held" across an absence).
+    The plain mean over-weights burst activity; TWAP is what a
+    state-over-time monitor (price, queue depth, battery level) needs.
+
+    Exactness contract: values quantize to e6 integers per row (shared
+    half-away rule), durations are exact microsecond deltas under a
+    deterministic total order (ts, event_id), and the per-user moment
+    Σ v_e6·dur is an exact int64 sum under an explicit per-partition
+    product bound (raise past it — never wrap); ``twap_e6`` divides two
+    exact integers through one shared IEEE division, floor(x+0.5).
+    Zero-length intervals carry zero weight on both engines; users whose
+    in-session time sums to zero are excluded (undefined).
+
+    Scale shape: ONE user-key exchange carrying (user, ts, v_e6) rows;
+    each partition sorts its users' rows once and finishes every user it
+    owns — per-user state never crosses partitions, nothing reaches the
+    driver.
+    """
+    gap_us = SESSION_GAP_SEC * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["value"])),
+            pc.is_valid(batch["user_id"]),
+        )
+        t = batch.filter(keep)
+        v6 = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], pa.scalar(1e6)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+                "v6": v6,
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n_intervals": pd.Series(dtype="int64"),
+                "total_dur_us": pd.Series(dtype="int64"),
+                "twap_e6": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(
+            ["user_id", "tus", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["tus"].to_numpy(dtype=np.int64)
+        v = df["v6"].to_numpy(dtype=np.int64)
+        same = u[1:] == u[:-1]
+        dur = np.where(same, t[1:] - t[:-1], -1)
+        ok = same & (dur >= 0) & (dur <= gap_us)
+        if ok.any() and int(np.abs(v[:-1][ok]).max()) * gap_us >= _TWAP_P_BOUND:
+            raise ValueError(
+                "user_twap: |v_e6| * session gap exceeds the int64 moment "
+                "bound — lower the value scale or emit split-word partials"
+            )
+        uu = u[:-1][ok]
+        dd = dur[ok]
+        pp = v[:-1][ok] * dd  # bounded above; ≤ n_partition terms per user
+        out = (
+            pd.DataFrame({"user_id": uu, "n_intervals": 1, "dur": dd, "svd": pp})
+            .groupby("user_id", sort=False)
+            .agg(
+                n_intervals=("n_intervals", "sum"),
+                total_dur_us=("dur", "sum"),
+                svd=("svd", "sum"),
+            )
+            .reset_index()
+        )
+        out = out[out["total_dur_us"] > 0]
+        if len(out) == 0:
+            return empty
+        twap = np.floor(
+            out["svd"].to_numpy(dtype=np.float64)
+            / out["total_dur_us"].to_numpy(dtype=np.float64)
+            + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(dtype=np.int64),
+                "n_intervals": out["n_intervals"].to_numpy(dtype=np.int64),
+                "total_dur_us": out["total_dur_us"].to_numpy(dtype=np.int64),
+                "twap_e6": twap,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return _hash_partitioned(ds, "user_id", per_partition)
+
+
+USER_TWAP_SQL = f"""
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1e6, 0) AS BIGINT) AS v6
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+),
+l AS (
+  SELECT user_id, v6,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(dur) AS BIGINT) AS total_dur_us,
+         sum(CAST(v6 AS HUGEINT) * dur) AS svd
+  FROM l
+  WHERE dur IS NOT NULL AND dur <= {SESSION_GAP_SEC} * 1000000
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_dur_us,
+       CAST(floor(CAST(svd AS DOUBLE) / CAST(total_dur_us AS DOUBLE) + 0.5)
+            AS BIGINT) AS twap_e6
+FROM s WHERE total_dur_us > 0
+"""
+
+register("user_twap", user_twap, sql=USER_TWAP_SQL)

@@ -6520,3 +6520,91 @@ class TestEventsTypeHourMI:
         out = events_type_hour_mi(str(tmp_path)).to_pandas().iloc[0]
         assert out["mi_e9"] is None or np.isnan(out["mi_e9"])
         assert int(out["n_types"]) == 0
+
+
+class TestUserTwap:
+    """X139 sessionized TWAP: hand-computed weighting, the session-gap
+    exclusion, zero-duration intervals, tie ordering by event_id,
+    zero-total-time exclusion, NULL exclusion, DuckDB lead() parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows), pa.string()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_weighting_and_gap(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import user_twap
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(sec):
+            return d0 + dt.timedelta(seconds=sec)
+
+        rows = [
+            # user 1: v=10 held 100s, v=30 held 300s, last value unheld;
+            # TWAP = (10*100 + 30*300) / 400 = 25
+            (1, at(0), 1, 10.0),
+            (2, at(100), 1, 30.0),
+            (3, at(400), 1, 99.0),
+            # user 2: 40-minute gap ends the session -> that interval is
+            # excluded; only the 60 s one counts -> TWAP = 7
+            (4, at(0), 2, 7.0),
+            (5, at(60), 2, 50.0),
+            (6, at(60 + 2400), 2, 50.0),
+            # user 3: same-ts tie ordered by event_id -> zero-duration
+            # interval (weight 0) then 10 s of v=5 -> TWAP = 5
+            (7, at(0), 3, 1.0),
+            (8, at(0), 3, 5.0),
+            (9, at(10), 3, 123.0),
+            # user 4: single event -> no interval -> no row
+            (10, at(0), 4, 1.0),
+            # NULLs excluded
+            (11, None, 1, 1.0), (12, at(5), None, 1.0), (13, at(6), 5, None),
+        ]
+        self._events(rows, tmp_path)
+        out = user_twap(str(tmp_path)).to_pandas().set_index("user_id")
+        assert set(out.index) == {1, 2, 3}
+        assert int(out.loc[1, "twap_e6"]) == 25_000_000
+        assert int(out.loc[1, "n_intervals"]) == 2
+        assert int(out.loc[1, "total_dur_us"]) == 400_000_000
+        assert int(out.loc[2, "twap_e6"]) == 7_000_000
+        assert int(out.loc[2, "n_intervals"]) == 1
+        assert int(out.loc[3, "twap_e6"]) == 5_000_000
+        assert int(out.loc[3, "n_intervals"]) == 2  # zero-dur tie included
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["user_twap"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_zero_total_time_excluded(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import user_twap
+
+        d0 = dt.datetime(2020, 1, 1)
+        # two events at the identical instant: one interval of zero
+        # duration -> total time 0 -> user excluded
+        self._events([(1, d0, 1, 1.0), (2, d0, 1, 2.0)], tmp_path)
+        assert len(user_twap(str(tmp_path)).to_pandas()) == 0
