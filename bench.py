@@ -1140,6 +1140,7 @@ for _key, _name in [
     ("vocab_overlap", "source_vocab_overlap"),
     ("type_hour_mi", "events_type_hour_mi"),
     ("twap", "user_twap"),
+    ("run_lengths", "event_run_lengths"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2152,3 +2152,138 @@ FROM s WHERE total_dur_us > 0
 """
 
 register("user_twap", user_twap, sql=USER_TWAP_SQL)
+
+
+# --- event-type run-length (burstiness) profile (X140) ------------------------
+
+
+def event_run_lengths(sf_dir: str) -> "pd.DataFrame":
+    """(event_type, n_runs, n_events, max_run, mean_run_e6): the
+    gaps-and-islands run-length profile of each user's event stream —
+    how long the SAME event type repeats consecutively. A max_run far
+    above mean_run is the bot / stuck-client / replayed-feed signature a
+    100 TB ingest flags before the rows poison engagement features.
+
+    Exactness: runs are defined under the deterministic (ts, event_id)
+    total order per user; NULL type/ts/user rows are excluded BEFORE run
+    detection on both engines (so a NULL mid-stream does NOT split a
+    run); counts are exact integers, ``mean_run_e6`` one shared IEEE
+    division. The SQL twin is the classic two-row_number islands form.
+
+    Scale shape: ONE user-key exchange (runs never span users); each
+    partition sorts its users' rows once, reduces every run to its
+    (type, length) via vectorized boundary diffs, and emits bounded
+    (type, n_runs, n_events, max_run) partials — an enum fold away from
+    the answer. Nothing row-shaped reaches the driver.
+    """
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"])),
+            pc.is_valid(batch["user_id"]),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_runs": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "max_run": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(
+            ["user_id", "tus", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        ty = df["event_type"].to_numpy()
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(df)])
+        runs = pd.DataFrame({"event_type": ty[starts], "len": lens})
+        g = runs.groupby("event_type", sort=False)["len"].agg(
+            n_runs="count", n_events="sum", max_run="max"
+        )
+        return g.reset_index().astype(
+            {"n_runs": "int64", "n_events": "int64", "max_run": "int64"}
+        )
+
+    from .exchange import enum_group_agg
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _hash_partitioned(ds, "user_id", per_partition)
+    out = enum_group_agg(
+        parts,
+        ["event_type"],
+        {"n_runs": "sum", "n_events": "sum", "max_run": "max"},
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_runs": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "max_run": pd.Series(dtype="int64"),
+                "mean_run_e6": pd.Series(dtype="int64"),
+            }
+        )
+    out = out.sort_values("event_type").reset_index(drop=True)
+    mean = np.floor(
+        out["n_events"].to_numpy(dtype=np.float64)
+        / out["n_runs"].to_numpy(dtype=np.float64)
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    out["mean_run_e6"] = mean
+    return out.astype(
+        {
+            "n_runs": "int64",
+            "n_events": "int64",
+            "max_run": "int64",
+            "mean_run_e6": "int64",
+        }
+    )
+
+
+EVENT_RUN_LENGTHS_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS grp
+  FROM f
+),
+runs AS (
+  SELECT user_id, event_type, grp, count(*) AS len
+  FROM r GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(sum(len) AS BIGINT) AS n_events,
+         CAST(max(len) AS BIGINT) AS max_run
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_runs, n_events, max_run,
+       CAST(floor(CAST(n_events AS DOUBLE) / CAST(n_runs AS DOUBLE) * 1e6
+                  + 0.5) AS BIGINT) AS mean_run_e6
+FROM g
+"""
+
+register("event_run_lengths", event_run_lengths, sql=EVENT_RUN_LENGTHS_SQL)

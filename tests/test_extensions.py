@@ -6608,3 +6608,80 @@ class TestUserTwap:
         # duration -> total time 0 -> user excluded
         self._events([(1, d0, 1, 1.0), (2, d0, 1, 2.0)], tmp_path)
         assert len(user_twap(str(tmp_path)).to_pandas()) == 0
+
+
+class TestEventRunLengths:
+    """X140 gaps-and-islands burstiness: run boundaries at type AND user
+    changes, tie order by event_id, NULL pre-exclusion (a NULL row must
+    NOT split a run), DuckDB islands parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_runs_and_null_bridging(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            event_run_lengths,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(s):
+            return d0 + dt.timedelta(seconds=s)
+
+        rows = [
+            # user 1: a a a | b | a a  -> runs a:3, b:1, a:2
+            (1, at(0), 1, "a"), (2, at(1), 1, "a"), (3, at(2), 1, "a"),
+            (4, at(3), 1, "b"), (5, at(4), 1, "a"), (6, at(5), 1, "a"),
+            # a NULL-type row between the two a-runs of user 2 must NOT
+            # split them (pre-exclusion): a a [null] a -> ONE run of 3
+            (7, at(0), 2, "a"), (8, at(1), 2, "a"),
+            (9, at(2), 2, None), (10, at(3), 2, "a"),
+            # same type crossing users does NOT merge: user 3 then 4
+            (11, at(9), 3, "b"), (12, at(9), 4, "b"),
+            # tie at same ts ordered by event_id: b(13) a(14) -> two runs
+            (13, at(20), 5, "b"), (14, at(20), 5, "a"),
+        ]
+        self._events(rows, tmp_path)
+        out = event_run_lengths(str(tmp_path)).set_index("event_type")
+        # a-runs: u1 [3, 2], u2 [3], u5 [1]  -> 4 runs, 9 events, max 3
+        assert (int(out.loc["a", "n_runs"]), int(out.loc["a", "n_events"])) == (4, 9)
+        assert int(out.loc["a", "max_run"]) == 3
+        assert int(out.loc["a", "mean_run_e6"]) == 2_250_000
+        # b-runs: u1 [1], u3 [1], u4 [1], u5 [1]
+        assert (int(out.loc["b", "n_runs"]), int(out.loc["b", "max_run"])) == (4, 1)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["event_run_lengths"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            event_run_lengths,
+        )
+
+        self._events([(1, None, 1, "a")], tmp_path)
+        assert len(event_run_lengths(str(tmp_path))) == 0
