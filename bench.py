@@ -1141,6 +1141,7 @@ for _key, _name in [
     ("type_hour_mi", "events_type_hour_mi"),
     ("twap", "user_twap"),
     ("run_lengths", "event_run_lengths"),
+    ("silhouette", "emb_label_silhouette"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -512,3 +512,196 @@ FROM s
 """
 
 register("emb_dimension_stats", emb_dimension_stats, sql=EMB_DIMENSION_STATS_SQL)
+
+
+# --- per-label simplified silhouette (X141) -----------------------------------
+
+
+def emb_label_silhouette(sf_dir: str) -> "pd.DataFrame":
+    """(label, n, mean_sil_e6): the SIMPLIFIED silhouette of each label's
+    embedding cluster — per point, a = rounded squared distance to its
+    own label centroid, b = the minimum over other labels, s =
+    (b−a)/max(a,b) — the label-quality score a curator reads before
+    trusting class-balanced sampling (negative mean = that label's
+    points sit closer to some other centroid than their own; the O(n·k)
+    centroid form of the O(n²) exact silhouette).
+
+    Float contract (the ``emb_kmeans_assign`` chain, kmeans.py:54-61):
+    centroids are float64 per-dim means rounded half-away to 6 decimals;
+    squared distances round half-away to 4 BEFORE comparison; per-point
+    ``s`` quantizes to e6 BEFORE the order-free integer sum; one shared
+    IEEE division per label. max(a,b) == 0 → s = 0 on both engines.
+
+    Scale shape: two column-pruned passes, zero shuffle — a (label,
+    count, dim-sum) fold (≤ #labels rows per block) for centroids, then
+    a broadcast-centroid pass emitting ≤ #labels (n, Σs_e6) partials per
+    block into the enum fold. Single-label corpora return empty (b is
+    undefined).
+    """
+    import pyarrow.compute as pc
+
+    from .kmeans import _round_half_away
+
+    path = table_path(sf_dir, "embeddings")
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["label"]), pc.is_valid(batch["embedding"]))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_matrix(t["embedding"])
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sums": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(path, columns=["label", "embedding"])
+        .map_batches(cent_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # bounded: ≤ #labels rows per block
+    )
+    empty = pd.DataFrame(
+        {
+            "label": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "mean_sil_e6": pd.Series(dtype="int64"),
+        }
+    )
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for r in rows:
+        lab = int(r["label"])
+        s = np.asarray(r["sums"], dtype=np.float64)
+        if lab in acc:
+            pn, ps = acc[lab]
+            acc[lab] = (pn + int(r["n"]), ps + s)
+        else:
+            acc[lab] = (int(r["n"]), s)
+    labs = sorted(acc)
+    if len(labs) < 2:
+        return empty
+    cent = _round_half_away(
+        np.stack([acc[l][1] / acc[l][0] for l in labs]), 6
+    )
+    lab_arr = np.array(labs, dtype=np.int64)
+    ref = ray.put((lab_arr, cent))
+
+    def sil_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["label"]), pc.is_valid(batch["embedding"]))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "ssum": pa.array([], pa.int64()),
+                }
+            )
+        labsb, c = ray.get(ref)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_matrix(t["embedding"])
+        # full rounded-d2 matrix through the exact _assign arithmetic
+        # (kmeans.py:54-61; _assign itself returns only the argmin)
+        e2 = np.sum(m * m, axis=1)
+        c2 = np.sum(c * c, axis=1)
+        d2 = e2[:, None] + c2[None, :] - 2.0 * (m @ c.T)
+        d2 = _round_half_away(np.maximum(d2, 0.0), 4)
+        own_idx = np.searchsorted(labsb, labels)
+        a = d2[np.arange(len(labels)), own_idx]
+        masked = d2.copy()
+        masked[np.arange(len(labels)), own_idx] = np.inf
+        b = masked.min(axis=1)
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        s6 = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"label": labels, "n": 1, "ssum": s6}).groupby(
+            "label", sort=False
+        ).sum().reset_index()
+        return pa.table(
+            {
+                "label": pa.array(g["label"].to_numpy(dtype=np.int64)),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                "ssum": pa.array(g["ssum"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    folded = enum_group_agg(
+        ray.data.read_parquet(path, columns=["label", "embedding"]).map_batches(
+            sil_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["label"],
+        {"n": "sum", "ssum": "sum"},
+    )
+    if len(folded) == 0:
+        return empty
+    folded = folded.sort_values("label").reset_index(drop=True)
+    mean = np.floor(
+        folded["ssum"].to_numpy(dtype=np.float64)
+        / folded["n"].to_numpy(dtype=np.float64)
+        + 0.5
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "label": folded["label"].astype("int64"),
+            "n": folded["n"].astype("int64"),
+            "mean_sil_e6": mean,
+        }
+    )
+
+
+EMB_LABEL_SILHOUETTE_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+dims AS (SELECT unnest(range(1, 65)) AS d),
+m AS (
+  SELECT label AS cid, dims.d, round(avg(e[dims.d]), 6) AS mv
+  FROM e CROSS JOIN dims GROUP BY 1, 2
+),
+cent AS (SELECT cid, list(mv ORDER BY d) AS c FROM m GROUP BY cid),
+dd AS (
+  SELECT v.vec_id, v.label, c.cid,
+         greatest(round(
+           list_inner_product(v.e, v.e)
+           - 2 * list_inner_product(v.e, c.c)
+           + list_inner_product(c.c, c.c), 4), 0) AS d2
+  FROM e v CROSS JOIN cent c
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN cid = label THEN d2 END) AS a,
+         min(CASE WHEN cid <> label THEN d2 END) AS b
+  FROM dd GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CAST(floor(
+           CASE WHEN greatest(a, b) = 0 THEN 0.0
+                ELSE (b - a) / greatest(a, b) END * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM ab WHERE b IS NOT NULL
+),
+g AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s6) AS BIGINT) AS ssum
+  FROM s GROUP BY label
+)
+SELECT label, n,
+       CAST(floor(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+         AS mean_sil_e6
+FROM g
+"""
+
+register("emb_label_silhouette", emb_label_silhouette, sql=EMB_LABEL_SILHOUETTE_SQL)

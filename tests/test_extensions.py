@@ -6685,3 +6685,76 @@ class TestEventRunLengths:
 
         self._events([(1, None, 1, "a")], tmp_path)
         assert len(event_run_lengths(str(tmp_path))) == 0
+
+
+class TestEmbLabelSilhouette:
+    """X141 simplified silhouette: well-separated planted clusters score
+    ~+1, a label centered on another's centroid scores negative, the
+    single-label empty rule, and DuckDB centroid/d2-chain parity."""
+
+    @staticmethod
+    def _emb(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[0] for r in rows], pa.int64()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+
+    def test_planted_separation(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import (
+            emb_label_silhouette,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        dim = 64
+
+        def vec(axis, mag, jitter):
+            v = [0.0] * dim
+            v[axis] = mag + jitter
+            return v
+
+        rows = []
+        # label 0 tight around +10 on axis 0; label 1 tight around +10 on
+        # axis 1 -> both silhouettes near +1
+        for j in (-0.1, 0.0, 0.1):
+            rows.append((0, vec(0, 10.0, j)))
+            rows.append((1, vec(1, 10.0, j)))
+        # label 2's points sit exactly ON label 0's centroid -> a ~ 0,
+        # own centroid is also there -> but jitter pulls its own centroid
+        # away; make them split between label 0's area and far away ->
+        # strongly negative for the near points
+        rows.append((2, vec(0, 10.0, 0.0)))
+        rows.append((2, vec(0, -30.0, 0.0)))
+        self._emb(rows, tmp_path)
+        out = emb_label_silhouette(str(tmp_path)).set_index("label")
+        assert set(out.index) == {0, 1, 2}
+        assert int(out.loc[0, "mean_sil_e6"]) > 900_000
+        assert int(out.loc[1, "mean_sil_e6"]) > 900_000
+        assert int(out.loc[2, "mean_sil_e6"]) < 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["emb_label_silhouette"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_single_label_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.pca import (
+            emb_label_silhouette,
+        )
+
+        self._emb([(0, [1.0] * 64), (0, [2.0] * 64)], tmp_path)
+        assert len(emb_label_silhouette(str(tmp_path))) == 0

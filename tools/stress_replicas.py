@@ -38,6 +38,8 @@ _OFFSET_KEYS = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
+    # labels stay verbatim so per-label ops see 10x rows per label
+    "embeddings": ["vec_id"],
 }
 
 #: dimension tables copied verbatim (shared by every replica — nation keys
