@@ -1142,6 +1142,7 @@ for _key, _name in [
     ("twap", "user_twap"),
     ("run_lengths", "event_run_lengths"),
     ("silhouette", "emb_label_silhouette"),
+    ("ltv_curve", "customer_ltv_curve"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

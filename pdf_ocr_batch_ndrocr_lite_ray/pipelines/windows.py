@@ -2287,3 +2287,134 @@ FROM g
 """
 
 register("event_run_lengths", event_run_lengths, sql=EVENT_RUN_LENGTHS_SQL)
+
+
+# --- customer lifetime-value curve (X142) --------------------------------------
+
+MONTH30_US = 30 * 86400 * 1_000_000  # 30-day tenure buckets, exact int division
+
+
+def customer_ltv_curve(sf_dir: str) -> "pd.DataFrame":
+    """(tenure_month, n_customers, n_orders, revenue_e2, cum_revenue_e2):
+    how much revenue customers produce in their Nth 30-day tenure bucket
+    (bucket 0 = the bucket of their first order) plus the cumulative LTV
+    curve — the cohort-economics readout that retention triangles
+    (``user_retention_cohorts``) don't price.
+
+    Exactness: tenure is exact integer arithmetic (truncating
+    ``epoch_us // month_us`` matching DuckDB ``//``, then a bucket
+    difference); revenue sums integer cents under the shared half-away
+    rule; the cumulative column is a driver cumsum of exact integers.
+
+    Scale shape: ONE custkey co-partition exchange (a customer's orders
+    land together); first-order buckets are in-partition transform-mins;
+    each partition emits bounded (tenure, n_customers, n_orders,
+    revenue) partials — tenure cardinality is the corpus time span in
+    months — and the driver folds + cumsums that enum frame.
+    """
+    from .exchange import enum_group_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["o_orderdate"]),
+                pc.is_valid(batch["o_custkey"]),
+            ),
+            pc.is_valid(batch["o_totalprice"]),
+        )
+        t = batch.filter(keep)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "tus": pc.cast(t["o_orderdate"], pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    def per_customer(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "tenure_month": pd.Series(dtype="int64"),
+                    "n_customers": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "revenue_e2": pd.Series(dtype="int64"),
+                }
+            )
+        us = df["tus"].to_numpy(dtype=np.int64)
+        mo = us // MONTH30_US
+        mo += ((us < 0) & (us - mo * MONTH30_US != 0)).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "cust": df["o_custkey"].to_numpy(dtype=np.int64),
+                "mo": mo,
+                "cents": df["cents"].to_numpy(dtype=np.int64),
+            }
+        )
+        d["tenure_month"] = d["mo"] - d.groupby("cust")["mo"].transform("min")
+        g = d.groupby("tenure_month", sort=False).agg(
+            n_customers=("cust", "nunique"),
+            n_orders=("cents", "size"),
+            revenue_e2=("cents", "sum"),
+        )
+        return g.reset_index().astype("int64")
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = enum_group_sum(
+        _hash_partitioned(ds, "o_custkey", per_customer),
+        ["tenure_month"],
+        ["n_customers", "n_orders", "revenue_e2"],
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "tenure_month": pd.Series(dtype="int64"),
+                "n_customers": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64"),
+                "revenue_e2": pd.Series(dtype="int64"),
+                "cum_revenue_e2": pd.Series(dtype="int64"),
+            }
+        )
+    out = out.sort_values("tenure_month").reset_index(drop=True)
+    out["cum_revenue_e2"] = out["revenue_e2"].cumsum()
+    return out.astype("int64")
+
+
+CUSTOMER_LTV_SQL = f"""
+WITH f AS (
+  SELECT o_custkey AS cust,
+         epoch_us(o_orderdate) // {MONTH30_US} AS mo,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+t AS (
+  SELECT cust, cents, mo - min(mo) OVER (PARTITION BY cust) AS tenure_month
+  FROM f
+),
+g AS (
+  SELECT tenure_month,
+         CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS revenue_e2
+  FROM t GROUP BY tenure_month
+)
+SELECT tenure_month, n_customers, n_orders, revenue_e2,
+       CAST(sum(revenue_e2) OVER (ORDER BY tenure_month
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_e2
+FROM g
+"""
+
+register("customer_ltv_curve", customer_ltv_curve, sql=CUSTOMER_LTV_SQL)

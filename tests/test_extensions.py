@@ -6758,3 +6758,82 @@ class TestEmbLabelSilhouette:
 
         self._emb([(0, [1.0] * 64), (0, [2.0] * 64)], tmp_path)
         assert len(emb_label_silhouette(str(tmp_path))) == 0
+
+
+class TestCustomerLtvCurve:
+    """X142 LTV curve: bucket-0 anchoring at each customer's first order,
+    30-day bucket edges, distinct-customer counts per tenure bucket, the
+    cumulative sum, NULL exclusion, DuckDB window-min parity."""
+
+    @staticmethod
+    def _orders(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                    "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                    "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                    "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    def test_curve(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            customer_ltv_curve,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(days):
+            return d0 + dt.timedelta(days=days)
+
+        rows = [
+            # cust 1: first at day 0 ($10), day 29 same bucket ($5),
+            # day 30 -> bucket 1 ($20), day 65 -> bucket 2 ($1)
+            (1, at(0), 10.0), (1, at(29), 5.0), (1, at(30), 20.0), (1, at(65), 1.0),
+            # cust 2: first at day 100 -> ITS bucket 0 ($7); day 135 -> bucket 1 ($3)
+            (2, at(100), 7.0), (2, at(135), 3.0),
+            # NULLs excluded
+            (None, at(0), 9.0), (3, None, 9.0), (3, at(0), None),
+        ]
+        self._orders(rows, tmp_path)
+        out = customer_ltv_curve(str(tmp_path)).set_index("tenure_month")
+        # cust 1 day0 = 2020-01-01: absolute bucket boundary is epoch-based,
+        # so day 29 may or may not share cust 1's first bucket — derive
+        # expectations the same way both engines do (trunc div)
+        m0 = (at(0) - dt.datetime(1970, 1, 1)).days * 86400 * 10**6 // (30 * 86400 * 10**6)
+        m29 = (at(29) - dt.datetime(1970, 1, 1)).days * 86400 * 10**6 // (30 * 86400 * 10**6)
+        same = m29 == m0
+        b0 = int(out.loc[0, "revenue_e2"])
+        # cust1 bucket0 (+5 if day29 falls in it) + cust2 bucket0 = 10+7 (+5)
+        assert b0 == (1000 + 700 + (500 if same else 0))
+        assert int(out.loc[0, "n_customers"]) == 2
+        assert int(out["cum_revenue_e2"].iloc[-1]) == int(out["revenue_e2"].sum())
+        assert (out["cum_revenue_e2"].to_numpy() == out["revenue_e2"].cumsum().to_numpy()).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["customer_ltv_curve"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            customer_ltv_curve,
+        )
+
+        self._orders([(None, None, None)], tmp_path)
+        assert len(customer_ltv_curve(str(tmp_path))) == 0
