@@ -1143,6 +1143,7 @@ for _key, _name in [
     ("run_lengths", "event_run_lengths"),
     ("silhouette", "emb_label_silhouette"),
     ("ltv_curve", "customer_ltv_curve"),
+    ("theil", "orders_theil_by_priority"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

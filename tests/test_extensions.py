@@ -6837,3 +6837,79 @@ class TestCustomerLtvCurve:
 
         self._orders([(None, None, None)], tmp_path)
         assert len(customer_ltv_curve(str(tmp_path))) == 0
+
+
+class TestOrdersTheil:
+    """X143 Theil-T: equal values -> exactly 0, a hand-computed two-value
+    split, zero-value terms, negative-row exclusion, zero-total group
+    exclusion, DuckDB per-row e9 parity."""
+
+    @staticmethod
+    def _orders(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                    "o_custkey": pa.array([1] * len(rows), pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                    "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+                    "o_orderdate": pa.array([None] * len(rows), pa.timestamp("us")),
+                    "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    def test_planted_inequality(self, ray_session, tmp_path):
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_theil_by_priority,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = [
+            # E: perfectly equal -> T = 0
+            ("E", 10.0), ("E", 10.0), ("E", 10.0),
+            # U: one of [30, 10]: n=2, mean=20; terms r=1.5, r=0.5
+            ("U", 30.0), ("U", 10.0),
+            # Z: a zero among positives (0*ln0 -> 0 term, counts in n)
+            ("Z", 0.0), ("Z", 10.0),
+            # G: all zero -> sum 0 -> excluded
+            ("G", 0.0), ("G", 0.0),
+            # negative row excluded entirely
+            ("U", -5.0),
+            (None, 1.0), ("E", None),
+        ]
+        self._orders(rows, tmp_path)
+        out = orders_theil_by_priority(str(tmp_path)).set_index("o_orderpriority")
+        assert set(out.index) == {"E", "U", "Z"}
+        assert int(out.loc["E", "theil_e9"]) == 0
+        # U by hand: terms quantized e9 then averaged
+        t1 = math.floor(1.5 * math.log(1.5) * 1e9 + 0.5)
+        t2 = math.floor(0.5 * math.log(0.5) * 1e9 + 0.5)
+        assert int(out.loc["U", "theil_e9"]) == math.floor((t1 + t2) / 2.0 + 0.5)
+        assert int(out.loc["U", "n"]) == 2
+        # Z: r for the 10 is 2.0 (n=2, mean 5), zero contributes 0
+        tz = math.floor(2.0 * math.log(2.0) * 1e9 + 0.5)
+        assert int(out.loc["Z", "theil_e9"]) == math.floor(tz / 2.0 + 0.5)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["orders_theil_by_priority"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_all_excluded(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_theil_by_priority,
+        )
+
+        self._orders([("G", 0.0), ("H", -1.0), (None, 5.0)], tmp_path)
+        assert len(orders_theil_by_priority(str(tmp_path))) == 0
