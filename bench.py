@@ -58,8 +58,14 @@ def _bench_input(sf_dir: str) -> list[str]:
 
 
 def _consume(ds) -> int:
-    """Execute a lazy Dataset fully; returns row count."""
-    return ds.count()
+    """Execute a lazy Dataset fully; returns row count. Registry queries
+    that return an eager pandas/pyarrow result count by length."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(ds, (pd.DataFrame, pa.Table)):
+        return len(ds)  # already materialized (len == num_rows)
+    return ds.count()  # ray Dataset
 
 
 def _consume_hashed(ds) -> tuple[int, int]:
@@ -974,6 +980,8 @@ def q_lexical_diversity(sf_dir: str) -> int:
 
 def q_extract_plain_csv(sf_dir: str) -> int:
     """Plain-path extraction over the CSV transcript twin."""
+    import __ray_entry__  # noqa: F401  (registers every query module)
+
     from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import QUERIES
 
     return _consume(QUERIES["extract_plain_turns_csv"](sf_dir))
@@ -1144,6 +1152,7 @@ for _key, _name in [
     ("silhouette", "emb_label_silhouette"),
     ("ltv_curve", "customer_ltv_curve"),
     ("theil", "orders_theil_by_priority"),
+    ("length_mwu", "source_length_mwu"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

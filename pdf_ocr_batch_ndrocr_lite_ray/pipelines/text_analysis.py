@@ -1019,3 +1019,142 @@ WHERE coalesce(va.vocab, 0) + coalesce(vb.vocab, 0) - coalesce(i.inter_n, 0) > 0
 """
 
 register("source_vocab_overlap", source_vocab_overlap, sql=SOURCE_VOCAB_OVERLAP_SQL)
+
+
+# --- per-source Mann-Whitney length drift (X144) -------------------------------
+
+
+def source_length_mwu(sf_dir: str) -> "pd.DataFrame":
+    """(source, n, u_x2, z_e6): the Mann-Whitney U rank-sum test of each
+    source's document-length distribution against the REST of the corpus
+    — the nonparametric "which feed changed shape" alarm (robust where
+    the KS drift op is sensitive to a single quantile). ``u_x2`` is the
+    exact DOUBLED U statistic (integer even under average-rank ties);
+    ``z_e6`` its tie-corrected normal score.
+
+    Exactness: one bounded (length, source) count fold (lengths are
+    integer n_chars; MAX_ENUM_GROUPS guards the distinct-length x source
+    cardinality — bucket lengths past it); the driver derives every
+    source's doubled rank sum, the global tie term T = Σ(t³−t), and the
+    doubled deviation 2U − n1·n2 in Python ints, then ONE shared IEEE
+    chain (two int→double casts, divide, sqrt, divide, floor-e6) per
+    source. The SQL twin spells doubled ranks as 2·rank() + cnt − 1 (the
+    Spearman idiom) and the identical z chain. Sources with no
+    counterpart rows or zero rank variance are excluded on both engines.
+    """
+    import math
+
+    import pandas as pd
+
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["source"]), pc.is_valid(batch["n_chars"])
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table(
+                {
+                    "len": pc.cast(t["n_chars"], pa.int64()),
+                    "source": t["source"],
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["len", "source"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["len", "source", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["source", "n_chars"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["len", "source"],
+        ["n"],
+    )
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "u_x2": pd.Series(dtype="int64"),
+            "z_e6": pd.Series(dtype="int64"),
+        }
+    )
+    if len(fold) == 0:
+        return empty
+    fold = fold.sort_values("len").reset_index(drop=True)
+    glen = fold.groupby("len", sort=True)["n"].sum()
+    lens = glen.index.to_numpy(dtype=np.int64)
+    cnts = [int(v) for v in glen.to_numpy()]
+    N = sum(cnts)
+    # doubled average rank per distinct length + the tie term, Python ints
+    r2_of: dict[int, int] = {}
+    m = 0
+    T = 0
+    for lv, c in zip(lens, cnts):
+        r2_of[int(lv)] = 2 * m + c + 1
+        T += c * c * c - c
+        m += c
+    rows = []
+    for src, g in fold.groupby("source", sort=True):
+        n1 = int(g["n"].sum())
+        n2 = N - n1
+        if n2 == 0:
+            continue  # no counterpart corpus: test undefined
+        r1_x2 = sum(int(c) * r2_of[int(lv)] for lv, c in zip(g["len"], g["n"]))
+        u_x2 = r1_x2 - n1 * (n1 + 1)
+        num = u_x2 - n1 * n2  # = 2(U - n1*n2/2)
+        a = n1 * n2 * ((N**3 - N) - T)
+        b = 12 * N * (N - 1)
+        if a <= 0:
+            continue  # all lengths tied: zero rank variance
+        z = float(num) / (2.0 * math.sqrt(float(a) / float(b)))
+        rows.append(
+            {
+                "source": src,
+                "n": n1,
+                "u_x2": u_x2,
+                "z_e6": int(math.floor(z * 1e6 + 0.5)),
+            }
+        )
+    if not rows:
+        return empty
+    return pd.DataFrame(rows).astype({"n": "int64", "u_x2": "int64", "z_e6": "int64"})
+
+
+SOURCE_LENGTH_MWU_SQL = """
+WITH f AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS len FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+),
+r AS (
+  SELECT source,
+         CAST(2 * rank() OVER (ORDER BY len)
+              + count(*) OVER (PARTITION BY len) - 1 AS HUGEINT) AS r2
+  FROM f
+),
+tot AS (
+  SELECT CAST(coalesce(sum(t), 0) AS HUGEINT) AS n,
+         CAST(coalesce(sum(t * t * t - t), 0) AS HUGEINT) AS tie_t
+  FROM (SELECT count(*) AS t FROM f GROUP BY len)
+),
+s AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n1, sum(r2) AS r1_x2
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n1 AS BIGINT) AS n,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+       CAST(floor(
+         CAST(r1_x2 - n1 * (n1 + 1) - n1 * (tot.n - n1) AS DOUBLE)
+         / (2.0 * sqrt(
+             CAST(n1 * (tot.n - n1)
+                  * ((tot.n * tot.n * tot.n - tot.n) - tot.tie_t) AS DOUBLE)
+             / CAST(12 * tot.n * (tot.n - 1) AS DOUBLE)))
+         * 1e6 + 0.5) AS BIGINT) AS z_e6
+FROM s CROSS JOIN tot
+WHERE tot.n - n1 > 0
+  AND n1 * (tot.n - n1) * ((tot.n * tot.n * tot.n - tot.n) - tot.tie_t) > 0
+"""
+
+register("source_length_mwu", source_length_mwu, sql=SOURCE_LENGTH_MWU_SQL)

@@ -6913,3 +6913,72 @@ class TestOrdersTheil:
 
         self._orders([("G", 0.0), ("H", -1.0), (None, 5.0)], tmp_path)
         assert len(orders_theil_by_priority(str(tmp_path))) == 0
+
+
+class TestSourceLengthMwu:
+    """X144 Mann-Whitney drift: hand-computed doubled-U with ties, the
+    tie-corrected z, shifted-distribution sign, single-source exclusion,
+    all-tied exclusion, DuckDB doubled-rank parity."""
+
+    @staticmethod
+    def _docs(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array([""] * len(rows), pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array([r[0] for r in rows], pa.string()),
+                    "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_shift_and_ties(self, ray_session, tmp_path):
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            source_length_mwu,
+        )
+
+        # A = {1, 2, 2}, B = {2, 5, 9}: sorted [1,2,2,2,5,9]
+        # doubled ranks: 1->2; each 2 -> 2*1+3+1 = 6; 5 -> 10; 9 -> 12
+        # R_A x2 = 2+6+6 = 14 ; U_A x2 = 14 - 3*4 = 2
+        # num_A = 2 - 9 = -7 ; T = 3^3-3 = 24 ; N=6
+        # var factor a = 9 * (210 - 24) = 1674 ; b = 12*6*5 = 360
+        rows = [("A", 1), ("A", 2), ("A", 2), ("B", 2), ("B", 5), ("B", 9)]
+        self._docs(rows, tmp_path)
+        out = source_length_mwu(str(tmp_path)).set_index("source")
+        assert int(out.loc["A", "u_x2"]) == 2
+        z = -7.0 / (2.0 * math.sqrt(1674.0 / 360.0))
+        assert int(out.loc["A", "z_e6"]) == math.floor(z * 1e6 + 0.5)
+        # B mirrors: R_B x2 = 6+10+12 = 28, U_B x2 = 28 - 12 = 16
+        # (U_A + U_B doubled = 2*n1*n2 = 18 = 2 + 16)
+        assert int(out.loc["B", "u_x2"]) == 16
+        assert int(out.loc["B", "z_e6"]) == math.floor(-z * 1e6 + 0.5)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["source_length_mwu"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_degenerate(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            source_length_mwu,
+        )
+
+        # single source -> no counterpart -> empty
+        self._docs([("A", 1), ("A", 2)], tmp_path)
+        assert len(source_length_mwu(str(tmp_path))) == 0
+        # every length identical -> zero rank variance -> empty
+        self._docs([("A", 5), ("B", 5), ("C", 5)], tmp_path)
+        assert len(source_length_mwu(str(tmp_path))) == 0
