@@ -1153,6 +1153,7 @@ for _key, _name in [
     ("ltv_curve", "customer_ltv_curve"),
     ("theil", "orders_theil_by_priority"),
     ("length_mwu", "source_length_mwu"),
+    ("weekly_drift", "events_weekly_value_drift"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

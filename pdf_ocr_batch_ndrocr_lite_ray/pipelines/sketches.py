@@ -1166,3 +1166,181 @@ FROM agg LEFT JOIN rh ON agg.sa = rh.sa AND agg.sb = rh.sb
 """
 
 register("source_similarity_kmv", source_similarity_kmv, sql=SOURCE_SIMILARITY_KMV_SQL)
+
+
+# --- week-over-week Wasserstein-1 value drift (X145) ---------------------------
+
+W1_BINS = 2048
+WEEK_US_W1 = 7 * 86400 * 1_000_000
+
+
+def events_weekly_value_drift(sf_dir: str) -> "pd.DataFrame":
+    """(week_a, week_b, n_a, n_b, w1_e6): the Wasserstein-1 (earth-mover)
+    distance between CONSECUTIVE weeks' event-value distributions on a
+    fixed 2048-bin grid — the drift TIME SERIES a feed monitor alarms
+    on (KS says "different"; W1 says "by how much value mass moved").
+
+    Contract: the grid is the global parquet-footer min/max (Ray fold
+    fallback), bin assignment is the shared ``floor((v-lo)/(hi-lo)*B)``
+    clamp, weeks are truncating ``epoch_us // week_us``; on that grid
+    the statistic is EXACT — Σ_bins |cum_a·n_b − cum_b·n_a| is an
+    integer (HUGEINT in SQL, Python ints here), and ``w1_e6`` applies
+    one shared IEEE chain ((S/n_a)/n_b · (hi−lo)/B · 1e6, floor+0.5).
+    Only the grid itself approximates (error ≤ bin width, asserted in
+    tests). Weeks missing from the data break the pair chain on both
+    engines; a degenerate global domain (hi ≤ lo) puts all mass in bin
+    0, making every W1 exactly 0.
+
+    Scale shape: per-block (week, 2048-int histogram) partial rows —
+    #weeks per block regardless of height — folded on the driver into
+    #weeks dense vectors (time-span bounded); zero shuffle.
+    """
+    import ray as ray_core
+
+    from .exchange import footer_min_max
+
+    path = table_path(sf_dir, "events")
+    bounds = footer_min_max(path, "value")
+    if bounds is None:
+        from ray.data.aggregate import Max, Min
+
+        agg = ray.data.read_parquet(path, columns=["value"]).aggregate(
+            Min("value"), Max("value")
+        )
+        if agg is None or agg.get("min(value)") is None:
+            bounds = None
+        else:
+            bounds = (agg["min(value)"], agg["max(value)"])
+    empty = pd.DataFrame(
+        {
+            "week_a": pd.Series(dtype="int64"),
+            "week_b": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "w1_e6": pd.Series(dtype="int64"),
+        }
+    )
+    if bounds is None:
+        return empty
+    lo, hi = float(bounds[0]), float(bounds[1])
+    span = hi - lo
+
+    def block_hists(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["value"]))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "week": pa.array([], pa.int64()),
+                    "hist": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        wk = us // WEEK_US_W1
+        wk += ((us < 0) & (us - wk * WEEK_US_W1 != 0)).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if span > 0:
+            b = np.minimum(
+                np.floor((v - lo) / span * W1_BINS).astype(np.int64), W1_BINS - 1
+            )
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        weeks, hists = [], []
+        for w in np.unique(wk):
+            weeks.append(int(w))
+            hists.append(
+                np.bincount(b[wk == w], minlength=W1_BINS).astype(np.int64).tolist()
+            )
+        return pa.table(
+            {
+                "week": pa.array(weeks, pa.int64()),
+                "hist": pa.array(hists, pa.list_(pa.int64())),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["ts", "value"]).map_batches(
+        block_hists, batch_format="pyarrow", zero_copy_batch=True
+    )
+    acc: dict[int, np.ndarray] = {}
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            w = b["week"][i].as_py()
+            h = np.asarray(b["hist"][i].as_py(), dtype=np.int64)
+            acc[w] = acc[w] + h if w in acc else h
+    weeks = sorted(acc)
+    rows = []
+    for a, bwk in zip(weeks, weeks[1:]):
+        if bwk != a + 1:
+            continue  # a gap week breaks the pair chain
+        ha, hb = acc[a], acc[bwk]
+        na, nb = int(ha.sum()), int(hb.sum())
+        ca = np.cumsum(ha)
+        cb = np.cumsum(hb)
+        s = int(np.abs(ca * nb - cb * na).sum())  # exact: ≤ B·n² (int64 at
+        # this scale; the SQL twin carries HUGEINT so the contract is the
+        # bound, not the dtype)
+        w1 = (
+            (float(s) / float(na)) / float(nb) * span / W1_BINS * 1e6
+            if na and nb
+            else 0.0
+        )
+        rows.append(
+            {
+                "week_a": a,
+                "week_b": bwk,
+                "n_a": na,
+                "n_b": nb,
+                "w1_e6": int(np.floor(w1 + 0.5)),
+            }
+        )
+    if not rows:
+        return empty
+    return pd.DataFrame(rows).astype("int64")
+
+
+EVENTS_WEEKLY_DRIFT_SQL = f"""
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events
+            WHERE value IS NOT NULL),
+f AS (
+  SELECT epoch_us(ts) // {WEEK_US_W1} AS week,
+         CASE WHEN mm.hi > mm.lo
+              THEN least(CAST(floor((value - mm.lo) / (mm.hi - mm.lo)
+                                    * {W1_BINS}) AS INT), {W1_BINS} - 1)
+              ELSE 0 END AS bin
+  FROM events, mm WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+h AS (SELECT week, bin, count(*) AS c FROM f GROUP BY 1, 2),
+wk AS (SELECT DISTINCT week FROM h),
+dense AS (
+  SELECT wk.week, g.bin, coalesce(h.c, 0) AS c
+  FROM wk CROSS JOIN (SELECT unnest(range(0, {W1_BINS})) AS bin) g
+  LEFT JOIN h ON h.week = wk.week AND h.bin = g.bin
+),
+cum AS (
+  SELECT week, bin,
+         CAST(sum(c) OVER (PARTITION BY week ORDER BY bin) AS HUGEINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY week) AS HUGEINT) AS n
+  FROM dense
+),
+s AS (
+  SELECT a.week AS week_a, b.week AS week_b,
+         sum(abs(a.cum * b.n - b.cum * a.n)) AS s,
+         any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM cum a JOIN cum b ON b.week = a.week + 1 AND a.bin = b.bin
+  GROUP BY 1, 2
+)
+SELECT CAST(week_a AS BIGINT) AS week_a, CAST(week_b AS BIGINT) AS week_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(
+         (CAST(s AS DOUBLE) / CAST(na AS DOUBLE)) / CAST(nb AS DOUBLE)
+         * ((SELECT hi FROM mm) - (SELECT lo FROM mm)) / {W1_BINS}
+         * 1e6 + 0.5) AS BIGINT) AS w1_e6
+FROM s
+"""
+
+register(
+    "events_weekly_value_drift", events_weekly_value_drift,
+    sql=EVENTS_WEEKLY_DRIFT_SQL,
+)

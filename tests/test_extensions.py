@@ -6982,3 +6982,85 @@ class TestSourceLengthMwu:
         # every length identical -> zero rank variance -> empty
         self._docs([("A", 5), ("B", 5), ("C", 5)], tmp_path)
         assert len(source_length_mwu(str(tmp_path))) == 0
+
+
+class TestEventsWeeklyDrift:
+    """X145 W1 drift: identical weeks -> 0, a hand-computed mass shift,
+    gap weeks breaking the chain, NULL-ts rows feeding the grid but not
+    the histograms, degenerate domain -> 0, DuckDB dense-CDF parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows), pa.string()),
+                    "value": pa.array([r[1] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_shift_and_gap(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            W1_BINS,
+            events_weekly_value_drift,
+        )
+
+        wk = dt.timedelta(days=7)
+        w0 = dt.datetime(1970, 1, 1)  # epoch -> week 0 exactly
+
+        rows = [
+            # grid: values 0..100 (the NULL-ts row carries the max -> it
+            # shapes the grid without entering any histogram)
+            (None, 100.0),
+            # week 0: all mass at 0 ; week 1: all mass at 50
+            (w0, 0.0), (w0, 0.0),
+            (w0 + wk, 50.0), (w0 + wk, 50.0),
+            # week 2 == week 1 -> W1 exactly 0
+            (w0 + 2 * wk, 50.0), (w0 + 2 * wk, 50.0),
+            # week 4 exists but week 3 missing -> (2,3) and (3,4) absent
+            (w0 + 4 * wk, 0.0),
+        ]
+        self._events(rows, tmp_path)
+        out = events_weekly_value_drift(str(tmp_path)).set_index("week_a")
+        assert set(out.index) == {0, 1}
+        # mass moves from bin 0 to bin floor(50/100*B): |cdf diff| = 1 over
+        # that many bins -> W1 = bins_moved * span / B
+        bins_moved = int(np.floor(50.0 / 100.0 * W1_BINS))
+        expect = bins_moved * 100.0 / W1_BINS * 1e6
+        assert int(out.loc[0, "w1_e6"]) == int(np.floor(expect + 0.5))
+        assert int(out.loc[1, "w1_e6"]) == 0
+        assert (int(out.loc[0, "n_a"]), int(out.loc[0, "n_b"])) == (2, 2)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_weekly_value_drift"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_degenerate_domain(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            events_weekly_value_drift,
+        )
+
+        w0 = dt.datetime(1970, 1, 1)
+        wk = dt.timedelta(days=7)
+        self._events([(w0, 5.0), (w0 + wk, 5.0), (w0 + wk, 5.0)], tmp_path)
+        out = events_weekly_value_drift(str(tmp_path))
+        assert list(out["w1_e6"]) == [0]
