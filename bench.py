@@ -1154,6 +1154,7 @@ for _key, _name in [
     ("theil", "orders_theil_by_priority"),
     ("length_mwu", "source_length_mwu"),
     ("weekly_drift", "events_weekly_value_drift"),
+    ("anomaly_window", "orders_anomaly_window"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1380,3 +1380,150 @@ FROM b JOIN t ON b.prio = t.prio
 """
 
 register("orders_theil_by_priority", orders_theil_by_priority, sql=ORDERS_THEIL_SQL)
+
+
+def orders_anomaly_window(sf_dir: str) -> "pd.DataFrame":
+    """One-row (start_day, end_day, window_days, window_orders, excess_xd,
+    lift_e6): the contiguous day window with MAXIMUM excess order volume
+    over the corpus' mean daily rate — exact max-subarray (Kadane via
+    prefix-min) on the centered daily series, the single-change CUSUM
+    detector a feed monitor runs to localize "when did volume surge".
+
+    Exactness contract: the dense zero-filled day grid of the ACF op
+    (X131); with D days and T total orders the centered prefix
+    P_t = D·R_t − t·T is an exact integer (Python ints / HUGEINT), the
+    best window maximizes P_j − min(P_i, i<j) with DETERMINISTIC
+    tie-breaks (smallest end index, then smallest start index — P_0 = 0
+    included as the empty prefix), and ``lift_e6`` (window rate over
+    corpus rate) is one shared IEEE chain over two exact integers.
+
+    Scale shape: identical to X131 — bounded (day, n) enum fold, driver
+    pass over the ≤ #days frame; zero shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["o_orderdate"]))
+        days = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), DAY_US)
+        g = pa.table({"day": days}).group_by(["day"]).aggregate([("day", "count")])
+        return g.rename_columns(["day", "n"])
+
+    folded = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_orderdate"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"],
+        ["n"],
+    )
+    cols = {
+        "start_day": "int64", "end_day": "int64", "window_days": "int64",
+        "window_orders": "int64", "excess_xd": "int64", "lift_e6": "int64",
+    }
+    if len(folded) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    days = folded["day"].to_numpy(dtype=np.int64)
+    counts = folded["n"].to_numpy(dtype=np.int64)
+    mn, mx = int(days.min()), int(days.max())
+    dense = np.zeros(mx - mn + 1, dtype=np.int64)
+    dense[days - mn] = counts
+    D = dense.size
+    T = int(dense.sum())
+    # exact integer prefix pass (Python ints: D·R_t overflows int64 at scale)
+    best = (-1, 0, 0)  # (excess, j, i)
+    r = 0
+    p = 0
+    m = 0          # min prefix so far (P_0 = 0)
+    m_idx = 0      # smallest index attaining m
+    rs = [0]
+    for j in range(1, D + 1):
+        r += int(dense[j - 1])
+        rs.append(r)
+        p = D * r - j * T
+        excess = p - m
+        if excess > best[0]:  # strict: ties keep the SMALLEST j
+            best = (excess, j, m_idx)
+        if p < m:  # strict: ties keep the SMALLEST attaining index
+            m = p
+            m_idx = j
+    excess, j, i = best
+    W = j - i
+    C = rs[j] - rs[i]
+    lift = float(C * D) / float(W * T) * 1e6 if T else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "start_day": mn + i,
+                "end_day": mn + j - 1,
+                "window_days": W,
+                "window_orders": C,
+                "excess_xd": excess,
+                "lift_e6": int(np.floor(lift + 0.5)),
+            }
+        ]
+    ).astype(cols)
+
+
+ORDERS_ANOMALY_WINDOW_SQL = """
+WITH f AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day FROM orders
+  WHERE o_orderdate IS NOT NULL
+),
+g AS (SELECT day, count(*) AS n FROM f GROUP BY day),
+b AS (
+  SELECT min(day) AS mn, CAST(sum(n) AS HUGEINT) AS t,
+         CAST(max(day) - min(day) + 1 AS HUGEINT) AS d
+  FROM g
+),
+grid AS (
+  SELECT b.mn + u.i AS day, u.i + 1 AS idx
+  FROM b, UNNEST(generate_series(0, CAST(b.d - 1 AS BIGINT))) u(i)
+),
+dense AS (
+  SELECT grid.idx, CAST(coalesce(g.n, 0) AS HUGEINT) AS x
+  FROM grid LEFT JOIN g USING (day)
+),
+p AS (
+  SELECT idx,
+         sum(x) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS r,
+         b.d * sum(x) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+           - idx * b.t AS pp
+  FROM dense, b
+),
+q AS (
+  SELECT idx, r, pp,
+         least(0, coalesce(min(pp) OVER (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS m
+  FROM p
+),
+best AS (
+  SELECT idx AS j, r AS rj, pp, m, pp - m AS excess
+  FROM q ORDER BY excess DESC, idx ASC LIMIT 1
+),
+istar AS (
+  SELECT CASE WHEN max(best.m) = 0 THEN 0
+              ELSE min(q.idx) FILTER (WHERE q.pp = best.m AND q.idx < best.j)
+         END AS i
+  FROM q CROSS JOIN best
+),
+ri AS (
+  SELECT CASE WHEN max(istar.i) = 0 THEN CAST(0 AS HUGEINT)
+              ELSE max(q.r) FILTER (WHERE q.idx = istar.i) END AS r0
+  FROM q CROSS JOIN istar
+)
+SELECT CAST(b.mn + istar.i AS BIGINT) AS start_day,
+       CAST(b.mn + best.j - 1 AS BIGINT) AS end_day,
+       CAST(best.j - istar.i AS BIGINT) AS window_days,
+       CAST(best.rj - ri.r0 AS BIGINT) AS window_orders,
+       CAST(best.excess AS BIGINT) AS excess_xd,
+       CAST(floor(
+         CAST((best.rj - ri.r0) * b.d AS DOUBLE)
+         / CAST((best.j - istar.i) * b.t AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS lift_e6
+FROM best, istar, ri, b
+"""
+
+register("orders_anomaly_window", orders_anomaly_window, sql=ORDERS_ANOMALY_WINDOW_SQL)

@@ -7064,3 +7064,90 @@ class TestEventsWeeklyDrift:
         self._events([(w0, 5.0), (w0 + wk, 5.0), (w0 + wk, 5.0)], tmp_path)
         out = events_weekly_value_drift(str(tmp_path))
         assert list(out["w1_e6"]) == [0]
+
+
+class TestOrdersAnomalyWindow:
+    """X146 max-excess window: a planted surge is localized exactly,
+    tie-breaks (smallest end then smallest start), gap days zero-fill,
+    flat series -> single-day window with lift 1e6, DuckDB parity."""
+
+    @staticmethod
+    def _orders(day_counts, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d0 = dt.datetime(2020, 1, 1)
+        rows = []
+        for day, cnt in day_counts:
+            rows += [d0 + dt.timedelta(days=day)] * cnt
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                    "o_custkey": pa.array([1] * len(rows), pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                    "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+                    "o_orderdate": pa.array(rows, pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        return d0
+
+    def test_planted_surge(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_anomaly_window,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # days 0..9, baseline 1/day, surge of 10/day on days 3-5 (day 7
+        # missing entirely -> zero-filled)
+        d0 = self._orders(
+            [(0, 1), (1, 1), (2, 1), (3, 10), (4, 10), (5, 10), (6, 1),
+             (8, 1), (9, 1)],
+            tmp_path,
+        )
+        out = orders_anomaly_window(str(tmp_path)).iloc[0]
+        day0 = (d0 - dt.datetime(1970, 1, 1)).days
+        assert int(out["start_day"]) == day0 + 3
+        assert int(out["end_day"]) == day0 + 5
+        assert int(out["window_days"]) == 3
+        assert int(out["window_orders"]) == 30
+        # lift = (30/3) / (36/10) = 100/36
+        assert int(out["lift_e6"]) == int(np.floor(30 * 10 / (3 * 36) * 1e6 + 0.5))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["orders_anomaly_window"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+    def test_flat_series(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_anomaly_window,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        self._orders([(0, 2), (1, 2), (2, 2)], tmp_path)
+        out = orders_anomaly_window(str(tmp_path)).iloc[0]
+        # zero excess everywhere -> first single-day window, lift exactly 1
+        assert int(out["excess_xd"]) == 0
+        assert int(out["window_days"]) == 1
+        assert int(out["lift_e6"]) == 1_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["orders_anomaly_window"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
