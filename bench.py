@@ -1155,6 +1155,7 @@ for _key, _name in [
     ("length_mwu", "source_length_mwu"),
     ("weekly_drift", "events_weekly_value_drift"),
     ("anomaly_window", "orders_anomaly_window"),
+    ("peak_sessions", "peak_concurrent_sessions"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

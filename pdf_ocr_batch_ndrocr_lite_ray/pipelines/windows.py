@@ -2418,3 +2418,145 @@ FROM g
 """
 
 register("customer_ltv_curve", customer_ltv_curve, sql=CUSTOMER_LTV_SQL)
+
+
+# --- peak concurrent sessions (X147) -------------------------------------------
+
+MINUTE_US = 60 * 1_000_000
+
+
+def peak_concurrent_sessions(sf_dir: str) -> "pd.DataFrame":
+    """One-row (peak_minute, peak_sessions, n_sessions): the maximum
+    number of SIMULTANEOUSLY open sessions (30-min gap rule) and the
+    earliest minute it occurs — the capacity-planning number (peak
+    load) that per-user session stats can't answer because it needs a
+    GLOBAL sweep across users.
+
+    Contract: a session spans [first event, last event] minutes
+    inclusive (minute = truncating ``epoch_us // 60e6``); concurrency
+    at minute m counts sessions whose span covers m. The sweep is the
+    classic +1/−1 boundary-delta cumsum — exact integers end to end —
+    with the earliest-minute tie-break. Rows with NULL ts or user are
+    excluded on both engines.
+
+    Scale shape: ONE user-key exchange sessionizes in-partition (the
+    ``user_sessions`` machinery); each partition emits bounded
+    (minute, delta, starts) partials — cardinality is the corpus time
+    span in minutes, MAX_ENUM_GROUPS-guarded — and the driver cumsums
+    that enum frame. Session rows never cross partitions.
+    """
+    from .exchange import enum_group_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["user_id"]))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "minute": pd.Series(dtype="int64"),
+                "d": pd.Series(dtype="int64"),
+                "starts": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "tus"], kind="mergesort")
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["tus"].to_numpy(dtype=np.int64)
+        new = np.r_[True, (u[1:] != u[:-1]) | (t[1:] - t[:-1] > SESSION_GAP_SEC * 1_000_000)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:] - 1, len(t) - 1]
+        m_lo = t[starts] // MINUTE_US
+        m_hi = t[ends] // MINUTE_US
+        deltas = pd.DataFrame(
+            {
+                "minute": np.r_[m_lo, m_hi + 1],
+                "d": np.r_[
+                    np.ones(len(m_lo), dtype=np.int64),
+                    -np.ones(len(m_hi), dtype=np.int64),
+                ],
+                "starts": np.r_[
+                    np.ones(len(m_lo), dtype=np.int64),
+                    np.zeros(len(m_hi), dtype=np.int64),
+                ],
+            }
+        )
+        return (
+            deltas.groupby("minute", sort=False)[["d", "starts"]]
+            .sum()
+            .reset_index()
+            .astype("int64")
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    fold = enum_group_sum(
+        _hash_partitioned(ds, "user_id", per_partition),
+        ["minute"],
+        ["d", "starts"],
+    )
+    cols = {"peak_minute": "int64", "peak_sessions": "int64", "n_sessions": "int64"}
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    fold = fold.sort_values("minute").reset_index(drop=True)
+    cum = fold["d"].cumsum().to_numpy(dtype=np.int64)
+    best = int(np.argmax(cum))  # first maximum = earliest minute
+    return pd.DataFrame(
+        [
+            {
+                "peak_minute": int(fold["minute"].iloc[best]),
+                "peak_sessions": int(cum[best]),
+                "n_sessions": int(fold["starts"].sum()),
+            }
+        ]
+    ).astype(cols)
+
+
+PEAK_CONCURRENT_SQL = f"""
+WITH f AS (
+  SELECT user_id, ts FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_SEC} SECOND
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM f
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+sess AS (
+  SELECT epoch_us(min(ts)) // {MINUTE_US} AS m_lo,
+         epoch_us(max(ts)) // {MINUTE_US} AS m_hi
+  FROM tagged GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT m_lo AS minute, 1 AS d FROM sess
+  UNION ALL
+  SELECT m_hi + 1 AS minute, -1 AS d FROM sess
+),
+cum AS (
+  SELECT minute, sum(sum(d)) OVER (ORDER BY minute
+           ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas GROUP BY minute
+)
+SELECT CAST(minute AS BIGINT) AS peak_minute,
+       CAST(conc AS BIGINT) AS peak_sessions,
+       (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions
+FROM cum ORDER BY conc DESC, minute ASC LIMIT 1
+"""
+
+register("peak_concurrent_sessions", peak_concurrent_sessions, sql=PEAK_CONCURRENT_SQL)

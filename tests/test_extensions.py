@@ -7151,3 +7151,77 @@ class TestOrdersAnomalyWindow:
         )
         gold = con.execute(ORACLE_SQL["orders_anomaly_window"]).df()
         assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+
+class TestPeakConcurrentSessions:
+    """X147 global sweep: overlapping sessions from different users,
+    the 30-min gap splitting one user into two sessions, the inclusive
+    minute span, earliest-minute tie-break, DuckDB parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows), pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_overlap_and_gap(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            peak_concurrent_sessions,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(minute):
+            return d0 + dt.timedelta(minutes=minute)
+
+        rows = [
+            # user 1: session covering minutes 0..10
+            (at(0), 1), (at(10), 1),
+            # user 2: minutes 5..8  -> overlap with u1 at 5..8
+            (at(5), 2), (at(8), 2),
+            # user 3: single event at minute 8 -> 3 concurrent at minute 8
+            (at(8), 3),
+            # user 1 again after a 40-min gap: SECOND session at 50..51
+            (at(50), 1), (at(51), 1),
+            # NULLs out
+            (None, 9), (at(8), None),
+        ]
+        self._events(rows, tmp_path)
+        out = peak_concurrent_sessions(str(tmp_path)).iloc[0]
+        base = int((d0 - dt.datetime(1970, 1, 1)).total_seconds() // 60)
+        assert int(out["peak_sessions"]) == 3
+        assert int(out["peak_minute"]) == base + 8
+        assert int(out["n_sessions"]) == 4
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["peak_concurrent_sessions"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+    def test_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            peak_concurrent_sessions,
+        )
+
+        self._events([(None, 1)], tmp_path)
+        assert len(peak_concurrent_sessions(str(tmp_path))) == 0
