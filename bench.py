@@ -1156,6 +1156,7 @@ for _key, _name in [
     ("weekly_drift", "events_weekly_value_drift"),
     ("anomaly_window", "orders_anomaly_window"),
     ("peak_sessions", "peak_concurrent_sessions"),
+    ("reconciliation", "orders_reconciliation"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -150,3 +150,188 @@ SELECT 'supplier->nation',
 """
 
 register("ref_integrity_report", ref_integrity_report, sql=REF_INTEGRITY_SQL)
+
+
+# --- order-vs-lineitem financial reconciliation (X148) --------------------------
+
+RECON_TOP_K = 10
+
+
+def orders_reconciliation(sf_dir: str) -> "pd.DataFrame":
+    """Top-10 worst (o_orderkey, n_lines, total_e2, lines_sum_e2,
+    diff_e2): the cross-table FINANCIAL reconciliation — does each
+    order's header total match the sum of its lines' discounted+taxed
+    amounts? The audit every ingest of double-entry data runs; headers
+    with zero lines surface with the full total as the discrepancy.
+
+    Exactness contract: each line's amount quantizes to integer cents
+    PER ROW through one shared IEEE chain
+    ``round(price * (1 - disc) * (1 + tax) * 100)`` (half away from
+    zero on both engines), so per-order sums are order-free integer
+    sums; ``diff_e2 = lines_sum - total`` is exact. Ranked by
+    ``abs(diff) DESC, o_orderkey ASC`` — a total order, so the LIMIT
+    set is deterministic at any scale.
+
+    Scale shape: per-block (orderkey, sum, n) line partials and order
+    stubs share ONE co-partition exchange (the Q18 idiom); each
+    partition finishes its orders and feeds the mergeable local-top-k
+    driver fold (driver holds ≤ k + one block's k rows).
+    """
+    import numpy as np
+
+    from .exchange import driver_topk_fold
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["l_orderkey"]),
+                pc.is_valid(batch["l_extendedprice"]),
+            ),
+            pc.and_(
+                pc.is_valid(batch["l_discount"]), pc.is_valid(batch["l_tax"])
+            ),
+        )
+        t = batch.filter(keep)
+        amt = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        pc.multiply(
+                            t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                        ),
+                        pc.add(pa.scalar(1.0), t["l_tax"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "key": t["l_orderkey"],
+                    "amt": amt,
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["key"])
+            .aggregate([("amt", "sum"), ("n", "sum")])
+        )
+        m = g.num_rows
+        return pa.table(
+            {
+                "key": g["key"],
+                "amt": g["amt_sum"],
+                "n": g["n_sum"],
+                "total": pa.array(np.zeros(m, dtype=np.int64)),
+                "is_order": pa.array([False] * m, type=pa.bool_()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["o_orderkey"]), pc.is_valid(batch["o_totalprice"])
+        )
+        t = batch.filter(keep)
+        total = pc.cast(
+            pc.round(
+                pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        m = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "amt": pa.array(np.zeros(m, dtype=np.int64)),
+                "n": pa.array(np.zeros(m, dtype=np.int64)),
+                "total": total,
+                "is_order": pa.array([True] * m, type=pa.bool_()),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_recon(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df["is_order"]]
+        if len(ords) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "n_lines": pd.Series(dtype="int64"),
+                    "total_e2": pd.Series(dtype="int64"),
+                    "lines_sum_e2": pd.Series(dtype="int64"),
+                    "diff_e2": pd.Series(dtype="int64"),
+                    "abs_diff": pd.Series(dtype="int64"),
+                }
+            )
+        lns = df[~df["is_order"]].groupby("key", sort=False)[["amt", "n"]].sum()
+        out = pd.DataFrame(
+            {
+                "o_orderkey": ords["key"].to_numpy(dtype="int64"),
+                "n_lines": ords["key"].map(lns["n"]).fillna(0).astype("int64"),
+                "total_e2": ords["total"].to_numpy(dtype="int64"),
+                "lines_sum_e2": ords["key"].map(lns["amt"]).fillna(0).astype("int64"),
+            }
+        )
+        out["diff_e2"] = out["lines_sum_e2"] - out["total_e2"]
+        out["abs_diff"] = out["diff_e2"].abs()
+        # local top-k: only candidates for the global top-k leave the partition
+        return out.sort_values(
+            ["abs_diff", "o_orderkey"], ascending=[False, True]
+        ).head(RECON_TOP_K)
+
+    from .exchange import hash_partitioned as _hp
+
+    cand = _hp(lines.union(orders), "key", local_recon, coalesce_rows=1 << 20)
+    top = driver_topk_fold(
+        cand, by=["abs_diff", "o_orderkey"], ascending=[False, True], k=RECON_TOP_K
+    )
+    cols = {
+        "o_orderkey": "int64", "n_lines": "int64", "total_e2": "int64",
+        "lines_sum_e2": "int64", "diff_e2": "int64",
+    }
+    if top is None or len(top) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return top.reset_index(drop=True)[list(cols)].astype(cols)
+
+
+ORDERS_RECONCILIATION_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey AS key,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS lines_sum_e2,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+  GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_e2
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+)
+SELECT o.o_orderkey,
+       coalesce(l.n_lines, 0) AS n_lines,
+       o.total_e2,
+       coalesce(l.lines_sum_e2, 0) AS lines_sum_e2,
+       coalesce(l.lines_sum_e2, 0) - o.total_e2 AS diff_e2
+FROM o LEFT JOIN l ON l.key = o.o_orderkey
+ORDER BY abs(coalesce(l.lines_sum_e2, 0) - o.total_e2) DESC, o.o_orderkey ASC
+LIMIT {RECON_TOP_K}
+"""
+
+register("orders_reconciliation", orders_reconciliation, sql=ORDERS_RECONCILIATION_SQL)

@@ -7225,3 +7225,81 @@ class TestPeakConcurrentSessions:
 
         self._events([(None, 1)], tmp_path)
         assert len(peak_concurrent_sessions(str(tmp_path))) == 0
+
+
+class TestOrdersReconciliation:
+    """X148 financial reconciliation: a matching order, a planted
+    mismatch, a zero-line header (full total as discrepancy), the
+    abs-desc/orderkey-asc total order, DuckDB parity."""
+
+    @staticmethod
+    def _tables(orders, lines, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                    "o_custkey": pa.array([1] * len(orders), pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(orders), pa.string()),
+                    "o_totalprice": pa.array([o[1] for o in orders], pa.float64()),
+                    "o_orderdate": pa.array([None] * len(orders), pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * len(orders), pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                    "l_extendedprice": pa.array([l[1] for l in lines], pa.float64()),
+                    "l_discount": pa.array([l[2] for l in lines], pa.float64()),
+                    "l_tax": pa.array([l[3] for l in lines], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_mismatch_ranking(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import (
+            orders_reconciliation,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        orders = [
+            (1, 110.0),   # lines: 100*(1-0)*(1+0.1) = 110 -> diff 0
+            (2, 50.0),    # lines sum 40 -> diff -10.00
+            (3, 25.0),    # NO lines -> diff -25.00 (worst)
+            (4, 10.0),    # lines 20 -> diff +10.00 (ties |10| with order 2)
+        ]
+        lines = [
+            (1, 100.0, 0.0, 0.10),
+            (2, 40.0, 0.0, 0.0),
+            (4, 20.0, 0.0, 0.0),
+            (9, 5.0, 0.0, 0.0),   # orphan line: not an order header, ignored
+        ]
+        self._tables(orders, lines, tmp_path)
+        out = orders_reconciliation(str(tmp_path))
+        assert list(out["o_orderkey"]) == [3, 2, 4, 1]
+        assert list(out["diff_e2"]) == [-2500, -1000, 1000, 0]
+        assert list(out["n_lines"]) == [0, 1, 1, 1]
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORACLE_SQL["orders_reconciliation"]).df()
+        assert _value_hash(out) == _value_hash(gold)
+
+    def test_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import (
+            orders_reconciliation,
+        )
+
+        self._tables([], [(1, 5.0, 0.0, 0.0)], tmp_path)
+        assert len(orders_reconciliation(str(tmp_path))) == 0
