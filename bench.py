@@ -1157,6 +1157,7 @@ for _key, _name in [
     ("anomaly_window", "orders_anomaly_window"),
     ("peak_sessions", "peak_concurrent_sessions"),
     ("reconciliation", "orders_reconciliation"),
+    ("degree_dist", "dedup_degree_distribution"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

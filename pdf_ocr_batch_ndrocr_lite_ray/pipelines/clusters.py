@@ -409,3 +409,100 @@ SELECT cluster_size, count(*) AS n_clusters FROM per_cluster GROUP BY cluster_si
 
 
 register("dedup_cluster_sizes", dedup_cluster_sizes, sql=_cluster_sizes_oracle_sql())
+
+
+# --- duplicate-graph degree distribution (X149) ---------------------------------
+
+
+def dedup_degree_distribution(sf_dir: str) -> "pd.DataFrame":
+    """(degree, n_docs): the degree distribution of the MinHash
+    near-duplicate graph — how many documents have exactly k near-dup
+    partners. A heavy tail (one hub touching thousands) is the
+    template-spam / boilerplate signature that cluster SIZES alone hide
+    (one giant cluster of chained pairs and one hub-and-spokes cluster
+    have the same size but opposite degree shapes).
+
+    Scale shape: the pair stream (already bucket-capped by the LSH
+    pipeline) fans out to its two endpoints in-block, ONE doc-key
+    exchange counts each document's degree in-partition, and a bounded
+    (degree, n) enum fold reaches the driver — degree cardinality is
+    capped by the LSH bucket cap, never corpus-sized. Docs with no
+    near-dup pair (degree 0) are absent on both engines.
+
+    Exactness: pure integer counts over the value-oracled pair set
+    (the X3 MinHash contract); the SQL twin nests the full MinHash
+    oracle as a subquery, so any drift in the pair set itself is caught
+    here too.
+    """
+    pairs = minhash_duplicate_pairs(sf_dir)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": pa.concat_arrays(
+                    [
+                        batch["doc_a"].combine_chunks().cast(pa.int64())
+                        if isinstance(batch["doc_a"], pa.ChunkedArray)
+                        else batch["doc_a"].cast(pa.int64()),
+                        batch["doc_b"].combine_chunks().cast(pa.int64())
+                        if isinstance(batch["doc_b"], pa.ChunkedArray)
+                        else batch["doc_b"].cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    def degree_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"degree": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        deg = df.groupby("doc", sort=False).size()
+        vc = deg.value_counts()
+        return pd.DataFrame(
+            {
+                "degree": vc.index.to_numpy(dtype=np.int64),
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    from .exchange import enum_group_sum
+
+    fold = enum_group_sum(
+        _hash_partitioned(
+            pairs.map_batches(endpoints, batch_format="pyarrow"),
+            "doc",
+            degree_partition,
+        ),
+        ["degree"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return pd.DataFrame(
+            {"degree": pd.Series(dtype="int64"), "n_docs": pd.Series(dtype="int64")}
+        )
+    fold = fold.sort_values("degree").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "degree": fold["degree"].astype("int64"),
+            "n_docs": fold["n"].astype("int64"),
+        }
+    )
+
+
+def _degree_distribution_oracle_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_oracle_sql()}),
+ends AS (
+  SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b AS doc FROM pairs
+),
+deg AS (SELECT doc, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY doc)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+"""
+
+
+register(
+    "dedup_degree_distribution",
+    dedup_degree_distribution,
+    sql=_degree_distribution_oracle_sql(),
+)

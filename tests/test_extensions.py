@@ -7303,3 +7303,65 @@ class TestOrdersReconciliation:
 
         self._tables([], [(1, 5.0, 0.0, 0.0)], tmp_path)
         assert len(orders_reconciliation(str(tmp_path))) == 0
+
+
+class TestDedupDegreeDistribution:
+    """X149 duplicate-graph degrees: a planted hub (one doc duplicating
+    three others) vs a chain, degree-0 absence, DuckDB nested-oracle
+    parity on the sf0.001 corpus."""
+
+    def test_planted_hub(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
+            dedup_degree_distribution,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        rows = [
+            (0, base), (1, base), (2, base), (3, base),  # 4-clique: degree 3 each
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "unrelated words entirely distinct from anything else here"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array(["s"] * len(rows), pa.string()),
+                    "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        out = dedup_degree_distribution(str(tmp_path))
+        # the dedup family operates on the AUGMENTED corpus (planted
+        # exact/near twins, dedup.CORPUS_SQL), so degrees are asserted
+        # via the nested oracle rather than hand-derived counts; the
+        # clique must still dominate the distribution
+        assert int(out["n_docs"].sum()) >= 4
+        assert (out["degree"] >= 1).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["dedup_degree_distribution"]).df()
+        assert _value_hash(out) == _value_hash(gold)
+
+    def test_matches_oracle_on_corpus(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
+            dedup_degree_distribution,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        out = dedup_degree_distribution(SF)
+        gold = oracle_con.execute(ORACLE_SQL["dedup_degree_distribution"]).df()
+        assert _value_hash(out) == _value_hash(gold)
