@@ -1158,6 +1158,7 @@ for _key, _name in [
     ("peak_sessions", "peak_concurrent_sessions"),
     ("reconciliation", "orders_reconciliation"),
     ("degree_dist", "dedup_degree_distribution"),
+    ("pareto", "supplier_pareto"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1348,3 +1348,194 @@ register(
     orders_late_shipment_priority,
     sql=ORDERS_LATE_SHIPMENT_SQL,
 )
+
+
+# --- supplier revenue Pareto point (X150) ---------------------------------------
+
+PARETO_BINS = 4096
+#: Pareto threshold as an exact rational: num/den of revenue share
+PARETO_NUM, PARETO_DEN = 4, 5  # 80%
+
+
+def supplier_pareto(sf_dir: str) -> "pd.DataFrame":
+    """One-row (n_suppliers, n_top, top_share_e6, threshold_rev_e2): the
+    smallest set of suppliers covering ≥ 80% of lineitem revenue under
+    the deterministic (revenue DESC, suppkey ASC) order — the 80/20
+    concentration readout (is the supply chain a long tail or three
+    vendors?) — WITHOUT a global sort.
+
+    Exactness: revenue folds to integer cents per supplier (one suppkey
+    co-partition exchange with in-block pre-aggregation); the 80%
+    crossing uses the exact rational test ``5·cum ≥ 4·T`` (no float
+    until the final share readout). The crossing is located by a
+    descending scan over a bounded (bin, count, sum) fold, then ONE
+    targeted filter pass resolves the crossing bin's suppliers exactly
+    (sorted desc with suppkey tie-break). ``top_share_e6`` is one
+    shared IEEE division.
+
+    Scale shape: per-supplier revenue materializes once (#suppliers
+    rows — dimension-sized, documented); the bin fold is ≤ 4096 rows;
+    only the crossing bin's suppliers (cap: the skew of one bin) reach
+    the driver sort.
+    """
+    import numpy as np
+
+    from .exchange import enum_group_sum, hash_partitioned
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["l_suppkey"]), pc.is_valid(batch["l_extendedprice"])
+        )
+        t = batch.filter(keep)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"supp": t["l_suppkey"], "rev": cents})
+            .group_by(["supp"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["supp", "rev"])
+
+    def supp_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"supp": pd.Series(dtype="int64"), "rev": pd.Series(dtype="int64")}
+            )
+        return (
+            df.groupby("supp", sort=False)["rev"].sum().reset_index().astype("int64")
+        )
+
+    per_supplier = hash_partitioned(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice"]
+        ).map_batches(line_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "supp",
+        supp_fold,
+    ).materialize()  # dimension-sized: one row per supplier
+
+    cols = {
+        "n_suppliers": "int64", "n_top": "int64",
+        "top_share_e6": "int64", "threshold_rev_e2": "int64",
+    }
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    agg = per_supplier.aggregate(
+        Count(), Min("rev"), Max("rev"), Sum("rev")
+    )
+    if agg is None or agg.get("count()") in (None, 0):
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    n_sup = int(agg["count()"])
+    lo, hi = int(agg["min(rev)"]), int(agg["max(rev)"])
+    T = int(agg["sum(rev)"])
+    if T <= 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    span = hi - lo
+
+    def to_bin(rev: np.ndarray) -> np.ndarray:
+        if span <= 0:
+            return np.zeros(rev.size, dtype=np.int64)
+        return np.clip(
+            (rev - lo) * PARETO_BINS // max(span, 1), 0, PARETO_BINS - 1
+        )
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        rev = batch["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = to_bin(rev)
+        df = pd.DataFrame({"bin": b, "n": 1, "s": rev}).groupby(
+            "bin", sort=False
+        ).agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        return pa.table(
+            {
+                "bin": pa.array(df["bin"].to_numpy(dtype=np.int64)),
+                "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+                "s": pa.array(df["s"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    bins = enum_group_sum(
+        per_supplier.map_batches(bin_partial, batch_format="pyarrow"),
+        ["bin"],
+        ["n", "s"],
+    ).sort_values("bin", ascending=False)
+    # descending scan: find the bin where 5·cum first reaches 4·T
+    cum_n = 0
+    cum_s = 0
+    cross_bin = None
+    for _, row in bins.iterrows():
+        if PARETO_DEN * (cum_s + int(row["s"])) >= PARETO_NUM * T:
+            cross_bin = int(row["bin"])
+            break
+        cum_n += int(row["n"])
+        cum_s += int(row["s"])
+    # resolve the crossing bin exactly: only ITS suppliers leave the cluster
+    def in_cross(batch: pa.Table) -> pa.Table:
+        rev = batch["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = to_bin(rev) == cross_bin
+        return batch.filter(pa.array(m))
+
+    members = (
+        per_supplier.map_batches(in_cross, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rev", "supp"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    n_top, share = cum_n, cum_s
+    thresh = None
+    for rev, _supp in zip(members["rev"], members["supp"]):
+        n_top += 1
+        share += int(rev)
+        thresh = int(rev)
+        if PARETO_DEN * share >= PARETO_NUM * T:
+            break
+    return pd.DataFrame(
+        [
+            {
+                "n_suppliers": n_sup,
+                "n_top": n_top,
+                "top_share_e6": int(
+                    np.floor(float(share) / float(T) * 1e6 + 0.5)
+                ),
+                "threshold_rev_e2": thresh,
+            }
+        ]
+    ).astype(cols)
+
+
+SUPPLIER_PARETO_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey AS supp,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_suppkey
+),
+t AS (SELECT CAST(sum(rev) AS HUGEINT) AS tot, count(*) AS n_sup FROM r),
+c AS (
+  SELECT supp, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, supp ASC
+              ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+         row_number() OVER (ORDER BY rev DESC, supp ASC) AS k
+  FROM r
+),
+pick AS (
+  SELECT k, cum, rev FROM c, t
+  WHERE {PARETO_DEN} * cum >= {PARETO_NUM} * t.tot
+  ORDER BY k ASC LIMIT 1
+)
+SELECT CAST(t.n_sup AS BIGINT) AS n_suppliers,
+       CAST(pick.k AS BIGINT) AS n_top,
+       CAST(floor(CAST(pick.cum AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6
+                  + 0.5) AS BIGINT) AS top_share_e6,
+       CAST(pick.rev AS BIGINT) AS threshold_rev_e2
+FROM pick, t
+WHERE t.tot > 0
+"""
+
+register("supplier_pareto", supplier_pareto, sql=SUPPLIER_PARETO_SQL)

@@ -7365,3 +7365,72 @@ class TestDedupDegreeDistribution:
         out = dedup_degree_distribution(SF)
         gold = oracle_con.execute(ORACLE_SQL["dedup_degree_distribution"]).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestSupplierPareto:
+    """X150 Pareto point: a planted 80/20 split, exact rational crossing
+    (5*cum >= 4*T) at the boundary, tie-break inside the crossing bin,
+    DuckDB window parity."""
+
+    @staticmethod
+    def _lineitem(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_planted_concentration(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            supplier_pareto,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # supplier 1: 80.0 exactly; suppliers 2..5: 5.0 each (T=100)
+        # -> supplier 1 alone crosses 5*80 >= 4*100 (equality edge)
+        rows = [(1, 50.0), (1, 30.0), (2, 5.0), (3, 5.0), (4, 5.0), (5, 5.0)]
+        self._lineitem(rows, tmp_path)
+        out = supplier_pareto(str(tmp_path)).iloc[0]
+        assert int(out["n_suppliers"]) == 5
+        assert int(out["n_top"]) == 1
+        assert int(out["top_share_e6"]) == 800_000
+        assert int(out["threshold_rev_e2"]) == 8000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["supplier_pareto"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+    def test_uniform_tail_and_ties(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            supplier_pareto,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # 10 equal suppliers: the 80% point needs exactly 8 of them,
+        # chosen by suppkey ASC among the all-tied revenues
+        rows = [(s, 10.0) for s in range(1, 11)]
+        self._lineitem(rows, tmp_path)
+        out = supplier_pareto(str(tmp_path)).iloc[0]
+        assert int(out["n_top"]) == 8
+        assert int(out["top_share_e6"]) == 800_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["supplier_pareto"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
