@@ -1159,6 +1159,7 @@ for _key, _name in [
     ("reconciliation", "orders_reconciliation"),
     ("degree_dist", "dedup_degree_distribution"),
     ("pareto", "supplier_pareto"),
+    ("mix_drift", "orders_priority_mix_drift"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

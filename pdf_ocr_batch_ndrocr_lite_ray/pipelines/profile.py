@@ -1527,3 +1527,112 @@ FROM best, istar, ri, b
 """
 
 register("orders_anomaly_window", orders_anomaly_window, sql=ORDERS_ANOMALY_WINDOW_SQL)
+
+
+def orders_priority_mix_drift(sf_dir: str) -> "pd.DataFrame":
+    """(month_a, month_b, n_a, n_b, tvd_e6): total-variation distance
+    between CONSECUTIVE months' order-priority mixes — the categorical
+    drift twin of the numeric W1 drift (X145): did the COMPOSITION of
+    the feed change, independent of its volume?
+
+    Exactness: months are truncating ``epoch_us // month_us`` (30-day
+    buckets, the X142 rule); TVD over the shared priority enum is the
+    exact rational Σ_i |n_a(i)·T_b − n_b(i)·T_a| / (2·T_a·T_b) — integer
+    numerator on both engines (HUGEINT / Python ints), one shared IEEE
+    division, e6 floor. A priority absent from one month contributes its
+    full share (the dense union of priorities, mirrored in SQL via the
+    month × priority grid). Months missing entirely break the pair chain.
+
+    Scale shape: one bounded (month, priority, n) enum fold — months ×
+    priorities, time-span bounded — zero shuffle, driver pass over that
+    frame only.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    MONTH_US = 30 * 86400 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["o_orderdate"]), pc.is_valid(batch["o_orderpriority"])
+        )
+        t = batch.filter(keep)
+        mo = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), MONTH_US)
+        g = (
+            pa.table({"mo": mo, "prio": t["o_orderpriority"]})
+            .group_by(["mo", "prio"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["mo", "prio", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_orderdate", "o_orderpriority"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["mo", "prio"],
+        ["n"],
+    )
+    cols = {
+        "month_a": "int64", "month_b": "int64",
+        "n_a": "int64", "n_b": "int64", "tvd_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    months = sorted(int(m) for m in fold["mo"].unique())
+    by_month: dict[int, dict[str, int]] = {}
+    for mo, g in fold.groupby("mo", sort=True):
+        by_month[int(mo)] = dict(zip(g["prio"].astype(str), (int(v) for v in g["n"])))
+    rows = []
+    for a, b in zip(months, months[1:]):
+        if b != a + 1:
+            continue
+        ca, cb = by_month[a], by_month[b]
+        ta, tb = sum(ca.values()), sum(cb.values())
+        num = sum(
+            abs(ca.get(p, 0) * tb - cb.get(p, 0) * ta)
+            for p in sorted(set(ca) | set(cb))
+        )
+        tvd = float(num) / float(2 * ta * tb) * 1e6
+        rows.append(
+            {
+                "month_a": a, "month_b": b, "n_a": ta, "n_b": tb,
+                "tvd_e6": int(np.floor(tvd + 0.5)),
+            }
+        )
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return pd.DataFrame(rows).astype(cols)
+
+
+ORDERS_PRIORITY_MIX_DRIFT_SQL = """
+WITH f AS (
+  SELECT epoch_us(o_orderdate) // 2592000000000 AS mo, o_orderpriority AS prio
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+g AS (SELECT mo, prio, CAST(count(*) AS HUGEINT) AS n FROM f GROUP BY 1, 2),
+months AS (SELECT mo, CAST(sum(n) AS HUGEINT) AS t FROM g GROUP BY mo),
+prios AS (SELECT DISTINCT prio FROM g),
+grid AS (
+  SELECT m.mo, m.t, p.prio, coalesce(g.n, CAST(0 AS HUGEINT)) AS n
+  FROM months m CROSS JOIN prios p
+  LEFT JOIN g ON g.mo = m.mo AND g.prio = p.prio
+),
+pairs AS (
+  SELECT a.mo AS month_a, b.mo AS month_b, a.t AS ta, b.t AS tb,
+         sum(abs(a.n * b.t - b.n * a.t)) AS num
+  FROM grid a JOIN grid b ON b.mo = a.mo + 1 AND a.prio = b.prio
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(month_a AS BIGINT) AS month_a, CAST(month_b AS BIGINT) AS month_b,
+       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(2 * ta * tb AS DOUBLE) * 1e6
+                  + 0.5) AS BIGINT) AS tvd_e6
+FROM pairs
+"""
+
+register(
+    "orders_priority_mix_drift", orders_priority_mix_drift,
+    sql=ORDERS_PRIORITY_MIX_DRIFT_SQL,
+)

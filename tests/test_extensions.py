@@ -7434,3 +7434,70 @@ class TestSupplierPareto:
         )
         gold = con.execute(ORACLE_SQL["supplier_pareto"]).df()
         assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+
+class TestOrdersPriorityMixDrift:
+    """X151 categorical TVD: identical mixes -> 0, disjoint mixes -> 1e6,
+    a hand-computed partial shift with unequal volumes, gap months
+    breaking the chain, DuckDB dense-grid parity."""
+
+    @staticmethod
+    def _orders(rows, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d0 = dt.datetime(1970, 1, 1)  # month bucket 0 exactly
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                    "o_custkey": pa.array([1] * len(rows), pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                    "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+                    "o_orderdate": pa.array(
+                        [d0 + dt.timedelta(days=30 * r[0]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    def test_shift(self, ray_session, tmp_path):
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            orders_priority_mix_drift,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = []
+        # month 0: 2xA 2xB ; month 1: 1xA 3xB  -> TVD = |1/2-1/4| = 1/4
+        rows += [(0, "A"), (0, "A"), (0, "B"), (0, "B")]
+        rows += [(1, "A"), (1, "B"), (1, "B"), (1, "B")]
+        # month 2: only C  -> disjoint from month 1 -> TVD = 1
+        rows += [(2, "C"), (2, "C")]
+        # month 4 exists, month 3 missing -> chain broken
+        rows += [(4, "A")]
+        self._orders(rows, tmp_path)
+        out = orders_priority_mix_drift(str(tmp_path)).set_index("month_a")
+        assert set(out.index) == {0, 1}
+        assert int(out.loc[0, "tvd_e6"]) == 250_000
+        assert int(out.loc[1, "tvd_e6"]) == 1_000_000
+        assert (int(out.loc[0, "n_a"]), int(out.loc[0, "n_b"])) == (4, 4)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["orders_priority_mix_drift"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+        # identical mixes -> exactly 0
+        self._orders([(0, "A"), (0, "B"), (1, "A"), (1, "B")], tmp_path)
+        out = orders_priority_mix_drift(str(tmp_path))
+        assert list(out["tvd_e6"]) == [0]
