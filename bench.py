@@ -1160,6 +1160,7 @@ for _key, _name in [
     ("degree_dist", "dedup_degree_distribution"),
     ("pareto", "supplier_pareto"),
     ("mix_drift", "orders_priority_mix_drift"),
+    ("compression", "docs_compression_profile"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1158,3 +1158,115 @@ WHERE tot.n - n1 > 0
 """
 
 register("source_length_mwu", source_length_mwu, sql=SOURCE_LENGTH_MWU_SQL)
+
+
+# --- zlib compression-ratio quality profile (X152) ------------------------------
+
+_COMPRESSION_VERSION = 1
+#: fixed level: zlib output is deterministic per (input, level, zlib build) —
+#: the same-container determinism contract the md5-based ops already rely on
+_ZLIB_LEVEL = 6
+
+
+def _compression_kernel(doc_ids, texts):
+    """Shared per-doc kernel (engine AND golden builder call THIS, so the
+    oracle checks the DISTRIBUTED plumbing — row completeness, no dup/loss
+    under partitioning — not the kernel; the kernel itself is pinned by the
+    fixture tests)."""
+    import zlib
+
+    ids, raw, comp, ratio = [], [], [], []
+    for d, t in zip(doc_ids, texts):
+        if d is None:
+            continue
+        b = (t or "").encode("utf-8")
+        if len(b) == 0:
+            continue  # ratio undefined on empty text (excluded both sides)
+        z = len(zlib.compress(b, _ZLIB_LEVEL))
+        ids.append(d)
+        raw.append(len(b))
+        comp.append(z)
+        ratio.append(int(np.floor(z / len(b) * 1e6 + 0.5)))
+    return ids, raw, comp, ratio
+
+
+def docs_compression_profile(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, raw_bytes, zlib_bytes, ratio_e6): per-document zlib
+    compressibility — the cheap repetitiveness detector (a ratio near 0
+    means boilerplate/template spam; near 1 means high-entropy text or
+    binary junk) that large-corpus quality filters run when a model
+    score is too expensive. Embarrassingly parallel, zero shuffle.
+
+    Oracle contract: a golden parquet built by the SAME kernel running
+    serially (the media-table MATERIALIZERS pattern) — the comparison
+    proves the distributed plumbing (no row loss/dup under any
+    partitioning), while the kernel itself is pinned by fixture tests
+    with hand-computed byte counts. Empty/NULL text is excluded on both
+    sides (ratio undefined).
+    """
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ids, raw, comp, ratio = _compression_kernel(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw_bytes": pa.array(raw, pa.int64()),
+                "zlib_bytes": pa.array(comp, pa.int64()),
+                "ratio_e6": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _build_expected_compression(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as _pq
+
+    src = _pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids, raw, comp, ratio = _compression_kernel(
+        src["doc_id"].to_pylist(), src["text"].to_pylist()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "zlib_bytes": pa.array(comp, pa.int64()),
+            "ratio_e6": pa.array(ratio, pa.int64()),
+        }
+    )
+
+
+def expected_compression_path(sf_dir: str) -> str:
+    from .queryset import expected_table_path
+
+    return expected_table_path(
+        "expected-compression", sf_dir, _COMPRESSION_VERSION
+    )
+
+
+def materialize_expected_compression(sf_dir: str) -> str:
+    from .queryset import materialize_expected_table
+
+    return materialize_expected_table(
+        "expected-compression", sf_dir, _COMPRESSION_VERSION,
+        _build_expected_compression,
+    )
+
+
+DOCS_COMPRESSION_SQL = (
+    "SELECT doc_id, raw_bytes, zlib_bytes, ratio_e6 FROM read_parquet("
+    f"'{expected_compression_path('/root/testdata/sf0.01')}')"
+)
+
+register(
+    "docs_compression_profile", docs_compression_profile,
+    sql=DOCS_COMPRESSION_SQL,
+)
+
+from .queryset import MATERIALIZERS, SF_PATH_HELPERS  # noqa: E402
+
+MATERIALIZERS.append(materialize_expected_compression)
+SF_PATH_HELPERS.append(expected_compression_path)

@@ -7501,3 +7501,63 @@ class TestOrdersPriorityMixDrift:
         self._orders([(0, "A"), (0, "B"), (1, "A"), (1, "B")], tmp_path)
         out = orders_priority_mix_drift(str(tmp_path))
         assert list(out["tvd_e6"]) == [0]
+
+
+class TestDocsCompressionProfile:
+    """X152 zlib compressibility: hand-computed byte counts, the
+    repetitive-vs-random ratio ordering, empty/NULL exclusion, and
+    golden-table parity through the distributed path."""
+
+    @staticmethod
+    def _docs(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array(["s"] * len(rows), pa.string()),
+                    "n_chars": pa.array([0] * len(rows), pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_kernel_and_exclusions(self, ray_session, tmp_path):
+        import zlib
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            _ZLIB_LEVEL,
+            docs_compression_profile,
+        )
+
+        rep = "spam " * 200
+        rnd = "q7#xZ!kP0m@Lw9^vB3&nT5*rY1" * 3  # high-entropy-ish
+        rows = [(1, rep), (2, rnd), (3, ""), (4, None)]
+        self._docs(rows, tmp_path)
+        out = docs_compression_profile(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert set(out.index) == {1, 2}  # empty + NULL excluded
+        assert int(out.loc[1, "raw_bytes"]) == len(rep.encode())
+        assert int(out.loc[1, "zlib_bytes"]) == len(
+            zlib.compress(rep.encode(), _ZLIB_LEVEL)
+        )
+        # boilerplate compresses far better than high-entropy text
+        assert int(out.loc[1, "ratio_e6"]) < int(out.loc[2, "ratio_e6"])
+
+    def test_matches_golden_on_corpus(self, ray_session, oracle_con):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import (
+            oracle_sql_for,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            docs_compression_profile,
+        )
+
+        out = docs_compression_profile(SF).to_pandas()
+        sql = oracle_sql_for(SF)["docs_compression_profile"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
