@@ -1161,6 +1161,7 @@ for _key, _name in [
     ("pareto", "supplier_pareto"),
     ("mix_drift", "orders_priority_mix_drift"),
     ("compression", "docs_compression_profile"),
+    ("gap_moments", "customer_order_gap_moments"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

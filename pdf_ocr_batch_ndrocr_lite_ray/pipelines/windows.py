@@ -2560,3 +2560,156 @@ FROM cum ORDER BY conc DESC, minute ASC LIMIT 1
 """
 
 register("peak_concurrent_sessions", peak_concurrent_sessions, sql=PEAK_CONCURRENT_SQL)
+
+
+# --- inter-order gap moments / burstiness (X153) --------------------------------
+
+#: int64 headroom for the squared-gap partial: rows * max_gap_s^2 checked
+#: per partition, raise (never wrap) — X98 discipline
+_GAP_SQ_BOUND = 1 << 62
+
+
+def customer_order_gap_moments(sf_dir: str) -> "pd.DataFrame":
+    """One-row (n_customers, n_gaps, mean_gap_s_e6, cv2_e6): the moments
+    of the inter-order waiting time across all customers, and the
+    squared coefficient of variation — the Poisson-ness test of the
+    order arrival process (CV² ≈ 1 memoryless, < 1 scheduled/regular,
+    > 1 bursty; the single number a demand-forecast sanity check reads
+    first).
+
+    Exactness: gaps are whole seconds by truncating integer division of
+    epoch-µs deltas under the (date, orderkey) total order per customer;
+    Σg and Σg² are exact integer sums (int64 partials under an explicit
+    per-partition bound, Python-int driver fold); mean and
+    CV² = (n·Σg² − (Σg)²) / (Σg)² are one shared IEEE chain each.
+    Customers with fewer than two dated orders contribute no gaps; a
+    zero Σg (all orders simultaneous) is excluded (CV² undefined).
+
+    Scale shape: ONE custkey co-partition exchange; per-partition
+    vectorized diffs emit a single (customers, gaps, sum, sumsq) partial
+    row; the driver folds partials. Zero driver row-data.
+    """
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["o_orderdate"]), pc.is_valid(batch["o_custkey"])
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "key2": t["o_orderkey"],
+                "tus": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "n_customers": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "s_str": pd.Series(dtype="object"),
+                "ss_str": pd.Series(dtype="object"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["o_custkey", "tus", "key2"], kind="mergesort")
+        u = df["o_custkey"].to_numpy(dtype=np.int64)
+        t = df["tus"].to_numpy(dtype=np.int64)
+        same = u[1:] == u[:-1]
+        g = (t[1:] - t[:-1]) // 1_000_000  # whole seconds, trunc (non-neg)
+        g = g[same]
+        n_cust = int(pd.unique(u).size)
+        # multi-decade gaps square past int64 when SUMMED, so partials are
+        # chunked int64 sums folded into a Python int and shipped as a
+        # decimal STRING (exact at any magnitude); the per-ELEMENT square
+        # still needs gaps under ~95 years, checked loud
+        if g.size and int(g.max()) ** 2 >= _GAP_SQ_BOUND:
+            raise ValueError(
+                "customer_order_gap_moments: a single gap squares past int64 "
+                "— quantize gaps to minutes"
+            )
+        g2 = g * g
+        max_g2 = int(g2.max()) if g2.size else 0
+        chunk = max(1, (1 << 62) // max(max_g2, 1))
+        ss = sum(int(g2[i : i + chunk].sum()) for i in range(0, g2.size, chunk))
+        max_g = int(g.max()) if g.size else 0
+        chunk_s = max(1, (1 << 62) // max(max_g, 1))
+        s = sum(int(g[i : i + chunk_s].sum()) for i in range(0, g.size, chunk_s))
+        return pd.DataFrame(
+            [
+                {
+                    "n_customers": n_cust,
+                    "n_gaps": int(g.size),
+                    "s_str": str(s),
+                    "ss_str": str(ss),
+                }
+            ]
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _hash_partitioned(ds, "o_custkey", per_partition)
+    n_cust = 0
+    n = 0
+    s = 0
+    ss = 0
+    for b in parts.iter_batches(batch_size=4096, batch_format="pandas"):
+        for row in b.itertuples(index=False):  # one row per partition
+            n_cust += int(row.n_customers)
+            n += int(row.n_gaps)
+            s += int(row.s_str)
+            ss += int(row.ss_str)
+    cols = {
+        "n_customers": "int64", "n_gaps": "int64",
+        "mean_gap_s_e6": "int64", "cv2_e6": "int64",
+    }
+    if n == 0 or s == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    mean = float(s) / float(n) * 1e6
+    cv2 = float(n * ss - s * s) / float(s * s) * 1e6
+    return pd.DataFrame(
+        [
+            {
+                "n_customers": n_cust,
+                "n_gaps": n,
+                "mean_gap_s_e6": int(np.floor(mean + 0.5)),
+                "cv2_e6": int(np.floor(cv2 + 0.5)),
+            }
+        ]
+    ).astype(cols)
+
+
+CUSTOMER_ORDER_GAP_SQL = """
+WITH f AS (
+  SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+),
+l AS (
+  SELECT o_custkey,
+         (epoch_us(lead(o_orderdate) OVER w) - epoch_us(o_orderdate))
+           // 1000000 AS g
+  FROM f WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(g) AS HUGEINT) AS s,
+         sum(CAST(g AS HUGEINT) * g) AS ss
+  FROM l WHERE g IS NOT NULL
+),
+c AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust FROM f)
+SELECT c.n_cust AS n_customers,
+       CAST(s.n AS BIGINT) AS n_gaps,
+       CAST(floor(CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS mean_gap_s_e6,
+       CAST(floor(CAST(s.n * s.ss - s.s * s.s AS DOUBLE)
+            / CAST(s.s * s.s AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS cv2_e6
+FROM s, c WHERE s.n > 0 AND s.s > 0
+"""
+
+register(
+    "customer_order_gap_moments", customer_order_gap_moments,
+    sql=CUSTOMER_ORDER_GAP_SQL,
+)

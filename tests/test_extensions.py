@@ -7561,3 +7561,87 @@ class TestDocsCompressionProfile:
         sql = oracle_sql_for(SF)["docs_compression_profile"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestCustomerOrderGapMoments:
+    """X153 burstiness CV2: a regular lattice -> CV2 = 0, a hand-computed
+    two-gap case, the sub-two-order exclusion, all-simultaneous
+    exclusion, DuckDB HUGEINT parity."""
+
+    @staticmethod
+    def _orders(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                    "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                    "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+                    "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    def test_moments(self, ray_session, tmp_path):
+        import datetime as dt
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            customer_order_gap_moments,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(sec):
+            return d0 + dt.timedelta(seconds=sec)
+
+        rows = [
+            # cust 1: gaps 10, 30 (seconds)
+            (1, at(0)), (1, at(10)), (1, at(40)),
+            # cust 2: one gap 20
+            (2, at(0)), (2, at(20)),
+            # cust 3: single order -> no gaps (still counted as customer)
+            (3, at(5)),
+            # NULL date excluded
+            (4, None),
+        ]
+        self._orders(rows, tmp_path)
+        out = customer_order_gap_moments(str(tmp_path)).iloc[0]
+        # gaps {10, 30, 20}: n=3, s=60, ss=1400
+        assert int(out["n_customers"]) == 3
+        assert int(out["n_gaps"]) == 3
+        assert int(out["mean_gap_s_e6"]) == 20_000_000
+        assert int(out["cv2_e6"]) == math.floor(
+            (3 * 1400 - 3600) / 3600 * 1e6 + 0.5
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["customer_order_gap_moments"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+    def test_degenerate(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            customer_order_gap_moments,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+        # regular lattice: all gaps equal -> CV2 exactly 0
+        self._orders([(1, d0 + dt.timedelta(seconds=10 * i)) for i in range(5)], tmp_path)
+        out = customer_order_gap_moments(str(tmp_path)).iloc[0]
+        assert int(out["cv2_e6"]) == 0
+        # all simultaneous -> s = 0 -> excluded
+        self._orders([(1, d0), (1, d0), (1, d0)], tmp_path)
+        assert len(customer_order_gap_moments(str(tmp_path))) == 0
