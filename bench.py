@@ -1162,6 +1162,7 @@ for _key, _name in [
     ("mix_drift", "orders_priority_mix_drift"),
     ("compression", "docs_compression_profile"),
     ("gap_moments", "customer_order_gap_moments"),
+    ("new_vs_ret", "daily_new_vs_returning"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

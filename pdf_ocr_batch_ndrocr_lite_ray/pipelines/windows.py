@@ -2713,3 +2713,124 @@ register(
     "customer_order_gap_moments", customer_order_gap_moments,
     sql=CUSTOMER_ORDER_GAP_SQL,
 )
+
+
+# --- daily new-vs-returning revenue split (X154) --------------------------------
+
+
+def daily_new_vs_returning(sf_dir: str) -> "pd.DataFrame":
+    """(day, new_orders, new_revenue_e2, ret_orders, ret_revenue_e2):
+    each day's order volume split by whether the customer was NEW that
+    day (every order on a customer's first-order day counts as new —
+    the tie rule both engines spell) — the growth-accounting readout
+    (is revenue acquisition or retention?).
+
+    Exactness: days are truncating ``epoch_us // day_us``; first-order
+    day is an in-partition transform-min under ONE custkey co-partition
+    exchange; revenue sums integer cents (shared half-away rule); the
+    (day, is_new) fold is enum-bounded by the corpus time span.
+    """
+    from .exchange import enum_group_sum
+
+    DAY_US = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["o_orderdate"]), pc.is_valid(batch["o_custkey"])
+            ),
+            pc.is_valid(batch["o_totalprice"]),
+        )
+        t = batch.filter(keep)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), DAY_US),
+                "cents": cents,
+            }
+        )
+
+    def per_customer(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series(dtype="int64"),
+                    "is_new": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "rev": pd.Series(dtype="int64"),
+                }
+            )
+        first = df.groupby("o_custkey")["day"].transform("min")
+        df = df.assign(is_new=(df["day"] == first).astype("int64"), n=1)
+        g = df.groupby(["day", "is_new"], sort=False).agg(
+            n=("n", "sum"), rev=("cents", "sum")
+        )
+        return g.reset_index().astype("int64")
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    fold = enum_group_sum(
+        _hash_partitioned(ds, "o_custkey", per_customer),
+        ["day", "is_new"],
+        ["n", "rev"],
+    )
+    cols = {
+        "day": "int64", "new_orders": "int64", "new_revenue_e2": "int64",
+        "ret_orders": "int64", "ret_revenue_e2": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    wide = fold.pivot_table(
+        index="day", columns="is_new", values=["n", "rev"],
+        aggfunc="sum", fill_value=0,
+    )
+    out = pd.DataFrame(
+        {
+            "day": wide.index.to_numpy(dtype=np.int64),
+            "new_orders": wide.get(("n", 1), pd.Series(0, index=wide.index)).to_numpy(dtype=np.int64),
+            "new_revenue_e2": wide.get(("rev", 1), pd.Series(0, index=wide.index)).to_numpy(dtype=np.int64),
+            "ret_orders": wide.get(("n", 0), pd.Series(0, index=wide.index)).to_numpy(dtype=np.int64),
+            "ret_revenue_e2": wide.get(("rev", 0), pd.Series(0, index=wide.index)).to_numpy(dtype=np.int64),
+        }
+    ).sort_values("day").reset_index(drop=True)
+    return out.astype(cols)
+
+
+DAILY_NEW_VS_RETURNING_SQL = """
+WITH f AS (
+  SELECT o_custkey AS cust,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+t AS (
+  SELECT day, cents,
+         CASE WHEN day = min(day) OVER (PARTITION BY cust) THEN 1 ELSE 0 END
+           AS is_new
+  FROM f
+)
+SELECT day,
+       CAST(coalesce(count(*) FILTER (WHERE is_new = 1), 0) AS BIGINT)
+         AS new_orders,
+       CAST(coalesce(sum(cents) FILTER (WHERE is_new = 1), 0) AS BIGINT)
+         AS new_revenue_e2,
+       CAST(coalesce(count(*) FILTER (WHERE is_new = 0), 0) AS BIGINT)
+         AS ret_orders,
+       CAST(coalesce(sum(cents) FILTER (WHERE is_new = 0), 0) AS BIGINT)
+         AS ret_revenue_e2
+FROM t GROUP BY day
+"""
+
+register("daily_new_vs_returning", daily_new_vs_returning, sql=DAILY_NEW_VS_RETURNING_SQL)

@@ -7645,3 +7645,65 @@ class TestCustomerOrderGapMoments:
         # all simultaneous -> s = 0 -> excluded
         self._orders([(1, d0), (1, d0), (1, d0)], tmp_path)
         assert len(customer_order_gap_moments(str(tmp_path))) == 0
+
+
+class TestDailyNewVsReturning:
+    """X154 growth accounting: first-day tie rule (all same-day orders
+    are new), later-day returning split, zero-filled complements,
+    DuckDB window parity."""
+
+    @staticmethod
+    def _orders(rows, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d0 = dt.datetime(1970, 1, 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                    "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                    "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                    "o_orderdate": pa.array(
+                        [d0 + dt.timedelta(days=r[1]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    def test_split(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            daily_new_vs_returning,
+        )
+
+        rows = [
+            # cust 1: TWO orders on day 0 (both new by the tie rule),
+            # one on day 2 (returning)
+            (1, 0, 10.0), (1, 0, 5.0), (1, 2, 7.0),
+            # cust 2: first on day 2 (new)
+            (2, 2, 3.0),
+        ]
+        self._orders(rows, tmp_path)
+        out = daily_new_vs_returning(str(tmp_path)).set_index("day")
+        d0 = out.loc[0]
+        assert (int(d0["new_orders"]), int(d0["new_revenue_e2"])) == (2, 1500)
+        assert (int(d0["ret_orders"]), int(d0["ret_revenue_e2"])) == (0, 0)
+        d2 = out.loc[2]
+        assert (int(d2["new_orders"]), int(d2["new_revenue_e2"])) == (1, 300)
+        assert (int(d2["ret_orders"]), int(d2["ret_revenue_e2"])) == (1, 700)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["daily_new_vs_returning"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
