@@ -1163,6 +1163,7 @@ for _key, _name in [
     ("compression", "docs_compression_profile"),
     ("gap_moments", "customer_order_gap_moments"),
     ("new_vs_ret", "daily_new_vs_returning"),
+    ("turn_latency", "turn_latency_profile"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -432,3 +432,161 @@ register(
     transcript_partition_checksums,
     sql=_partition_checksums_sql(_ORACLE_PATH),
 )
+
+
+# --- turn-latency profile per role transition (X155) -----------------------------
+
+
+def turn_latency_profile(sf_dir: str) -> "pd.DataFrame":
+    """(pair, n, p50_s, p90_s, max_s, mean_s_e6): the response-latency
+    profile of each role transition (``user>assistant`` = model answer
+    latency, ``assistant>user`` = human think time, tool round-trips) —
+    the conversational-SLA readout over the transcript corpus.
+
+    Contract: adjacency is the FULL (conv_id, turn_idx) order; a pair is
+    dropped only if either member lacks role or ts; latency is whole
+    seconds by truncating integer division (both engines); quantiles are
+    the smallest latency with cumulative count ≥ q·n; mean is one shared
+    IEEE division of exact integers. Negative latencies (out-of-order
+    timestamps) count in n/mean and the quantile grid — they're real
+    integrity signal, not noise.
+
+    Scale shape: ONE conv_id co-partition exchange (a conversation's
+    turns land together); per-partition vectorized diffs emit bounded
+    (pair, delta_s, n) partials — distinct transition pairs × distinct
+    second-deltas, MAX_ENUM_GROUPS-guarded (bucket deltas past it).
+    """
+    import numpy as np
+
+    from .exchange import enum_group_sum
+
+    path = transcripts_for_sf(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+                "role": batch["role"],
+                "tus": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "pair": pd.Series(dtype="object"),
+                "delta_s": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        tn = df["tus"].isna().to_numpy()
+        same = conv[1:] == conv[:-1]
+        ok = (
+            same
+            & ~tn[1:]
+            & ~tn[:-1]
+            & (role[1:] != None)  # noqa: E711  (numpy elementwise)
+            & (role[:-1] != None)  # noqa: E711
+        )
+        if not ok.any():
+            return empty
+        a = np.flatnonzero(ok)
+        delta = (
+            df["tus"].to_numpy()[a + 1].astype(np.int64)
+            - df["tus"].to_numpy()[a].astype(np.int64)
+        ) // 1_000_000
+        pair = np.char.add(
+            np.char.add(role[a].astype(str), ">"), role[a + 1].astype(str)
+        )
+        g = (
+            pd.DataFrame({"pair": pair, "delta_s": delta, "n": 1})
+            .groupby(["pair", "delta_s"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return g.astype({"delta_s": "int64", "n": "int64"})
+
+    ds = ray.data.read_parquet(
+        path, columns=["conv_id", "turn_idx", "role", "ts"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    fold = enum_group_sum(
+        _hash_partitioned(ds, "conv_id", per_partition),
+        ["pair", "delta_s"],
+        ["n"],
+    )
+    cols = {
+        "pair": "object", "n": "int64", "p50_s": "int64",
+        "p90_s": "int64", "max_s": "int64", "mean_s_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    rows = []
+    for pair, g in fold.groupby("pair", sort=True):
+        g = g.sort_values("delta_s").reset_index(drop=True)
+        cnt = g["n"].to_numpy(dtype=np.int64)
+        dlt = g["delta_s"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        s = sum(int(d) * int(c) for d, c in zip(dlt, cnt))
+        rows.append(
+            {
+                "pair": pair,
+                "n": n,
+                "p50_s": int(dlt[np.searchsorted(cum, 0.5 * n)]),
+                "p90_s": int(dlt[np.searchsorted(cum, 0.9 * n)]),
+                "max_s": int(dlt[-1]),
+                "mean_s_e6": int(np.floor(float(s) / float(n) * 1e6 + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _turn_latency_sql() -> str:
+    from .queryset import transcripts_path_for_sf
+
+    p = transcripts_path_for_sf("/root/testdata/sf0.01")
+    return f"""
+WITH f AS (
+  SELECT conv_id, turn_idx, role, ts
+  FROM read_parquet('{p}')
+),
+l AS (
+  SELECT role || '>' || lead(role) OVER w AS pair,
+         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS delta_s
+  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT pair, delta_s, CAST(count(*) AS BIGINT) AS c FROM l
+  WHERE pair IS NOT NULL AND delta_s IS NOT NULL GROUP BY 1, 2
+),
+t AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(delta_s AS HUGEINT) * c) AS s,
+         CAST(max(delta_s) AS BIGINT) AS max_s
+  FROM g GROUP BY pair
+),
+cum AS (
+  SELECT pair, delta_s,
+         sum(c) OVER (PARTITION BY pair ORDER BY delta_s) AS cum
+  FROM g
+),
+q AS (
+  SELECT cum.pair,
+         CAST(min(delta_s) FILTER (WHERE cum >= 0.5 * t.n) AS BIGINT) AS p50_s,
+         CAST(min(delta_s) FILTER (WHERE cum >= 0.9 * t.n) AS BIGINT) AS p90_s
+  FROM cum JOIN t ON cum.pair = t.pair GROUP BY cum.pair
+)
+SELECT t.pair, t.n, q.p50_s, q.p90_s, t.max_s,
+       CAST(floor(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS mean_s_e6
+FROM t JOIN q ON t.pair = q.pair
+"""
+
+
+register("turn_latency_profile", turn_latency_profile, sql=_turn_latency_sql())

@@ -7707,3 +7707,77 @@ class TestDailyNewVsReturning:
         )
         gold = con.execute(ORACLE_SQL["daily_new_vs_returning"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestTurnLatencyProfile:
+    """X155 role-transition latency: hand-computed pair deltas, the
+    quantile boundary, negative (out-of-order) latencies retained,
+    NULL-member pairs dropped without breaking adjacency semantics,
+    DuckDB lead() parity at sf0.001."""
+
+    def test_matches_oracle_on_corpus(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import (
+            oracle_sql_for,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            turn_latency_profile,
+        )
+
+        out = turn_latency_profile(SF)
+        sql = oracle_sql_for(SF)["turn_latency_profile"]
+        gold = duckdb.connect().execute(sql).df()
+        assert len(out) > 0
+        assert _value_hash(out) == _value_hash(gold)
+        # latencies are quantile-ordered per pair
+        assert (out["p50_s"] <= out["p90_s"]).all()
+        assert (out["p90_s"] <= out["max_s"]).all()
+
+    def test_planted_pairs(self, ray_session, tmp_path, monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats as ts_mod
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            turn_latency_profile,
+        )
+
+        import datetime as dt
+
+        d0 = dt.datetime(2020, 1, 1)
+        rows = [
+            # conv A: user(t0) -> assistant(t+3s) -> user(t+3+10s)
+            ("A", 0, "user", d0),
+            ("A", 1, "assistant", d0 + dt.timedelta(seconds=3)),
+            ("A", 2, "user", d0 + dt.timedelta(seconds=13)),
+            # conv B: out-of-order clock: assistant BEFORE user -> -5s
+            ("B", 0, "user", d0 + dt.timedelta(seconds=5)),
+            ("B", 1, "assistant", d0),
+            # conv C: NULL ts second member -> pair dropped
+            ("C", 0, "user", d0),
+            ("C", 1, "assistant", None),
+        ]
+        p = tmp_path / "transcripts.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                    "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                    "role": pa.array([r[2] for r in rows], pa.string()),
+                    "text": pa.array([""] * len(rows), pa.string()),
+                    "tool": pa.array([None] * len(rows), pa.string()),
+                    "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        monkeypatch.setattr(ts_mod, "transcripts_for_sf", lambda _sf: str(p))
+        out = turn_latency_profile("ignored").set_index("pair")
+        ua = out.loc["user>assistant"]
+        # deltas {3, -5}: p50 = smallest with cum >= 1 -> -5; mean = -1
+        assert int(ua["n"]) == 2
+        assert int(ua["p50_s"]) == -5
+        assert int(ua["max_s"]) == 3
+        assert int(ua["mean_s_e6"]) == -1_000_000
+        assert int(out.loc["assistant>user", "p50_s"]) == 10
