@@ -1164,6 +1164,7 @@ for _key, _name in [
     ("gap_moments", "customer_order_gap_moments"),
     ("new_vs_ret", "daily_new_vs_returning"),
     ("turn_latency", "turn_latency_profile"),
+    ("lang_confusion", "lang_id_confusion"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1270,3 +1270,87 @@ from .queryset import MATERIALIZERS, SF_PATH_HELPERS  # noqa: E402
 
 MATERIALIZERS.append(materialize_expected_compression)
 SF_PATH_HELPERS.append(expected_compression_path)
+
+
+# --- declared-vs-detected language confusion matrix (X156) -----------------------
+
+
+def lang_id_confusion(sf_dir: str) -> "pd.DataFrame":
+    """(declared, detected, n, share_of_declared_e6): the confusion
+    matrix between each document's DECLARED ``lang`` column and the
+    engine's detected language — the metadata-trust audit a mixture
+    curator runs before weighting by declared language (mislabeled
+    feeds poison per-language quotas silently).
+
+    Exactness: detection is the repo's vectorized lang-ID kernel, whose
+    SQL twin is already value-oracled through ``docs_textstats``; counts
+    fold over the bounded (declared, detected) enum with zero shuffle;
+    ``share_of_declared_e6`` (row-normalized within each declared lang)
+    is one shared IEEE division of exact integers. NULL declared langs
+    group as the literal '(null)' sentinel on both engines (a real
+    missing-metadata signal, not a dropped row).
+    """
+    import pandas as pd
+
+    from ..functions.textstats import text_stats_columns
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        det = text_stats_columns(batch["text"])["lang"]
+        declared = pc.fill_null(batch["lang"], "(null)")
+        g = (
+            pa.table(
+                {
+                    "declared": declared,
+                    "detected": det,
+                    "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["declared", "detected"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["declared", "detected", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["lang", "text"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["declared", "detected"],
+        ["n"],
+    )
+    cols = {
+        "declared": "object", "detected": "object",
+        "n": "int64", "share_of_declared_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    fold = fold.sort_values(["declared", "detected"]).reset_index(drop=True)
+    tot = fold.groupby("declared")["n"].transform("sum").to_numpy(dtype=np.float64)
+    share = np.floor(
+        fold["n"].to_numpy(dtype=np.float64) / tot * 1e6 + 0.5
+    ).astype(np.int64)
+    out = fold.assign(share_of_declared_e6=share)
+    return out.astype(cols)
+
+
+def _lang_confusion_sql() -> str:
+    from ..functions.textstats import sql_stats_select
+
+    return f"""
+WITH s AS (
+  SELECT coalesce(lang, '(null)') AS declared, {sql_stats_select('text')}
+  FROM documents
+),
+g AS (
+  SELECT declared, lang AS detected, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+),
+t AS (SELECT declared, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY declared)
+SELECT g.declared, g.detected, g.n,
+       CAST(floor(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS share_of_declared_e6
+FROM g JOIN t ON g.declared = t.declared
+"""
+
+
+register("lang_id_confusion", lang_id_confusion, sql=_lang_confusion_sql())

@@ -7781,3 +7781,55 @@ class TestTurnLatencyProfile:
         assert int(ua["max_s"]) == 3
         assert int(ua["mean_s_e6"]) == -1_000_000
         assert int(out.loc["assistant>user", "p50_s"]) == 10
+
+
+class TestLangIdConfusion:
+    """X156 metadata-trust audit: planted CJK text declared 'en' lands in
+    the (en, ja) cell, NULL declared groups under '(null)', row shares
+    sum to ~1e6 per declared lang, DuckDB parity."""
+
+    @staticmethod
+    def _docs(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array([r[0] for r in rows], pa.string()),
+                    "source": pa.array(["s"] * len(rows), pa.string()),
+                    "n_chars": pa.array([0] * len(rows), pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+
+    def test_confusion_cells(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.text_analysis import (
+            lang_id_confusion,
+        )
+
+        rows = [
+            ("en", "the quick brown fox jumps over the lazy dog"),
+            ("en", "another plain english sentence with words"),
+            ("en", "これは日本語のテキストです完全に日本語"),  # mislabeled
+            (None, "plain text without declared language"),
+        ]
+        self._docs(rows, tmp_path)
+        out = lang_id_confusion(str(tmp_path)).set_index(["declared", "detected"])
+        assert int(out.loc[("en", "en"), "n"]) == 2
+        assert int(out.loc[("en", "ja"), "n"]) == 1
+        assert int(out.loc[("en", "en"), "share_of_declared_e6"]) == 666667
+        assert int(out.loc[("(null)", "en"), "n"]) == 1
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lang_id_confusion"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
