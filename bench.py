@@ -1165,6 +1165,7 @@ for _key, _name in [
     ("new_vs_ret", "daily_new_vs_returning"),
     ("turn_latency", "turn_latency_profile"),
     ("lang_confusion", "lang_id_confusion"),
+    ("kendall", "lineitem_kendall_qty_line"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

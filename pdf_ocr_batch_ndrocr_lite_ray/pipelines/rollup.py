@@ -1038,3 +1038,149 @@ register(
     "lineitem_spearman_by_flag", lineitem_spearman_by_flag,
     sql=LINEITEM_SPEARMAN_SQL,
 )
+
+
+# --- exact Kendall tau-b from the contingency table (X157) -----------------------
+
+
+def lineitem_kendall_qty_line(sf_dir: str) -> "pd.DataFrame":
+    """One-row (n, concordant, discordant, tau_b_e6): exact Kendall
+    tau-b between quantity and line number — the O(n²)-pair rank
+    statistic made scale-free by computing concordance from the BOUNDED
+    (quantity-cents × linenumber) contingency table: C and D are sums of
+    n_a·n_b over cell pairs with agreeing/opposing orders, so the corpus
+    is read once and the quadratic work runs over cells, not rows.
+
+    Exactness: the contingency folds through the bounded enum exchange
+    (MAX_ENUM_GROUPS guards quantity-like cardinality); C, D, and the
+    tie terms n0/n1/n2 are Python-int exact; tau-b's denominator
+    sqrt((n0−n1)(n0−n2)) is ONE shared IEEE chain (two int→double
+    casts, multiply, sqrt, divide, floor-e6) — the SQL twin spells the
+    identical cell-pair double sum with HUGEINT. Zero rank variance in
+    either margin excludes the row on both engines.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["l_quantity"]), pc.is_valid(batch["l_linenumber"])
+        )
+        t = batch.filter(keep)
+        q2 = pc.cast(
+            pc.round(
+                pc.multiply(t["l_quantity"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "x": q2,
+                    "y": pc.cast(t["l_linenumber"], pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["x", "y"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["x", "y", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_quantity", "l_linenumber"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["x", "y"],
+        ["n"],
+    )
+    cols = {
+        "n": "int64", "concordant": "int64",
+        "discordant": "int64", "tau_b_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    xs = fold["x"].to_numpy(dtype=np.int64)
+    ys = fold["y"].to_numpy(dtype=np.int64)
+    ns = [int(v) for v in fold["n"]]
+    n = sum(ns)
+    # cell-pair concordance (cells ~ distinct x × distinct y, bounded)
+    C = 0
+    D = 0
+    for i in range(len(ns)):
+        for j in range(i + 1, len(ns)):
+            dx = int(xs[i]) - int(xs[j])
+            dy = int(ys[i]) - int(ys[j])
+            if dx == 0 or dy == 0:
+                continue
+            if (dx > 0) == (dy > 0):
+                C += ns[i] * ns[j]
+            else:
+                D += ns[i] * ns[j]
+    n0 = n * (n - 1) // 2
+    tx = pd.Series(ns).groupby(pd.Series(xs)).sum()
+    ty = pd.Series(ns).groupby(pd.Series(ys)).sum()
+    n1 = sum(int(t) * (int(t) - 1) // 2 for t in tx)
+    n2 = sum(int(t) * (int(t) - 1) // 2 for t in ty)
+    if n0 == n1 or n0 == n2:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    tau = float(C - D) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pd.DataFrame(
+        [
+            {
+                "n": n,
+                "concordant": C,
+                "discordant": D,
+                "tau_b_e6": int(math.floor(tau * 1e6 + 0.5)),
+            }
+        ]
+    ).astype(cols)
+
+
+LINEITEM_KENDALL_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+         CAST(l_linenumber AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+),
+g AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS n FROM f GROUP BY x, y),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM g),
+cd AS (
+  SELECT
+    CAST(coalesce(sum(a.n * b.n) FILTER (
+      WHERE (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)), 0)
+      AS HUGEINT) AS c,
+    CAST(coalesce(sum(a.n * b.n) FILTER (
+      WHERE (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)), 0)
+      AS HUGEINT) AS d
+  FROM g a JOIN g b ON (a.x, a.y) < (b.x, b.y)
+),
+ties AS (
+  SELECT
+    (SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS HUGEINT)
+     FROM (SELECT sum(n) AS t FROM g GROUP BY x)) AS n1,
+    (SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0) AS HUGEINT)
+     FROM (SELECT sum(n) AS t FROM g GROUP BY y)) AS n2,
+    (SELECT n * (n - 1) / 2 FROM tot) AS n0
+)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST(cd.c AS BIGINT) AS concordant,
+       CAST(cd.d AS BIGINT) AS discordant,
+       CAST(floor(
+         CAST(cd.c - cd.d AS DOUBLE)
+         / sqrt(CAST(ties.n0 - ties.n1 AS DOUBLE)
+                * CAST(ties.n0 - ties.n2 AS DOUBLE))
+         * 1e6 + 0.5) AS BIGINT) AS tau_b_e6
+FROM cd, ties, tot
+WHERE ties.n0 <> ties.n1 AND ties.n0 <> ties.n2
+"""
+
+register(
+    "lineitem_kendall_qty_line", lineitem_kendall_qty_line,
+    sql=LINEITEM_KENDALL_SQL,
+)

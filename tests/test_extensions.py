@@ -7833,3 +7833,62 @@ class TestLangIdConfusion:
         )
         gold = con.execute(ORACLE_SQL["lang_id_confusion"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestLineitemKendall:
+    """X157 Kendall tau-b: perfect concordance -> 1e6, a hand-computed
+    tied table, zero-variance exclusion, DuckDB cell-pair parity."""
+
+    @staticmethod
+    def _lineitem(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_quantity": pa.array([r[0] for r in rows], pa.float64()),
+                    "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import math
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_kendall_qty_line,
+        )
+
+        # (x, y): (1,1) (1,2) (2,1) (2,2) (2,2)
+        # pairs: C = n(1,1)n(2,2)=2 ; D = n(1,2)n(2,1)=1 ; others tied
+        # n=5, n0=10 ; tx: x=1:2, x=2:3 -> n1 = 1+3 = 4
+        # ty: y=1:2, y=2:3 -> n2 = 4 ; tau = (2-1)/sqrt(6*6) = 1/6
+        rows = [(1.0, 1), (1.0, 2), (2.0, 1), (2.0, 2), (2.0, 2)]
+        self._lineitem(rows, tmp_path)
+        out = lineitem_kendall_qty_line(str(tmp_path)).iloc[0]
+        assert (int(out["concordant"]), int(out["discordant"])) == (2, 1)
+        assert int(out["tau_b_e6"]) == math.floor(1 / 6 * 1e6 + 0.5)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lineitem_kendall_qty_line"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+    def test_perfect_and_degenerate(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.rollup import (
+            lineitem_kendall_qty_line,
+        )
+
+        # strictly increasing, no ties -> exactly +1e6
+        self._lineitem([(float(i), i) for i in range(1, 6)], tmp_path)
+        assert int(lineitem_kendall_qty_line(str(tmp_path)).iloc[0]["tau_b_e6"]) == 1_000_000
+        # constant x -> zero variance -> excluded
+        self._lineitem([(1.0, 1), (1.0, 2), (1.0, 3)], tmp_path)
+        assert len(lineitem_kendall_qty_line(str(tmp_path))) == 0
