@@ -1166,6 +1166,7 @@ for _key, _name in [
     ("turn_latency", "turn_latency_profile"),
     ("lang_confusion", "lang_id_confusion"),
     ("kendall", "lineitem_kendall_qty_line"),
+    ("lifetime_hist", "user_lifetime_histogram"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

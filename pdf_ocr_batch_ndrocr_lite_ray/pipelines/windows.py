@@ -2834,3 +2834,84 @@ FROM t GROUP BY day
 """
 
 register("daily_new_vs_returning", daily_new_vs_returning, sql=DAILY_NEW_VS_RETURNING_SQL)
+
+
+# --- user lifetime-span histogram (X158) -----------------------------------------
+
+
+def user_lifetime_histogram(sf_dir: str) -> "pd.DataFrame":
+    """(span_days, n_users): how many users have exactly k days between
+    their first and last event — the engagement-shape readout behind
+    every retention model (a mass at 0 = drive-by users; a long tail =
+    a durable cohort). One custkey-style exchange, bounded fold.
+
+    Exactness: days are truncating ``epoch_us // day_us``; the span is
+    an in-partition (max − min) per user under ONE user-key exchange;
+    the (span, n) fold is enum-bounded by the corpus time range. NULL
+    ts/user rows are excluded on both engines.
+    """
+    from .exchange import enum_group_sum
+
+    DAY_US = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["user_id"]))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.divide(pc.cast(t["ts"], pa.int64()), DAY_US),
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"span_days": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        g = df.groupby("user_id")["day"].agg(["min", "max"])
+        span = (g["max"] - g["min"]).astype("int64")
+        vc = span.value_counts()
+        return pd.DataFrame(
+            {
+                "span_days": vc.index.to_numpy(dtype=np.int64),
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    fold = enum_group_sum(
+        _hash_partitioned(ds, "user_id", per_partition),
+        ["span_days"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return pd.DataFrame(
+            {
+                "span_days": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64"),
+            }
+        )
+    fold = fold.sort_values("span_days").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "span_days": fold["span_days"].astype("int64"),
+            "n_users": fold["n"].astype("int64"),
+        }
+    )
+
+
+USER_LIFETIME_SQL = """
+WITH f AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+s AS (SELECT user_id, max(day) - min(day) AS span_days FROM f GROUP BY user_id)
+SELECT CAST(span_days AS BIGINT) AS span_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY span_days
+"""
+
+register("user_lifetime_histogram", user_lifetime_histogram, sql=USER_LIFETIME_SQL)

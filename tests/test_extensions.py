@@ -7892,3 +7892,50 @@ class TestLineitemKendall:
         # constant x -> zero variance -> excluded
         self._lineitem([(1.0, 1), (1.0, 2), (1.0, 3)], tmp_path)
         assert len(lineitem_kendall_qty_line(str(tmp_path))) == 0
+
+
+class TestUserLifetimeHistogram:
+    """X158 lifetime spans: single-event users at 0, a planted span,
+    day-boundary truncation, NULL exclusion, DuckDB parity."""
+
+    def test_spans(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            user_lifetime_histogram,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+        rows = [
+            (1, d0), (1, d0 + dt.timedelta(days=3)),        # span 3
+            (2, d0), (2, d0 + dt.timedelta(hours=23)),      # same day -> 0
+            (3, d0),                                        # single event -> 0
+            (4, None), (None, d0),                          # excluded
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows), pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = user_lifetime_histogram(str(tmp_path)).set_index("span_days")
+        assert dict(out["n_users"]) == {0: 2, 3: 1}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["user_lifetime_histogram"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
