@@ -1167,6 +1167,7 @@ for _key, _name in [
     ("lang_confusion", "lang_id_confusion"),
     ("kendall", "lineitem_kendall_qty_line"),
     ("lifetime_hist", "user_lifetime_histogram"),
+    ("cc_distributed", "dedup_clusters_distributed"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -506,3 +506,155 @@ register(
     dedup_degree_distribution,
     sql=_degree_distribution_oracle_sql(),
 )
+
+
+# --- distributed connected components: hash-to-min (X159) ------------------------
+
+#: iteration ceiling = the max graph diameter the loop will chase; real
+#: near-dup clusters are dense (diameter a handful), so hitting this means
+#: something pathological — raise, never silently return partial labels
+_CC_MAX_ITERS = 64
+
+
+def connected_components_distributed(
+    pairs: "ray.data.Dataset", max_iters: int = _CC_MAX_ITERS
+) -> "ray.data.Dataset":
+    """(node, label) connected components via distributed HASH-TO-MIN —
+    the past-the-driver-cap path for ``connected_components`` (whose
+    union-find holds the whole pair graph on the driver, documented as
+    bounded by the LSH bucket caps). Here NOTHING is driver-sized: per
+    iteration, labels co-partition with the bidirectional edge list
+    (exchange 1), each partition emits (neighbor, my_label) messages,
+    and a node-keyed min-fold (exchange 2) absorbs them; iteration stops
+    when a distributed changed-counter reads zero. Converges in
+    diameter-many iterations to the min member id per component — the
+    same labels the union-find path produces (pinned equal by test).
+    """
+    import pyarrow.compute as pc
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks().cast(pa.int64())
+        b = t["doc_b"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+                "lbl": pa.array(np.full(2 * t.num_rows, -1, dtype=np.int64)),
+                "is_lab": pa.array([False] * (2 * t.num_rows), pa.bool_()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(df["key"])
+        return pd.DataFrame(
+            {"node": nodes.astype("int64"), "label": nodes.astype("int64")}
+        )
+
+    labels = _hash_partitioned(edges, "key", init_labels).materialize()
+
+    for _ in range(max_iters):
+        def lab_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "key": t["node"].combine_chunks().cast(pa.int64()),
+                    "dst": pa.array(np.zeros(n, dtype=np.int64)),
+                    "lbl": t["label"].combine_chunks().cast(pa.int64()),
+                    "is_lab": pa.array([True] * n, pa.bool_()),
+                }
+            )
+
+        def send_messages(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["is_lab"]]
+            edg = df[~df["is_lab"]]
+            if len(lab) == 0 or len(edg) == 0:
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series(dtype="int64"),
+                        "lbl": pd.Series(dtype="int64"),
+                        "is_old": pd.Series(dtype="bool"),
+                    }
+                )
+            lmap = dict(zip(lab["key"], lab["lbl"]))
+            out = pd.DataFrame(
+                {
+                    "node": edg["dst"].to_numpy(dtype=np.int64),
+                    "lbl": edg["key"].map(lmap).to_numpy(dtype=np.int64),
+                    "is_old": False,
+                }
+            )
+            # collapse duplicate messages per (node) to their min in-block
+            out = out.groupby("node", sort=False)["lbl"].min().reset_index()
+            out["is_old"] = False
+            return out
+
+        msgs = _hash_partitioned(
+            edges.union(labels.map_batches(lab_rows, batch_format="pyarrow")),
+            "key",
+            send_messages,
+        )
+
+        def old_rows(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"].combine_chunks().cast(pa.int64()),
+                    "lbl": t["label"].combine_chunks().cast(pa.int64()),
+                    "is_old": pa.array([True] * t.num_rows, pa.bool_()),
+                }
+            )
+
+        def absorb(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series(dtype="int64"),
+                        "label": pd.Series(dtype="int64"),
+                        "changed": pd.Series(dtype="int64"),
+                    }
+                )
+            g = df.groupby("node", sort=False)
+            new = g["lbl"].min()
+            old = df[df["is_old"]].set_index("node")["lbl"]
+            out = pd.DataFrame(
+                {
+                    "node": new.index.to_numpy(dtype=np.int64),
+                    "label": new.to_numpy(dtype=np.int64),
+                }
+            )
+            out["changed"] = (
+                out["label"].to_numpy()
+                < old.reindex(out["node"]).to_numpy(dtype=np.int64)
+            ).astype("int64")
+            return out
+
+        labels = _hash_partitioned(
+            msgs.union(labels.map_batches(old_rows, batch_format="pyarrow")),
+            "node",
+            absorb,
+        ).materialize()
+        changed = labels.sum("changed")
+        labels = labels.drop_columns(["changed"]).materialize()
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components_distributed: no convergence in {max_iters} "
+        "iterations — graph diameter exceeds the ceiling"
+    )
+
+
+def dedup_clusters_distributed(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, cluster_id): the X6 near-dup clusters computed by the
+    DISTRIBUTED hash-to-min path — value-identical to
+    ``dedup_minhash_clusters`` (same recursive-CTE oracle), with no
+    driver-sized state anywhere."""
+    labels = connected_components_distributed(minhash_duplicate_pairs(sf_dir))
+    return _rename(labels, {"node": "doc_id", "label": "cluster_id"})
+
+
+register(
+    "dedup_clusters_distributed",
+    dedup_clusters_distributed,
+    sql=_clusters_oracle_sql(),
+)

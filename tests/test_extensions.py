@@ -7939,3 +7939,49 @@ class TestUserLifetimeHistogram:
         )
         gold = con.execute(ORACLE_SQL["user_lifetime_histogram"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestDistributedConnectedComponents:
+    """X159 hash-to-min CC: pinned equal to the driver union-find path on
+    the corpus, and a planted CHAIN (diameter > 1) converges to the min
+    member id through multiple message rounds."""
+
+    def test_equals_union_find_path(self, ray_session):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
+            dedup_clusters_distributed,
+            dedup_minhash_clusters,
+        )
+
+        a = dedup_clusters_distributed(SF).to_pandas().sort_values("doc_id")
+        b = dedup_minhash_clusters(SF).to_pandas().sort_values("doc_id")
+        assert len(a) > 0
+        assert _value_hash(a) == _value_hash(b)
+
+    def test_planted_chain(self, ray_session):
+        import pandas as pd
+
+        import ray as ray_core
+        import ray.data as rd
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
+            connected_components_distributed,
+        )
+
+        # chain 10-11-12-13-14 (diameter 4) + disjoint pair (20, 21)
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": [10, 11, 12, 13, 20],
+                    "doc_b": [11, 12, 13, 14, 21],
+                }
+            )
+        )
+        out = (
+            connected_components_distributed(pairs)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(out["node"], out["label"])) == {
+            10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20,
+        }
