@@ -1168,6 +1168,7 @@ for _key, _name in [
     ("kendall", "lineitem_kendall_qty_line"),
     ("lifetime_hist", "user_lifetime_histogram"),
     ("cc_distributed", "dedup_clusters_distributed"),
+    ("exact_quantiles", "events_value_quantiles_exact"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1344,3 +1344,199 @@ register(
     "events_weekly_value_drift", events_weekly_value_drift,
     sql=EVENTS_WEEKLY_DRIFT_SQL,
 )
+
+
+# --- EXACT grouped quantiles, no global sort (X160) -------------------------------
+
+EXACT_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+#: driver ceiling for crossing-bin candidate values — one bin per (type, q);
+#: hitting it means a pathologically tied bin, raise with the reroute named
+_EXACT_Q_MAX_CANDIDATES = 2_000_000
+
+
+def events_value_quantiles_exact(sf_dir: str) -> "pd.DataFrame":
+    """(event_type, q, value): EXACT per-type quantiles of the raw value
+    column — the smallest value whose cumulative count reaches q·n —
+    with NO global sort: the exact upgrade of the histogram-sketch
+    ``events_quantiles_by_type`` (error ≤ bin width there, zero here).
+
+    Three column-pruned passes: per-type (n, min, max) fold; a bounded
+    (type, bin, count) fold locates each quantile's crossing bin; ONE
+    targeted filter pass ships only crossing-bin values to the driver
+    (ceiling-guarded), which resolves the exact order statistic.
+    Binning is internal (any monotone bucketing yields the same answer),
+    so the SQL twin is the plain window rank rule — the quantile VALUE
+    is an existing double, bit-identical on both engines. NULL types and
+    values are excluded on both sides.
+    """
+    import ray as ray_core
+
+    from .exchange import enum_group_agg, enum_group_sum
+
+    path = table_path(sf_dir, "events")
+    cols = ["event_type", "value"]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.and_(pc.is_valid(batch["event_type"]), pc.is_valid(batch["value"]))
+        )
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        t = keep(batch)
+        g = (
+            pa.table(
+                {
+                    "t": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "lo": t["value"],
+                    "hi": t["value"],
+                }
+            )
+            .group_by(["t"])
+            .aggregate([("n", "sum"), ("lo", "min"), ("hi", "max")])
+        )
+        return g.rename_columns(["t", "n", "lo", "hi"])
+
+    mm = enum_group_agg(
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            mm_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["t"],
+        {"n": "sum", "lo": "min", "hi": "max"},
+    )
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series(dtype="object"),
+            "q": pd.Series(dtype="float64"),
+            "value": pd.Series(dtype="float64"),
+        }
+    )
+    if len(mm) == 0:
+        return empty
+    types = sorted(mm["t"].astype(str))
+    tid = {t: i for i, t in enumerate(types)}
+    stat = {
+        tid[str(r.t)]: (int(r.n), float(r.lo), float(r.hi))
+        for r in mm.itertuples(index=False)
+    }
+    ref = ray_core.put((pa.array(types, pa.string()), stat))
+
+    def binned(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tset, st = ray_core.get(ref)
+        t = keep(batch)
+        fid = (
+            pc.index_in(t["event_type"], value_set=tset)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.array([st[i][1] for i in range(len(st))])[fid]
+        hi = np.array([st[i][2] for i in range(len(st))])[fid]
+        span = hi - lo
+        b = np.where(
+            span > 0,
+            np.clip(
+                np.floor((v - lo) / np.where(span > 0, span, 1.0) * QUANT_BINS),
+                0,
+                QUANT_BINS - 1,
+            ),
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(fid * QUANT_BINS + b),
+                "v": pa.array(v),
+            }
+        )
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        t = binned(batch)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(key, minlength=len(types) * QUANT_BINS)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "key": pa.array(nz, pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    bfold = enum_group_sum(
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            bin_counts, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["key"],
+        ["n"],
+    ).sort_values("key")
+    keys = bfold["key"].to_numpy(dtype=np.int64)
+    cnts = bfold["n"].to_numpy(dtype=np.int64)
+    # per (type, q): crossing bin + count of rows in bins BELOW it
+    need: dict[int, list[tuple[float, int]]] = {}  # key -> [(q, below_cum)]
+    for i in range(len(types)):
+        sel = keys // QUANT_BINS == i
+        k = keys[sel]
+        c = cnts[sel]
+        cum = np.cumsum(c)
+        n = stat[i][0]
+        for q in EXACT_QS:
+            j = int(np.searchsorted(cum, q * n))
+            below = int(cum[j - 1]) if j > 0 else 0
+            need.setdefault(int(k[j]), []).append((q, below))
+    nref = ray_core.put(set(need))
+
+    def in_crossing(batch: pa.Table) -> pa.Table:
+        t = binned(batch)
+        wanted = ray_core.get(nref)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        m = np.isin(key, np.fromiter(wanted, dtype=np.int64, count=len(wanted)))
+        return t.filter(pa.array(m))
+
+    members = ray.data.read_parquet(path, columns=cols).map_batches(
+        in_crossing, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(members) > _EXACT_Q_MAX_CANDIDATES:
+        raise ValueError(
+            "events_value_quantiles_exact: crossing bins hold "
+            f"{len(members):,} rows (> {_EXACT_Q_MAX_CANDIDATES:,}) — a "
+            "pathologically tied bin; recurse the bin split instead"
+        )
+    rows = []
+    for key, g in members.groupby("key", sort=True):
+        vals = np.sort(g["v"].to_numpy(dtype=np.float64))
+        i = int(key) // QUANT_BINS
+        n = stat[i][0]
+        for q, below in need[int(key)]:
+            pos = int(np.ceil(q * n)) - below - 1
+            pos = max(pos, 0)
+            rows.append(
+                {"event_type": types[i], "q": q, "value": float(vals[pos])}
+            )
+    out = pd.DataFrame(rows).sort_values(["event_type", "q"]).reset_index(drop=True)
+    return out.astype({"q": "float64", "value": "float64"})
+
+
+EVENTS_EXACT_QUANTILES_SQL = f"""
+WITH f AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM f
+),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in EXACT_QS)})
+SELECT event_type, q, min(value) AS value
+FROM c JOIN qs ON rk >= q * n
+GROUP BY 1, 2
+"""
+
+register(
+    "events_value_quantiles_exact", events_value_quantiles_exact,
+    sql=EVENTS_EXACT_QUANTILES_SQL,
+)

@@ -7985,3 +7985,75 @@ class TestDistributedConnectedComponents:
         assert dict(zip(out["node"], out["label"])) == {
             10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20,
         }
+
+
+class TestEventsExactQuantiles:
+    """X160 exact grouped quantiles: hand-computed order statistics with
+    duplicates, the ceil(q*n) boundary, degenerate one-value type, and
+    DuckDB window-rank parity (the sketch op is approximate; this one
+    must be exact)."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([None] * len(rows), pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[0] for r in rows], pa.string()),
+                    "value": pa.array([r[1] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_order_statistics(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            events_value_quantiles_exact,
+        )
+
+        # type A: values 1..10 -> p25 = ceil(2.5)=3rd = 3.0, p50 = 5.0,
+        # p75 = ceil(7.5)=8th = 8.0, p90 = 9.0, p99 = ceil(9.9)=10th = 10.0
+        rows = [("A", float(i)) for i in range(1, 11)]
+        # type B: heavy duplicates [5,5,5,9] -> p50 = ceil(2)=2nd = 5,
+        # p75 = 3rd = 5, p90 = ceil(3.6)=4th = 9
+        rows += [("B", 5.0), ("B", 5.0), ("B", 5.0), ("B", 9.0)]
+        # type C: single value
+        rows += [("C", 7.0)]
+        rows += [(None, 1.0), ("A", None)]
+        self._events(rows, tmp_path)
+        out = events_value_quantiles_exact(str(tmp_path)).set_index(
+            ["event_type", "q"]
+        )
+        assert out.loc[("A", 0.25), "value"] == 3.0
+        assert out.loc[("A", 0.5), "value"] == 5.0
+        assert out.loc[("A", 0.75), "value"] == 8.0
+        assert out.loc[("A", 0.99), "value"] == 10.0
+        assert out.loc[("B", 0.5), "value"] == 5.0
+        assert out.loc[("B", 0.9), "value"] == 9.0
+        assert (out.loc["C"]["value"] == 7.0).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_value_quantiles_exact"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_matches_oracle_on_corpus(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            events_value_quantiles_exact,
+        )
+
+        out = events_value_quantiles_exact(SF)
+        gold = oracle_con.execute(ORACLE_SQL["events_value_quantiles_exact"]).df()
+        assert _value_hash(out) == _value_hash(gold)
