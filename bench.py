@@ -1169,6 +1169,7 @@ for _key, _name in [
     ("lifetime_hist", "user_lifetime_histogram"),
     ("cc_distributed", "dedup_clusters_distributed"),
     ("exact_quantiles", "events_value_quantiles_exact"),
+    ("domain_audit", "lineitem_domain_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -335,3 +335,122 @@ LIMIT {RECON_TOP_K}
 """
 
 register("orders_reconciliation", orders_reconciliation, sql=ORDERS_RECONCILIATION_SQL)
+
+
+# --- declarative domain-rule audit (X161) -----------------------------------------
+
+#: (rule name, SQL predicate over lineitem) — the single source of truth:
+#: the Ray kernel below evaluates the same predicates vectorized, so rule
+#: text and execution cannot drift
+_NO_KEY = 1 << 62  # fold sentinel: above any real orderkey
+
+LINEITEM_RULES: tuple[tuple[str, str], ...] = (
+    ("quantity_positive", "l_quantity > 0"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_unit_range", "l_discount >= 0 AND l_discount <= 1"),
+    ("tax_nonnegative", "l_tax >= 0"),
+    ("shipdate_present", "l_shipdate IS NOT NULL"),
+    ("returnflag_known", "l_returnflag IN ('A', 'N', 'R')"),
+)
+
+
+def lineitem_domain_audit(sf_dir: str) -> "pd.DataFrame":
+    """(rule, n_checked, n_violations, min_violating_key): the
+    Deequ-style declarative expectations check — every row is tested
+    against each domain rule; violations count exactly and the smallest
+    violating orderkey is kept as the reproducible example a triage
+    engineer opens first. NULL predicate inputs count as violations
+    (SQL three-valued logic: ``coalesce(pred, FALSE)`` on both engines)
+    except where the rule itself tests for NULL.
+
+    Scale shape: one column-pruned scan; each block emits ≤ #rules
+    partial rows (counts + a min-key) into the bounded enum fold — zero
+    shuffle, driver holds #rules rows.
+    """
+    import numpy as np
+
+    from .exchange import enum_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ship_null = pc.is_null(batch["l_shipdate"]).to_numpy(zero_copy_only=False)
+        rf = batch["l_returnflag"].to_pandas()
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # coalesce(pred, FALSE): NaN comparisons are already False in numpy
+        ok = {
+            "quantity_positive": qty > 0,
+            "price_positive": price > 0,
+            "discount_unit_range": (disc >= 0) & (disc <= 1),
+            "tax_nonnegative": tax >= 0,
+            "shipdate_present": ~ship_null,
+            "returnflag_known": rf.isin(["A", "N", "R"]).to_numpy(),
+        }
+        rules, n_checked, n_viol, min_key = [], [], [], []
+        n = batch.num_rows
+        for rule, _sql in LINEITEM_RULES:
+            bad = ~ok[rule]
+            rules.append(rule)
+            n_checked.append(n)
+            n_viol.append(int(bad.sum()))
+            # +inf-style sentinel FOR THE FOLD (a -1 would win every min
+            # and erase real keys); converted to the -1 output sentinel at
+            # readout (NULL would stringify None-vs-NaN across engines)
+            min_key.append(int(key[bad].min()) if bad.any() else _NO_KEY)
+        return pa.table(
+            {
+                "rule": pa.array(rules, pa.string()),
+                "n_checked": pa.array(n_checked, pa.int64()),
+                "n_violations": pa.array(n_viol, pa.int64()),
+                "min_violating_key": pa.array(min_key, pa.int64()),
+            }
+        )
+
+    fold = enum_group_agg(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"),
+            columns=[
+                "l_orderkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate", "l_returnflag",
+            ],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["rule"],
+        {
+            "n_checked": "sum",
+            "n_violations": "sum",
+            "min_violating_key": "min",
+        },
+    )
+    cols = {
+        "rule": "object", "n_checked": "int64",
+        "n_violations": "int64", "min_violating_key": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    fold = fold.sort_values("rule").reset_index(drop=True)
+    fold["min_violating_key"] = np.where(
+        fold["min_violating_key"].to_numpy(dtype=np.int64) == _NO_KEY,
+        -1,
+        fold["min_violating_key"].to_numpy(dtype=np.int64),
+    )
+    return fold.astype(cols)
+
+
+def _lineitem_audit_sql() -> str:
+    parts = []
+    for rule, pred in LINEITEM_RULES:
+        parts.append(f"""
+SELECT '{rule}' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(coalesce(sum(CASE WHEN coalesce({pred}, FALSE) THEN 0 ELSE 1 END),
+                     0) AS BIGINT) AS n_violations,
+       CAST(coalesce(min(l_orderkey) FILTER (
+             WHERE NOT coalesce({pred}, FALSE)), -1) AS BIGINT)
+         AS min_violating_key
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+register("lineitem_domain_audit", lineitem_domain_audit, sql=_lineitem_audit_sql())

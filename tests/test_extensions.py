@@ -8057,3 +8057,68 @@ class TestEventsExactQuantiles:
         out = events_value_quantiles_exact(SF)
         gold = oracle_con.execute(ORACLE_SQL["events_value_quantiles_exact"]).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestLineitemDomainAudit:
+    """X161 declarative expectations: planted violations per rule with
+    the min-key example, the -1 clean sentinel (and that it does NOT
+    erase real keys through the min fold), NULL-as-violation semantics,
+    DuckDB predicate parity."""
+
+    def test_planted_violations(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.integrity import (
+            lineitem_domain_audit,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = [
+            # key, qty, price, disc, tax, ship, rf
+            (10, 1.0, 5.0, 0.1, 0.02, 0, "A"),     # clean
+            (7, -2.0, 5.0, 0.1, 0.02, 0, "N"),     # qty violation
+            (9, 0.0, 5.0, 0.1, 0.02, 0, "N"),      # qty violation (0)
+            (3, 1.0, 5.0, 1.5, 0.02, 0, "R"),      # discount out of range
+            (4, 1.0, 5.0, None, 0.02, 0, "R"),     # NULL disc -> violation
+            (5, 1.0, 5.0, 0.1, -0.5, 0, "A"),      # tax negative
+            (6, 1.0, 5.0, 0.1, 0.02, None, "A"),   # shipdate missing
+            (8, 1.0, 5.0, 0.1, 0.02, 0, "X"),      # unknown flag
+        ]
+        import datetime as dt
+
+        d0 = dt.datetime(2020, 1, 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+                    "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+                    "l_discount": pa.array([r[3] for r in rows], pa.float64()),
+                    "l_tax": pa.array([r[4] for r in rows], pa.float64()),
+                    "l_shipdate": pa.array(
+                        [d0 if r[5] == 0 else None for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "l_returnflag": pa.array([r[6] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = lineitem_domain_audit(str(tmp_path)).set_index("rule")
+        assert int(out.loc["quantity_positive", "n_violations"]) == 2
+        assert int(out.loc["quantity_positive", "min_violating_key"]) == 7
+        assert int(out.loc["discount_unit_range", "n_violations"]) == 2  # 1.5 + NULL
+        assert int(out.loc["discount_unit_range", "min_violating_key"]) == 3
+        assert int(out.loc["price_positive", "n_violations"]) == 0
+        assert int(out.loc["price_positive", "min_violating_key"]) == -1
+        assert int(out.loc["returnflag_known", "min_violating_key"]) == 8
+        assert (out["n_checked"] == 8).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lineitem_domain_audit"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
