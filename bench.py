@@ -1170,6 +1170,7 @@ for _key, _name in [
     ("cc_distributed", "dedup_clusters_distributed"),
     ("exact_quantiles", "events_value_quantiles_exact"),
     ("domain_audit", "lineitem_domain_audit"),
+    ("type_lift", "session_type_lift"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2915,3 +2915,153 @@ FROM s GROUP BY span_days
 """
 
 register("user_lifetime_histogram", user_lifetime_histogram, sql=USER_LIFETIME_SQL)
+
+
+# --- within-session event-type co-occurrence lift (X162) --------------------------
+
+
+def session_type_lift(sf_dir: str) -> "pd.DataFrame":
+    """(type_a, type_b, n_a, n_b, n_both, lift_e6): for every unordered
+    event-type pair, how much more often they share a SESSION than
+    independence predicts — lift = (n_both·S) / (n_a·n_b) over S
+    sessions — the market-basket view of behavior ("do errors co-occur
+    with purchases?") that transition matrices (X88) can't see because
+    co-occurrence is order-free.
+
+    Exactness: sessionization is the 30-min gap rule in-partition under
+    ONE user-key exchange; each session reduces to its distinct type
+    set, pair counts fold over the bounded type-pair enum, and lift is
+    one shared IEEE chain over exact integers. Pairs that never co-occur
+    still appear (lift 0) via the dense pair grid of observed types.
+
+    Scale: exchange volume is the event rows once; per-partition work is
+    vectorized; everything after is ≤ #types² rows.
+    """
+    from .exchange import enum_group_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["user_id"])),
+            pc.is_valid(batch["event_type"]),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="object"),
+                "b": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "tus"], kind="mergesort")
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["tus"].to_numpy(dtype=np.int64)
+        new = np.r_[
+            True, (u[1:] != u[:-1]) | (t[1:] - t[:-1] > SESSION_GAP_SEC * 1_000_000)
+        ]
+        sid = np.cumsum(new)
+        d = pd.DataFrame({"sid": sid, "ty": df["event_type"].to_numpy()})
+        d = d.drop_duplicates(["sid", "ty"])
+        rows = []
+        # sessions row-count: one row per session marker
+        rows.append({"a": "\x00S", "b": "\x00S", "n": int(new.sum())})
+        # per-type session counts + unordered pair counts (types bounded)
+        for ty, g in d.groupby("ty", sort=False):
+            rows.append({"a": str(ty), "b": str(ty), "n": int(len(g))})
+        m = d.merge(d, on="sid")
+        m = m[m["ty_x"] < m["ty_y"]]
+        if len(m):
+            pc_ = m.groupby(["ty_x", "ty_y"], sort=False).size().reset_index(name="n")
+            for r in pc_.itertuples(index=False):
+                rows.append({"a": str(r.ty_x), "b": str(r.ty_y), "n": int(r.n)})
+        return pd.DataFrame(rows)
+
+    ds = ray.data.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    fold = enum_group_sum(
+        _hash_partitioned(ds, "user_id", per_partition), ["a", "b"], ["n"]
+    )
+    cols = {
+        "type_a": "object", "type_b": "object", "n_a": "int64",
+        "n_b": "int64", "n_both": "int64", "lift_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    cnt = {(r.a, r.b): int(r.n) for r in fold.itertuples(index=False)}
+    S = cnt.pop(("\x00S", "\x00S"), 0)
+    types = sorted({a for a, b in cnt if a == b})
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            na, nb = cnt[(a, a)], cnt[(b, b)]
+            both = cnt.get((a, b), 0)
+            lift = float(both * S) / float(na * nb) * 1e6
+            rows.append(
+                {
+                    "type_a": a, "type_b": b, "n_a": na, "n_b": nb,
+                    "n_both": both, "lift_e6": int(np.floor(lift + 0.5)),
+                }
+            )
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return pd.DataFrame(rows).astype(cols)
+
+
+SESSION_TYPE_LIFT_SQL = f"""
+WITH f AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_SEC} SECOND
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM f
+),
+tagged AS (
+  SELECT user_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM tagged),
+tot AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS HUGEINT) AS s FROM st),
+per AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS HUGEINT) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         x.n AS n_a, y.n AS n_b
+  FROM per x JOIN per y ON x.event_type < y.event_type
+)
+SELECT g.type_a, g.type_b,
+       CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+       CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both,
+       CAST(floor(
+         CAST(coalesce(p.n_both, 0) * tot.s AS DOUBLE)
+         / CAST(g.n_a * g.n_b AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS lift_e6
+FROM grid g
+LEFT JOIN pairs p ON p.type_a = g.type_a AND p.type_b = g.type_b
+CROSS JOIN tot
+"""
+
+register("session_type_lift", session_type_lift, sql=SESSION_TYPE_LIFT_SQL)

@@ -8122,3 +8122,66 @@ class TestLineitemDomainAudit:
         )
         gold = con.execute(ORACLE_SQL["lineitem_domain_audit"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestSessionTypeLift:
+    """X162 co-occurrence lift: perfectly coupled types -> lift = S/n,
+    never-co-occurring pair present with lift 0, the session boundary
+    separating co-occurrence, DuckDB dense-grid parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_lift_cells(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.windows import (
+            session_type_lift,
+        )
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(m):
+            return d0 + dt.timedelta(minutes=m)
+
+        rows = [
+            # u1 session 1: a + b together ; session 2 (40-min gap): a only
+            (at(0), 1, "a"), (at(1), 1, "b"),
+            (at(60), 1, "a"),
+            # u2: c only
+            (at(0), 2, "c"),
+        ]
+        # S = 3 sessions; n_a = 2, n_b = 1, n_c = 1
+        # (a,b): both = 1 -> lift = 3/2 ; (a,c): 0 ; (b,c): 0
+        self._events(rows, tmp_path)
+        out = session_type_lift(str(tmp_path)).set_index(["type_a", "type_b"])
+        assert int(out.loc[("a", "b"), "lift_e6"]) == 1_500_000
+        assert int(out.loc[("a", "c"), "lift_e6"]) == 0
+        assert int(out.loc[("a", "c"), "n_both"]) == 0
+        assert len(out) == 3
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["session_type_lift"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
