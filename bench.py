@@ -1171,6 +1171,7 @@ for _key, _name in [
     ("exact_quantiles", "events_value_quantiles_exact"),
     ("domain_audit", "lineitem_domain_audit"),
     ("type_lift", "session_type_lift"),
+    ("calibration", "minhash_calibration"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

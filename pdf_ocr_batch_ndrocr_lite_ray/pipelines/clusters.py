@@ -658,3 +658,143 @@ register(
     dedup_clusters_distributed,
     sql=_clusters_oracle_sql(),
 )
+
+
+# --- LSH calibration audit: estimate vs exact (X163) ------------------------------
+
+
+def minhash_calibration(sf_dir: str) -> "pd.DataFrame":
+    """(bucket, n, mean_est_e6, mean_exact_e6, mean_err_e6): the
+    self-audit of the approximate pipeline — on pairs BOTH the MinHash
+    path and the exact n-gram-Jaccard path report, how biased is the
+    64-permutation estimate per estimate decile? The calibration curve
+    that tells a curator whether an LSH threshold of 0.8 really means
+    0.8 (a mean_err far from 0 in a bucket = re-tune the band scheme).
+
+    Exactness: both inputs are value-oracled pair tables; per pair the
+    e6-quantized estimate and exact value subtract as ints, so bucket
+    sums are order-free; means are one shared IEEE division each. The
+    join is ONE doc_a co-partition exchange (pairs with equal doc_a
+    co-locate; the (a, b) match finishes in-partition); everything
+    after is ≤ 10 bucket rows. The SQL twin joins the two nested
+    oracles with the identical chain.
+    """
+    from .dedup import dedup_ngram_jaccard
+
+    est = minhash_duplicate_pairs(sf_dir)
+    exact = dedup_ngram_jaccard(sf_dir)
+
+    def est_rows(t: pa.Table) -> pa.Table:
+        v = t["est_jaccard"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].combine_chunks().cast(pa.int64()),
+                "doc_b": t["doc_b"].combine_chunks().cast(pa.int64()),
+                "v_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+                "is_est": pa.array([True] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    def exact_rows(t: pa.Table) -> pa.Table:
+        v = t["jaccard"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].combine_chunks().cast(pa.int64()),
+                "doc_b": t["doc_b"].combine_chunks().cast(pa.int64()),
+                "v_e6": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+                "is_est": pa.array([False] * t.num_rows, pa.bool_()),
+            }
+        )
+
+    both = est.map_batches(est_rows, batch_format="pyarrow").union(
+        exact.map_batches(exact_rows, batch_format="pyarrow")
+    )
+
+    def join_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "s_est": pd.Series(dtype="int64"),
+                "s_exact": pd.Series(dtype="int64"),
+            }
+        )
+        e = df[df["is_est"]]
+        x = df[~df["is_est"]]
+        if len(e) == 0 or len(x) == 0:
+            return empty
+        m = e.merge(x, on=["doc_a", "doc_b"], suffixes=("_e", "_x"))
+        if len(m) == 0:
+            return empty
+        est6 = m["v_e6_e"].to_numpy(dtype=np.int64)
+        ex6 = m["v_e6_x"].to_numpy(dtype=np.int64)
+        bucket = np.clip(est6 // 100_000, 0, 9)
+        g = (
+            pd.DataFrame({"bucket": bucket, "n": 1, "s_est": est6, "s_exact": ex6})
+            .groupby("bucket", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return g.astype("int64")
+
+    from .exchange import enum_group_sum
+
+    fold = enum_group_sum(
+        _hash_partitioned(both, "doc_a", join_partition),
+        ["bucket"],
+        ["n", "s_est", "s_exact"],
+    )
+    cols = {
+        "bucket": "int64", "n": "int64", "mean_est_e6": "int64",
+        "mean_exact_e6": "int64", "mean_err_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    fold = fold.sort_values("bucket").reset_index(drop=True)
+    n = fold["n"].to_numpy(dtype=np.float64)
+    me = np.floor(fold["s_est"].to_numpy(dtype=np.float64) / n + 0.5).astype(np.int64)
+    mx = np.floor(fold["s_exact"].to_numpy(dtype=np.float64) / n + 0.5).astype(np.int64)
+    merr = np.floor(
+        (fold["s_est"] - fold["s_exact"]).to_numpy(dtype=np.float64) / n + 0.5
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "bucket": fold["bucket"].astype("int64"),
+            "n": fold["n"].astype("int64"),
+            "mean_est_e6": me,
+            "mean_exact_e6": mx,
+            "mean_err_e6": merr,
+        }
+    )
+
+
+def _calibration_oracle_sql() -> str:
+    from .dedup import DEDUP_NGRAM_JACCARD_SQL
+
+    return f"""
+WITH est AS ({_minhash_oracle_sql()}),
+ex AS ({DEDUP_NGRAM_JACCARD_SQL}),
+j AS (
+  SELECT CAST(floor(e.est_jaccard * 1e6 + 0.5) AS BIGINT) AS est6,
+         CAST(floor(x.jaccard * 1e6 + 0.5) AS BIGINT) AS ex6
+  FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+),
+g AS (
+  SELECT least(greatest(est6 // 100000, 0), 9) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(est6) AS HUGEINT) AS s_est,
+         CAST(sum(ex6) AS HUGEINT) AS s_exact
+  FROM j GROUP BY 1
+)
+SELECT bucket, n,
+       CAST(floor(CAST(s_est AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+         AS mean_est_e6,
+       CAST(floor(CAST(s_exact AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+         AS mean_exact_e6,
+       CAST(floor(CAST(s_est - s_exact AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+            AS BIGINT) AS mean_err_e6
+FROM g
+"""
+
+
+register("minhash_calibration", minhash_calibration, sql=_calibration_oracle_sql())

@@ -8185,3 +8185,25 @@ class TestSessionTypeLift:
         )
         gold = con.execute(ORACLE_SQL["session_type_lift"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestMinhashCalibration:
+    """X163 LSH self-audit: calibration on the planted corpus is sane
+    (estimates track exact within the 64-perm noise band), and the
+    bucketed table matches the nested DuckDB oracles exactly."""
+
+    def test_matches_oracle_and_is_calibrated(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.clusters import (
+            minhash_calibration,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        out = minhash_calibration(SF)
+        gold = oracle_con.execute(ORACLE_SQL["minhash_calibration"]).df()
+        assert len(out) > 0
+        assert _value_hash(out) == _value_hash(gold)
+        # 64 permutations: per-bucket mean bias should stay inside a
+        # generous ±0.25 band on the planted corpus (the AUDIT exists to
+        # measure this number, the test pins it stays sane)
+        assert (out["mean_err_e6"].abs() < 250_000).all()
+        assert (out["n"] > 0).all()
