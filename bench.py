@@ -1172,6 +1172,7 @@ for _key, _name in [
     ("domain_audit", "lineitem_domain_audit"),
     ("type_lift", "session_type_lift"),
     ("calibration", "minhash_calibration"),
+    ("sketch_audit", "distinct_sketch_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1540,3 +1540,72 @@ register(
     "events_value_quantiles_exact", events_value_quantiles_exact,
     sql=EVENTS_EXACT_QUANTILES_SQL,
 )
+
+
+# --- sketch-accuracy audit: exact vs KMV vs HLL (X164) -----------------------------
+
+
+def distinct_sketch_audit(sf_dir: str) -> "pd.DataFrame":
+    """(event_type, exact, kmv_est, hll_est, kmv_err_e6, hll_err_e6):
+    the sketch-accuracy dashboard — per event type, the exact distinct
+    user count next to both sketch estimates and their SIGNED relative
+    errors. The number a platform team reads before choosing which
+    sketch backs a 10^12-row dashboard (KMV: unbiased, k-bounded
+    variance; HLL-256: ~6.5% σ, 256 bytes).
+
+    Composition of three value-oracled pipelines (exact pair-exchange
+    count, per-type KMV, per-type HLL) merged on the driver — the merge
+    input is #types rows per side. Errors are one shared IEEE chain
+    each; the SQL twin nests the three oracles verbatim, so drift in ANY
+    of them fails this audit too.
+    """
+    exact = events_distinct_users(sf_dir).to_pandas()
+    kmv = events_distinct_users_kmv(sf_dir).to_pandas()
+    hll = events_distinct_users_hll_by_type(sf_dir).to_pandas()
+    m = (
+        exact.merge(kmv[["event_type", "estimate"]], on="event_type")
+        .merge(hll, on="event_type")
+        .rename(
+            columns={
+                "n_users": "exact",
+                "estimate": "kmv_est",
+                "n_users_hll": "hll_est",
+            }
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    cols = {
+        "event_type": "object", "exact": "int64", "kmv_est": "int64",
+        "hll_est": "int64", "kmv_err_e6": "int64", "hll_err_e6": "int64",
+    }
+    if len(m) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    ex = m["exact"].to_numpy(dtype=np.float64)
+    m["kmv_err_e6"] = np.floor(
+        (m["kmv_est"].to_numpy(dtype=np.float64) - ex) / ex * 1e6 + 0.5
+    ).astype(np.int64)
+    m["hll_err_e6"] = np.floor(
+        (m["hll_est"].to_numpy(dtype=np.float64) - ex) / ex * 1e6 + 0.5
+    ).astype(np.int64)
+    return m[list(cols)].astype(cols)
+
+
+DISTINCT_SKETCH_AUDIT_SQL = f"""
+WITH exact AS ({EVENTS_DISTINCT_USERS_SQL}),
+kmv AS ({EVENTS_KMV_SQL}),
+hll AS ({EVENTS_HLL_BY_TYPE_SQL})
+SELECT e.event_type,
+       CAST(e.n_users AS BIGINT) AS exact,
+       CAST(k.estimate AS BIGINT) AS kmv_est,
+       CAST(h.n_users_hll AS BIGINT) AS hll_est,
+       CAST(floor((CAST(k.estimate AS DOUBLE) - CAST(e.n_users AS DOUBLE))
+            / CAST(e.n_users AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS kmv_err_e6,
+       CAST(floor((CAST(h.n_users_hll AS DOUBLE) - CAST(e.n_users AS DOUBLE))
+            / CAST(e.n_users AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS hll_err_e6
+FROM exact e
+JOIN kmv k USING (event_type)
+JOIN hll h USING (event_type)
+"""
+
+register("distinct_sketch_audit", distinct_sketch_audit, sql=DISTINCT_SKETCH_AUDIT_SQL)

@@ -8207,3 +8207,23 @@ class TestMinhashCalibration:
         # measure this number, the test pins it stays sane)
         assert (out["mean_err_e6"].abs() < 250_000).all()
         assert (out["n"] > 0).all()
+
+
+class TestDistinctSketchAudit:
+    """X164 sketch dashboard: nested-oracle parity on the corpus and the
+    sanity band (KMV k=256 / HLL-256 errors stay within a generous
+    envelope on thousands of distinct users)."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sketches import (
+            distinct_sketch_audit,
+        )
+
+        out = distinct_sketch_audit(SF)
+        gold = oracle_con.execute(ORACLE_SQL["distinct_sketch_audit"]).df()
+        assert len(out) > 0
+        assert _value_hash(out) == _value_hash(gold)
+        # sanity envelope, not a tight bound: the audit MEASURES the error
+        assert (out["kmv_err_e6"].abs() < 400_000).all()
+        assert (out["hll_err_e6"].abs() < 400_000).all()
