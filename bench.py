@@ -1173,6 +1173,7 @@ for _key, _name in [
     ("type_lift", "session_type_lift"),
     ("calibration", "minhash_calibration"),
     ("sketch_audit", "distinct_sketch_audit"),
+    ("return_rate", "brand_return_rate"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1539,3 +1539,112 @@ WHERE t.tot > 0
 """
 
 register("supplier_pareto", supplier_pareto, sql=SUPPLIER_PARETO_SQL)
+
+
+# --- return rate by part brand (X165) ----------------------------------------------
+
+
+def brand_return_rate(sf_dir: str) -> "pd.DataFrame":
+    """(p_brand, n_lines, n_returned, rate_e6): the share of lineitem
+    rows flagged 'R' per part brand — the product-quality league table a
+    returns desk reads (one brand at 3× the base rate = a supplier
+    problem, not noise).
+
+    Scale shape: the part table is the SMALL side — its (partkey →
+    brand) map broadcasts once via ``ray.put`` under the
+    MAX_BROADCAST_KEYS ceiling (loud error names the partkey
+    co-partition reroute past it); the fact scan emits bounded
+    (brand, n, returned) partials into the enum fold. Zero shuffle.
+
+    Exactness: pure integer counts; ``rate_e6`` is one shared IEEE
+    division. Lines with NULL partkey/returnflag or an unknown partkey
+    group under the '(unmatched)' sentinel — referential noise is
+    SHOWN, not dropped (LEFT JOIN semantics in the SQL twin).
+    """
+    import numpy as np
+
+    import ray as ray_core
+
+    import pyarrow.parquet as _pq
+
+    from .exchange import broadcast_lookup, enum_group_sum, probe_lookup
+
+    n_parts = _pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    if n_parts > MAX_BROADCAST_KEYS:
+        raise ValueError(
+            f"brand_return_rate: part has {n_parts:,} rows, past the "
+            f"broadcast ceiling ({MAX_BROADCAST_KEYS:,}); co-partition "
+            "lineitem and part on partkey instead"
+        )
+    part = _pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brands = sorted(set(part["p_brand"].to_pylist()))
+    bid = {b: i for i, b in enumerate(brands)}
+    UNMATCHED = len(brands)
+    keys, vals = broadcast_lookup(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        np.array([bid[b] for b in part["p_brand"].to_pylist()], dtype=np.int64),
+    )
+    ref = ray_core.put((keys, vals))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, v = ray_core.get(ref)
+        pk = pc.fill_null(batch["l_partkey"], -1).to_numpy(zero_copy_only=False)
+        b = probe_lookup(k, v, pk.astype(np.int64), missing=UNMATCHED)
+        rf = batch["l_returnflag"].to_pandas()
+        ret = (rf == "R").to_numpy()
+        n_b = np.bincount(b, minlength=UNMATCHED + 1)
+        r_b = np.bincount(b[ret], minlength=UNMATCHED + 1)
+        nz = np.flatnonzero(n_b)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "n": pa.array(n_b[nz].astype(np.int64)),
+                "r": pa.array(r_b[nz].astype(np.int64)),
+            }
+        )
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_partkey", "l_returnflag"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["b"],
+        ["n", "r"],
+    )
+    cols = {
+        "p_brand": "object", "n_lines": "int64",
+        "n_returned": "int64", "rate_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    fold = fold.sort_values("b").reset_index(drop=True)
+    names = brands + ["(unmatched)"]
+    rate = np.floor(
+        fold["r"].to_numpy(dtype=np.float64)
+        / fold["n"].to_numpy(dtype=np.float64)
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "p_brand": [names[int(i)] for i in fold["b"]],
+            "n_lines": fold["n"].astype("int64"),
+            "n_returned": fold["r"].astype("int64"),
+            "rate_e6": rate,
+        }
+    ).astype(cols)
+
+
+BRAND_RETURN_RATE_SQL = """
+SELECT coalesce(p.p_brand, '(unmatched)') AS p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_returned,
+       CAST(floor(
+         CAST(coalesce(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END),
+                       0) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS rate_e6
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+register("brand_return_rate", brand_return_rate, sql=BRAND_RETURN_RATE_SQL)

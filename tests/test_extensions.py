@@ -8227,3 +8227,61 @@ class TestDistinctSketchAudit:
         # sanity envelope, not a tight bound: the audit MEASURES the error
         assert (out["kmv_err_e6"].abs() < 400_000).all()
         assert (out["hll_err_e6"].abs() < 400_000).all()
+
+
+class TestBrandReturnRate:
+    """X165 dimension-join rate: planted rates per brand, the
+    '(unmatched)' sentinel for orphan/NULL partkeys, DuckDB LEFT JOIN
+    parity."""
+
+    def test_rates_and_unmatched(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.analytics import (
+            brand_return_rate,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_name": pa.array(["a", "b"], pa.string()),
+                    "p_brand": pa.array(["B1", "B2"], pa.string()),
+                    "p_type": pa.array(["t", "t"], pa.string()),
+                    "p_size": pa.array([1, 1], pa.int64()),
+                    "p_retailprice": pa.array([1.0, 1.0], pa.float64()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        rows = [
+            (1, "R"), (1, "N"), (1, "R"), (1, "A"),  # B1: 2/4 returned
+            (2, "N"), (2, "N"),                       # B2: 0/2
+            (99, "R"),                                # orphan partkey
+            (None, "N"),                              # NULL partkey
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = brand_return_rate(str(tmp_path)).set_index("p_brand")
+        assert int(out.loc["B1", "rate_e6"]) == 500_000
+        assert int(out.loc["B2", "rate_e6"]) == 0
+        assert int(out.loc["(unmatched)", "n_lines"]) == 2
+        assert int(out.loc["(unmatched)", "n_returned"]) == 1
+        con = duckdb.connect()
+        for t in ("part", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORACLE_SQL["brand_return_rate"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
