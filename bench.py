@@ -1175,6 +1175,7 @@ for _key, _name in [
     ("sketch_audit", "distinct_sketch_audit"),
     ("return_rate", "brand_return_rate"),
     ("split_balance", "split_balance_audit"),
+    ("ann_recall", "ann_recall_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

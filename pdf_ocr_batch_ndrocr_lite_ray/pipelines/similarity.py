@@ -512,3 +512,67 @@ QUALIFY row_number() OVER (
 """
 
 register("emb_knn_graph", emb_knn_graph, sql=EMB_KNN_GRAPH_SQL)
+
+
+# --- ANN recall audit: IVF vs brute-force ground truth (X167) ----------------------
+
+
+def ann_recall_audit(sf_dir: str, k: int = TOPK_K) -> "pd.DataFrame":
+    """(query_id, k, n_hits, recall_e6): recall@k of the IVF index
+    against the brute-force ground truth per query, the accuracy half of
+    the speed/accuracy trade an ANN deployment signs off on (the probed
+    -partition pruning is only a win if recall stays where the nprobe
+    setting promises).
+
+    Composition of two value-oracled pipelines: both top-k sets land on
+    the driver (k × n_queries rows each — constant-sized), intersect
+    per query as ID SETS (score-agnostic, so ties broken differently by
+    the two paths can't flap the audit), and divide once per query. The
+    SQL twin nests both oracles.
+    """
+    import pandas as pd
+
+    bf = brute_force_topk(sf_dir, k).to_pandas()
+    iv = ivf_topk(sf_dir, k).to_pandas()
+    cols = {
+        "query_id": "int64", "k": "int64",
+        "n_hits": "int64", "recall_e6": "int64",
+    }
+    if len(bf) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    truth = bf.groupby("query_id")["vec_id"].agg(set)
+    got = iv.groupby("query_id")["vec_id"].agg(set)
+    rows = []
+    for qid in sorted(truth.index):
+        t = truth[qid]
+        g = got.get(qid, set())
+        hits = len(t & g)
+        rows.append(
+            {
+                "query_id": int(qid),
+                "k": len(t),
+                "n_hits": hits,
+                "recall_e6": int(
+                    np.floor(hits / len(t) * 1e6 + 0.5)
+                ),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH bf AS ({BRUTE_FORCE_TOPK_SQL}),
+iv AS ({IVF_TOPK_SQL}),
+t AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM bf GROUP BY 1),
+h AS (
+  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf JOIN iv ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
+  GROUP BY 1
+)
+SELECT t.query_id, t.k, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(t.k AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS recall_e6
+FROM t LEFT JOIN h USING (query_id)
+"""
+
+register("ann_recall_audit", ann_recall_audit, sql=ANN_RECALL_AUDIT_SQL)

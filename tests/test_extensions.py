@@ -8343,3 +8343,22 @@ class TestSplitBalanceAudit:
         )
         gold = con.execute(ORACLE_SQL["split_balance_audit"]).df()
         assert _value_hash(out.to_frame().T.reset_index(drop=True)) == _value_hash(gold)
+
+
+class TestAnnRecallAudit:
+    """X167 ANN accuracy: nested-oracle parity on the corpus and the
+    recall floor the IVF nprobe setting is tuned to hold."""
+
+    def test_matches_oracle_and_recall_floor(self, ray_session, oracle_con):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.similarity import (
+            ann_recall_audit,
+        )
+
+        out = ann_recall_audit(SF)
+        gold = oracle_con.execute(ORACLE_SQL["ann_recall_audit"]).df()
+        assert len(out) == 8  # one row per fixed query
+        assert _value_hash(out) == _value_hash(gold)
+        # the audit MEASURES recall; pin only that the probed search
+        # finds a usable fraction on the planted corpus
+        assert float(out["recall_e6"].mean()) > 500_000
