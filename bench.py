@@ -1176,6 +1176,7 @@ for _key, _name in [
     ("return_rate", "brand_return_rate"),
     ("split_balance", "split_balance_audit"),
     ("ann_recall", "ann_recall_audit"),
+    ("layout_audit", "parquet_layout_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1636,3 +1636,116 @@ register(
     "orders_priority_mix_drift", orders_priority_mix_drift,
     sql=ORDERS_PRIORITY_MIX_DRIFT_SQL,
 )
+
+
+AUDIT_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def parquet_layout_audit(sf_dir: str) -> "pd.DataFrame":
+    """(table_name, n_row_groups, n_rows, min_rg_rows, max_rg_rows,
+    compressed_bytes, uncompressed_bytes, ratio_e6): the storage-health
+    profile of every input table read from parquet FOOTERS only — zero
+    data scan. The lake-ops tool that catches the two classic 100 TB
+    layout diseases before they tax every downstream job: tiny row
+    groups (per-task overhead explodes) and incompressible columns
+    (ratio ≈ 1e6 = bytes already random or double-compressed).
+
+    Scale shape: one footer read per FILE, distributed as a Ray map over
+    the file list (ten tables here; a real lake's hundred-thousand
+    shards fan the same map out across the cluster) — the driver folds
+    #tables summary rows. Exact integer byte/row sums; ``ratio_e6`` is
+    one shared IEEE division. The SQL twin reads DuckDB's
+    ``parquet_metadata()`` off the identical footers.
+    """
+    import pyarrow.parquet as _pq
+
+    def footer_stats(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in batch["table_name"].to_pylist():
+            md = _pq.ParquetFile(table_path(sf_dir, name)).metadata
+            rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            comp = 0
+            uncomp = 0
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    comp += int(c.total_compressed_size)
+                    uncomp += int(c.total_uncompressed_size)
+            rows.append(
+                {
+                    "table_name": name,
+                    "n_row_groups": md.num_row_groups,
+                    "n_rows": int(sum(rg_rows)),
+                    "min_rg_rows": int(min(rg_rows)) if rg_rows else 0,
+                    "max_rg_rows": int(max(rg_rows)) if rg_rows else 0,
+                    "compressed_bytes": comp,
+                    "uncompressed_bytes": uncomp,
+                }
+            )
+        out = pd.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.from_items(
+        [{"table_name": t} for t in AUDIT_TABLES]
+    ).map_batches(footer_stats, batch_format="pyarrow")
+    out = ds.to_pandas().sort_values("table_name").reset_index(drop=True)
+    ratio = np.floor(
+        out["compressed_bytes"].to_numpy(dtype=np.float64)
+        / out["uncompressed_bytes"].to_numpy(dtype=np.float64)
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    out["ratio_e6"] = ratio
+    return out.astype(
+        {
+            "table_name": "object", "n_row_groups": "int64", "n_rows": "int64",
+            "min_rg_rows": "int64", "max_rg_rows": "int64",
+            "compressed_bytes": "int64", "uncompressed_bytes": "int64",
+            "ratio_e6": "int64",
+        }
+    )
+
+
+def _layout_audit_sql() -> str:
+    parts = []
+    for t in AUDIT_TABLES:
+        p = table_path("/root/testdata/sf0.01", t)
+        parts.append(f"""
+SELECT '{t}' AS table_name,
+  (SELECT CAST(count(DISTINCT row_group_id) AS BIGINT)
+   FROM parquet_metadata('{p}')) AS n_row_groups,
+  (SELECT CAST(sum(rn) AS BIGINT) FROM (
+     SELECT any_value(row_group_num_rows) AS rn
+     FROM parquet_metadata('{p}') GROUP BY row_group_id)) AS n_rows,
+  (SELECT CAST(min(rn) AS BIGINT) FROM (
+     SELECT any_value(row_group_num_rows) AS rn
+     FROM parquet_metadata('{p}') GROUP BY row_group_id)) AS min_rg_rows,
+  (SELECT CAST(max(rn) AS BIGINT) FROM (
+     SELECT any_value(row_group_num_rows) AS rn
+     FROM parquet_metadata('{p}') GROUP BY row_group_id)) AS max_rg_rows,
+  (SELECT CAST(sum(total_compressed_size) AS BIGINT)
+   FROM parquet_metadata('{p}')) AS compressed_bytes,
+  (SELECT CAST(sum(total_uncompressed_size) AS BIGINT)
+   FROM parquet_metadata('{p}')) AS uncompressed_bytes,
+  (SELECT CAST(floor(
+     CAST(sum(total_compressed_size) AS DOUBLE)
+     / CAST(sum(total_uncompressed_size) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+   FROM parquet_metadata('{p}')) AS ratio_e6""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _sf_dir_path(sf_dir: str) -> str:
+    """SF_PATH_HELPERS entry: the sf dir itself, so raw table-path
+    literals in oracle SQL re-target across scales."""
+    return sf_dir
+
+
+register("parquet_layout_audit", parquet_layout_audit, sql=_layout_audit_sql())
+
+from .queryset import SF_PATH_HELPERS  # noqa: E402
+
+SF_PATH_HELPERS.append(_sf_dir_path)

@@ -8362,3 +8362,47 @@ class TestAnnRecallAudit:
         # the audit MEASURES recall; pin only that the probed search
         # finds a usable fraction on the planted corpus
         assert float(out["recall_e6"].mean()) > 500_000
+
+
+class TestParquetLayoutAudit:
+    """X168 storage-health profile: footer-derived stats match
+    parquet_metadata at two scales (the SF_PATH_HELPERS rewrite is
+    exercised), and a freshly written multi-row-group file reports its
+    min/max row-group shape exactly."""
+
+    def test_matches_oracle_cross_scale(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            parquet_layout_audit,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import (
+            oracle_sql_for,
+        )
+
+        out = parquet_layout_audit(SF)
+        sql = oracle_sql_for(SF)["parquet_layout_audit"]
+        gold = duckdb.connect().execute(sql).df()
+        assert len(out) == 10
+        assert _value_hash(out) == _value_hash(gold)
+        assert (out["n_rows"] > 0).all()
+        assert (out["compressed_bytes"] > 0).all()
+
+    def test_row_group_shape(self, ray_session, tmp_path, monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile as prof
+
+        n = 10_000
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array(range(n), pa.int64())}),
+            tmp_path / "orders.parquet",
+            row_group_size=3000,  # 3000/3000/3000/1000
+        )
+        monkeypatch.setattr(prof, "AUDIT_TABLES", ("orders",))
+        out = prof.parquet_layout_audit(str(tmp_path)).iloc[0]
+        assert int(out["n_row_groups"]) == 4
+        assert int(out["min_rg_rows"]) == 1000
+        assert int(out["max_rg_rows"]) == 3000
+        assert int(out["n_rows"]) == n
