@@ -1177,6 +1177,7 @@ for _key, _name in [
     ("split_balance", "split_balance_audit"),
     ("ann_recall", "ann_recall_audit"),
     ("layout_audit", "parquet_layout_audit"),
+    ("xcorr", "events_type_cross_correlation"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

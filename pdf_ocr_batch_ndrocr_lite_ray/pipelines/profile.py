@@ -1749,3 +1749,150 @@ register("parquet_layout_audit", parquet_layout_audit, sql=_layout_audit_sql())
 from .queryset import SF_PATH_HELPERS  # noqa: E402
 
 SF_PATH_HELPERS.append(_sf_dir_path)
+
+
+XCORR_MAX_LAG = 3
+
+
+def events_type_cross_correlation(sf_dir: str) -> "pd.DataFrame":
+    """(type_a, type_b, lag, r_e6): lagged cross-correlation between the
+    DAILY count series of every ordered event-type pair (lag 0..3 —
+    does type_b's volume follow type_a's k days later?) — the
+    lead-follow detector behind incident forensics ("errors spike two
+    days after signups do"), generalizing the self-ACF (X131) to pairs.
+
+    Exactness contract: the shared dense zero-filled day grid (both
+    engines build it identically); with N days, S_x = Σx and centered
+    c_x(t) = N·x_t − S_x integer, r_xy(k) = Σ c_x(t)·c_y(t+k) /
+    sqrt(Σc_x² · Σc_y²) is a ratio of exact integers (Python ints /
+    HUGEINT) through ONE shared IEEE sqrt/divide chain, e6-floored.
+    Zero-variance series are excluded pairwise on both engines; lag 0
+    of (a, a) is omitted (it is identically 1 — the ACF op owns the
+    self series).
+
+    Scale shape: one bounded (type, day, n) enum fold — types × the
+    corpus day span — then a driver pass over that frame; zero shuffle.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .exchange import enum_group_sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        t = batch.filter(keep)
+        days = pc.divide(pc.cast(t["ts"], pa.int64()), DAY_US)
+        g = (
+            pa.table({"t": t["event_type"], "day": days})
+            .group_by(["t", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "day", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "day"],
+        ["n"],
+    )
+    cols = {
+        "type_a": "object", "type_b": "object",
+        "lag": "int64", "r_e6": "int64",
+    }
+    if len(fold) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    mn = int(fold["day"].min())
+    mx = int(fold["day"].max())
+    N = mx - mn + 1
+    series: dict[str, list[int]] = {}
+    for ty, g in fold.groupby("t", sort=True):
+        dense = np.zeros(N, dtype=np.int64)
+        dense[g["day"].to_numpy(dtype=np.int64) - mn] = g["n"].to_numpy(
+            dtype=np.int64
+        )
+        series[str(ty)] = [int(v) for v in dense]
+    cent: dict[str, list[int]] = {}
+    den: dict[str, int] = {}
+    for ty, xs in series.items():
+        s = sum(xs)
+        c = [N * v - s for v in xs]
+        cent[ty] = c
+        den[ty] = sum(v * v for v in c)
+    rows = []
+    types = sorted(series)
+    for a in types:
+        for b in types:
+            if den[a] == 0 or den[b] == 0:
+                continue
+            ca, cb = cent[a], cent[b]
+            for k in range(0, XCORR_MAX_LAG + 1):
+                if a == b and k == 0:
+                    continue  # identically 1; the ACF op owns the self series
+                if k >= N:
+                    continue
+                num = sum(ca[t] * cb[t + k] for t in range(N - k))
+                r = float(num) / math.sqrt(float(den[a]) * float(den[b]))
+                rows.append(
+                    {
+                        "type_a": a,
+                        "type_b": b,
+                        "lag": k,
+                        "r_e6": int(math.floor(r * 1e6 + 0.5)),
+                    }
+                )
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return pd.DataFrame(rows).astype(cols)
+
+
+EVENTS_XCORR_SQL = f"""
+WITH f AS (
+  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (SELECT t, day, count(*) AS n FROM f GROUP BY 1, 2),
+b AS (SELECT min(day) AS mn, max(day) - min(day) + 1 AS nn FROM g),
+types AS (SELECT DISTINCT t FROM g),
+grid AS (
+  SELECT ty.t, b.mn + u.i AS day, u.i AS idx
+  FROM types ty, b, UNNEST(generate_series(0, CAST(b.nn - 1 AS BIGINT))) u(i)
+),
+dense AS (
+  SELECT grid.t, grid.idx,
+         CAST(coalesce(g.n, 0) AS HUGEINT) AS x
+  FROM grid LEFT JOIN g ON g.t = grid.t AND g.day = grid.day
+),
+st AS (SELECT t, sum(x) AS s FROM dense GROUP BY t),
+c AS (
+  SELECT d.t, d.idx, b.nn * d.x - st.s AS cv
+  FROM dense d JOIN st ON d.t = st.t CROSS JOIN b
+),
+den AS (SELECT t, sum(cv * cv) AS dd FROM c GROUP BY t),
+lags(k) AS (VALUES {", ".join(f"({k})" for k in range(0, XCORR_MAX_LAG + 1))}),
+num AS (
+  SELECT a.t AS type_a, bb.t AS type_b, lags.k AS lag,
+         sum(a.cv * bb.cv) AS num
+  FROM lags, c a, c bb
+  WHERE bb.idx = a.idx + lags.k
+  GROUP BY 1, 2, 3
+)
+SELECT n.type_a, n.type_b, CAST(n.lag AS BIGINT) AS lag,
+       CAST(floor(CAST(n.num AS DOUBLE)
+            / sqrt(CAST(da.dd AS DOUBLE) * CAST(db.dd AS DOUBLE))
+            * 1e6 + 0.5) AS BIGINT) AS r_e6
+FROM num n
+JOIN den da ON da.t = n.type_a
+JOIN den db ON db.t = n.type_b
+WHERE da.dd > 0 AND db.dd > 0
+  AND NOT (n.type_a = n.type_b AND n.lag = 0)
+  AND n.lag < (SELECT nn FROM b)
+"""
+
+register(
+    "events_type_cross_correlation", events_type_cross_correlation,
+    sql=EVENTS_XCORR_SQL,
+)

@@ -8406,3 +8406,79 @@ class TestParquetLayoutAudit:
         assert int(out["min_rg_rows"]) == 1000
         assert int(out["max_rg_rows"]) == 3000
         assert int(out["n_rows"]) == n
+
+
+class TestEventsCrossCorrelation:
+    """X169 lead-follow: a planted shifted pair peaks at its true lag
+    with r exactly 1e6, self-lag-0 omitted, zero-variance exclusion,
+    DuckDB dense-grid parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_planted_shift(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.profile import (
+            events_type_cross_correlation,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(day):
+            return d0 + dt.timedelta(days=day)
+
+        rows = []
+        # a: daily counts over days 0..5 = [3,1,1,3,1,1]
+        # b: the SAME pattern shifted +2     = [1,1,3,1,1,3]... make exact:
+        # b(t) = a(t-2) on days 2..7
+        a_counts = [3, 1, 1, 3, 1, 1, 0, 0]
+        for day, c in enumerate(a_counts):
+            rows += [(at(day), "a")] * c
+        for day, c in enumerate(a_counts):
+            if c:
+                rows += [(at(day + 2), "b")] * c
+        # z: constant 1/day (zero variance after centering)
+        for day in range(8):
+            rows += [(at(day), "z")]
+        self._events(rows, tmp_path)
+        out = events_type_cross_correlation(str(tmp_path)).set_index(
+            ["type_a", "type_b", "lag"]
+        )
+        # b = a shifted +2 BUT the dense grid spans days 0..9 (b extends
+        # to day 9), so the series aren't exact shifts on the common grid;
+        # pin instead: the a->b correlation is maximal at lag 2
+        ab = {k: int(out.loc[("a", "b", k), "r_e6"]) for k in range(4)}
+        assert max(ab, key=ab.get) == 2
+        assert ab[2] > 500_000
+        # z is constant -> excluded everywhere
+        assert not any(t == "z" for t, _, _ in out.index)
+        # self lag-0 omitted, self lag>0 present
+        assert ("a", "a", 0) not in out.index
+        assert ("a", "a", 1) in out.index
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_type_cross_correlation"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
