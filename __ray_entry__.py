@@ -60,6 +60,7 @@ from pdf_ocr_batch_ndrocr_lite_ray.pipelines import compaction as _cp  # noqa: F
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import tpchx as _tx  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import pareto as _pf  # noqa: F401
 from pdf_ocr_batch_ndrocr_lite_ray.pipelines import baskets as _bk  # noqa: F401
+from pdf_ocr_batch_ndrocr_lite_ray.pipelines import diagnostics as _dg  # noqa: F401
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

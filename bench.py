@@ -1178,6 +1178,7 @@ for _key, _name in [
     ("ann_recall", "ann_recall_audit"),
     ("layout_audit", "parquet_layout_audit"),
     ("xcorr", "events_type_cross_correlation"),
+    ("cusum", "events_changepoint_cusum"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3526,11 +3526,21 @@ class TestOracleRetargeting:
         assert "tpch_q1_pricing" not in cache_names
         small = queryset.oracle_sql_for("/root/testdata/sf0.001")
         for name in cache_names:
+            # nothing pinned to the driver scale survives: neither a
+            # sf0.01 cache filename nor the raw sf0.01 testdata dir
+            # (parquet_layout_audit embeds the dir itself, not a cache)
             assert "sf0.01-" not in small[name], name
-            assert "sf0.001-" in small[name], name
+            assert "/root/testdata/sf0.01/" not in small[name], name
+            assert (
+                "sf0.001-" in small[name]
+                or "/root/testdata/sf0.001/" in small[name]
+            ), name
         driver = queryset.oracle_sql_for(queryset.DRIVER_SF_DIR)
         for name in cache_names:
-            assert "sf0.01-" in driver[name], name
+            assert (
+                "sf0.01-" in driver[name]
+                or "/root/testdata/sf0.01/" in driver[name]
+            ), name
 
 
 class TestExtractionSingleCpuFallback:
@@ -8482,3 +8492,91 @@ class TestEventsCrossCorrelation:
         )
         gold = con.execute(ORACLE_SQL["events_type_cross_correlation"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestEventsChangepointCusum:
+    """X170 CUSUM: a planted level shift localizes to the last low-regime
+    day with exact segment means; a constant series reports the honest
+    no-shift row (cp at the first grid day, equal means); DuckDB parity."""
+
+    @staticmethod
+    def _events(rows, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+
+    def test_planted_level_shift(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            events_changepoint_cusum,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        d0 = dt.datetime(2020, 1, 1)
+
+        def at(day):
+            return d0 + dt.timedelta(days=day)
+
+        epoch_day0 = (d0 - dt.datetime(1970, 1, 1)).days
+        rows = []
+        # a: 1/day on days 0-9, then 5/day on days 10-19 -> cp at day 9
+        # (|P_k| = |20*pre_k - 60*(k+1)| peaks at k=9: 400)
+        for day in range(10):
+            rows += [(at(day), "a")]
+        for day in range(10, 20):
+            rows += [(at(day), "a")] * 5
+        # z: constant 2/day -> P identically 0 -> cp at the first grid day
+        for day in range(20):
+            rows += [(at(day), "z")] * 2
+        self._events(rows, tmp_path)
+        out = events_changepoint_cusum(str(tmp_path)).set_index("event_type")
+        assert int(out.loc["a", "cp_day"]) == epoch_day0 + 9
+        assert int(out.loc["a", "n_days"]) == 20
+        assert int(out.loc["a", "cusum_abs"]) == 400
+        assert int(out.loc["a", "mean_before_e6"]) == 1_000_000
+        assert int(out.loc["a", "mean_after_e6"]) == 5_000_000
+        assert int(out.loc["z", "cp_day"]) == epoch_day0
+        assert int(out.loc["z", "cusum_abs"]) == 0
+        assert (
+            int(out.loc["z", "mean_before_e6"])
+            == int(out.loc["z", "mean_after_e6"])
+            == 2_000_000
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_changepoint_cusum"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_single_day_is_empty(self, ray_session, tmp_path):
+        import datetime as dt
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            events_changepoint_cusum,
+        )
+
+        self._events([(dt.datetime(2020, 1, 1), "a")] * 3, tmp_path)
+        out = events_changepoint_cusum(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "event_type", "cp_day", "n_days", "cusum_abs",
+            "mean_before_e6", "mean_after_e6",
+        ]
