@@ -1179,6 +1179,7 @@ for _key, _name in [
     ("layout_audit", "parquet_layout_audit"),
     ("xcorr", "events_type_cross_correlation"),
     ("cusum", "events_changepoint_cusum"),
+    ("skew_audit", "join_skew_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

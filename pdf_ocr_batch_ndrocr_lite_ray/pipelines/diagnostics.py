@@ -174,3 +174,144 @@ WHERE cp.rn = 1 AND b.nn >= 2
 """
 
 register("events_changepoint_cusum", events_changepoint_cusum, sql=EVENTS_CUSUM_SQL)
+
+
+#: (table, key column) pairs every standard pipeline joins or partitions on
+SKEW_AUDIT_KEYS: list[tuple[str, str]] = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def join_skew_audit(sf_dir: str) -> pd.DataFrame:
+    """(table_name, key_col, n_rows, n_keys, top_key, top_n, top_share_e6,
+    p50_mult, p99_mult): the exact key-multiplicity profile of every
+    declared join/partition key — the shuffle-planning readout behind
+    the engine's explicit skew handling (which keys need salting, how
+    hot is the hottest key, how heavy is the multiplicity tail).
+
+    Exactness contract: multiplicities are exact integer counts; the
+    top key is (multiplicity DESC, key ASC); quantiles use the inverse
+    CDF over the count-of-counts fold — p_q = min{m : #keys with
+    multiplicity ≤ m reaches ceil(q·n_keys)} with integer thresholds
+    (n_keys+1)//2 and (99·n_keys+99)//100; top_share_e6 is one IEEE
+    divide then the e6 floor.
+
+    Scale shape: per key column, one hash co-partition exchange of
+    in-block (key, n) pre-aggregates → exact per-key counts stay
+    distributed; the driver folds only (a) one scalar agg row, (b) the
+    global top-1 via per-block top-k candidates, (c) the bounded
+    count-of-counts frame (≤ #distinct multiplicities rows — the same
+    bound as the token frequency spectrum). No global sort.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .exchange import driver_topk_fold, hash_partitioned
+
+    cols = {
+        "table_name": "object", "key_col": "object", "n_rows": "int64",
+        "n_keys": "int64", "top_key": "int64", "top_n": "int64",
+        "top_share_e6": "int64", "p50_mult": "int64", "p99_mult": "int64",
+    }
+    rows = []
+    for table, key in SKEW_AUDIT_KEYS:
+
+        def partial(batch: pa.Table, key=key) -> pa.Table:
+            col = batch[key]
+            t = pa.table({"k": col}).filter(pc.is_valid(col))
+            g = t.group_by(["k"]).aggregate([([], "count_all")])
+            return g.rename_columns(["k", "n"])
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"k": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+                )
+            return (
+                df.groupby("k", sort=False)["n"].sum().reset_index().astype("int64")
+            )
+
+        per_key = hash_partitioned(
+            ray.data.read_parquet(
+                table_path(sf_dir, table), columns=[key]
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "k",
+            fold,
+        ).materialize()  # one exact (key, n) row per distinct key, distributed
+
+        agg = per_key.aggregate(Count(), Sum("n"), Max("n"))
+        if agg is None or not agg.get("count()"):
+            continue
+        n_keys = int(agg["count()"])
+        n_rows = int(agg["sum(n)"])
+        top = driver_topk_fold(per_key, by=["n", "k"], ascending=[False, True], k=1)
+        top_key = int(top["k"].iloc[0])
+        top_n = int(top["n"].iloc[0])
+
+        def cc_partial(batch: pa.Table) -> pa.Table:
+            g = (
+                pa.table({"m": batch["n"]})
+                .group_by(["m"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["m", "c"])
+
+        cc = enum_group_sum(
+            per_key.map_batches(cc_partial, batch_format="pyarrow"),
+            ["m"],
+            ["c"],
+        ).sort_values("m")
+        cum = cc["c"].cumsum().to_numpy()
+        ms = cc["m"].to_numpy(dtype=np.int64)
+        t50 = (n_keys + 1) // 2
+        t99 = (99 * n_keys + 99) // 100
+        p50 = int(ms[np.searchsorted(cum, t50)])
+        p99 = int(ms[np.searchsorted(cum, t99)])
+        rows.append(
+            {
+                "table_name": table, "key_col": key, "n_rows": n_rows,
+                "n_keys": n_keys, "top_key": top_key, "top_n": top_n,
+                "top_share_e6": int(
+                    math.floor(float(top_n) / float(n_rows) * 1e6 + 0.5)
+                ),
+                "p50_mult": p50, "p99_mult": p99,
+            }
+        )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _skew_audit_sql() -> str:
+    parts = []
+    for table, key in SKEW_AUDIT_KEYS:
+        parts.append(f"""
+SELECT '{table}' AS table_name, '{key}' AS key_col, * FROM (
+  WITH cnt AS (
+    SELECT {key} AS k, count(*) AS m FROM {table}
+    WHERE {key} IS NOT NULL GROUP BY 1
+  ),
+  tot AS (SELECT count(*) AS kk, sum(m) AS nr FROM cnt),
+  cc AS (SELECT m, count(*) AS c FROM cnt GROUP BY m),
+  cum AS (SELECT m, sum(c) OVER (ORDER BY m) AS cm FROM cc),
+  top AS (SELECT k, m FROM cnt ORDER BY m DESC, k ASC LIMIT 1)
+  SELECT CAST(tot.nr AS BIGINT) AS n_rows,
+         CAST(tot.kk AS BIGINT) AS n_keys,
+         CAST(top.k AS BIGINT) AS top_key,
+         CAST(top.m AS BIGINT) AS top_n,
+         CAST(floor(CAST(top.m AS DOUBLE) / CAST(tot.nr AS DOUBLE)
+              * 1e6 + 0.5) AS BIGINT) AS top_share_e6,
+         (SELECT CAST(min(m) AS BIGINT) FROM cum, tot
+          WHERE cm >= (tot.kk + 1) // 2) AS p50_mult,
+         (SELECT CAST(min(m) AS BIGINT) FROM cum, tot
+          WHERE cm >= (99 * tot.kk + 99) // 100) AS p99_mult
+  FROM tot, top
+  WHERE tot.kk > 0
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+register("join_skew_audit", join_skew_audit, sql=_skew_audit_sql())

@@ -8580,3 +8580,66 @@ class TestEventsChangepointCusum:
             "event_type", "cp_day", "n_days", "cusum_abs",
             "mean_before_e6", "mean_after_e6",
         ]
+
+
+class TestJoinSkewAudit:
+    """X171: planted hot key -> exact top key/share and inverse-CDF
+    multiplicity quantiles from the count-of-counts fold; DuckDB parity."""
+
+    def test_planted_hot_key(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            join_skew_audit,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # lineitem: l_orderkey 1 appears 5x, 2..5 once each (hot key);
+        # l_partkey/l_suppkey constant (degenerate single-key columns)
+        okeys = [1] * 5 + [2, 3, 4, 5]
+        n = len(okeys)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(okeys, pa.int64()),
+                    "l_partkey": pa.array([7] * n, pa.int64()),
+                    "l_suppkey": pa.array([8] * n, pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table({"o_custkey": pa.array([10, 10, 11], pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table({"user_id": pa.array([None, 1, 1, 2], pa.int64())}),
+            tmp_path / "events.parquet",
+        )
+        out = join_skew_audit(str(tmp_path)).set_index(["table_name", "key_col"])
+        li = out.loc[("lineitem", "l_orderkey")]
+        assert int(li["n_rows"]) == 9
+        assert int(li["n_keys"]) == 5
+        assert int(li["top_key"]) == 1
+        assert int(li["top_n"]) == 5
+        assert int(li["top_share_e6"]) == 555_556
+        assert int(li["p50_mult"]) == 1  # threshold ceil(5/2)=3 <= 4 keys @ m=1
+        assert int(li["p99_mult"]) == 5  # threshold ceil(4.95)=5 -> needs m=5
+        # single-key column: everything concentrates on one key
+        pk = out.loc[("lineitem", "l_partkey")]
+        assert int(pk["n_keys"]) == 1
+        assert int(pk["top_share_e6"]) == 1_000_000
+        # null keys are excluded from the profile
+        ev = out.loc[("events", "user_id")]
+        assert int(ev["n_rows"]) == 3
+        assert int(ev["n_keys"]) == 2
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORACLE_SQL["join_skew_audit"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
