@@ -1180,6 +1180,7 @@ for _key, _name in [
     ("xcorr", "events_type_cross_correlation"),
     ("cusum", "events_changepoint_cusum"),
     ("skew_audit", "join_skew_audit"),
+    ("supplier_hhi", "part_supplier_hhi"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

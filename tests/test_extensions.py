@@ -8643,3 +8643,93 @@ class TestJoinSkewAudit:
             )
         gold = con.execute(ORACLE_SQL["join_skew_audit"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestPartSupplierHHI:
+    """X172: hand-computed HHI per part, single-source share, unmatched
+    sentinel, null drops; DuckDB parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            part_supplier_hhi,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # part 1 (brand A): suppliers 60/40 -> HHI = .36+.16 = .52
+        # part 2 (brand A): single supplier -> HHI 1.0, single-sourced
+        # part 9 (not in part table): -> (unmatched), single
+        # one all-null row dropped
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 1, 2, 9, None], pa.int64()),
+                    "l_suppkey": pa.array([11, 12, 11, 13, 11], pa.int64()),
+                    "l_extendedprice": pa.array(
+                        [6.0, 4.0, 5.0, 2.0, None], pa.float64()
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1, 2], pa.int64()),
+                    "p_brand": pa.array(["A", "A"], pa.string()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        out = part_supplier_hhi(str(tmp_path)).set_index("p_brand")
+        a = out.loc["A"]
+        assert int(a["n_parts"]) == 2
+        # mean of 520000 and 1000000 = 760000
+        assert int(a["avg_hhi_e6"]) == 760_000
+        assert int(a["single_supplier_e6"]) == 500_000
+        u = out.loc["(unmatched)"]
+        assert int(u["n_parts"]) == 1
+        assert int(u["avg_hhi_e6"]) == 1_000_000
+        assert int(u["single_supplier_e6"]) == 1_000_000
+        con = duckdb.connect()
+        for t in ("lineitem", "part"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORACLE_SQL["part_supplier_hhi"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_overflow_guard(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            part_supplier_hhi,
+        )
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_partkey": pa.array([1, 1], pa.int64()),
+                    "l_suppkey": pa.array([11, 12], pa.int64()),
+                    "l_extendedprice": pa.array([2.0e7, 2.0e7], pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array([1], pa.int64()),
+                    "p_brand": pa.array(["A"], pa.string()),
+                }
+            ),
+            tmp_path / "part.parquet",
+        )
+        with _pytest.raises(Exception, match="int64-square guard"):
+            part_supplier_hhi(str(tmp_path))
