@@ -1181,6 +1181,7 @@ for _key, _name in [
     ("cusum", "events_changepoint_cusum"),
     ("skew_audit", "join_skew_audit"),
     ("supplier_hhi", "part_supplier_hhi"),
+    ("kruskal", "lineitem_quantity_kruskal"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -536,3 +536,136 @@ FROM lab GROUP BY p_brand
 """
 
 register("part_supplier_hhi", part_supplier_hhi, sql=PART_SUPPLIER_HHI_SQL)
+
+
+def lineitem_quantity_kruskal(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, n, rank_sum_x2, h_contrib_e6): Kruskal–Wallis
+    rank test of l_quantity across return-flag groups with EXACT tie
+    handling and no global sort — the k-group generalization of the
+    Mann–Whitney drift test (X144): did the quantity distribution shift
+    between returned / accepted / open lines?
+
+    Exactness contract: quantities fold to an enum-bounded (flag,
+    cent-value) count table; doubled midranks R2_v = 2·C_{<v} + c_v + 1
+    and per-group doubled rank sums are exact integers (Python int /
+    HUGEINT). Using the tie-robust form H = (N−1)·SSB/SST on midranks,
+    each group's contribution (N−1)·D_g²/(n_g·SST4) — D_g = R2S_g −
+    n_g(N+1), SST4 = Σ c_v(R2_v−(N+1))² — goes through ONE fixed
+    left-to-right IEEE chain (dd·dd / n_g · (N−1) / SST4 · 1e6, floor),
+    so H itself is Σ h_contrib_e6 / 1e6 up to the per-row floors.
+    Degenerate inputs (all values tied → SST = 0) return empty on both
+    engines.
+
+    Scale shape: ONE bounded enum fold (≤ flags × distinct quantity
+    cents, MAX_ENUM_GROUPS-guarded); everything after is driver math on
+    that fold. Zero shuffle.
+    """
+    cols = {
+        "l_returnflag": "object", "n": "int64",
+        "rank_sum_x2": "int64", "h_contrib_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["l_returnflag"]), pc.is_valid(batch["l_quantity"])
+        )
+        t = batch.filter(keep)
+        v = pc.cast(
+            pc.round(
+                pc.multiply(t["l_quantity"], pa.scalar(100.0)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"g": t["l_returnflag"], "v": v})
+            .group_by(["g", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["g", "v", "c"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "v"],
+        ["c"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    # global value counts -> doubled midranks (exact Python ints)
+    gv = fold.groupby("v", sort=True)["c"].sum()
+    N = int(gv.sum())
+    r2 = {}
+    cum = 0
+    for v, cv in gv.items():
+        r2[int(v)] = 2 * cum + int(cv) + 1
+        cum += int(cv)
+    sst4 = sum(
+        int(cv) * (r2[int(v)] - (N + 1)) ** 2 for v, cv in gv.items()
+    )
+    if sst4 == 0:
+        return _empty(cols)
+    rows = []
+    for g, sub in fold.groupby("g", sort=True):
+        ng = int(sub["c"].sum())
+        r2s = sum(int(c) * r2[int(v)] for v, c in zip(sub["v"], sub["c"]))
+        d = r2s - ng * (N + 1)
+        dd = float(d)
+        contrib = dd * dd / float(ng) * float(N - 1) / float(sst4) * 1e6
+        rows.append(
+            {
+                "l_returnflag": str(g),
+                "n": ng,
+                "rank_sum_x2": r2s,
+                "h_contrib_e6": int(math.floor(contrib + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+LINEITEM_KRUSKAL_SQL = """
+WITH f AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+),
+vc AS (SELECT g, v, count(*) AS c FROM f GROUP BY 1, 2),
+gv AS (SELECT v, sum(c) AS cv FROM vc GROUP BY v),
+rk AS (
+  SELECT v, cv,
+         2 * (sum(cv) OVER (ORDER BY v) - cv) + cv + 1 AS r2
+  FROM gv
+),
+nn AS (SELECT sum(cv) AS n FROM gv),
+sst AS (
+  SELECT sum(CAST(rk.cv AS HUGEINT)
+             * (rk.r2 - (nn.n + 1)) * (rk.r2 - (nn.n + 1))) AS s4
+  FROM rk CROSS JOIN nn
+),
+grp AS (
+  SELECT vc.g, sum(vc.c) AS ng,
+         sum(CAST(vc.c AS HUGEINT) * rk.r2) AS r2s
+  FROM vc JOIN rk ON rk.v = vc.v
+  GROUP BY vc.g
+)
+SELECT g AS l_returnflag,
+       CAST(ng AS BIGINT) AS n,
+       CAST(r2s AS BIGINT) AS rank_sum_x2,
+       CAST(floor(
+         CAST(r2s - ng * (nn.n + 1) AS DOUBLE)
+         * CAST(r2s - ng * (nn.n + 1) AS DOUBLE)
+         / CAST(ng AS DOUBLE)
+         * CAST(nn.n - 1 AS DOUBLE)
+         / CAST(sst.s4 AS DOUBLE)
+         * 1e6 + 0.5) AS BIGINT) AS h_contrib_e6
+FROM grp CROSS JOIN nn CROSS JOIN sst
+WHERE sst.s4 > 0
+"""
+
+register(
+    "lineitem_quantity_kruskal", lineitem_quantity_kruskal,
+    sql=LINEITEM_KRUSKAL_SQL,
+)

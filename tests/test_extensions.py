@@ -8733,3 +8733,56 @@ class TestPartSupplierHHI:
         )
         with _pytest.raises(Exception, match="int64-square guard"):
             part_supplier_hhi(str(tmp_path))
+
+
+class TestLineitemQuantityKruskal:
+    """X173 Kruskal-Wallis: hand-computed doubled midranks and per-group
+    H contributions on a tied fixture; tied-everything degenerates to
+    empty; DuckDB parity."""
+
+    @staticmethod
+    def _lineitem(vals, flags, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(flags, pa.string()),
+                    "l_quantity": pa.array(vals, pa.float64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            lineitem_quantity_kruskal,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        # A: [1, 2], B: [2, 3] -> midranks 1, 2.5 | 2.5, 4
+        # doubled rank sums: A=7, B=13; SST4=18; H = 1.5 split 0.75/0.75
+        self._lineitem([1.0, 2.0, 2.0, 3.0], ["A", "A", "B", "B"], tmp_path)
+        out = lineitem_quantity_kruskal(str(tmp_path)).set_index("l_returnflag")
+        assert int(out.loc["A", "rank_sum_x2"]) == 7
+        assert int(out.loc["B", "rank_sum_x2"]) == 13
+        assert int(out.loc["A", "h_contrib_e6"]) == 750_000
+        assert int(out.loc["B", "h_contrib_e6"]) == 750_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["lineitem_quantity_kruskal"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+    def test_all_tied_is_empty(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            lineitem_quantity_kruskal,
+        )
+
+        self._lineitem([5.0, 5.0, 5.0], ["A", "B", "B"], tmp_path)
+        assert len(lineitem_quantity_kruskal(str(tmp_path))) == 0
