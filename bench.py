@@ -1182,6 +1182,7 @@ for _key, _name in [
     ("skew_audit", "join_skew_audit"),
     ("supplier_hhi", "part_supplier_hhi"),
     ("kruskal", "lineitem_quantity_kruskal"),
+    ("simpson", "discount_quantity_simpson"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

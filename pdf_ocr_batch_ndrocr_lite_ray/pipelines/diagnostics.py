@@ -669,3 +669,157 @@ register(
     "lineitem_quantity_kruskal", lineitem_quantity_kruskal,
     sql=LINEITEM_KRUSKAL_SQL,
 )
+
+
+def discount_quantity_simpson(sf_dir: str) -> pd.DataFrame:
+    """(scope, n, slope_e9, reversed): Simpson's-paradox audit of the
+    discount→quantity relationship — the exact OLS slope pooled over
+    all lineitem rows vs within each return-flag group, flagging groups
+    whose association sign REVERSES the pooled sign (the classic
+    aggregation trap a causal read of grouped dashboards falls into).
+
+    Exactness contract: x = discount in integer percent-points
+    (round(l_discount·100)), y = quantity cents; per-block int64
+    partial moments (n, Σx, Σy, Σxy, Σx²) fold on the driver in Python
+    ints, so num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² are exact at
+    any size (HUGEINT in the twin); slope_e9 is one IEEE divide + e9
+    floor; ``reversed`` compares the exact integer SIGNS of the group
+    and pooled numerators (never the floored floats, and never a
+    num·num product that could overflow int128). Zero-variance scopes
+    (den = 0) are excluded on both engines; the pooled row is scope
+    '(pooled)' with reversed = 0.
+
+    Scale shape: one column-pruned pass emitting ≤ (#flags + 1) moment
+    rows per block into the bounded enum fold; zero shuffle.
+    """
+    cols = {
+        "scope": "object", "n": "int64", "slope_e9": "int64", "reversed": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["l_returnflag"]), pc.is_valid(batch["l_discount"])
+            ),
+            pc.is_valid(batch["l_quantity"]),
+        )
+        t = batch.filter(keep)
+        x = pc.cast(
+            pc.round(
+                pc.multiply(t["l_discount"], pa.scalar(100.0)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        y = pc.cast(
+            pc.round(
+                pc.multiply(t["l_quantity"], pa.scalar(100.0)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        g = t["l_returnflag"].to_pandas().to_numpy()
+        df = pd.DataFrame(
+            {"g": g, "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x}
+        )
+        agg = df.groupby("g", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"),
+            columns=["l_returnflag", "l_discount", "l_quantity"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"],
+        ["n", "sx", "sy", "sxy", "sxx"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+
+    def moments(sub) -> tuple[int, int, int]:
+        n = int(sub["n"].sum())
+        sx = int(sub["sx"].sum())
+        sy = int(sub["sy"].sum())
+        sxy = int(sub["sxy"].sum())
+        sxx = int(sub["sxx"].sum())
+        num = n * sxy - sx * sy  # exact Python ints — no int64 cliff
+        den = n * sxx - sx * sx
+        return n, num, den
+
+    n_p, num_p, den_p = moments(fold)
+    rows = []
+    if den_p > 0:
+        rows.append(
+            {
+                "scope": "(pooled)", "n": n_p,
+                "slope_e9": int(
+                    math.floor(float(num_p) / float(den_p) * 1e9 + 0.5)
+                ),
+                "reversed": 0,
+            }
+        )
+    for g, sub in fold.groupby("g", sort=True):
+        n_g, num_g, den_g = moments(sub)
+        if den_g <= 0:
+            continue
+        rev = int(
+            den_p > 0 and ((num_g > 0 and num_p < 0) or (num_g < 0 and num_p > 0))
+        )
+        rows.append(
+            {
+                "scope": str(g), "n": n_g,
+                "slope_e9": int(
+                    math.floor(float(num_g) / float(den_g) * 1e9 + 0.5)
+                ),
+                "reversed": rev,
+            }
+        )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+SIMPSON_SQL = """
+WITH f AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_discount * 100.0, 0) AS BIGINT) AS x,
+         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+    AND l_quantity IS NOT NULL
+),
+m AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM f GROUP BY g
+),
+p AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxy) AS sxy, sum(sxx) AS sxx
+  FROM m
+),
+pm AS (
+  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM p
+),
+gm AS (
+  SELECT g, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM m
+)
+SELECT '(pooled)' AS scope, CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e9 + 0.5)
+            AS BIGINT) AS slope_e9,
+       CAST(0 AS BIGINT) AS reversed
+FROM pm WHERE den > 0
+UNION ALL
+SELECT gm.g AS scope, CAST(gm.n AS BIGINT) AS n,
+       CAST(floor(CAST(gm.num AS DOUBLE) / CAST(gm.den AS DOUBLE) * 1e9 + 0.5)
+            AS BIGINT) AS slope_e9,
+       CAST(CASE WHEN pm.den > 0
+                  AND ((gm.num > 0 AND pm.num < 0)
+                       OR (gm.num < 0 AND pm.num > 0))
+                 THEN 1 ELSE 0 END AS BIGINT) AS reversed
+FROM gm CROSS JOIN pm WHERE gm.den > 0
+"""
+
+register("discount_quantity_simpson", discount_quantity_simpson, sql=SIMPSON_SQL)

@@ -8786,3 +8786,52 @@ class TestLineitemQuantityKruskal:
 
         self._lineitem([5.0, 5.0, 5.0], ["A", "B", "B"], tmp_path)
         assert len(lineitem_quantity_kruskal(str(tmp_path))) == 0
+
+
+class TestDiscountQuantitySimpson:
+    """X174: planted Simpson reversal — both groups slope negative, the
+    pooled slope positive, reversed flags from exact numerator signs;
+    zero-variance scope exclusion; DuckDB parity."""
+
+    def test_planted_reversal(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            discount_quantity_simpson,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(
+                        ["A", "A", "B", "B", "Z"], pa.string()
+                    ),
+                    "l_discount": pa.array(
+                        [0.00, 0.01, 0.08, 0.09, 0.05], pa.float64()
+                    ),
+                    "l_quantity": pa.array(
+                        [1.0, 0.9, 5.0, 4.9, 7.0], pa.float64()
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = discount_quantity_simpson(str(tmp_path)).set_index("scope")
+        # Z has a single row -> den = 0 -> excluded
+        assert "Z" not in out.index
+        assert int(out.loc["(pooled)", "slope_e9"]) > 0
+        assert int(out.loc["A", "slope_e9"]) == -10_000_000_000
+        assert int(out.loc["B", "slope_e9"]) == -10_000_000_000
+        assert int(out.loc["A", "reversed"]) == 1
+        assert int(out.loc["B", "reversed"]) == 1
+        assert int(out.loc["(pooled)", "reversed"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["discount_quantity_simpson"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
