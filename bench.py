@@ -1183,6 +1183,7 @@ for _key, _name in [
     ("supplier_hhi", "part_supplier_hhi"),
     ("kruskal", "lineitem_quantity_kruskal"),
     ("simpson", "discount_quantity_simpson"),
+    ("span_audit", "extract_span_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -823,3 +823,143 @@ FROM gm CROSS JOIN pm WHERE gm.den > 0
 """
 
 register("discount_quantity_simpson", discount_quantity_simpson, sql=SIMPSON_SQL)
+
+
+def extract_span_audit(sf_dir: str) -> pd.DataFrame:
+    """(content_kind, n_turns, n_turns_with_spans, n_spans, n_oob,
+    covered_chars, ext_chars, coverage_e6): structural validation of
+    the flagship's span boundaries per content kind — every span must
+    lie inside its turn's extracted text (0 ≤ start ≤ end ≤ len), and
+    the covered-character share tells how much of the output the span
+    lineage accounts for (plain/html blocks tile the text minus the
+    1-char joiners; paged documents tile page-wise). The extraction
+    engine auditing its own north-rule artifact, in the
+    minhash_calibration / ann_recall_audit self-audit line.
+
+    Exactness contract: pure integer counts and sums; ``coverage_e6``
+    is one IEEE divide + e6 floor (0 when a kind has no extracted
+    chars). The audit runs over the LIVE flagship Dataset; the SQL twin
+    reads the materialized golden flagship table (value-matched to the
+    live output by `extract_flagship`/`_spans`), parsing the same
+    serialized 'start:end:kind|…' span strings.
+
+    Scale shape: per-batch per-kind partials (≤ #kinds rows per block)
+    into the bounded enum fold; zero shuffle on top of the flagship's
+    own shuffle-free plan.
+    """
+    from .extraction import extract_transcripts
+    from .extraction_queries import _spans_str_from_lists
+    from .queryset import transcripts_for_sf
+
+    cols = {
+        "content_kind": "object", "n_turns": "int64",
+        "n_turns_with_spans": "int64", "n_spans": "int64", "n_oob": "int64",
+        "covered_chars": "int64", "ext_chars": "int64", "coverage_e6": "int64",
+    }
+    ds = extract_transcripts(transcripts_for_sf(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = batch["content_kind"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+        spans = batch["spans"].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for kind, text, sp in zip(kinds, texts, spans):
+            text = text or ""
+            a = acc.setdefault(kind, [0, 0, 0, 0, 0, 0])
+            a[0] += 1
+            ln = len(text)
+            a[5] += ln
+            if sp:
+                a[1] += 1
+                for d in sp:
+                    st, en = int(d["start"]), int(d["end"])
+                    a[2] += 1
+                    if st < 0 or en < st or en > ln:
+                        a[3] += 1
+                    a[4] += en - st
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.string()),
+                "n_turns": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "n_with": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "n_spans": pa.array([acc[k][2] for k in ks], pa.int64()),
+                "n_oob": pa.array([acc[k][3] for k in ks], pa.int64()),
+                "covered": pa.array([acc[k][4] for k in ks], pa.int64()),
+                "chars": pa.array([acc[k][5] for k in ks], pa.int64()),
+            }
+        )
+
+    fold = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        ["n_turns", "n_with", "n_spans", "n_oob", "covered", "chars"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("k").iterrows():
+        chars = int(r["chars"])
+        cov = (
+            int(math.floor(float(int(r["covered"])) / float(chars) * 1e6 + 0.5))
+            if chars > 0
+            else 0
+        )
+        rows.append(
+            {
+                "content_kind": str(r["k"]),
+                "n_turns": int(r["n_turns"]),
+                "n_turns_with_spans": int(r["n_with"]),
+                "n_spans": int(r["n_spans"]),
+                "n_oob": int(r["n_oob"]),
+                "covered_chars": int(r["covered"]),
+                "ext_chars": chars,
+                "coverage_e6": cov,
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _span_audit_sql() -> str:
+    from .extraction_queries import expected_flagship_path
+
+    path = expected_flagship_path("/root/testdata/sf0.01")
+    return f"""
+WITH base AS (
+  SELECT content_kind, coalesce(extracted_text, '') AS ext, spans_str
+  FROM read_parquet('{path}')
+),
+per_span AS (
+  SELECT content_kind, length(ext) AS l,
+         CAST(string_split(u.s, ':')[1] AS BIGINT) AS st,
+         CAST(string_split(u.s, ':')[2] AS BIGINT) AS en
+  FROM base, UNNEST(string_split(spans_str, '|')) AS u(s)
+  WHERE spans_str != ''
+),
+turns AS (
+  SELECT content_kind, count(*) AS n_turns,
+         sum(CASE WHEN spans_str != '' THEN 1 ELSE 0 END) AS n_with,
+         sum(length(ext)) AS chars
+  FROM base GROUP BY 1
+),
+sp AS (
+  SELECT content_kind, count(*) AS n_spans,
+         sum(CASE WHEN st < 0 OR en < st OR en > l THEN 1 ELSE 0 END) AS n_oob,
+         sum(en - st) AS covered
+  FROM per_span GROUP BY 1
+)
+SELECT t.content_kind,
+       CAST(t.n_turns AS BIGINT) AS n_turns,
+       CAST(t.n_with AS BIGINT) AS n_turns_with_spans,
+       CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sp.n_oob, 0) AS BIGINT) AS n_oob,
+       CAST(coalesce(sp.covered, 0) AS BIGINT) AS covered_chars,
+       CAST(t.chars AS BIGINT) AS ext_chars,
+       CAST(CASE WHEN t.chars > 0 THEN floor(
+         CAST(coalesce(sp.covered, 0) AS DOUBLE) / CAST(t.chars AS DOUBLE)
+         * 1e6 + 0.5) ELSE 0 END AS BIGINT) AS coverage_e6
+FROM turns t LEFT JOIN sp ON sp.content_kind = t.content_kind
+"""
+
+
+register("extract_span_audit", extract_span_audit, sql=_span_audit_sql())

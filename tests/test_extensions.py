@@ -8835,3 +8835,30 @@ class TestDiscountQuantitySimpson:
         )
         gold = con.execute(ORACLE_SQL["discount_quantity_simpson"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestExtractSpanAudit:
+    """X175 self-audit: the flagship's spans are all in-bounds, every
+    kind's coverage is sane, and the live audit equals the golden-table
+    SQL twin at sf0.001."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            extract_span_audit,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = extract_span_audit(sf)
+        assert len(out) > 0
+        assert (out["n_oob"] == 0).all()
+        assert (out["n_turns_with_spans"] <= out["n_turns"]).all()
+        assert (out["n_spans"] >= out["n_turns_with_spans"]).all()
+        with_chars = out[out["ext_chars"] > 0]
+        assert (with_chars["coverage_e6"] > 0).all()
+        assert (with_chars["coverage_e6"] <= 1_000_000).all()
+        sql = queryset.oracle_sql_for(sf)["extract_span_audit"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
