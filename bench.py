@@ -1184,6 +1184,7 @@ for _key, _name in [
     ("kruskal", "lineitem_quantity_kruskal"),
     ("simpson", "discount_quantity_simpson"),
     ("span_audit", "extract_span_audit"),
+    ("readability", "docs_readability"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -963,3 +963,113 @@ FROM turns t LEFT JOIN sp ON sp.content_kind = t.content_kind
 
 
 register("extract_span_audit", extract_span_audit, sql=_span_audit_sql())
+
+
+READ_WORD_RE = r"[A-Za-z0-9]+"
+READ_SENT_RE = r"[.!?]+"
+READ_VOWEL_RE = r"[aeiouAEIOU]+"
+
+
+def docs_readability(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_words, n_sentences, n_vowel_groups,
+    words_per_sentence_e3, syllables_per_word_e3, flesch_e3): a
+    Flesch-reading-ease-style readability profile per document source —
+    the corpus-quality signal filtering pipelines threshold on (OCR
+    noise reads as few sentence marks and vowel-free "words"; boiler-
+    plate reads as short choppy sentences).
+
+    Exactness contract: all three counters are non-overlapping RE2
+    match counts (words ``[A-Za-z0-9]+``, sentence marks ``[.!?]+``,
+    vowel groups as the classic syllable proxy) — pyarrow's
+    ``count_substring_regex`` and DuckDB's ``len(regexp_extract_all)``
+    are both RE2, so the integer sums agree exactly. Docs with zero
+    words are excluded everywhere (no word → no readability). The three
+    readouts share one fixed left-to-right IEEE chain each
+    (``206.835 − 1.015·W/S' − 84.6·V/W`` with S' = max(S, 1), e3
+    floors).
+
+    Scale shape: one column-pruned vectorized pass emitting ≤ #sources
+    partial rows per block into the bounded enum fold; zero shuffle.
+    """
+    cols = {
+        "source": "object", "n_docs": "int64", "n_words": "int64",
+        "n_sentences": "int64", "n_vowel_groups": "int64",
+        "words_per_sentence_e3": "int64", "syllables_per_word_e3": "int64",
+        "flesch_e3": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["source"]), pc.is_valid(batch["text"]))
+        t = batch.filter(keep)
+        words = pc.cast(pc.count_substring_regex(t["text"], READ_WORD_RE), pa.int64())
+        has = pc.greater(words, 0)
+        t = t.filter(has)
+        words = words.filter(has) if isinstance(words, pa.ChunkedArray) else pc.filter(words, has)
+        sents = pc.cast(pc.count_substring_regex(t["text"], READ_SENT_RE), pa.int64())
+        vows = pc.cast(pc.count_substring_regex(t["text"], READ_VOWEL_RE), pa.int64())
+        g = (
+            pa.table({"source": t["source"], "w": words, "s": sents, "v": vows})
+            .group_by(["source"])
+            .aggregate([([], "count_all"), ("w", "sum"), ("s", "sum"), ("v", "sum")])
+        )
+        return g.rename_columns(["source", "n", "w", "s", "v"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["source", "text"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        ["n", "w", "s", "v"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("source").iterrows():
+        w = int(r["w"])
+        s = max(int(r["s"]), 1)
+        v = int(r["v"])
+        wps = float(w) / float(s)
+        spw = float(v) / float(w)
+        flesch = 206.835 - 1.015 * wps - 84.6 * spw
+        rows.append(
+            {
+                "source": str(r["source"]), "n_docs": int(r["n"]),
+                "n_words": w, "n_sentences": int(r["s"]), "n_vowel_groups": v,
+                "words_per_sentence_e3": int(math.floor(wps * 1e3 + 0.5)),
+                "syllables_per_word_e3": int(math.floor(spw * 1e3 + 0.5)),
+                "flesch_e3": int(math.floor(flesch * 1e3 + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+DOCS_READABILITY_SQL = f"""
+WITH f AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{READ_WORD_RE.replace("'", "''")}')) AS w,
+         len(regexp_extract_all(text, '[.!?]+')) AS s,
+         len(regexp_extract_all(text, '{READ_VOWEL_RE}')) AS v
+  FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+),
+g AS (
+  SELECT source, count(*) AS n, sum(w) AS w, sum(s) AS s, sum(v) AS v
+  FROM f WHERE w > 0 GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(v AS BIGINT) AS n_vowel_groups,
+       CAST(floor(CAST(w AS DOUBLE) / CAST(greatest(s, 1) AS DOUBLE)
+            * 1e3 + 0.5) AS BIGINT) AS words_per_sentence_e3,
+       CAST(floor(CAST(v AS DOUBLE) / CAST(w AS DOUBLE)
+            * 1e3 + 0.5) AS BIGINT) AS syllables_per_word_e3,
+       CAST(floor((206.835
+            - 1.015 * (CAST(w AS DOUBLE) / CAST(greatest(s, 1) AS DOUBLE))
+            - 84.6 * (CAST(v AS DOUBLE) / CAST(w AS DOUBLE)))
+            * 1e3 + 0.5) AS BIGINT) AS flesch_e3
+FROM g
+"""
+
+register("docs_readability", docs_readability, sql=DOCS_READABILITY_SQL)

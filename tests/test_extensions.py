@@ -8862,3 +8862,53 @@ class TestExtractSpanAudit:
         sql = queryset.oracle_sql_for(sf)["extract_span_audit"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestDocsReadability:
+    """X176: hand-counted words/sentence-marks/vowel-groups, zero-word
+    exclusion, S=0 floor; DuckDB RE2 parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            docs_readability,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        ["Hello world. Nice day!", "!!!", "no marks here"],
+                        pa.string(),
+                    ),
+                    "source": pa.array(["a", "a", "b"], pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_readability(str(tmp_path)).set_index("source")
+        a = out.loc["a"]
+        # doc 2 has zero words -> excluded entirely
+        assert int(a["n_docs"]) == 1
+        assert int(a["n_words"]) == 4
+        assert int(a["n_sentences"]) == 2
+        assert int(a["n_vowel_groups"]) == 6
+        assert int(a["words_per_sentence_e3"]) == 2_000
+        assert int(a["syllables_per_word_e3"]) == 1_500
+        assert int(a["flesch_e3"]) == 77_905
+        b = out.loc["b"]
+        # S = 0 floors to 1 in the ratio
+        assert int(b["n_sentences"]) == 0
+        assert int(b["words_per_sentence_e3"]) == 3_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["docs_readability"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
