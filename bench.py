@@ -1185,6 +1185,7 @@ for _key, _name in [
     ("simpson", "discount_quantity_simpson"),
     ("span_audit", "extract_span_audit"),
     ("readability", "docs_readability"),
+    ("role_balance", "conversation_role_balance"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

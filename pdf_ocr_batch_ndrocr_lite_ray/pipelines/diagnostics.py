@@ -1073,3 +1073,119 @@ FROM g
 """
 
 register("docs_readability", docs_readability, sql=DOCS_READABILITY_SQL)
+
+
+def conversation_role_balance(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_convs, share_e6): the corpus histogram of each
+    conversation's ASSISTANT share of extracted characters, in ten
+    exact integer deciles — the one-sidedness gate a dialogue-training
+    pipeline thresholds on (all-assistant monologues and assistant-
+    silent logs both make poor chat training data).
+
+    Exactness contract: per conversation, a = assistant extracted
+    chars, t = total extracted chars (both exact integer sums over the
+    LIVE flagship output); bucket = min(10·a // t, 9) in pure integer
+    arithmetic (no float boundary); conversations with t = 0 are
+    excluded on both engines. Per-bucket ``share_e6`` =
+    floor(Σa/Σt · 1e6 + 0.5) is the one IEEE divide. The SQL twin reads
+    the value-matched golden flagship table.
+
+    Scale shape: per-block (conv, a, t) pre-aggregates → ONE conv-keyed
+    hash co-partition (metadata only — text never shuffles) → ten-row
+    enum fold. The same exchange key every conversation-level stage
+    uses.
+    """
+    from .exchange import hash_partitioned
+    from .extraction import extract_transcripts
+    from .queryset import transcripts_for_sf
+
+    cols = {"bucket": "int64", "n_convs": "int64", "share_e6": "int64"}
+    ds = extract_transcripts(transcripts_for_sf(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(
+            pc.utf8_length(pc.fill_null(batch["extracted_text"], "")), pa.int64()
+        )
+        is_a = pc.equal(pc.fill_null(batch["role"], ""), "assistant")
+        a = pc.if_else(is_a, ln, pa.scalar(0, pa.int64()))
+        g = (
+            pa.table({"conv": batch["conv_id"], "a": a, "t": ln})
+            .group_by(["conv"])
+            .aggregate([("a", "sum"), ("t", "sum")])
+        )
+        return g.rename_columns(["conv", "a", "t"])
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv", sort=False)[["a", "t"]].sum().reset_index()
+        g = g[g["t"] > 0]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "a": pd.Series(dtype="int64"),
+                    "t": pd.Series(dtype="int64"),
+                }
+            )
+        a = g["a"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        bucket = np.minimum(10 * a // t, 9)
+        out = pd.DataFrame({"bucket": bucket, "n": 1, "a": a, "t": t})
+        return (
+            out.groupby("bucket", sort=False)
+            .sum()
+            .reset_index()
+            .astype("int64")
+        )
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "conv",
+            per_conv,
+        ),
+        ["bucket"],
+        ["n", "a", "t"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("bucket").iterrows():
+        rows.append(
+            {
+                "bucket": int(r["bucket"]),
+                "n_convs": int(r["n"]),
+                "share_e6": int(
+                    math.floor(float(int(r["a"])) / float(int(r["t"])) * 1e6 + 0.5)
+                ),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _role_balance_sql() -> str:
+    from .extraction_queries import expected_flagship_path
+
+    path = expected_flagship_path("/root/testdata/sf0.01")
+    return f"""
+WITH per_conv AS (
+  SELECT conv_id,
+         sum(CASE WHEN role = 'assistant'
+                  THEN length(coalesce(extracted_text, '')) ELSE 0 END) AS a,
+         sum(length(coalesce(extracted_text, ''))) AS t
+  FROM read_parquet('{path}')
+  GROUP BY conv_id
+),
+b AS (
+  SELECT least(10 * a // t, 9) AS bucket, a, t
+  FROM per_conv WHERE t > 0
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(floor(CAST(sum(a) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+            * 1e6 + 0.5) AS BIGINT) AS share_e6
+FROM b GROUP BY bucket
+"""
+
+
+register("conversation_role_balance", conversation_role_balance, sql=_role_balance_sql())

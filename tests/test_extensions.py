@@ -8912,3 +8912,31 @@ class TestDocsReadability:
         )
         gold = con.execute(ORACLE_SQL["docs_readability"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestConversationRoleBalance:
+    """X177: integer decile bucketing of assistant char share, t=0
+    exclusion, golden-table SQL parity at sf0.001."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            conversation_role_balance,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = conversation_role_balance(sf)
+        assert len(out) > 0
+        assert out["bucket"].between(0, 9).all()
+        assert (out["n_convs"] > 0).all()
+        assert out["share_e6"].between(0, 1_000_000).all()
+        # buckets are exact-integer: every conv share in bucket b lies in
+        # [b/10, (b+1)/10) except bucket 9 which is [0.9, 1.0]; the
+        # aggregate share must at least respect the bucket's lower edge
+        for _, r in out.iterrows():
+            assert r["share_e6"] >= r["bucket"] * 100_000 - 1
+        sql = queryset.oracle_sql_for(sf)["conversation_role_balance"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
