@@ -1186,6 +1186,7 @@ for _key, _name in [
     ("span_audit", "extract_span_audit"),
     ("readability", "docs_readability"),
     ("role_balance", "conversation_role_balance"),
+    ("quantile_audit", "quantile_sketch_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1189,3 +1189,122 @@ FROM b GROUP BY bucket
 
 
 register("conversation_role_balance", conversation_role_balance, sql=_role_balance_sql())
+
+
+def quantile_sketch_audit(sf_dir: str) -> pd.DataFrame:
+    """(event_type, q, estimate, exact_value, err_e6, bound_e6): the
+    quantile twin of the distinct-count sketch dashboard (X164) — for
+    every (type, q) both pipelines share, the histogram-sketch estimate
+    (``events_quantiles_by_type``, error ≤ one bin) against the exact
+    order statistic (``events_value_quantiles_exact``), with the error
+    normalized by the type's value domain and the sketch's guaranteed
+    bound alongside. The engine grading its own approximation.
+
+    Exactness contract: both inputs are value-matched queries (their
+    doubles are bit-identical on both engines); err_e6 =
+    floor(|est − exact| / (hi − lo) · 1e6 + 0.5) is one IEEE chain per
+    row, 0 for degenerate (constant-value) types; bound_e6 is the bin
+    width share floor(1e6/QUANT_BINS + 0.5). NULL types/values excluded
+    as in the exact path.
+
+    Scale shape: two bounded sketch/order-stat pipelines (each already
+    scale-audited) plus one (type, lo, hi) enum fold; the join happens
+    on the driver over ≤ types × quantiles rows.
+    """
+    from .exchange import enum_group_agg
+    from .sketches import (
+        QUANT_BINS,
+        events_quantiles_by_type,
+        events_value_quantiles_exact,
+    )
+
+    cols = {
+        "event_type": "object", "q": "float64", "estimate": "float64",
+        "exact_value": "float64", "err_e6": "int64", "bound_e6": "int64",
+    }
+    sk = events_quantiles_by_type(sf_dir).to_pandas()
+    ex = events_value_quantiles_exact(sf_dir)
+    if len(sk) == 0 or len(ex) == 0:
+        return _empty(cols)
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["event_type"]), pc.is_valid(batch["value"])
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table({"t": t["event_type"], "lo": t["value"], "hi": t["value"]})
+            .group_by(["t"])
+            .aggregate([("lo", "min"), ("hi", "max")])
+        )
+        return g.rename_columns(["t", "lo", "hi"])
+
+    mm = enum_group_agg(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["event_type", "value"]
+        ).map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t"],
+        {"lo": "min", "hi": "max"},
+    ).set_index("t")
+    bound = int(math.floor(1e6 / QUANT_BINS + 0.5))
+    m = sk.merge(
+        ex.rename(columns={"value": "exact_value"}),
+        on=["event_type", "q"],
+        how="inner",
+    )
+    rows = []
+    for _, r in m.sort_values(["event_type", "q"]).iterrows():
+        lo = float(mm.loc[r["event_type"], "lo"])
+        hi = float(mm.loc[r["event_type"], "hi"])
+        if hi > lo:
+            err = int(
+                math.floor(
+                    abs(float(r["value_estimate"]) - float(r["exact_value"]))
+                    / (hi - lo) * 1e6 + 0.5
+                )
+            )
+        else:
+            err = 0
+        rows.append(
+            {
+                "event_type": str(r["event_type"]), "q": float(r["q"]),
+                "estimate": float(r["value_estimate"]),
+                "exact_value": float(r["exact_value"]),
+                "err_e6": err, "bound_e6": bound,
+            }
+        )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _quantile_sketch_audit_sql() -> str:
+    from .sketches import (
+        EVENTS_EXACT_QUANTILES_SQL,
+        EVENTS_QUANTILES_BY_TYPE_SQL,
+        QUANT_BINS,
+    )
+
+    bound = int(math.floor(1e6 / QUANT_BINS + 0.5))
+    return f"""
+WITH sk AS (SELECT * FROM ({EVENTS_QUANTILES_BY_TYPE_SQL})),
+ex AS (SELECT * FROM ({EVENTS_EXACT_QUANTILES_SQL})),
+mm AS (
+  SELECT event_type AS t, min(value) AS lo, max(value) AS hi FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1
+)
+SELECT sk.event_type, sk.q,
+       sk.value_estimate AS estimate,
+       ex.value AS exact_value,
+       CASE WHEN mm.hi > mm.lo THEN
+         CAST(floor(abs(sk.value_estimate - ex.value) / (mm.hi - mm.lo)
+              * 1e6 + 0.5) AS BIGINT)
+       ELSE 0 END AS err_e6,
+       CAST({bound} AS BIGINT) AS bound_e6
+FROM sk
+JOIN ex ON ex.event_type = sk.event_type AND ex.q = sk.q
+JOIN mm ON mm.t = sk.event_type
+"""
+
+
+register("quantile_sketch_audit", quantile_sketch_audit, sql=_quantile_sketch_audit_sql())

@@ -8940,3 +8940,44 @@ class TestConversationRoleBalance:
         sql = queryset.oracle_sql_for(sf)["conversation_role_balance"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestQuantileSketchAudit:
+    """X178: the sketch's error never exceeds its one-bin guarantee on a
+    wide-domain fixture, degenerate types read zero error, DuckDB parity."""
+
+    def test_bound_and_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            quantile_sketch_audit,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        n = 5000
+        vals = [float(i) for i in range(n)]  # wide uniform domain
+        rows = {
+            "event_id": pa.array(range(n + 3), pa.int64()),
+            "ts": pa.array([0] * (n + 3), pa.timestamp("us")),
+            "user_id": pa.array([1] * (n + 3), pa.int64()),
+            "event_type": pa.array(["u"] * n + ["const"] * 3, pa.string()),
+            "value": pa.array(vals + [7.0, 7.0, 7.0], pa.float64()),
+            "props": pa.array(["{}"] * (n + 3), pa.string()),
+        }
+        pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+        out = quantile_sketch_audit(str(tmp_path))
+        u = out[out["event_type"] == "u"]
+        assert len(u) == 5  # EXACT_QS ∩ QUANTILES
+        # one-bin guarantee (+1 for the 6-dp rounding of the estimate)
+        assert (u["err_e6"] <= u["bound_e6"] + 1).all()
+        c = out[out["event_type"] == "const"]
+        assert (c["err_e6"] == 0).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["quantile_sketch_audit"]).df()
+        assert _value_hash(out) == _value_hash(gold)
