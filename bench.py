@@ -1187,6 +1187,7 @@ for _key, _name in [
     ("readability", "docs_readability"),
     ("role_balance", "conversation_role_balance"),
     ("quantile_audit", "quantile_sketch_audit"),
+    ("error_profile", "extract_error_profile"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1308,3 +1308,83 @@ JOIN mm ON mm.t = sk.event_type
 
 
 register("quantile_sketch_audit", quantile_sketch_audit, sql=_quantile_sketch_audit_sql())
+
+
+def extract_error_profile(sf_dir: str) -> pd.DataFrame:
+    """(tool, content_kind, action, n_turns, n_errors): the extraction
+    ops dashboard — which tool's payloads route to which extractor,
+    what action each took, and how many errored — the first table an
+    operator reads when a 10^12-turn run's error counters tick up
+    (reference analog: the per-run CSV summary, app.py's outcome
+    report, pivoted by payload origin).
+
+    Exactness contract: pure integer counts over the LIVE flagship
+    output; a turn errors iff its ``error`` column is non-empty. NULL
+    tools group under '(none)' on both engines.
+
+    Scale shape: per-block ≤ (tools × kinds × actions) partial rows
+    into the bounded enum fold; zero shuffle on the flagship's
+    shuffle-free plan.
+    """
+    from .extraction import extract_transcripts
+    from .queryset import transcripts_for_sf
+
+    cols = {
+        "tool": "object", "content_kind": "object", "action": "object",
+        "n_turns": "int64", "n_errors": "int64",
+    }
+    ds = extract_transcripts(transcripts_for_sf(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"], "(none)")
+        err = pc.cast(
+            pc.not_equal(pc.fill_null(batch["error"], ""), ""), pa.int64()
+        )
+        g = (
+            pa.table(
+                {
+                    "tool": tool,
+                    "content_kind": batch["content_kind"],
+                    "action": batch["action"],
+                    "e": err,
+                }
+            )
+            .group_by(["tool", "content_kind", "action"])
+            .aggregate([([], "count_all"), ("e", "sum")])
+        )
+        return g.rename_columns(["tool", "content_kind", "action", "n", "e"])
+
+    fold = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tool", "content_kind", "action"],
+        ["n", "e"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    fold = fold.sort_values(["tool", "content_kind", "action"])
+    return pd.DataFrame(
+        {
+            "tool": fold["tool"].astype(str),
+            "content_kind": fold["content_kind"].astype(str),
+            "action": fold["action"].astype(str),
+            "n_turns": fold["n"].astype("int64"),
+            "n_errors": fold["e"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+def _error_profile_sql() -> str:
+    from .extraction_queries import expected_flagship_path
+
+    path = expected_flagship_path("/root/testdata/sf0.01")
+    return f"""
+SELECT coalesce(tool, '(none)') AS tool, content_kind, action,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN coalesce(error, '') != '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
+FROM read_parquet('{path}')
+GROUP BY 1, 2, 3
+"""
+
+
+register("extract_error_profile", extract_error_profile, sql=_error_profile_sql())

@@ -8981,3 +8981,29 @@ class TestQuantileSketchAudit:
         )
         gold = con.execute(ORACLE_SQL["quantile_sketch_audit"]).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestExtractErrorProfile:
+    """X179: totals reconcile with the flagship turn count, errors only
+    where the error column is non-empty, golden-table parity."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            extract_error_profile,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            extract_transcripts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = extract_error_profile(sf)
+        assert len(out) > 0
+        assert (out["n_errors"] <= out["n_turns"]).all()
+        total = extract_transcripts(queryset.transcripts_for_sf(sf)).count()
+        assert int(out["n_turns"].sum()) == total
+        sql = queryset.oracle_sql_for(sf)["extract_error_profile"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
