@@ -1188,6 +1188,7 @@ for _key, _name in [
     ("role_balance", "conversation_role_balance"),
     ("quantile_audit", "quantile_sketch_audit"),
     ("error_profile", "extract_error_profile"),
+    ("dow_season", "events_dow_seasonality"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

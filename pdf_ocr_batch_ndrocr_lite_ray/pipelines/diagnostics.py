@@ -1388,3 +1388,112 @@ GROUP BY 1, 2, 3
 
 
 register("extract_error_profile", extract_error_profile, sql=_error_profile_sql())
+
+
+def events_dow_seasonality(sf_dir: str) -> pd.DataFrame:
+    """(event_type, dow, n, share_e6, uniform_tvd_e6): the day-of-week
+    load profile per event type plus its total-variation distance from
+    the uniform week — the weekly-seasonality strength gate (capacity
+    planning reads the profile; near-zero TVD says "don't bother with
+    weekday-aware sampling"). Complements the hour-of-day family
+    (events_hourly, type×hour chi²/MI) on the week axis.
+
+    Exactness contract: dow = (epoch_day + 3) % 7 computed from the
+    integer epoch day on BOTH engines (0 = Monday; no timezone or
+    locale dependence); counts are exact; share_e6 is one IEEE divide;
+    TVD = ½ Σ_d |7·n_d − N| / (7N) folds the exact integer numerator
+    first and divides once (same row value repeated across the type's
+    7 rows).
+
+    Scale shape: one bounded (type, dow) enum fold; zero shuffle.
+    """
+    cols = {
+        "event_type": "object", "dow": "int64", "n": "int64",
+        "share_e6": "int64", "uniform_tvd_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        t = batch.filter(keep)
+        days = pc.divide(pc.cast(t["ts"], pa.int64()), DAY_US)
+        if isinstance(days, pa.ChunkedArray):
+            days = days.combine_chunks()
+        dow = pa.array(
+            (days.to_numpy(zero_copy_only=False) + 3) % 7, type=pa.int64()
+        )
+        g = (
+            pa.table({"t": t["event_type"], "dow": dow})
+            .group_by(["t", "dow"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "dow", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "dow"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for ty, g in fold.groupby("t", sort=True):
+        counts = {int(d): int(n) for d, n in zip(g["dow"], g["n"])}
+        total = sum(counts.values())
+        tvd_num = sum(abs(7 * counts.get(d, 0) - total) for d in range(7))
+        tvd = int(math.floor(float(tvd_num) / float(14 * total) * 1e6 + 0.5))
+        for d in range(7):
+            n = counts.get(d, 0)
+            rows.append(
+                {
+                    "event_type": str(ty), "dow": d, "n": n,
+                    "share_e6": int(
+                        math.floor(float(n) / float(total) * 1e6 + 0.5)
+                    ),
+                    "uniform_tvd_e6": tvd,
+                }
+            )
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _events_dow_sql() -> str:
+    # window-over-aggregate mixing is awkward inline; spell the TVD fold
+    # as a second pass over the dense grid
+    return """
+WITH f AS (
+  SELECT event_type AS t,
+         (epoch_us(ts) // 86400000000 + 3) % 7 AS dow
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+grid AS (
+  SELECT ty.t, u.i AS dow
+  FROM (SELECT DISTINCT t FROM f) ty,
+       UNNEST(generate_series(0, 6)) u(i)
+),
+g AS (SELECT t, dow, count(*) AS n FROM f GROUP BY 1, 2),
+dense AS (
+  SELECT grid.t, grid.dow, coalesce(g.n, 0) AS n
+  FROM grid LEFT JOIN g ON g.t = grid.t AND g.dow = grid.dow
+),
+tot AS (SELECT t, sum(n) AS total FROM dense GROUP BY t),
+tvd AS (
+  SELECT d.t, sum(abs(7 * d.n - tot.total)) AS num
+  FROM dense d JOIN tot ON tot.t = d.t
+  GROUP BY d.t
+)
+SELECT d.t AS event_type,
+       CAST(d.dow AS BIGINT) AS dow,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(floor(CAST(d.n AS DOUBLE) / CAST(tot.total AS DOUBLE)
+            * 1e6 + 0.5) AS BIGINT) AS share_e6,
+       CAST(floor(CAST(tvd.num AS DOUBLE) / CAST(14 * tot.total AS DOUBLE)
+            * 1e6 + 0.5) AS BIGINT) AS uniform_tvd_e6
+FROM dense d
+JOIN tot ON tot.t = d.t
+JOIN tvd ON tvd.t = d.t
+WHERE tot.total > 0
+"""
+
+
+register("events_dow_seasonality", events_dow_seasonality, sql=_events_dow_sql())

@@ -9007,3 +9007,60 @@ class TestExtractErrorProfile:
         sql = queryset.oracle_sql_for(sf)["extract_error_profile"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestEventsDowSeasonality:
+    """X180: planted all-Monday type reads dow 0 with TVD 6/7, uniform
+    week reads TVD 0; 1970-01-01 anchors to Thursday; DuckDB parity."""
+
+    def test_planted_profiles(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            events_dow_seasonality,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = []
+        # epoch day 0 = Thursday -> dow 4
+        rows.append((dt.datetime(1970, 1, 1), "anchor"))
+        # mon: 2024-01-01 is a Monday; 4 weeks of Mondays
+        for w in range(4):
+            rows.append((dt.datetime(2024, 1, 1) + dt.timedelta(weeks=w), "mon"))
+        # flat: one event every day for exactly 2 weeks
+        for d in range(14):
+            rows.append((dt.datetime(2024, 1, 1) + dt.timedelta(days=d), "flat"))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = events_dow_seasonality(str(tmp_path)).set_index(
+            ["event_type", "dow"]
+        )
+        assert int(out.loc[("anchor", 3), "n"]) == 1  # Thursday
+        assert int(out.loc[("mon", 0), "n"]) == 4
+        assert int(out.loc[("mon", 0), "share_e6"]) == 1_000_000
+        # all-one-day TVD: 0.5*(|7-1|*1 + |0-1|*6)/7 = 6/7
+        assert int(out.loc[("mon", 0), "uniform_tvd_e6"]) == 857_143
+        assert int(out.loc[("flat", 3), "uniform_tvd_e6"]) == 0
+        assert int(out.loc[("flat", 3), "share_e6"]) == 142_857
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_dow_seasonality"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
