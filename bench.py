@@ -1189,6 +1189,7 @@ for _key, _name in [
     ("quantile_audit", "quantile_sketch_audit"),
     ("error_profile", "extract_error_profile"),
     ("dow_season", "events_dow_seasonality"),
+    ("rev_trend", "revenue_trend_by_flag"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

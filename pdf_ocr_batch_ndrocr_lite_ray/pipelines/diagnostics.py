@@ -1497,3 +1497,149 @@ WHERE tot.total > 0
 
 
 register("events_dow_seasonality", events_dow_seasonality, sql=_events_dow_sql())
+
+
+def revenue_trend_by_flag(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, n_months, total_rev_cents, slope_cents_per_month,
+    r2_e6): the least-squares monthly revenue trend per return flag on
+    the DENSE calendar-month grid (months with no shipments count as
+    zero — a dying flag trends down instead of vanishing) — the
+    forecasting primitive behind "is returned-goods revenue growing?".
+
+    Exactness contract: month = year·12 + month from the shared
+    proleptic-Gregorian calendar; revenue folds to integer cents; with
+    x the 0-based month index, num = nΣxy − ΣxΣy and den = nΣxx − (Σx)²
+    and syy = nΣyy − (Σy)² are exact integers (Python int / HUGEINT);
+    slope = floor(num/den + 0.5) and r² = floor(num²/(den·syy)·1e6+0.5)
+    each go through one IEEE chain with num² formed in DOUBLE on both
+    engines (num² would overflow int128 at 10^12-row scale; den·syy
+    stays integer). Flags with < 2 grid months or zero revenue variance
+    are excluded on both engines.
+
+    Scale shape: one bounded (flag, month) enum fold of in-block cent
+    partials; driver math over flags × months. Zero shuffle.
+    """
+    cols = {
+        "l_returnflag": "object", "n_months": "int64",
+        "total_rev_cents": "int64", "slope_cents_per_month": "int64",
+        "r2_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["l_returnflag"]), pc.is_valid(batch["l_shipdate"])
+            ),
+            pc.is_valid(batch["l_extendedprice"]),
+        )
+        t = batch.filter(keep)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        y = pc.year(t["l_shipdate"])
+        mo = pc.month(t["l_shipdate"])
+        m = pc.add(pc.multiply(pc.cast(y, pa.int64()), 12), pc.cast(mo, pa.int64()))
+        g = (
+            pa.table({"g": t["l_returnflag"], "m": m, "rev": cents})
+            .group_by(["g", "m"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["g", "m", "rev"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"),
+            columns=["l_returnflag", "l_shipdate", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "m"],
+        ["rev"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    mn = int(fold["m"].min())
+    mx = int(fold["m"].max())
+    n = mx - mn + 1
+    if n < 2:
+        return _empty(cols)
+    sx = n * (n - 1) // 2
+    sxx = (n - 1) * n * (2 * n - 1) // 6
+    den = n * sxx - sx * sx
+    rows = []
+    for g, sub in fold.groupby("g", sort=True):
+        ys = {int(m) - mn: int(r) for m, r in zip(sub["m"], sub["rev"])}
+        sy = sum(ys.values())
+        sxy = sum(x * y for x, y in ys.items())
+        syy_raw = sum(y * y for y in ys.values())
+        syy = n * syy_raw - sy * sy
+        if syy == 0:
+            continue
+        num = n * sxy - sx * sy
+        slope = int(math.floor(float(num) / float(den) + 0.5))
+        r2 = int(
+            math.floor(
+                float(num) * float(num) / (float(den) * float(syy)) * 1e6 + 0.5
+            )
+        )
+        rows.append(
+            {
+                "l_returnflag": str(g), "n_months": n,
+                "total_rev_cents": sy, "slope_cents_per_month": slope,
+                "r2_e6": r2,
+            }
+        )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+REVENUE_TREND_SQL = """
+WITH f AS (
+  SELECT l_returnflag AS g,
+         date_part('year', l_shipdate) * 12 + date_part('month', l_shipdate)
+           AS m,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+),
+gm AS (SELECT g, m, sum(CAST(rev AS HUGEINT)) AS rev FROM f GROUP BY 1, 2),
+b AS (SELECT min(m) AS mn, max(m) - min(m) + 1 AS n FROM gm),
+grid AS (
+  SELECT fg.g, u.i AS x
+  FROM (SELECT DISTINCT g FROM gm) fg, b,
+       UNNEST(generate_series(0, CAST(b.n - 1 AS BIGINT))) u(i)
+),
+dense AS (
+  SELECT grid.g, grid.x, coalesce(gm.rev, 0) AS y
+  FROM grid CROSS JOIN b
+  LEFT JOIN gm ON gm.g = grid.g AND gm.m = b.mn + grid.x
+),
+mom AS (
+  SELECT g, sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(y * y) AS syy_raw, count(*) AS n
+  FROM dense GROUP BY g
+),
+st AS (
+  SELECT g, n, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy_raw - sy * sy AS syy
+  FROM mom
+)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n_months,
+       CAST(sy AS BIGINT) AS total_rev_cents,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) + 0.5) AS BIGINT)
+         AS slope_cents_per_month,
+       CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+            / (CAST(den AS DOUBLE) * CAST(syy AS DOUBLE)) * 1e6 + 0.5)
+            AS BIGINT) AS r2_e6
+FROM st
+WHERE n >= 2 AND syy != 0 AND den != 0
+"""
+
+register("revenue_trend_by_flag", revenue_trend_by_flag, sql=REVENUE_TREND_SQL)

@@ -9064,3 +9064,62 @@ class TestEventsDowSeasonality:
         )
         gold = con.execute(ORACLE_SQL["events_dow_seasonality"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestRevenueTrendByFlag:
+    """X181: a perfectly linear flag reads its exact slope with r2 = 1e6,
+    a constant flag is excluded (zero variance), missing grid months
+    count as zero revenue; DuckDB parity."""
+
+    def test_planted_trend(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            revenue_trend_by_flag,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = []  # (flag, shipdate, price)
+        for i in range(4):  # L: 1, 2, 3, 4 dollars in consecutive months
+            rows.append(("L", dt.datetime(2020, 1 + i, 15), float(i + 1)))
+        for i in range(4):  # C: constant -> excluded
+            rows.append(("C", dt.datetime(2020, 1 + i, 15), 5.0))
+        # G: revenue only in the first and last month -> dense zeros between
+        rows.append(("G", dt.datetime(2020, 1, 15), 8.0))
+        rows.append(("G", dt.datetime(2020, 4, 15), 8.0))
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+                    "l_shipdate": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "l_extendedprice": pa.array(
+                        [r[2] for r in rows], pa.float64()
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = revenue_trend_by_flag(str(tmp_path)).set_index("l_returnflag")
+        assert "C" not in out.index
+        li = out.loc["L"]
+        assert int(li["n_months"]) == 4
+        assert int(li["total_rev_cents"]) == 1000
+        assert int(li["slope_cents_per_month"]) == 100
+        assert int(li["r2_e6"]) == 1_000_000
+        g = out.loc["G"]
+        # y = (800, 0, 0, 800): symmetric -> slope 0, r2 0
+        assert int(g["slope_cents_per_month"]) == 0
+        assert int(g["r2_e6"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["revenue_trend_by_flag"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
