@@ -1190,6 +1190,7 @@ for _key, _name in [
     ("error_profile", "extract_error_profile"),
     ("dow_season", "events_dow_seasonality"),
     ("rev_trend", "revenue_trend_by_flag"),
+    ("user_gini", "user_activity_gini"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

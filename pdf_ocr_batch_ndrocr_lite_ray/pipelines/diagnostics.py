@@ -1643,3 +1643,134 @@ WHERE n >= 2 AND syy != 0 AND den != 0
 """
 
 register("revenue_trend_by_flag", revenue_trend_by_flag, sql=REVENUE_TREND_SQL)
+
+
+def user_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_users, n_events, gini_e6): the Gini coefficient
+    of per-user event counts for every event type — the single-number
+    audience-concentration readout beside the join-skew audit's
+    multiplicity quantiles (X171): gini ≈ 0 says engagement is broad,
+    ≈ 1 says a handful of power users generate the type.
+
+    Exactness contract: per-user counts are exact integers; the Gini
+    uses the grouped formula over the (multiplicity m, #users c)
+    count-of-counts sorted by m — Σ ranks of a block of c equal values
+    is m·(c·F + c(c+1)/2) with F the users before the block — so
+    G = (2·Σranks − (n+1)·Σx) / (n·Σx) is a ratio of exact integers
+    (Python int / HUGEINT) through one IEEE divide + e6 floor. Single-
+    user types read exactly 0.
+
+    Scale shape: in-block (type, user) pre-aggregates → ONE user-keyed
+    hash co-partition for exact per-user counts (metadata only) → the
+    bounded per-type count-of-counts enum fold → driver math. No
+    global sort.
+    """
+    from .exchange import hash_partitioned
+
+    cols = {
+        "event_type": "object", "n_users": "int64",
+        "n_events": "int64", "gini_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["event_type"]), pc.is_valid(batch["user_id"])
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table({"t": t["event_type"], "u": t["user_id"]})
+            .group_by(["t", "u"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "u", "m"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "t": pd.Series(dtype="object"),
+                    "m": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        cnt = (
+            df.groupby(["t", "u"], sort=False)["m"].sum().reset_index()
+        )
+        cc = (
+            cnt.groupby(["t", "m"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        cc["m"] = cc["m"].astype("int64")
+        cc["c"] = cc["c"].astype("int64")
+        return cc[["t", "m", "c"]]
+
+    cc = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            per_user,
+        ),
+        ["t", "m"],
+        ["c"],
+    )
+    if len(cc) == 0:
+        return _empty(cols)
+    rows = []
+    for ty, g in cc.groupby("t", sort=True):
+        g = g.sort_values("m")
+        n = int(g["c"].sum())
+        f = 0
+        sx = 0
+        sr = 0
+        for m, c in zip(g["m"], g["c"]):
+            m, c = int(m), int(c)
+            sx += m * c
+            sr += m * (c * f + c * (c + 1) // 2)
+            f += c
+        if n == 0 or sx == 0:
+            continue
+        gini = (2 * sr - (n + 1) * sx)
+        rows.append(
+            {
+                "event_type": str(ty), "n_users": n, "n_events": sx,
+                "gini_e6": int(
+                    math.floor(float(gini) / float(n * sx) * 1e6 + 0.5)
+                ),
+            }
+        )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+USER_GINI_SQL = """
+WITH cnt AS (
+  SELECT event_type AS t, user_id AS u, count(*) AS m
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+cc AS (SELECT t, m, count(*) AS c FROM cnt GROUP BY 1, 2),
+w AS (
+  SELECT t, m, c,
+         coalesce(sum(c) OVER (PARTITION BY t ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+  FROM cc
+),
+agg AS (
+  SELECT t, sum(c) AS n,
+         sum(CAST(m AS HUGEINT) * c) AS sx,
+         sum(CAST(m AS HUGEINT) * (c * f + c * (c + 1) // 2)) AS sr
+  FROM w GROUP BY t
+)
+SELECT t AS event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(sx AS BIGINT) AS n_events,
+       CAST(floor(CAST(2 * sr - (n + 1) * sx AS DOUBLE)
+            / CAST(n * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS gini_e6
+FROM agg WHERE n > 0 AND sx > 0
+"""
+
+register("user_activity_gini", user_activity_gini, sql=USER_GINI_SQL)

@@ -9123,3 +9123,48 @@ class TestRevenueTrendByFlag:
         )
         gold = con.execute(ORACLE_SQL["revenue_trend_by_flag"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestUserActivityGini:
+    """X182: hand-computed Gini from the grouped count-of-counts formula,
+    single-user zero, perfect-concentration check; DuckDB parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            user_activity_gini,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = []  # (type, user) one event per row
+        # a: users 1,2 with 1 event; user 3 with 4 events
+        # sorted x = (1, 1, 4); ranks 1,2,3 -> sr = 1+2+12 = 15
+        # G = (2*15 - 4*6) / (3*6) = 6/18 = 1/3
+        rows += [("a", 1), ("a", 2)] + [("a", 3)] * 4
+        # solo: one user -> G = 0
+        rows += [("solo", 9)] * 5
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array([r[0] for r in rows], pa.string()),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = user_activity_gini(str(tmp_path)).set_index("event_type")
+        a = out.loc["a"]
+        assert int(a["n_users"]) == 3
+        assert int(a["n_events"]) == 6
+        assert int(a["gini_e6"]) == 333_333
+        assert int(out.loc["solo", "gini_e6"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["user_activity_gini"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
