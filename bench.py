@@ -1191,6 +1191,7 @@ for _key, _name in [
     ("dow_season", "events_dow_seasonality"),
     ("rev_trend", "revenue_trend_by_flag"),
     ("user_gini", "user_activity_gini"),
+    ("exchange_balance", "exchange_balance_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -1774,3 +1774,136 @@ FROM agg WHERE n > 0 AND sx > 0
 """
 
 register("user_activity_gini", user_activity_gini, sql=USER_GINI_SQL)
+
+
+_EXCHANGE_PARTS = 64  # mirrors exchange._GROUP_PARTITIONS
+
+
+def exchange_balance_audit(sf_dir: str) -> pd.DataFrame:
+    """(table_name, key_col, n_rows, n_partitions, max_rows, min_rows,
+    empty_partitions, balance_e6): how evenly the engine's OWN
+    partition hash — the Knuth multiplicative hash inside
+    ``exchange.hash_partitioned`` (keys × 2654435761 mod 2^64, >> 16,
+    mod 64; nulls to partition 0) — spreads every declared join key.
+    The direct evidence behind the north rule's "partitioning/skew
+    handled explicitly": balance_e6 = max/mean in e6 (1e6 = perfectly
+    even; the number a scheduler reads before trusting the exchange).
+
+    Exactness contract: the partition id is computed with the SAME
+    wrap-around arithmetic on both engines (numpy uint64 overflow ≡
+    int128 mod 2^64 in the twin, negative keys reinterpreted as
+    uint64); counts are exact; balance_e6 = floor(max·P/n·1e6 + 0.5) is
+    one IEEE chain.
+
+    Scale shape: per key, one vectorized pass emitting ≤ 64 partial
+    rows per block into the bounded enum fold; zero shuffle (the audit
+    of the shuffle costs no shuffle).
+    """
+    cols = {
+        "table_name": "object", "key_col": "object", "n_rows": "int64",
+        "n_partitions": "int64", "max_rows": "int64", "min_rows": "int64",
+        "empty_partitions": "int64", "balance_e6": "int64",
+    }
+    P = _EXCHANGE_PARTS
+    rows = []
+    for table, key in SKEW_AUDIT_KEYS:
+
+        def partial(batch: pa.Table, key=key) -> pa.Table:
+            col = batch[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = (
+                pc.fill_null(col, 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            pid = (
+                (vals * np.uint64(2654435761)) >> np.uint64(16)
+            ) % np.uint64(P)
+            pid = pid.astype(np.int64)
+            if col.null_count:
+                pid[pc.is_null(col).to_numpy(zero_copy_only=False)] = 0
+            cnt = np.bincount(pid, minlength=P).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "pid": pa.array(nz.astype(np.int64)),
+                    "n": pa.array(cnt[nz]),
+                }
+            )
+
+        fold = enum_group_sum(
+            ray.data.read_parquet(
+                table_path(sf_dir, table), columns=[key]
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["pid"],
+            ["n"],
+        )
+        if len(fold) == 0:
+            continue
+        counts = np.zeros(P, dtype=np.int64)
+        counts[fold["pid"].to_numpy(dtype=np.int64)] = fold["n"].to_numpy(
+            dtype=np.int64
+        )
+        n = int(counts.sum())
+        mx = int(counts.max())
+        rows.append(
+            {
+                "table_name": table, "key_col": key, "n_rows": n,
+                "n_partitions": P, "max_rows": mx,
+                "min_rows": int(counts.min()),
+                "empty_partitions": int((counts == 0).sum()),
+                "balance_e6": int(
+                    math.floor(float(mx * P) / float(n) * 1e6 + 0.5)
+                ),
+            }
+        )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _exchange_balance_sql() -> str:
+    P = _EXCHANGE_PARTS
+    parts = []
+    for table, key in SKEW_AUDIT_KEYS:
+        parts.append(f"""
+SELECT '{table}' AS table_name, '{key}' AS key_col, * FROM (
+  WITH pidmap AS (
+    SELECT (((CASE WHEN {key} IS NULL THEN CAST(0 AS HUGEINT)
+                   WHEN {key} < 0
+                     THEN CAST({key} AS HUGEINT) + 18446744073709551616
+                   ELSE CAST({key} AS HUGEINT) END * 2654435761)
+             % 18446744073709551616) // 65536) % {P} AS pid_raw,
+           {key} AS k
+    FROM {table}
+  ),
+  pids AS (
+    SELECT CASE WHEN k IS NULL THEN 0 ELSE CAST(pid_raw AS BIGINT) END AS pid
+    FROM pidmap
+  ),
+  grid AS (SELECT u.i AS pid FROM UNNEST(generate_series(0, {P - 1})) u(i)),
+  cnt AS (
+    SELECT grid.pid, count(pids.pid) AS n
+    FROM grid LEFT JOIN pids ON pids.pid = grid.pid
+    GROUP BY grid.pid
+  ),
+  agg AS (
+    SELECT sum(n) AS nr, max(n) AS mx, min(n) AS mn,
+           sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS emp
+    FROM cnt
+  )
+  SELECT CAST(nr AS BIGINT) AS n_rows,
+         CAST({P} AS BIGINT) AS n_partitions,
+         CAST(mx AS BIGINT) AS max_rows,
+         CAST(mn AS BIGINT) AS min_rows,
+         CAST(emp AS BIGINT) AS empty_partitions,
+         CAST(floor(CAST(mx * {P} AS DOUBLE) / CAST(nr AS DOUBLE)
+              * 1e6 + 0.5) AS BIGINT) AS balance_e6
+  FROM agg WHERE nr > 0
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+register("exchange_balance_audit", exchange_balance_audit, sql=_exchange_balance_sql())

@@ -9168,3 +9168,65 @@ class TestUserActivityGini:
         )
         gold = con.execute(ORACLE_SQL["user_activity_gini"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestExchangeBalanceAudit:
+    """X183: a single hot key lands all rows in one partition (balance
+    64e6, 63 empties); totals include null keys (routed to pid 0);
+    the SQL twin reproduces the Knuth hash bit-for-bit."""
+
+    def test_hot_key_and_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            exchange_balance_audit,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        n = 640
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([7] * n, pa.int64()),
+                    "l_partkey": pa.array(list(range(n)), pa.int64()),
+                    "l_suppkey": pa.array(
+                        [None] + list(range(n - 1)), pa.int64()
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        pq.write_table(
+            pa.table({"o_custkey": pa.array([1, 2], pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table({"user_id": pa.array([-5, -5, 3], pa.int64())}),
+            tmp_path / "events.parquet",
+        )
+        out = exchange_balance_audit(str(tmp_path)).set_index(
+            ["table_name", "key_col"]
+        )
+        hot = out.loc[("lineitem", "l_orderkey")]
+        assert int(hot["n_rows"]) == n
+        assert int(hot["max_rows"]) == n
+        assert int(hot["empty_partitions"]) == 63
+        assert int(hot["balance_e6"]) == 64_000_000
+        # sequential keys spread: no partition should hold everything
+        seq = out.loc[("lineitem", "l_partkey")]
+        assert int(seq["max_rows"]) < n
+        # null keys counted (routed to partition 0)
+        assert int(out.loc[("lineitem", "l_suppkey"), "n_rows"]) == n
+        # negative keys reinterpret as uint64 identically in both engines
+        ev = out.loc[("events", "user_id")]
+        assert int(ev["n_rows"]) == 3
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        gold = con.execute(ORACLE_SQL["exchange_balance_audit"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
