@@ -1192,6 +1192,7 @@ for _key, _name in [
     ("rev_trend", "revenue_trend_by_flag"),
     ("user_gini", "user_activity_gini"),
     ("exchange_balance", "exchange_balance_audit"),
+    ("unicode_census", "docs_unicode_anomalies"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

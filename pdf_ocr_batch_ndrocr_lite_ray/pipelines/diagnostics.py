@@ -1907,3 +1907,139 @@ SELECT '{table}' AS table_name, '{key}' AS key_col, * FROM (
 
 
 register("exchange_balance_audit", exchange_balance_audit, sql=_exchange_balance_sql())
+
+
+#: RE2 classes shared verbatim by pyarrow and DuckDB (both RE2)
+UNI_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+UNI_ZW_RE = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+_UNI_PLANT_MOD = 7  # every 7th doc gets one planted anomaly of each class
+
+
+def docs_unicode_anomalies(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_dirty_docs, n_control, n_replacement,
+    n_zero_width, chars, anomalies_per_mchar): the ingest-noise census
+    every OCR/web corpus runs before training — C0 control characters
+    (minus tab/newline/CR), U+FFFD replacement characters (the smoking
+    gun of a mis-decoded byte stream), and zero-width characters (the
+    classic copy-paste/watermark artifact), per source.
+
+    The synthesized corpus is clean, so the pipeline PLANTS one
+    anomaly of each class on every ``doc_id % 7 == 0`` document (the
+    same deterministic in-pipeline planting the PII scrub uses,
+    mirrored verbatim in the SQL twin) — giving the oracle non-zero
+    counts and tests a known target.
+
+    Exactness contract: counts are non-overlapping RE2 class matches
+    (single-char classes ⇒ per-character counts), identical in pyarrow
+    and DuckDB; ``anomalies_per_mchar`` = floor(total·1e6/chars + 0.5)
+    is one IEEE chain (0 when a source has no chars).
+
+    Scale shape: one vectorized pass, ≤ #sources partial rows per
+    block, bounded enum fold; zero shuffle.
+    """
+    from .dedup import _mod_mask
+
+    cols = {
+        "source": "object", "n_docs": "int64", "n_dirty_docs": "int64",
+        "n_control": "int64", "n_replacement": "int64",
+        "n_zero_width": "int64", "chars": "int64",
+        "anomalies_per_mchar": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["source"]), pc.is_valid(batch["text"]))
+        t = batch.filter(keep)
+        planted = _mod_mask(t["doc_id"], _UNI_PLANT_MOD)
+        text = pc.if_else(
+            planted,
+            pc.binary_join_element_wise(
+                t["text"], pa.array(["\x07�​"] * t.num_rows), ""
+            ),
+            t["text"],
+        )
+        ctrl = pc.cast(pc.count_substring_regex(text, UNI_CONTROL_RE), pa.int64())
+        repl = pc.cast(pc.count_substring(text, "�"), pa.int64())
+        zw = pc.cast(pc.count_substring_regex(text, UNI_ZW_RE), pa.int64())
+        chars = pc.cast(pc.utf8_length(text), pa.int64())
+        dirty = pc.cast(
+            pc.greater(pc.add(pc.add(ctrl, repl), zw), 0), pa.int64()
+        )
+        g = (
+            pa.table(
+                {
+                    "source": t["source"], "c": ctrl, "r": repl,
+                    "z": zw, "ch": chars, "d": dirty,
+                }
+            )
+            .group_by(["source"])
+            .aggregate(
+                [([], "count_all"), ("c", "sum"), ("r", "sum"),
+                 ("z", "sum"), ("ch", "sum"), ("d", "sum")]
+            )
+        )
+        return g.rename_columns(["source", "n", "c", "r", "z", "ch", "d"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["doc_id", "source", "text"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        ["n", "c", "r", "z", "ch", "d"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("source").iterrows():
+        total = int(r["c"]) + int(r["r"]) + int(r["z"])
+        chars = int(r["ch"])
+        rows.append(
+            {
+                "source": str(r["source"]), "n_docs": int(r["n"]),
+                "n_dirty_docs": int(r["d"]), "n_control": int(r["c"]),
+                "n_replacement": int(r["r"]), "n_zero_width": int(r["z"]),
+                "chars": chars,
+                "anomalies_per_mchar": (
+                    int(math.floor(float(total) * 1e6 / float(chars) + 0.5))
+                    if chars > 0 else 0
+                ),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+DOCS_UNICODE_SQL = f"""
+WITH f AS (
+  SELECT source,
+         CASE WHEN doc_id % {_UNI_PLANT_MOD} = 0
+              THEN text || chr(7) || chr(65533) || chr(8203)
+              ELSE text END AS t
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{UNI_CONTROL_RE}')) AS c,
+         len(regexp_extract_all(t, chr(65533))) AS r,
+         len(regexp_extract_all(t, '{UNI_ZW_RE}')) AS z,
+         length(t) AS ch
+  FROM f
+),
+g AS (
+  SELECT source, count(*) AS n, sum(c) AS c, sum(r) AS r, sum(z) AS z,
+         sum(ch) AS ch,
+         sum(CASE WHEN c + r + z > 0 THEN 1 ELSE 0 END) AS d
+  FROM m GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(d AS BIGINT) AS n_dirty_docs,
+       CAST(c AS BIGINT) AS n_control,
+       CAST(r AS BIGINT) AS n_replacement,
+       CAST(z AS BIGINT) AS n_zero_width,
+       CAST(ch AS BIGINT) AS chars,
+       CAST(CASE WHEN ch > 0 THEN floor(
+         CAST(c + r + z AS DOUBLE) * 1e6 / CAST(ch AS DOUBLE) + 0.5)
+       ELSE 0 END AS BIGINT) AS anomalies_per_mchar
+FROM g
+"""
+
+register("docs_unicode_anomalies", docs_unicode_anomalies, sql=DOCS_UNICODE_SQL)

@@ -9230,3 +9230,54 @@ class TestExchangeBalanceAudit:
             )
         gold = con.execute(ORACLE_SQL["exchange_balance_audit"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestDocsUnicodeAnomalies:
+    """X184: planted anomalies counted exactly (one control, one U+FFFD,
+    one zero-width per planted doc), clean docs read zero, organic
+    anomalies add on top; DuckDB parity."""
+
+    def test_planted_census(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            docs_unicode_anomalies,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        pq.write_table(
+            pa.table(
+                {
+                    # 7 and 14 are planted (doc_id % 7 == 0); 8 is clean;
+                    # 9 carries an ORGANIC replacement char
+                    "doc_id": pa.array([7, 14, 8, 9], pa.int64()),
+                    "text": pa.array(
+                        ["abcd", "efgh", "clean", "bad�byte"], pa.string()
+                    ),
+                    "source": pa.array(["s", "s", "s", "t"], pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_unicode_anomalies(str(tmp_path)).set_index("source")
+        s = out.loc["s"]
+        assert int(s["n_docs"]) == 3
+        assert int(s["n_dirty_docs"]) == 2
+        assert int(s["n_control"]) == 2
+        assert int(s["n_replacement"]) == 2
+        assert int(s["n_zero_width"]) == 2
+        # planted suffix adds 3 chars to each planted doc: 4+3 + 4+3 + 5
+        assert int(s["chars"]) == 19
+        t = out.loc["t"]
+        assert int(t["n_control"]) == 0
+        assert int(t["n_replacement"]) == 1
+        assert int(t["n_dirty_docs"]) == 1
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["docs_unicode_anomalies"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
