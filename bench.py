@@ -1193,6 +1193,7 @@ for _key, _name in [
     ("user_gini", "user_activity_gini"),
     ("exchange_balance", "exchange_balance_audit"),
     ("unicode_census", "docs_unicode_anomalies"),
+    ("salt_plan", "conversation_salt_plan"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2043,3 +2043,116 @@ FROM g
 """
 
 register("docs_unicode_anomalies", docs_unicode_anomalies, sql=DOCS_UNICODE_SQL)
+
+
+def conversation_salt_plan(sf_dir: str) -> pd.DataFrame:
+    """(n_convs, n_salted, salted_share_e6, max_turns, max_segments,
+    total_segments): the planning readout for the salted conversation
+    exchange — with SALT_BLOCK = 64 turns per segment, how many
+    conversations split (n_segments = ⌈n_turns/64⌉ > 1), how hot the
+    hottest one is, and how many level-1 segments the reassembly will
+    materialize. The number an operator reads before a 10^12-turn run
+    to predict the exchange's fan-out (hot conversations are WHY the
+    reassembly salts; the stress fixture's 200k-turn conversation would
+    read max_segments = 3125 here).
+
+    Exactness contract: pure integer counts; ⌈n/64⌉ = (n+63)//64 in
+    integer arithmetic on both engines; salted_share_e6 is one IEEE
+    divide.
+
+    Scale shape: in-block conv counts → one conv-keyed metadata
+    exchange (the same key the reassembly itself uses) → one summary
+    row per partition → driver fold of ≤ #partitions rows.
+    """
+    from .conversations import SALT_BLOCK
+    from .exchange import hash_partitioned
+    from .queryset import transcripts_for_sf
+
+    cols = {
+        "n_convs": "int64", "n_salted": "int64", "salted_share_e6": "int64",
+        "max_turns": "int64", "max_segments": "int64",
+        "total_segments": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"conv": batch["conv_id"]})
+            .group_by(["conv"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["conv", "n"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "n_convs": pd.Series(dtype="int64"),
+            "n_salted": pd.Series(dtype="int64"),
+            "max_turns": pd.Series(dtype="int64"),
+            "max_segments": pd.Series(dtype="int64"),
+            "total_segments": pd.Series(dtype="int64"),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(out_cols)
+        n = df.groupby("conv", sort=False)["n"].sum()
+        segs = (n + SALT_BLOCK - 1) // SALT_BLOCK
+        return pd.DataFrame(
+            {
+                "n_convs": [len(n)],
+                "n_salted": [int((segs > 1).sum())],
+                "max_turns": [int(n.max())],
+                "max_segments": [int(segs.max())],
+                "total_segments": [int(segs.sum())],
+            }
+        ).astype("int64")
+
+    parts = hash_partitioned(
+        ray.data.read_parquet(
+            transcripts_for_sf(sf_dir), columns=["conv_id"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "conv",
+        per_partition,
+    ).to_pandas()  # ≤ one summary row per partition
+    if len(parts) == 0 or int(parts["n_convs"].sum()) == 0:
+        return _empty(cols)
+    n_convs = int(parts["n_convs"].sum())
+    n_salted = int(parts["n_salted"].sum())
+    return pd.DataFrame(
+        [
+            {
+                "n_convs": n_convs,
+                "n_salted": n_salted,
+                "salted_share_e6": int(
+                    math.floor(float(n_salted) / float(n_convs) * 1e6 + 0.5)
+                ),
+                "max_turns": int(parts["max_turns"].max()),
+                "max_segments": int(parts["max_segments"].max()),
+                "total_segments": int(parts["total_segments"].sum()),
+            }
+        ]
+    ).astype(cols)
+
+
+def _salt_plan_sql() -> str:
+    from .conversations import SALT_BLOCK
+    from .queryset import transcripts_path_for_sf
+
+    path = transcripts_path_for_sf("/root/testdata/sf0.01")
+    return f"""
+WITH per_conv AS (
+  SELECT conv_id, count(*) AS n,
+         (count(*) + {SALT_BLOCK - 1}) // {SALT_BLOCK} AS segs
+  FROM read_parquet('{path}')
+  GROUP BY conv_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN segs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_salted,
+       CAST(floor(CAST(sum(CASE WHEN segs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS salted_share_e6,
+       CAST(max(n) AS BIGINT) AS max_turns,
+       CAST(max(segs) AS BIGINT) AS max_segments,
+       CAST(sum(segs) AS BIGINT) AS total_segments
+FROM per_conv
+"""
+
+
+register("conversation_salt_plan", conversation_salt_plan, sql=_salt_plan_sql())

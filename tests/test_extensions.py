@@ -9281,3 +9281,38 @@ class TestDocsUnicodeAnomalies:
         )
         gold = con.execute(ORACLE_SQL["docs_unicode_anomalies"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestConversationSaltPlan:
+    """X185: ceil-division segment math pinned against the known sf0.001
+    corpus shape and the conversation_stats turn counts; DuckDB parity."""
+
+    def test_plan_matches_stats(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.conversations import (
+            SALT_BLOCK,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            conversation_salt_plan,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.transcript_stats import (
+            conversation_stats,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = conversation_salt_plan(sf)
+        assert len(out) == 1
+        row = out.iloc[0]
+        stats = conversation_stats(sf).to_pandas()
+        n = stats["n_turns"]
+        segs = (n + SALT_BLOCK - 1) // SALT_BLOCK
+        assert int(row["n_convs"]) == len(stats)
+        assert int(row["n_salted"]) == int((segs > 1).sum())
+        assert int(row["max_turns"]) == int(n.max())
+        assert int(row["max_segments"]) == int(segs.max())
+        assert int(row["total_segments"]) == int(segs.sum())
+        sql = queryset.oracle_sql_for(sf)["conversation_salt_plan"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
