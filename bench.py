@@ -1194,6 +1194,7 @@ for _key, _name in [
     ("exchange_balance", "exchange_balance_audit"),
     ("unicode_census", "docs_unicode_anomalies"),
     ("salt_plan", "conversation_salt_plan"),
+    ("type_affinity", "user_type_affinity"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2156,3 +2156,168 @@ FROM per_conv
 
 
 register("conversation_salt_plan", conversation_salt_plan, sql=_salt_plan_sql())
+
+
+_AFFINITY_MAX_TYPES = 16  # mask histogram is 2^T rows — fail loud past this
+
+
+def user_type_affinity(sf_dir: str) -> pd.DataFrame:
+    """(type_a, type_b, n_both, n_either, jaccard_e6): exact LIFETIME
+    co-engagement between event types — of the users who ever did a or
+    b, how many did both? The user-level complement of the session-
+    scoped lift (X162): lift asks "within one session", this asks
+    "within one user, ever" — the audience-overlap matrix a growth team
+    reads before bundling features.
+
+    Exactness contract: per-user type SETS are exact (distinct pairs);
+    every user collapses to one type-bitmask, and the corpus folds to
+    the ≤ 2^T-row (mask, n_users) histogram (T = #types, loud guard at
+    {guard}); n_both / n_either are integer sums over that histogram
+    (inclusion-exclusion in the twin), jaccard_e6 one IEEE divide.
+    Zero-overlap pairs are reported with jaccard 0, not dropped.
+
+    Scale shape: in-block distinct (user, type) pairs → ONE user-keyed
+    metadata exchange → per-partition masks → bounded mask-histogram
+    enum fold → driver pair math over ≤ 2^T rows. No joins.
+    """
+    from .exchange import hash_partitioned
+
+    cols = {
+        "type_a": "object", "type_b": "object", "n_both": "int64",
+        "n_either": "int64", "jaccard_e6": "int64",
+    }
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["event_type"]), pc.is_valid(batch["user_id"])
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table({"t": t["event_type"]})
+            .group_by(["t"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "n"])
+
+    types = sorted(
+        enum_group_sum(
+            ray.data.read_parquet(
+                table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+            ).map_batches(type_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["t"],
+            ["n"],
+        )["t"].astype(str)
+    )
+    if not types:
+        return _empty(cols)
+    if len(types) > _AFFINITY_MAX_TYPES:
+        raise ValueError(
+            f"user_type_affinity: {len(types)} event types exceed the "
+            f"2^T mask-histogram guard ({_AFFINITY_MAX_TYPES}); switch to "
+            "pairwise distinct-count folds per type pair"
+        )
+    tidx = {t: i for i, t in enumerate(types)}
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["event_type"]), pc.is_valid(batch["user_id"])
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table({"u": t["user_id"], "t": t["event_type"]})
+            .group_by(["u", "t"])
+            .aggregate([])
+        )
+        return g.rename_columns(["u", "t"])
+
+    def per_user_masks(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"mask": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        bits = df["t"].map(tidx).to_numpy(dtype=np.int64)
+        masks = pd.Series(
+            np.int64(1) << bits, index=df["u"]
+        ).groupby(level=0).agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        hist = masks.value_counts()
+        return pd.DataFrame(
+            {"mask": hist.index.astype("int64"), "n": hist.to_numpy()}
+        ).astype("int64")
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+            ).map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            per_user_masks,
+        ),
+        ["mask"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    masks = fold["mask"].to_numpy(dtype=np.int64)
+    ns = fold["n"].to_numpy(dtype=np.int64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            bit_a = np.int64(1) << np.int64(i)
+            bit_b = np.int64(1) << np.int64(j)
+            has_a = (masks & bit_a) != 0
+            has_b = (masks & bit_b) != 0
+            n_both = int(ns[has_a & has_b].sum())
+            n_either = int(ns[has_a | has_b].sum())
+            rows.append(
+                {
+                    "type_a": ta, "type_b": tb, "n_both": n_both,
+                    "n_either": n_either,
+                    "jaccard_e6": (
+                        int(
+                            math.floor(
+                                float(n_both) / float(n_either) * 1e6 + 0.5
+                            )
+                        )
+                        if n_either > 0 else 0
+                    ),
+                }
+            )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+user_type_affinity.__doc__ = user_type_affinity.__doc__.format(
+    guard=_AFFINITY_MAX_TYPES
+)
+
+USER_TYPE_AFFINITY_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+cnt AS (SELECT t, count(*) AS c FROM ut GROUP BY t),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM cnt a JOIN cnt b ON a.t < b.t
+),
+nb AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST(coalesce(nb.n_both, 0) AS BIGINT) AS n_both,
+       CAST(ca.c + cb.c - coalesce(nb.n_both, 0) AS BIGINT) AS n_either,
+       CAST(CASE WHEN ca.c + cb.c - coalesce(nb.n_both, 0) > 0 THEN
+         floor(CAST(coalesce(nb.n_both, 0) AS DOUBLE)
+               / CAST(ca.c + cb.c - coalesce(nb.n_both, 0) AS DOUBLE)
+               * 1e6 + 0.5)
+       ELSE 0 END AS BIGINT) AS jaccard_e6
+FROM pairs p
+JOIN cnt ca ON ca.t = p.ta
+JOIN cnt cb ON cb.t = p.tb
+LEFT JOIN nb ON nb.ta = p.ta AND nb.tb = p.tb
+"""
+
+register("user_type_affinity", user_type_affinity, sql=USER_TYPE_AFFINITY_SQL)

@@ -9316,3 +9316,51 @@ class TestConversationSaltPlan:
         sql = queryset.oracle_sql_for(sf)["conversation_salt_plan"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestUserTypeAffinity:
+    """X186: hand-computed lifetime Jaccard via the mask histogram,
+    zero-overlap pairs reported not dropped, type-count guard; parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            user_type_affinity,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        rows = [  # (user, type)
+            (1, "a"), (1, "a"), (1, "b"),  # duplicate (1, a) collapses
+            (2, "a"),
+            (3, "b"),
+            (4, "c"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = user_type_affinity(str(tmp_path)).set_index(["type_a", "type_b"])
+        ab = out.loc[("a", "b")]
+        # users of a: {1,2}; of b: {1,3}; both {1}; either {1,2,3}
+        assert int(ab["n_both"]) == 1
+        assert int(ab["n_either"]) == 3
+        assert int(ab["jaccard_e6"]) == 333_333
+        ac = out.loc[("a", "c")]
+        assert int(ac["n_both"]) == 0
+        assert int(ac["n_either"]) == 3
+        assert int(ac["jaccard_e6"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["user_type_affinity"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
