@@ -1195,6 +1195,7 @@ for _key, _name in [
     ("unicode_census", "docs_unicode_anomalies"),
     ("salt_plan", "conversation_salt_plan"),
     ("type_affinity", "user_type_affinity"),
+    ("script_mix", "docs_script_mix"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2321,3 +2321,111 @@ LEFT JOIN nb ON nb.ta = p.ta AND nb.tb = p.tb
 """
 
 register("user_type_affinity", user_type_affinity, sql=USER_TYPE_AFFINITY_SQL)
+
+
+SCRIPT_LATIN_RE = r"[A-Za-z]"
+SCRIPT_CJK_RE = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+SCRIPT_DIGIT_RE = r"[0-9]"
+
+
+def docs_script_mix(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, chars, n_latin, n_cjk, n_digit, cjk_share_e6,
+    latin_share_e6): the script-composition census per source — the raw
+    signal under the engine's CJK-aware normalization path (F3's JP
+    detection) and the language-ID heuristic: a 'en' source running 30%
+    Han chars is a mislabeled ingest, caught here before training.
+
+    Exactness contract: single-char RE2 Unicode classes (``\\p{Han}``,
+    Hiragana, Katakana) counted identically by pyarrow and DuckDB —
+    both RE2; shares are per-source integer ratios through one IEEE
+    divide each (0 when a source has no chars).
+
+    Scale shape: one vectorized pass, ≤ #sources partial rows per
+    block, bounded enum fold; zero shuffle.
+    """
+    cols = {
+        "source": "object", "n_docs": "int64", "chars": "int64",
+        "n_latin": "int64", "n_cjk": "int64", "n_digit": "int64",
+        "cjk_share_e6": "int64", "latin_share_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["source"]), pc.is_valid(batch["text"]))
+        t = batch.filter(keep)
+        lat = pc.cast(pc.count_substring_regex(t["text"], SCRIPT_LATIN_RE), pa.int64())
+        cjk = pc.cast(pc.count_substring_regex(t["text"], SCRIPT_CJK_RE), pa.int64())
+        dig = pc.cast(pc.count_substring_regex(t["text"], SCRIPT_DIGIT_RE), pa.int64())
+        ch = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        g = (
+            pa.table(
+                {"source": t["source"], "l": lat, "c": cjk, "d": dig, "ch": ch}
+            )
+            .group_by(["source"])
+            .aggregate(
+                [([], "count_all"), ("l", "sum"), ("c", "sum"),
+                 ("d", "sum"), ("ch", "sum")]
+            )
+        )
+        return g.rename_columns(["source", "n", "l", "c", "d", "ch"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["source", "text"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        ["n", "l", "c", "d", "ch"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("source").iterrows():
+        ch = int(r["ch"])
+
+        def share(x: int) -> int:
+            return (
+                int(math.floor(float(x) / float(ch) * 1e6 + 0.5)) if ch > 0 else 0
+            )
+
+        rows.append(
+            {
+                "source": str(r["source"]), "n_docs": int(r["n"]),
+                "chars": ch, "n_latin": int(r["l"]), "n_cjk": int(r["c"]),
+                "n_digit": int(r["d"]),
+                "cjk_share_e6": share(int(r["c"])),
+                "latin_share_e6": share(int(r["l"])),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+DOCS_SCRIPT_MIX_SQL = r"""
+WITH m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS l,
+         len(regexp_extract_all(text,
+             '[\p{Han}\p{Hiragana}\p{Katakana}]')) AS c,
+         len(regexp_extract_all(text, '[0-9]')) AS d,
+         length(text) AS ch
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+g AS (
+  SELECT source, count(*) AS n, sum(l) AS l, sum(c) AS c, sum(d) AS d,
+         sum(ch) AS ch
+  FROM m GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(ch AS BIGINT) AS chars,
+       CAST(l AS BIGINT) AS n_latin,
+       CAST(c AS BIGINT) AS n_cjk,
+       CAST(d AS BIGINT) AS n_digit,
+       CAST(CASE WHEN ch > 0 THEN floor(
+         CAST(c AS DOUBLE) / CAST(ch AS DOUBLE) * 1e6 + 0.5)
+       ELSE 0 END AS BIGINT) AS cjk_share_e6,
+       CAST(CASE WHEN ch > 0 THEN floor(
+         CAST(l AS DOUBLE) / CAST(ch AS DOUBLE) * 1e6 + 0.5)
+       ELSE 0 END AS BIGINT) AS latin_share_e6
+FROM g
+"""
+
+register("docs_script_mix", docs_script_mix, sql=DOCS_SCRIPT_MIX_SQL)

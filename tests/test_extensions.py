@@ -9364,3 +9364,49 @@ class TestUserTypeAffinity:
         )
         gold = con.execute(ORACLE_SQL["user_type_affinity"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestDocsScriptMix:
+    """X187: hand-counted Latin/CJK/digit chars incl. Han+Hiragana+
+    Katakana classes, zero-char guard; DuckDB RE2 parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            docs_script_mix,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(
+                        ["ab1 日本語のテキスト!", "xyz"], pa.string()
+                    ),
+                    "source": pa.array(["jp", "en"], pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_script_mix(str(tmp_path)).set_index("source")
+        jp = out.loc["jp"]
+        # 日本語 = Han x3; のテキスト = Hiragana x1 + Katakana x4 -> 8 CJK
+        assert int(jp["n_cjk"]) == 8
+        assert int(jp["n_latin"]) == 2
+        assert int(jp["n_digit"]) == 1
+        assert int(jp["chars"]) == 13
+        assert int(jp["cjk_share_e6"]) == 615_385
+        en = out.loc["en"]
+        assert int(en["n_cjk"]) == 0
+        assert int(en["latin_share_e6"]) == 1_000_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["docs_script_mix"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
