@@ -1196,6 +1196,7 @@ for _key, _name in [
     ("salt_plan", "conversation_salt_plan"),
     ("type_affinity", "user_type_affinity"),
     ("script_mix", "docs_script_mix"),
+    ("completeness", "shipment_completeness"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2429,3 +2429,115 @@ FROM g
 """
 
 register("docs_script_mix", docs_script_mix, sql=DOCS_SCRIPT_MIX_SQL)
+
+
+def shipment_completeness(sf_dir: str) -> pd.DataFrame:
+    """(yyyymm, days_in_month, days_with_data, n_shipments,
+    coverage_e6): the data-delivery calendar audit — for every calendar
+    month in the shipment span (DENSE: silent months show up as zero
+    rows, the exact failure an ingest monitor must see), how many of
+    the month's days actually shipped data. The freshness/completeness
+    check every scheduled feed runs.
+
+    Exactness contract: days and months come from integer epoch-day
+    arithmetic on the shared proleptic-Gregorian calendar (Python
+    ``date.fromordinal`` ≡ DuckDB date math — no timezone);
+    days_in_month is calendar truth (leap-aware on both engines);
+    counts exact; coverage_e6 one IEEE divide.
+
+    Scale shape: one bounded (day, n) enum fold (the corpus's day
+    span); driver calendar math over those rows. Zero shuffle.
+    """
+    import datetime as _dt
+
+    cols = {
+        "yyyymm": "int64", "days_in_month": "int64",
+        "days_with_data": "int64", "n_shipments": "int64",
+        "coverage_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["l_shipdate"])
+        t = batch.filter(keep)
+        days = pc.divide(pc.cast(t["l_shipdate"], pa.int64()), DAY_US)
+        g = (
+            pa.table({"day": days})
+            .group_by(["day"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["day", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_shipdate"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    epoch = _dt.date(1970, 1, 1).toordinal()
+    per_month: dict[int, list[int]] = {}
+    for day, n in zip(fold["day"], fold["n"]):
+        d = _dt.date.fromordinal(epoch + int(day))
+        key = d.year * 100 + d.month
+        a = per_month.setdefault(key, [0, 0])
+        a[0] += 1
+        a[1] += int(n)
+    # dense month grid between the first and last month with data
+    first = min(per_month)
+    last = max(per_month)
+    import calendar as _cal
+
+    rows = []
+    y, m = divmod(first, 100)
+    while y * 100 + m <= last:
+        key = y * 100 + m
+        dim = _cal.monthrange(y, m)[1]
+        dwd, n = per_month.get(key, [0, 0])
+        rows.append(
+            {
+                "yyyymm": key, "days_in_month": dim,
+                "days_with_data": dwd, "n_shipments": n,
+                "coverage_e6": int(
+                    math.floor(float(dwd) / float(dim) * 1e6 + 0.5)
+                ),
+            }
+        )
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    return pd.DataFrame(rows).astype(cols)
+
+
+SHIPMENT_COMPLETENESS_SQL = """
+WITH d AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT date_trunc('month', min(day)) AS mn,
+         date_trunc('month', max(day)) AS mx
+  FROM d
+),
+months AS (
+  SELECT CAST(u.m AS DATE) AS m0
+  FROM b, UNNEST(generate_series(b.mn, b.mx, INTERVAL 1 MONTH)) u(m)
+),
+per AS (
+  SELECT date_trunc('month', day) AS m0, count(*) AS dwd, sum(n) AS n
+  FROM d GROUP BY 1
+)
+SELECT CAST(date_part('year', months.m0) * 100
+            + date_part('month', months.m0) AS BIGINT) AS yyyymm,
+       CAST(date_part('day', last_day(months.m0)) AS BIGINT)
+         AS days_in_month,
+       CAST(coalesce(per.dwd, 0) AS BIGINT) AS days_with_data,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_shipments,
+       CAST(floor(CAST(coalesce(per.dwd, 0) AS DOUBLE)
+            / CAST(date_part('day', last_day(months.m0)) AS DOUBLE)
+            * 1e6 + 0.5) AS BIGINT) AS coverage_e6
+FROM months LEFT JOIN per ON per.m0 = months.m0
+"""
+
+register("shipment_completeness", shipment_completeness, sql=SHIPMENT_COMPLETENESS_SQL)

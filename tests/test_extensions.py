@@ -9410,3 +9410,49 @@ class TestDocsScriptMix:
         )
         gold = con.execute(ORACLE_SQL["docs_script_mix"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestShipmentCompleteness:
+    """X188: silent middle month appears as a zero row, leap February
+    reads 29 days, coverage exact; DuckDB parity."""
+
+    def test_dense_months_and_leap(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            shipment_completeness,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        dates = []
+        # 2024-02 (leap): ships on 10 distinct days, 2 rows on one day
+        for d in range(1, 11):
+            dates.append(dt.datetime(2024, 2, d))
+        dates.append(dt.datetime(2024, 2, 1))
+        # 2024-03: silent; 2024-04: one day
+        dates.append(dt.datetime(2024, 4, 15))
+        pq.write_table(
+            pa.table({"l_shipdate": pa.array(dates, pa.timestamp("us"))}),
+            tmp_path / "lineitem.parquet",
+        )
+        out = shipment_completeness(str(tmp_path)).set_index("yyyymm")
+        assert list(out.index) == [202402, 202403, 202404]
+        feb = out.loc[202402]
+        assert int(feb["days_in_month"]) == 29
+        assert int(feb["days_with_data"]) == 10
+        assert int(feb["n_shipments"]) == 11
+        assert int(feb["coverage_e6"]) == 344_828
+        mar = out.loc[202403]
+        assert int(mar["days_with_data"]) == 0
+        assert int(mar["coverage_e6"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["shipment_completeness"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
