@@ -1197,6 +1197,7 @@ for _key, _name in [
     ("type_affinity", "user_type_affinity"),
     ("script_mix", "docs_script_mix"),
     ("completeness", "shipment_completeness"),
+    ("bot_audit", "bot_regularity_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2541,3 +2541,127 @@ FROM months LEFT JOIN per ON per.m0 = months.m0
 """
 
 register("shipment_completeness", shipment_completeness, sql=SHIPMENT_COMPLETENESS_SQL)
+
+
+BOT_MIN_EVENTS = 5  # users below this have too few gaps to judge
+
+
+def bot_regularity_audit(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_users, n_perfectly_regular): the bot/automation
+    heuristic every event corpus screens — humans are irregular, cron
+    jobs are not. For every user with ≥ {m} events, the share of that
+    user's inter-arrival gaps taken by the single most common gap
+    (top_share = max gap multiplicity / (n−1)), bucketed into exact
+    integer deciles; ``n_perfectly_regular`` counts users whose gaps
+    are ALL identical (top_share = 1 — the metronome signature).
+
+    Exactness contract: gaps are exact integer µs deltas over the
+    user's ts-sorted events (equal timestamps give deterministic zero
+    gaps whatever the tie order); bucket = min(10·maxc // (n−1), 9) in
+    integer arithmetic; pure counts, no float anywhere.
+
+    Scale shape: in-block (user, ts) rows → ONE user-keyed exchange
+    (each user's timeline lands whole) → vectorized per-partition gap
+    histogram → ten-row enum fold.
+    """
+    from .exchange import hash_partitioned
+
+    cols = {
+        "bucket": "int64", "n_users": "int64", "n_perfectly_regular": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        t = batch.filter(keep)
+        return pa.table(
+            {"u": t["user_id"], "ts": pc.cast(t["ts"], pa.int64())}
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "bucket": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "p": pd.Series(dtype="int64"),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(out_cols)
+        df = df.sort_values(["u", "ts"], kind="mergesort")
+        sizes = df.groupby("u", sort=False)["ts"].transform("size")
+        df = df[sizes >= BOT_MIN_EVENTS]
+        if len(df) == 0:
+            return pd.DataFrame(out_cols)
+        gap = df.groupby("u", sort=False)["ts"].diff()
+        g = df.assign(gap=gap).dropna(subset=["gap"])
+        g["gap"] = g["gap"].astype("int64")
+        per = (
+            g.groupby(["u", "gap"], sort=False)
+            .size()
+            .groupby(level=0)
+            .agg(maxc="max", total="sum")
+        )
+        maxc = per["maxc"].to_numpy(dtype=np.int64)
+        total = per["total"].to_numpy(dtype=np.int64)
+        bucket = np.minimum(10 * maxc // total, 9)
+        out = pd.DataFrame(
+            {"bucket": bucket, "n": 1, "p": (maxc == total).astype(np.int64)}
+        )
+        return (
+            out.groupby("bucket", sort=False).sum().reset_index().astype("int64")
+        )
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                table_path(sf_dir, "events"), columns=["user_id", "ts"]
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            per_user,
+        ),
+        ["bucket"],
+        ["n", "p"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    fold = fold.sort_values("bucket")
+    return pd.DataFrame(
+        {
+            "bucket": fold["bucket"].astype("int64"),
+            "n_users": fold["n"].astype("int64"),
+            "n_perfectly_regular": fold["p"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+bot_regularity_audit.__doc__ = bot_regularity_audit.__doc__.format(
+    m=BOT_MIN_EVENTS
+)
+
+BOT_REGULARITY_SQL = f"""
+WITH f AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+sized AS (
+  SELECT u, ts, count(*) OVER (PARTITION BY u) AS n FROM f
+),
+gaps AS (
+  SELECT u, ts - lag(ts) OVER (PARTITION BY u ORDER BY ts) AS gap
+  FROM sized WHERE n >= {BOT_MIN_EVENTS}
+),
+gc AS (
+  SELECT u, gap, count(*) AS c FROM gaps WHERE gap IS NOT NULL
+  GROUP BY 1, 2
+),
+per AS (SELECT u, max(c) AS maxc, sum(c) AS total FROM gc GROUP BY u),
+b AS (
+  SELECT least(10 * maxc // total, 9) AS bucket,
+         CASE WHEN maxc = total THEN 1 ELSE 0 END AS p
+  FROM per
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(p) AS BIGINT) AS n_perfectly_regular
+FROM b GROUP BY bucket
+"""
+
+register("bot_regularity_audit", bot_regularity_audit, sql=BOT_REGULARITY_SQL)

@@ -9456,3 +9456,54 @@ class TestShipmentCompleteness:
         )
         gold = con.execute(ORACLE_SQL["shipment_completeness"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestBotRegularityAudit:
+    """X189: a metronome user lands in bucket 9 as perfectly regular, a
+    human-ish user doesn't, small users are excluded; DuckDB parity."""
+
+    def test_planted_bot(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            bot_regularity_audit,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # bot: 6 events exactly 60s apart -> 5 identical gaps
+        for i in range(6):
+            rows.append((1, t0 + dt.timedelta(seconds=60 * i)))
+        # human: 6 events, all gaps distinct -> maxc=1, total=5 -> bucket 2
+        for i, off in enumerate([0, 10, 25, 45, 70, 100]):
+            rows.append((2, t0 + dt.timedelta(seconds=off)))
+        # tiny: 3 events -> excluded
+        for i in range(3):
+            rows.append((3, t0 + dt.timedelta(seconds=i)))
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = bot_regularity_audit(str(tmp_path)).set_index("bucket")
+        assert int(out.loc[9, "n_users"]) == 1
+        assert int(out.loc[9, "n_perfectly_regular"]) == 1
+        assert int(out.loc[2, "n_users"]) == 1  # 10*1//5 = 2
+        assert int(out.loc[2, "n_perfectly_regular"]) == 0
+        assert int(out["n_users"].sum()) == 2  # user 3 excluded
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["bot_regularity_audit"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
