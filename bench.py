@@ -1198,6 +1198,7 @@ for _key, _name in [
     ("script_mix", "docs_script_mix"),
     ("completeness", "shipment_completeness"),
     ("bot_audit", "bot_regularity_audit"),
+    ("bp_lines", "docs_boilerplate_lines"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2665,3 +2665,144 @@ FROM b GROUP BY bucket
 """
 
 register("bot_regularity_audit", bot_regularity_audit, sql=BOT_REGULARITY_SQL)
+
+
+BOILERPLATE_LINE_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+_BP_PLANT_MOD = 4
+_BP_PLANT_LINE = "-- corpus footer v1 --"
+
+
+def docs_boilerplate_lines(sf_dir: str) -> pd.DataFrame:
+    """(line_md5, n_docs, example_line): cross-document LINE-level
+    boilerplate — the classic C4/CCNet scrub target (navigation bars,
+    cookie banners, footers recur verbatim as lines across unrelated
+    pages). A non-empty trimmed line appearing in ≥ {k} distinct
+    documents is flagged, with the lexicographically smallest raw form
+    as the example. The docs twin of ``turns_boilerplate`` (which works
+    at whole-turn granularity over conversations).
+
+    The synthesized corpus has no organic cross-doc lines, so the
+    pipeline PLANTS the footer line ``-- corpus footer v1 --`` on every
+    ``doc_id % 4 == 0`` document (the PII/unicode planting precedent,
+    mirrored verbatim in the SQL twin) — giving the oracle a non-empty
+    flagged set.
+
+    Exactness contract: lines are newline splits, whitespace-trimmed;
+    the key is md5 of the trimmed line (DuckDB-reproducible); counts
+    are DISTINCT docs (a line repeated inside one doc counts once);
+    ``example_line`` = min() of the trimmed text — deterministic on
+    both engines.
+
+    Scale shape: in-block (line_md5, doc_id) DISTINCT pairs (a hot line
+    contributes one row per (block, doc), not one per occurrence) →
+    ONE line-keyed hash exchange → per-partition distinct-doc counts →
+    rows ≥ {k} survive. Raw text ships only as the per-block min
+    example, capped at 200 chars. Output is corpus-boilerplate-sized
+    (the turns_boilerplate precedent).
+    """
+    import hashlib as _hashlib
+
+    from .exchange import hash_partitioned
+
+    cols = {"line_md5": "object", "n_docs": "int64", "example_line": "object"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["doc_id"]), pc.is_valid(batch["text"]))
+        t = batch.filter(keep)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        seen: dict[tuple[str, int], str] = {}
+        for doc, text in zip(ids, texts):
+            if int(doc) % _BP_PLANT_MOD == 0:
+                text = text + "\n" + _BP_PLANT_LINE
+            for line in text.split("\n"):
+                line = line.strip()
+                if not line:
+                    continue
+                h = _hashlib.md5(line.encode("utf-8")).hexdigest()
+                key = (h, int(doc))
+                ex = line[:200]
+                if key not in seen or ex < seen[key]:
+                    seen[key] = ex
+        if not seen:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.string()),
+                    "doc": pa.array([], pa.int64()),
+                    "ex": pa.array([], pa.string()),
+                }
+            )
+        ks = sorted(seen)
+        return pa.table(
+            {
+                "h": pa.array([k[0] for k in ks], pa.string()),
+                "doc": pa.array([k[1] for k in ks], pa.int64()),
+                "ex": pa.array([seen[k] for k in ks], pa.string()),
+            }
+        )
+
+    def per_line(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "line_md5": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "example_line": pd.Series(dtype="object"),
+                }
+            )
+        g = df.groupby("h", sort=False).agg(
+            n_docs=("doc", "nunique"), example_line=("ex", "min")
+        )
+        g = g[g["n_docs"] >= BOILERPLATE_LINE_MIN_DOCS].reset_index()
+        g = g.rename(columns={"h": "line_md5"})
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g[["line_md5", "n_docs", "example_line"]]
+
+    out = hash_partitioned(
+        ray.data.read_parquet(
+            table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "h",
+        per_line,
+    ).to_pandas()
+    if len(out) == 0:
+        return _empty(cols)
+    return (
+        out.sort_values(["n_docs", "line_md5"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype(cols)
+    )
+
+
+docs_boilerplate_lines.__doc__ = docs_boilerplate_lines.__doc__.format(
+    k=BOILERPLATE_LINE_MIN_DOCS
+)
+
+DOCS_BOILERPLATE_LINES_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_BP_PLANT_MOD} = 0
+              THEN text || chr(10) || '{_BP_PLANT_LINE}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, trim(u.l) AS line
+  FROM planted, UNNEST(string_split(text, chr(10))) AS u(l)
+  WHERE trim(u.l) != ''
+),
+pairs AS (
+  SELECT DISTINCT md5(line) AS line_md5, doc_id,
+         min(substr(line, 1, 200)) OVER (PARTITION BY md5(line), doc_id)
+           AS ex
+  FROM lines
+),
+g AS (
+  SELECT line_md5, count(DISTINCT doc_id) AS n_docs, min(ex) AS example_line
+  FROM pairs GROUP BY line_md5
+)
+SELECT line_md5, CAST(n_docs AS BIGINT) AS n_docs, example_line
+FROM g WHERE n_docs >= {BOILERPLATE_LINE_MIN_DOCS}
+"""
+
+register("docs_boilerplate_lines", docs_boilerplate_lines, sql=DOCS_BOILERPLATE_LINES_SQL)

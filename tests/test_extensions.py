@@ -9507,3 +9507,56 @@ class TestBotRegularityAudit:
         )
         gold = con.execute(ORACLE_SQL["bot_regularity_audit"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestDocsBoilerplateLines:
+    """X190: an organic cross-doc line is flagged with distinct-doc
+    counting (within-doc repeats count once), the planted footer
+    appears, below-threshold lines don't; DuckDB parity."""
+
+    def test_planted_and_organic(self, ray_session, tmp_path):
+        import hashlib
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            docs_boilerplate_lines,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        nav = "Home | About | Contact"
+        texts = [
+            f"{nav}\nunique one\n{nav}",   # doc 1: nav twice -> counts once
+            f"intro\n  {nav}  ",            # doc 2: nav with padding -> trims
+            f"other\n{nav}",                # doc 3
+            "rare\nrare again",             # doc 5: no boilerplate
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    # ids 1,2,3,5: NONE divisible by 4 -> no planted rows;
+                    # add 4 and 8 carrying only the planted footer trigger
+                    "doc_id": pa.array([1, 2, 3, 5, 4, 8], pa.int64()),
+                    "text": pa.array(texts + ["filler a", "filler b"], pa.string()),
+                    "source": pa.array(["s"] * 6, pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = docs_boilerplate_lines(str(tmp_path)).set_index("line_md5")
+        nav_md5 = hashlib.md5(nav.encode()).hexdigest()
+        assert int(out.loc[nav_md5, "n_docs"]) == 3
+        assert out.loc[nav_md5, "example_line"] == nav
+        # planted footer on docs 4 and 8 only -> 2 < 3 threshold -> absent
+        footer_md5 = hashlib.md5(b"-- corpus footer v1 --").hexdigest()
+        assert footer_md5 not in out.index
+        assert len(out) == 1
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["docs_boilerplate_lines"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
