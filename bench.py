@@ -1199,6 +1199,7 @@ for _key, _name in [
     ("completeness", "shipment_completeness"),
     ("bot_audit", "bot_regularity_audit"),
     ("bp_lines", "docs_boilerplate_lines"),
+    ("tool_transitions", "tool_transition_counts"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -2806,3 +2806,113 @@ FROM g WHERE n_docs >= {BOILERPLATE_LINE_MIN_DOCS}
 """
 
 register("docs_boilerplate_lines", docs_boilerplate_lines, sql=DOCS_BOILERPLATE_LINES_SQL)
+
+
+def tool_transition_counts(sf_dir: str) -> pd.DataFrame:
+    """(tool_from, tool_to, n): ordered tool-call bigrams within each
+    conversation — among the turns that invoke a tool (in turn_idx
+    order, non-tool turns skipped), which tool follows which? The
+    sequence view the unordered co-occurrence matrix (tool_cooccurrence)
+    can't give: search→browse→edit chains read directly off this
+    table, the agent-behavior fingerprint of a transcript corpus.
+
+    Exactness contract: pure integer counts; the tool subsequence is
+    defined by ``tool IS NOT NULL AND tool != ''`` filtered BEFORE the
+    lag, identically on both engines; turn order is the unique
+    (conv_id, turn_idx) key, so ties cannot exist.
+
+    Scale shape: in-block (conv, turn_idx, tool) rows for tool turns
+    only (metadata, no text) → ONE conv-keyed exchange → vectorized
+    per-partition shift → bounded (tools²) enum fold.
+    """
+    from .exchange import hash_partitioned
+    from .queryset import transcripts_for_sf
+
+    cols = {"tool_from": "object", "tool_to": "object", "n": "int64"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"], "")
+        keep = pc.not_equal(tool, "")
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "conv": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "tool": t["tool"],
+            }
+        )
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "tool_from": pd.Series(dtype="object"),
+                    "tool_to": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["conv", "turn_idx"], kind="mergesort")
+        prev = df.groupby("conv", sort=False)["tool"].shift()
+        pairs = pd.DataFrame(
+            {"tool_from": prev, "tool_to": df["tool"]}
+        ).dropna(subset=["tool_from"])
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {
+                    "tool_from": pd.Series(dtype="object"),
+                    "tool_to": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        g = (
+            pairs.groupby(["tool_from", "tool_to"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                transcripts_for_sf(sf_dir),
+                columns=["conv_id", "turn_idx", "tool"],
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "conv",
+            per_conv,
+        ),
+        ["tool_from", "tool_to"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    return (
+        fold.sort_values(["tool_from", "tool_to"])
+        .reset_index(drop=True)
+        .astype(cols)
+    )
+
+
+def _tool_transitions_sql() -> str:
+    from .queryset import transcripts_path_for_sf
+
+    path = transcripts_path_for_sf("/root/testdata/sf0.01")
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool FROM read_parquet('{path}')
+  WHERE tool IS NOT NULL AND tool != ''
+),
+lagged AS (
+  SELECT conv_id,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS tool_from,
+         tool AS tool_to
+  FROM t
+)
+SELECT tool_from, tool_to, CAST(count(*) AS BIGINT) AS n
+FROM lagged WHERE tool_from IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+register("tool_transition_counts", tool_transition_counts, sql=_tool_transitions_sql())

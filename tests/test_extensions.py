@@ -9560,3 +9560,33 @@ class TestDocsBoilerplateLines:
         )
         gold = con.execute(ORACLE_SQL["docs_boilerplate_lines"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestToolTransitionCounts:
+    """X191: tool bigrams skip non-tool turns, cross conversations never
+    pair, counts exact; parity at sf0.001."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            tool_transition_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = tool_transition_counts(sf)
+        assert len(out) > 0
+        assert (out["n"] > 0).all()
+        # total bigrams = total tool turns - #convs with >=1 tool turn
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(
+            queryset.transcripts_for_sf(sf), columns=["conv_id", "tool"]
+        ).to_pandas()
+        tools = src[src["tool"].fillna("") != ""]
+        expected = len(tools) - tools["conv_id"].nunique()
+        assert int(out["n"].sum()) == expected
+        sql = queryset.oracle_sql_for(sf)["tool_transition_counts"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
