@@ -109,19 +109,27 @@ _DRIVER_WINDOW: list[str] = [
     "extract_plain_turns_csv",
     "lineitem_weighted_median",
     "source_lexical_diversity",
-    # never driver-verdicted before r05 (registered past entry 50 in r04):
-    # the TPC-H trio, sketch gates, k-NN graph, flagship span boundaries,
-    # the table profiler, cohorts, MAD flags.
+    # never driver-verdicted before r05; the span boundaries + Q1 anchor
+    # stay, and six slots rotate to the final-session extraction/skew-core
+    # audits below (their displaced occupants — tpch_q3_topk,
+    # tpch_q5_local_volume, docs_count_min, docs_bloom_gate, emb_knn_graph,
+    # events_profile — were each personally contract-MATCHed by the round-4
+    # judge's review run and stay value-checked every run by
+    # tests/test_oracle_parity.py + tools/check_driver_contract.py)
     "extract_flagship_spans",
-    "emb_knn_graph",
-    "tpch_q3_topk",
-    "tpch_q5_local_volume",
     "user_retention_cohorts",
     "events_anomaly_mad",
-    "docs_count_min",
-    "docs_bloom_gate",
-    "events_profile",
     "tpch_q1_pricing",
+    # round-5 final-session extraction/skew-core audits (X171, X175, X177,
+    # X179, X183, X185) — the operators that audit the north rule's own
+    # machinery (span lineage, error routing, role balance, salt plan, the
+    # partition hash, join-key skew), never externally verdicted
+    "join_skew_audit",
+    "exchange_balance_audit",
+    "extract_span_audit",
+    "extract_error_profile",
+    "conversation_role_balance",
+    "conversation_salt_plan",
     # round-5 session-3 additions, batch 2 (X85-X92) — never driver-verdicted,
     # so they outrank the r01/r02 refresh candidates (events_value_quantiles,
     # docs_sample, docs_split_counts, docs_length_histogram,
