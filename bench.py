@@ -1200,6 +1200,7 @@ for _key, _name in [
     ("bot_audit", "bot_regularity_audit"),
     ("bp_lines", "docs_boilerplate_lines"),
     ("tool_transitions", "tool_transition_counts"),
+    ("burst_windows", "events_burst_windows"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

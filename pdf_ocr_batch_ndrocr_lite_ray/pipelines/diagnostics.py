@@ -2916,3 +2916,114 @@ GROUP BY 1, 2
 
 
 register("tool_transition_counts", tool_transition_counts, sql=_tool_transitions_sql())
+
+
+BURST_WINDOW_MIN = 60  # sliding-window width in minute buckets
+MINUTE_US = 60_000_000
+
+
+def events_burst_windows(sf_dir: str) -> pd.DataFrame:
+    """(event_type, peak_start_minute, peak_count, n_minutes): the
+    busiest minute-aligned 60-minute window per event type — the burst
+    localizer behind rate-limit and capacity forensics ("the error
+    spike started 03:41"). Window semantics are EXACT over minute
+    buckets: among all windows of 60 consecutive minute buckets on the
+    type's dense span, the max total count, FIRST window on ties
+    (bucket-aligned by design — the bounded-fold contract; a raw-point
+    sliding window would need the type's full timeline in one place,
+    which is exactly the skew this engine refuses).
+
+    Exactness contract: per-minute counts are exact integers; the
+    sliding sum and argmax are integer arithmetic; ``peak_start_minute``
+    is the epoch-minute of the window's first bucket. Types whose span
+    is shorter than the window report their whole span's total.
+
+    Scale shape: one bounded (type, minute) enum fold (types × span
+    minutes); driver sliding-sum over that fold. Zero shuffle.
+    """
+    cols = {
+        "event_type": "object", "peak_start_minute": "int64",
+        "peak_count": "int64", "n_minutes": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        t = batch.filter(keep)
+        mins = pc.divide(pc.cast(t["ts"], pa.int64()), MINUTE_US)
+        g = (
+            pa.table({"t": t["event_type"], "m": mins})
+            .group_by(["t", "m"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "m", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "m"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for ty, g in fold.groupby("t", sort=True):
+        mn = int(g["m"].min())
+        mx = int(g["m"].max())
+        span = mx - mn + 1
+        dense = np.zeros(span, dtype=np.int64)
+        dense[g["m"].to_numpy(dtype=np.int64) - mn] = g["n"].to_numpy(
+            dtype=np.int64
+        )
+        w = min(BURST_WINDOW_MIN, span)
+        csum = np.concatenate(([0], np.cumsum(dense)))
+        sums = csum[w:] - csum[:-w]  # window starting at each offset
+        k = int(np.argmax(sums))  # numpy argmax: first max on ties
+        rows.append(
+            {
+                "event_type": str(ty),
+                "peak_start_minute": mn + k,
+                "peak_count": int(sums[k]),
+                "n_minutes": span,
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+EVENTS_BURST_SQL = f"""
+WITH f AS (
+  SELECT event_type AS t, epoch_us(ts) // {MINUTE_US} AS m FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (SELECT t, m, count(*) AS n FROM f GROUP BY 1, 2),
+b AS (SELECT t, min(m) AS mn, max(m) - min(m) + 1 AS span FROM g GROUP BY t),
+grid AS (
+  SELECT b.t, b.mn + u.i AS m, u.i AS idx, b.span,
+         least({BURST_WINDOW_MIN}, b.span) AS w
+  FROM b, UNNEST(generate_series(0, CAST(b.span - 1 AS BIGINT))) u(i)
+),
+dense AS (
+  SELECT grid.t, grid.idx, grid.span, grid.w, coalesce(g.n, 0) AS n
+  FROM grid LEFT JOIN g ON g.t = grid.t AND g.m = grid.m
+),
+win AS (
+  SELECT t, idx, span, w,
+         sum(n) OVER (PARTITION BY t ORDER BY idx
+                      ROWS BETWEEN CURRENT ROW AND {BURST_WINDOW_MIN - 1}
+                      FOLLOWING) AS s
+  FROM dense
+),
+pick AS (
+  SELECT t, idx, span, s,
+         row_number() OVER (PARTITION BY t ORDER BY s DESC, idx ASC) AS rn
+  FROM win WHERE idx <= span - w
+)
+SELECT p.t AS event_type,
+       CAST(b.mn + p.idx AS BIGINT) AS peak_start_minute,
+       CAST(p.s AS BIGINT) AS peak_count,
+       CAST(p.span AS BIGINT) AS n_minutes
+FROM pick p JOIN b ON b.t = p.t
+WHERE p.rn = 1
+"""
+
+register("events_burst_windows", events_burst_windows, sql=EVENTS_BURST_SQL)

@@ -9590,3 +9590,71 @@ class TestToolTransitionCounts:
         sql = queryset.oracle_sql_for(sf)["tool_transition_counts"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestEventsBurstWindows:
+    """X192: a planted burst localizes to its exact start minute with
+    first-window tie-breaking; short spans report whole-span totals;
+    DuckDB parity."""
+
+    def test_planted_burst(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            events_burst_windows,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # a: 1 event/min for 300 minutes, plus a 50-event burst in
+        # minutes 100-119 -> peak window must start at minute 61..100;
+        # exact: window [41,100]..[100,159] all contain the burst; the
+        # MAX total is burst(50 over 20 min) + 60 singles... the best
+        # window covers all 20 burst minutes: starts in [60, 100];
+        # first-max tie-break -> start = minute 60+... compute: every
+        # window fully containing [100,119] has sum 60 + 50; first such
+        # start = 60. Earlier windows contain less of the burst.
+        for i in range(300):
+            rows.append((t0 + dt.timedelta(minutes=i), "a"))
+        for i in range(100, 120):
+            for _ in range(5):  # +5 extra per burst minute -> 50... 100
+                rows.append((t0 + dt.timedelta(minutes=i), "a"))
+        # s: 3 events in 2 minutes (span < window)
+        rows.append((t0, "s"))
+        rows.append((t0 + dt.timedelta(minutes=1), "s"))
+        rows.append((t0 + dt.timedelta(minutes=1), "s"))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = events_burst_windows(str(tmp_path)).set_index("event_type")
+        epoch_min = int(t0.timestamp()) // 60
+        a = out.loc["a"]
+        # windows fully containing the burst: starts 60..100; first wins
+        assert int(a["peak_start_minute"]) == epoch_min + 60
+        assert int(a["peak_count"]) == 60 + 20 * 5
+        assert int(a["n_minutes"]) == 300
+        s = out.loc["s"]
+        assert int(s["peak_count"]) == 3
+        assert int(s["n_minutes"]) == 2
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_burst_windows"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
