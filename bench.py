@@ -1201,6 +1201,7 @@ for _key, _name in [
     ("bp_lines", "docs_boilerplate_lines"),
     ("tool_transitions", "tool_transition_counts"),
     ("burst_windows", "events_burst_windows"),
+    ("first_touch", "first_touch_attribution"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3027,3 +3027,130 @@ WHERE p.rn = 1
 """
 
 register("events_burst_windows", events_burst_windows, sql=EVENTS_BURST_SQL)
+
+
+def first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """(first_type, n_users, n_converted, cvr_e6): first-touch
+    attribution — for every user, the type of their FIRST event
+    ((ts, event_id) order, so timestamp ties break deterministically),
+    and how often users acquired through each first touch ever reach a
+    'purchase' event. The acquisition-channel table growth teams read;
+    complements the view→click as-of lag (which measures time, not
+    channel).
+
+    Exactness contract: the first event is the exact argmin under
+    (ts, event_id); counts integer; cvr_e6 one IEEE divide.
+
+    Scale shape: in-block per-user candidate argmins + purchase flags
+    (each block emits ≤ users-in-block rows) → ONE user-keyed metadata
+    exchange folding candidates to the true argmin → bounded
+    (first_type) enum fold.
+    """
+    from .exchange import hash_partitioned
+
+    cols = {
+        "first_type": "object", "n_users": "int64",
+        "n_converted": "int64", "cvr_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"])),
+            pc.is_valid(batch["event_type"]),
+        )
+        t = batch.filter(keep)
+        df = pd.DataFrame(
+            {
+                "u": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+                "eid": t["event_id"].to_numpy(zero_copy_only=False),
+                "ty": t["event_type"].to_pandas().to_numpy(),
+            }
+        )
+        df = df.sort_values(["u", "ts", "eid"], kind="mergesort")
+        first = df.groupby("u", sort=False).first().reset_index()
+        first["bought"] = (
+            df.assign(p=(df["ty"] == "purchase").astype("int64"))
+            .groupby("u", sort=False)["p"]
+            .max()
+            .to_numpy()
+        )
+        return pa.Table.from_pandas(
+            first[["u", "ts", "eid", "ty", "bought"]], preserve_index=False
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "ty": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["u", "ts", "eid"], kind="mergesort")
+        g = df.groupby("u", sort=False)
+        first = g[["ty"]].first()
+        first["bought"] = g["bought"].max()
+        out = (
+            first.groupby("ty", sort=False)
+            .agg(n=("ty", "size"), c=("bought", "sum"))
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                table_path(sf_dir, "events"),
+                columns=["user_id", "ts", "event_id", "event_type"],
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            per_user,
+        ),
+        ["ty"],
+        ["n", "c"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("ty").iterrows():
+        n, c = int(r["n"]), int(r["c"])
+        rows.append(
+            {
+                "first_type": str(r["ty"]), "n_users": n, "n_converted": c,
+                "cvr_e6": int(math.floor(float(c) / float(n) * 1e6 + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+FIRST_TOUCH_SQL = """
+WITH f AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS eid,
+         event_type AS ty
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+ranked AS (
+  SELECT u, ty,
+         row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn
+  FROM f
+),
+first AS (SELECT u, ty AS first_type FROM ranked WHERE rn = 1),
+conv AS (
+  SELECT u, max(CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM f GROUP BY u
+)
+SELECT first.first_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(conv.bought) AS BIGINT) AS n_converted,
+       CAST(floor(CAST(sum(conv.bought) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS cvr_e6
+FROM first JOIN conv ON conv.u = first.u
+GROUP BY first.first_type
+"""
+
+register("first_touch_attribution", first_touch_attribution, sql=FIRST_TOUCH_SQL)

@@ -9658,3 +9658,62 @@ class TestEventsBurstWindows:
         )
         gold = con.execute(ORACLE_SQL["events_burst_windows"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestFirstTouchAttribution:
+    """X193: deterministic (ts, event_id) first-touch incl. a timestamp
+    tie, conversion flags from anywhere in the timeline; parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            first_touch_attribution,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [  # (event_id, ts, user, type)
+            # user 1: tie at t0 -> event_id 1 wins -> first=view; converts
+            (2, t0, 1, "click"),
+            (1, t0, 1, "view"),
+            (3, t0 + dt.timedelta(60), 1, "purchase"),
+            # user 2: first=view; never purchases
+            (4, t0, 2, "view"),
+            (5, t0 + dt.timedelta(60), 2, "click"),
+            # user 3: first IS a purchase
+            (6, t0, 3, "purchase"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = first_touch_attribution(str(tmp_path)).set_index("first_type")
+        v = out.loc["view"]
+        assert int(v["n_users"]) == 2  # users 1 (tie-break) and 2
+        assert int(v["n_converted"]) == 1
+        assert int(v["cvr_e6"]) == 500_000
+        p = out.loc["purchase"]
+        assert int(p["n_users"]) == 1
+        assert int(p["cvr_e6"]) == 1_000_000
+        assert "click" not in out.index  # never anyone's first touch
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["first_touch_attribution"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
