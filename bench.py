@@ -1202,6 +1202,7 @@ for _key, _name in [
     ("tool_transitions", "tool_transition_counts"),
     ("burst_windows", "events_burst_windows"),
     ("first_touch", "first_touch_attribution"),
+    ("dispersion", "events_dispersion_index"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

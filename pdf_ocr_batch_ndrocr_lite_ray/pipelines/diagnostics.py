@@ -3154,3 +3154,90 @@ GROUP BY first.first_type
 """
 
 register("first_touch_attribution", first_touch_attribution, sql=FIRST_TOUCH_SQL)
+
+
+def events_dispersion_index(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_minutes, n_events, dispersion_e6): the Fano
+    factor (variance-to-mean ratio) of per-minute event counts on each
+    type's dense minute grid — the Poisson test behind arrival-process
+    modeling: ≈ 1e6 says memoryless arrivals, ≫ 1e6 says bursty (the
+    X192 localizer tells WHERE; this one number says HOW bursty
+    overall), ≪ 1e6 says metronome (the X189 per-user signal at type
+    granularity).
+
+    Exactness contract: with n grid minutes and integer counts x,
+    population variance/mean = (n·Σx² − (Σx)²) / (n·Σx) is a ratio of
+    exact integers (Python int / HUGEINT) through one IEEE divide + e6
+    floor. Types with zero events in span can't occur (the grid is
+    per-type min..max); single-minute spans read dispersion 0.
+
+    Scale shape: the bounded (type, minute) enum fold; driver integer
+    math. Zero shuffle.
+    """
+    cols = {
+        "event_type": "object", "n_minutes": "int64",
+        "n_events": "int64", "dispersion_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        t = batch.filter(keep)
+        mins = pc.divide(pc.cast(t["ts"], pa.int64()), MINUTE_US)
+        g = (
+            pa.table({"t": t["event_type"], "m": mins})
+            .group_by(["t", "m"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "m", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "m"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for ty, g in fold.groupby("t", sort=True):
+        mn = int(g["m"].min())
+        mx = int(g["m"].max())
+        n = mx - mn + 1
+        sx = int(g["n"].sum())
+        sxx = sum(int(v) * int(v) for v in g["n"])  # zero minutes add 0
+        num = n * sxx - sx * sx
+        rows.append(
+            {
+                "event_type": str(ty), "n_minutes": n, "n_events": sx,
+                "dispersion_e6": int(
+                    math.floor(float(num) / float(n * sx) * 1e6 + 0.5)
+                ),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+EVENTS_DISPERSION_SQL = f"""
+WITH f AS (
+  SELECT event_type AS t, epoch_us(ts) // {MINUTE_US} AS m FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (SELECT t, m, count(*) AS n FROM f GROUP BY 1, 2),
+agg AS (
+  SELECT t,
+         max(m) - min(m) + 1 AS nn,
+         sum(CAST(n AS HUGEINT)) AS sx,
+         sum(CAST(n AS HUGEINT) * n) AS sxx
+  FROM g GROUP BY t
+)
+SELECT t AS event_type,
+       CAST(nn AS BIGINT) AS n_minutes,
+       CAST(sx AS BIGINT) AS n_events,
+       CAST(floor(CAST(nn * sxx - sx * sx AS DOUBLE)
+            / CAST(nn * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS dispersion_e6
+FROM agg
+"""
+
+register("events_dispersion_index", events_dispersion_index, sql=EVENTS_DISPERSION_SQL)

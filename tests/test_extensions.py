@@ -9717,3 +9717,57 @@ class TestFirstTouchAttribution:
         )
         gold = con.execute(ORACLE_SQL["first_touch_attribution"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestEventsDispersionIndex:
+    """X194: a metronome type reads 0 (constant per-minute counts), a
+    burst-everything-in-one-minute type reads n_minutes - mean... i.e.
+    maximal dispersion; hand-computed values; DuckDB parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            events_dispersion_index,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # flat: exactly 2/min for 10 minutes -> variance 0 -> D = 0
+        for i in range(10):
+            rows += [(t0 + dt.timedelta(minutes=i), "flat")] * 2
+        # burst: 10 events all in minute 0, one in minute 9 (span 10)
+        # x = (10,0,...,0,1); n=10 sx=11 sxx=101
+        # D = (10*101 - 121)/(10*11) = 889/110 = 8.081818...
+        rows += [(t0, "burst")] * 10
+        rows += [(t0 + dt.timedelta(minutes=9), "burst")]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = events_dispersion_index(str(tmp_path)).set_index("event_type")
+        assert int(out.loc["flat", "dispersion_e6"]) == 0
+        assert int(out.loc["burst", "dispersion_e6"]) == 8_081_818
+        assert int(out.loc["burst", "n_minutes"]) == 10
+        assert int(out.loc["burst", "n_events"]) == 11
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["events_dispersion_index"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
