@@ -1203,6 +1203,7 @@ for _key, _name in [
     ("burst_windows", "events_burst_windows"),
     ("first_touch", "first_touch_attribution"),
     ("dispersion", "events_dispersion_index"),
+    ("shrinkage", "extract_shrinkage_profile"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3241,3 +3241,92 @@ FROM agg
 """
 
 register("events_dispersion_index", events_dispersion_index, sql=EVENTS_DISPERSION_SQL)
+
+
+def extract_shrinkage_profile(sf_dir: str) -> pd.DataFrame:
+    """(content_kind, n_turns, raw_chars, ext_chars, keep_e6): how much
+    of each payload kind's raw text survives extraction — the
+    boilerplate-strip effectiveness readout at the heart of the north
+    rule (html should shrink hard: nav/script/footer dropped; plain
+    should keep most; pdfish sits between, layout joins re-spacing the
+    kept text). A kind whose keep ratio drifts across corpus versions
+    is the first sign an extractor regressed.
+
+    Exactness contract: integer char sums over the LIVE flagship
+    output (raw ``text`` vs ``extracted_text``); ``keep_e6`` =
+    floor(ext/raw·1e6 + 0.5), one IEEE divide, 0 when a kind has no
+    raw chars.
+
+    Scale shape: ≤ #kinds partial rows per block into the bounded enum
+    fold, zero shuffle on the flagship's shuffle-free plan.
+    """
+    from .extraction import extract_transcripts
+    from .queryset import transcripts_for_sf
+
+    cols = {
+        "content_kind": "object", "n_turns": "int64", "raw_chars": "int64",
+        "ext_chars": "int64", "keep_e6": "int64",
+    }
+    ds = extract_transcripts(transcripts_for_sf(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        raw = pc.cast(pc.utf8_length(pc.fill_null(batch["text"], "")), pa.int64())
+        ext = pc.cast(
+            pc.utf8_length(pc.fill_null(batch["extracted_text"], "")), pa.int64()
+        )
+        g = (
+            pa.table({"k": batch["content_kind"], "raw": raw, "ext": ext})
+            .group_by(["k"])
+            .aggregate([([], "count_all"), ("raw", "sum"), ("ext", "sum")])
+        )
+        return g.rename_columns(["k", "n", "raw", "ext"])
+
+    fold = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        ["n", "raw", "ext"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("k").iterrows():
+        raw = int(r["raw"])
+        ext = int(r["ext"])
+        rows.append(
+            {
+                "content_kind": str(r["k"]), "n_turns": int(r["n"]),
+                "raw_chars": raw, "ext_chars": ext,
+                "keep_e6": (
+                    int(math.floor(float(ext) / float(raw) * 1e6 + 0.5))
+                    if raw > 0 else 0
+                ),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+def _shrinkage_sql() -> str:
+    from .extraction_queries import expected_flagship_path
+
+    path = expected_flagship_path("/root/testdata/sf0.01")
+    return f"""
+WITH g AS (
+  SELECT content_kind,
+         count(*) AS n,
+         sum(length(coalesce(text, ''))) AS raw,
+         sum(length(coalesce(extracted_text, ''))) AS ext
+  FROM read_parquet('{path}')
+  GROUP BY content_kind
+)
+SELECT content_kind,
+       CAST(n AS BIGINT) AS n_turns,
+       CAST(raw AS BIGINT) AS raw_chars,
+       CAST(ext AS BIGINT) AS ext_chars,
+       CAST(CASE WHEN raw > 0 THEN floor(
+         CAST(ext AS DOUBLE) / CAST(raw AS DOUBLE) * 1e6 + 0.5)
+       ELSE 0 END AS BIGINT) AS keep_e6
+FROM g
+"""
+
+
+register("extract_shrinkage_profile", extract_shrinkage_profile, sql=_shrinkage_sql())

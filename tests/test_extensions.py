@@ -9771,3 +9771,28 @@ class TestEventsDispersionIndex:
         )
         gold = con.execute(ORACLE_SQL["events_dispersion_index"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestExtractShrinkageProfile:
+    """X195: html shrinks (boilerplate dropped), no kind GROWS text
+    beyond small joiner effects, char sums reconcile with the flagship;
+    golden-table parity."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            extract_shrinkage_profile,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = extract_shrinkage_profile(sf).set_index("content_kind")
+        assert len(out) > 0
+        # html must lose most of its markup
+        assert int(out.loc["html", "keep_e6"]) < 600_000
+        # no kind keeps more than ~101% (joiner chars can add slightly)
+        assert (out["keep_e6"] <= 1_010_000).all()
+        sql = queryset.oracle_sql_for(sf)["extract_shrinkage_profile"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
