@@ -1204,6 +1204,7 @@ for _key, _name in [
     ("first_touch", "first_touch_attribution"),
     ("dispersion", "events_dispersion_index"),
     ("shrinkage", "extract_shrinkage_profile"),
+    ("stickiness", "user_stickiness"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3330,3 +3330,110 @@ FROM g
 
 
 register("extract_shrinkage_profile", extract_shrinkage_profile, sql=_shrinkage_sql())
+
+
+HOUR_US = 3_600_000_000
+
+
+def user_stickiness(sf_dir: str) -> pd.DataFrame:
+    """(day, dau, hau_sum, stickiness_e6): per calendar day, the exact
+    distinct-active-user count, the sum of hourly distinct-active
+    counts, and stickiness = Σ_h HAU_h / (24·DAU) — the engagement-
+    intensity ratio (the DAU/MAU analog at this corpus's 2-day grain):
+    1e6/24 ≈ 41,667 means each user shows up in exactly one hour,
+    1e6 means every active user is active EVERY hour.
+
+    Exactness contract: distinct (user, hour) and (user, day) pairs
+    are exact — each user's rows co-locate in ONE partition of the
+    user-keyed exchange, so per-partition nunique IS the global
+    distinct; day/hour from integer epoch arithmetic; one IEEE divide.
+
+    Scale shape: in-block distinct (user, hour) pairs → one user-keyed
+    metadata exchange → bounded (day, dau, hau) enum fold.
+    """
+    from .exchange import hash_partitioned
+
+    cols = {
+        "day": "int64", "dau": "int64", "hau_sum": "int64",
+        "stickiness_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["user_id"]), pc.is_valid(batch["ts"]))
+        t = batch.filter(keep)
+        hours = pc.divide(pc.cast(t["ts"], pa.int64()), HOUR_US)
+        g = (
+            pa.table({"u": t["user_id"], "h": hours})
+            .group_by(["u", "h"])
+            .aggregate([])
+        )
+        return g.rename_columns(["u", "h"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "day": pd.Series(dtype="int64"),
+            "dau": pd.Series(dtype="int64"),
+            "hau": pd.Series(dtype="int64"),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(out_cols)
+        pairs = df.drop_duplicates(["u", "h"]).copy()
+        pairs["day"] = pairs["h"] // 24
+        hau = pairs.groupby("day", sort=False).size()
+        dau = pairs.drop_duplicates(["u", "day"]).groupby(
+            "day", sort=False
+        ).size()
+        out = pd.DataFrame({"hau": hau, "dau": dau}).reset_index()
+        return out[["day", "dau", "hau"]].astype("int64")
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                table_path(sf_dir, "events"), columns=["user_id", "ts"]
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "u",
+            per_user,
+        ),
+        ["day"],
+        ["dau", "hau"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    rows = []
+    for _, r in fold.sort_values("day").iterrows():
+        dau = int(r["dau"])
+        hau = int(r["hau"])
+        rows.append(
+            {
+                "day": int(r["day"]), "dau": dau, "hau_sum": hau,
+                "stickiness_e6": int(
+                    math.floor(float(hau) / float(24 * dau) * 1e6 + 0.5)
+                ),
+            }
+        )
+    return pd.DataFrame(rows).astype(cols)
+
+
+USER_STICKINESS_SQL = f"""
+WITH f AS (
+  SELECT user_id AS u, epoch_us(ts) // {HOUR_US} AS h,
+         epoch_us(ts) // {HOUR_US} // 24 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+hau AS (
+  SELECT day, count(*) AS hau FROM (SELECT DISTINCT u, h, day FROM f)
+  GROUP BY day
+),
+dau AS (
+  SELECT day, count(DISTINCT u) AS dau FROM f GROUP BY day
+)
+SELECT CAST(dau.day AS BIGINT) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(hau.hau AS BIGINT) AS hau_sum,
+       CAST(floor(CAST(hau.hau AS DOUBLE)
+            / CAST(24 * dau.dau AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS stickiness_e6
+FROM dau JOIN hau ON hau.day = dau.day
+"""
+
+register("user_stickiness", user_stickiness, sql=USER_STICKINESS_SQL)

@@ -9796,3 +9796,52 @@ class TestExtractShrinkageProfile:
         sql = queryset.oracle_sql_for(sf)["extract_shrinkage_profile"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestUserStickiness:
+    """X196: always-on user reads 1e6, one-hour users read 1e6/24,
+    duplicate events in the same hour count once; DuckDB parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            user_stickiness,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: active every hour of day 0 (two events in hour 0 -> once)
+        for h in range(24):
+            rows.append((1, t0 + dt.timedelta(hours=h)))
+        rows.append((1, t0 + dt.timedelta(minutes=30)))
+        # user 2: one hour only
+        rows.append((2, t0 + dt.timedelta(hours=5)))
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = user_stickiness(str(tmp_path))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert int(r["dau"]) == 2
+        assert int(r["hau_sum"]) == 25  # 24 + 1
+        # 25 / (24*2) = 0.520833...
+        assert int(r["stickiness_e6"]) == 520_833
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["user_stickiness"]).df()
+        assert _value_hash(out) == _value_hash(gold)
