@@ -1205,6 +1205,7 @@ for _key, _name in [
     ("dispersion", "events_dispersion_index"),
     ("shrinkage", "extract_shrinkage_profile"),
     ("stickiness", "user_stickiness"),
+    ("hour_cosine", "type_hour_profile_similarity"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3437,3 +3437,104 @@ FROM dau JOIN hau ON hau.day = dau.day
 """
 
 register("user_stickiness", user_stickiness, sql=USER_STICKINESS_SQL)
+
+
+def type_hour_profile_similarity(sf_dir: str) -> pd.DataFrame:
+    """(type_a, type_b, cosine_e6): cosine similarity between event
+    types' 24-hour load profiles — the shape-similarity complement to
+    the type×hour chi²/MI (which test dependence, not likeness): two
+    types with cosine ≈ 1e6 ride the same daily rhythm and can share a
+    capacity plan; a low-cosine pair needs separate provisioning.
+
+    Exactness contract: the profile is the exact integer 24-vector of
+    hour-of-day counts (hour = epoch_hour % 24, timezone-free);
+    cosine = Σab / sqrt(Σa²·Σb²) is computed from exact integer sums
+    through ONE shared IEEE sqrt/divide chain per pair, e6-floored.
+    Zero-vector types cannot occur (a type present has ≥ 1 count);
+    pairs are emitted once (type_a < type_b).
+
+    Scale shape: one bounded (type, hour-of-day) enum fold (≤ 24·types
+    rows); driver pair math. Zero shuffle.
+    """
+    cols = {"type_a": "object", "type_b": "object", "cosine_e6": "int64"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        t = batch.filter(keep)
+        hours = pc.divide(pc.cast(t["ts"], pa.int64()), HOUR_US)
+        if isinstance(hours, pa.ChunkedArray):
+            hours = hours.combine_chunks()
+        hod = pa.array(
+            hours.to_numpy(zero_copy_only=False) % 24, type=pa.int64()
+        )
+        g = (
+            pa.table({"t": t["event_type"], "h": hod})
+            .group_by(["t", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "h", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "h"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    profiles: dict[str, list[int]] = {}
+    for ty, g in fold.groupby("t", sort=True):
+        v = [0] * 24
+        for h, n in zip(g["h"], g["n"]):
+            v[int(h)] = int(n)
+        profiles[str(ty)] = v
+    types = sorted(profiles)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = profiles[ta], profiles[tb]
+            num = sum(x * y for x, y in zip(a, b))
+            da = sum(x * x for x in a)
+            db = sum(y * y for y in b)
+            cos = float(num) / math.sqrt(float(da) * float(db))
+            rows.append(
+                {
+                    "type_a": ta, "type_b": tb,
+                    "cosine_e6": int(math.floor(cos * 1e6 + 0.5)),
+                }
+            )
+    if not rows:
+        return _empty(cols)
+    return pd.DataFrame(rows).astype(cols)
+
+
+TYPE_HOUR_COSINE_SQL = f"""
+WITH f AS (
+  SELECT event_type AS t, (epoch_us(ts) // {HOUR_US}) % 24 AS h
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (SELECT t, h, CAST(count(*) AS HUGEINT) AS n FROM f GROUP BY 1, 2),
+num AS (
+  SELECT a.t AS ta, b.t AS tb, sum(a.n * b.n) AS num
+  FROM g a JOIN g b ON a.h = b.h AND a.t < b.t
+  GROUP BY 1, 2
+),
+den AS (SELECT t, sum(n * n) AS d FROM g GROUP BY t),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM den a JOIN den b ON a.t < b.t
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST(floor(CAST(coalesce(n.num, 0) AS DOUBLE)
+            / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
+            * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+FROM pairs p
+JOIN den da ON da.t = p.ta
+JOIN den db ON db.t = p.tb
+LEFT JOIN num n ON n.ta = p.ta AND n.tb = p.tb
+"""
+
+register(
+    "type_hour_profile_similarity", type_hour_profile_similarity,
+    sql=TYPE_HOUR_COSINE_SQL,
+)

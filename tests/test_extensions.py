@@ -9845,3 +9845,58 @@ class TestUserStickiness:
         )
         gold = con.execute(ORACLE_SQL["user_stickiness"]).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestTypeHourProfileSimilarity:
+    """X197: identical rhythms read 1e6, disjoint hours read exactly 0
+    (the LEFT-JOIN edge), orthogonality respected; DuckDB parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            type_hour_profile_similarity,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # a and b: the same 9am/10am rhythm (different volumes — cosine
+        # is scale-free) -> 1e6
+        for d in range(2):
+            rows.append((t0 + dt.timedelta(days=d, hours=9), "a"))
+            rows.append((t0 + dt.timedelta(days=d, hours=10), "a"))
+            rows += [(t0 + dt.timedelta(days=d, hours=9), "b")] * 3
+            rows += [(t0 + dt.timedelta(days=d, hours=10), "b")] * 3
+        # night: only 2am -> disjoint from a/b -> cosine exactly 0
+        rows.append((t0 + dt.timedelta(hours=2), "night"))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows], pa.string()),
+                    "value": pa.array([0.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = type_hour_profile_similarity(str(tmp_path)).set_index(
+            ["type_a", "type_b"]
+        )
+        assert int(out.loc[("a", "b"), "cosine_e6"]) == 1_000_000
+        assert int(out.loc[("a", "night"), "cosine_e6"]) == 0
+        assert int(out.loc[("b", "night"), "cosine_e6"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["type_hour_profile_similarity"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
