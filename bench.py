@@ -1206,6 +1206,7 @@ for _key, _name in [
     ("shrinkage", "extract_shrinkage_profile"),
     ("stickiness", "user_stickiness"),
     ("hour_cosine", "type_hour_profile_similarity"),
+    ("spans_hist", "extract_spans_per_turn"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3538,3 +3538,81 @@ register(
     "type_hour_profile_similarity", type_hour_profile_similarity,
     sql=TYPE_HOUR_COSINE_SQL,
 )
+
+
+SPANS_BUCKET_CAP = 10
+
+
+def extract_spans_per_turn(sf_dir: str) -> pd.DataFrame:
+    """(content_kind, spans_bucket, n_turns): the distribution of span
+    counts per turn by content kind (bucket = min(n_spans, 10)) — the
+    granularity fingerprint of each extractor: plain text segments into
+    few blocks, multi-page pdfish into page spans, empty turns into
+    zero. Completes the span-audit family (X175 checks bounds and
+    coverage; this one shows the shape).
+
+    Exactness contract: pure integer counts; the bucket cap is integer
+    min on both engines; zero-span turns (empty ``spans_str`` in the
+    twin) land in bucket 0.
+
+    Scale shape: ≤ kinds × 11 partial rows per block into the bounded
+    enum fold; zero shuffle.
+    """
+    from .extraction import extract_transcripts
+    from .queryset import transcripts_for_sf
+
+    cols = {
+        "content_kind": "object", "spans_bucket": "int64", "n_turns": "int64",
+    }
+    ds = extract_transcripts(transcripts_for_sf(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_spans = pc.cast(pc.list_value_length(batch["spans"]), pa.int64())
+        n_spans = pc.fill_null(n_spans, 0)
+        bucket = pc.min_element_wise(
+            n_spans, pa.scalar(SPANS_BUCKET_CAP, pa.int64())
+        )
+        g = (
+            pa.table({"k": batch["content_kind"], "b": bucket})
+            .group_by(["k", "b"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["k", "b", "n"])
+
+    fold = enum_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k", "b"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    fold = fold.sort_values(["k", "b"])
+    return pd.DataFrame(
+        {
+            "content_kind": fold["k"].astype(str),
+            "spans_bucket": fold["b"].astype("int64"),
+            "n_turns": fold["n"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+def _spans_per_turn_sql() -> str:
+    from .extraction_queries import expected_flagship_path
+
+    path = expected_flagship_path("/root/testdata/sf0.01")
+    return f"""
+WITH g AS (
+  SELECT content_kind,
+         least(CASE WHEN spans_str = '' THEN 0
+                    ELSE len(string_split(spans_str, '|')) END,
+               {SPANS_BUCKET_CAP}) AS b
+  FROM read_parquet('{path}')
+)
+SELECT content_kind,
+       CAST(b AS BIGINT) AS spans_bucket,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM g GROUP BY 1, 2
+"""
+
+
+register("extract_spans_per_turn", extract_spans_per_turn, sql=_spans_per_turn_sql())

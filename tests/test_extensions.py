@@ -9900,3 +9900,31 @@ class TestTypeHourProfileSimilarity:
         )
         gold = con.execute(ORACLE_SQL["type_hour_profile_similarity"]).df()
         assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestExtractSpansPerTurn:
+    """X198: totals reconcile with the flagship, buckets capped at 10,
+    empty turns land in bucket 0; golden-table parity."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            extract_spans_per_turn,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.extraction import (
+            extract_transcripts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = extract_spans_per_turn(sf)
+        assert len(out) > 0
+        assert out["spans_bucket"].between(0, 10).all()
+        total = extract_transcripts(queryset.transcripts_for_sf(sf)).count()
+        assert int(out["n_turns"].sum()) == total
+        # empty payloads extract zero spans -> bucket 0 exists
+        assert (out["spans_bucket"] == 0).any()
+        sql = queryset.oracle_sql_for(sf)["extract_spans_per_turn"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
