@@ -2922,6 +2922,31 @@ BURST_WINDOW_MIN = 60  # sliding-window width in minute buckets
 MINUTE_US = 60_000_000
 
 
+def _events_minute_counts(sf_dir: str) -> pd.DataFrame:
+    """Bounded (t, m, n) fold of per-type per-minute event counts — the
+    shared front end of the burst localizer and the dispersion index
+    (same shape as the daily fold, minute granularity)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
+        t = batch.filter(keep)
+        mins = pc.divide(pc.cast(t["ts"], pa.int64()), MINUTE_US)
+        g = (
+            pa.table({"t": t["event_type"], "m": mins})
+            .group_by(["t", "m"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["t", "m", "n"])
+
+    return enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "events"), columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t", "m"],
+        ["n"],
+    )
+
+
 def events_burst_windows(sf_dir: str) -> pd.DataFrame:
     """(event_type, peak_start_minute, peak_count, n_minutes): the
     busiest minute-aligned 60-minute window per event type — the burst
@@ -2946,24 +2971,7 @@ def events_burst_windows(sf_dir: str) -> pd.DataFrame:
         "peak_count": "int64", "n_minutes": "int64",
     }
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
-        t = batch.filter(keep)
-        mins = pc.divide(pc.cast(t["ts"], pa.int64()), MINUTE_US)
-        g = (
-            pa.table({"t": t["event_type"], "m": mins})
-            .group_by(["t", "m"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["t", "m", "n"])
-
-    fold = enum_group_sum(
-        ray.data.read_parquet(
-            table_path(sf_dir, "events"), columns=["ts", "event_type"]
-        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["t", "m"],
-        ["n"],
-    )
+    fold = _events_minute_counts(sf_dir)
     if len(fold) == 0:
         return _empty(cols)
     rows = []
@@ -3179,24 +3187,7 @@ def events_dispersion_index(sf_dir: str) -> pd.DataFrame:
         "n_events": "int64", "dispersion_e6": "int64",
     }
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["event_type"]))
-        t = batch.filter(keep)
-        mins = pc.divide(pc.cast(t["ts"], pa.int64()), MINUTE_US)
-        g = (
-            pa.table({"t": t["event_type"], "m": mins})
-            .group_by(["t", "m"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["t", "m", "n"])
-
-    fold = enum_group_sum(
-        ray.data.read_parquet(
-            table_path(sf_dir, "events"), columns=["ts", "event_type"]
-        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["t", "m"],
-        ["n"],
-    )
+    fold = _events_minute_counts(sf_dir)
     if len(fold) == 0:
         return _empty(cols)
     rows = []
