@@ -1207,6 +1207,8 @@ for _key, _name in [
     ("stickiness", "user_stickiness"),
     ("hour_cosine", "type_hour_profile_similarity"),
     ("spans_hist", "extract_spans_per_turn"),
+    ("tax_periods", "tax_rate_periods"),
+    ("structure_audit", "conversation_structure_audit"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

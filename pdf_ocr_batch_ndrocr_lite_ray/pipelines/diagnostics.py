@@ -3607,3 +3607,209 @@ FROM g GROUP BY 1, 2
 
 
 register("extract_spans_per_turn", extract_spans_per_turn, sql=_spans_per_turn_sql())
+
+
+def tax_rate_periods(sf_dir: str) -> pd.DataFrame:
+    """(tax_e2, n_lines, first_day, last_day, span_days): every
+    distinct tax rate with the epoch-day range it was observed
+    shipping — the policy-change detector ("when did the 8% rate
+    appear, and is the old 5% still in use?"). The audit a reconciler
+    runs when a rate table changes upstream.
+
+    Exactness contract: rates fold to integer percent-cents
+    (round(l_tax·100)); first/last are exact integer epoch-day min/max;
+    pure integers throughout — no float at all.
+
+    Scale shape: one bounded (tax, min, max, n) enum-agg fold (distinct
+    rates are policy-bounded); zero shuffle.
+    """
+    from .exchange import enum_group_agg
+
+    cols = {
+        "tax_e2": "int64", "n_lines": "int64", "first_day": "int64",
+        "last_day": "int64", "span_days": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["l_tax"]), pc.is_valid(batch["l_shipdate"]))
+        t = batch.filter(keep)
+        tax = pc.cast(
+            pc.round(
+                pc.multiply(t["l_tax"], pa.scalar(100.0)),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        days = pc.divide(pc.cast(t["l_shipdate"], pa.int64()), DAY_US)
+        g = (
+            pa.table({"tax": tax, "lo": days, "hi": days, "n": days})
+            .group_by(["tax"])
+            .aggregate([("lo", "min"), ("hi", "max"), ("n", "count")])
+        )
+        return g.rename_columns(["tax", "lo", "hi", "n"])
+
+    fold = enum_group_agg(
+        ray.data.read_parquet(
+            table_path(sf_dir, "lineitem"), columns=["l_tax", "l_shipdate"]
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tax"],
+        {"lo": "min", "hi": "max", "n": "sum"},
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    fold = fold.sort_values("tax")
+    return pd.DataFrame(
+        {
+            "tax_e2": fold["tax"].astype("int64"),
+            "n_lines": fold["n"].astype("int64"),
+            "first_day": fold["lo"].astype("int64"),
+            "last_day": fold["hi"].astype("int64"),
+            "span_days": (fold["hi"] - fold["lo"]).astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+TAX_RATE_PERIODS_SQL = """
+SELECT CAST(round(l_tax * 100.0, 0) AS BIGINT) AS tax_e2,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(epoch_us(l_shipdate) // 86400000000) AS BIGINT) AS first_day,
+       CAST(max(epoch_us(l_shipdate) // 86400000000) AS BIGINT) AS last_day,
+       CAST(max(epoch_us(l_shipdate) // 86400000000)
+            - min(epoch_us(l_shipdate) // 86400000000) AS BIGINT)
+         AS span_days
+FROM lineitem
+WHERE l_tax IS NOT NULL AND l_shipdate IS NOT NULL
+GROUP BY 1
+"""
+
+register("tax_rate_periods", tax_rate_periods, sql=TAX_RATE_PERIODS_SQL)
+
+
+def conversation_structure_audit(sf_dir: str) -> pd.DataFrame:
+    """(first_role, last_role, n_convs, share_e6): the dialogue-shape
+    census for training-data QA — every conversation classified by who
+    spoke first and who spoke last. Chat-format training data usually
+    requires system/user openings and assistant closings; everything
+    off-diagonal here is a candidate for dropping or re-truncation
+    before packing.
+
+    Exactness contract: first/last are the exact argmin/argmax of
+    turn_idx per conversation (unique within a conversation, no tie
+    rule needed); counts integer; share_e6 one IEEE divide.
+
+    Scale shape: in-block per-conversation candidate (min, max) rows →
+    ONE conv-keyed metadata exchange resolving the true endpoints →
+    bounded (roles²) enum fold.
+    """
+    from .exchange import hash_partitioned
+    from .queryset import transcripts_for_sf
+
+    cols = {
+        "first_role": "object", "last_role": "object",
+        "n_convs": "int64", "share_e6": "int64",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv": batch["conv_id"].to_pandas().to_numpy(),
+                "idx": pc.cast(batch["turn_idx"], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "role": batch["role"].to_pandas().to_numpy(),
+            }
+        )
+        df = df.sort_values(["conv", "idx"], kind="mergesort")
+        g = df.groupby("conv", sort=False)
+        out = pd.DataFrame(
+            {
+                "first_idx": g["idx"].first(),
+                "first_role": g["role"].first(),
+                "last_idx": g["idx"].last(),
+                "last_role": g["role"].last(),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "first_role": pd.Series(dtype="object"),
+                    "last_role": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby("conv", sort=False)
+        fi = df.loc[g["first_idx"].idxmin(), ["conv", "first_role"]].set_index(
+            "conv"
+        )["first_role"]
+        la = df.loc[g["last_idx"].idxmax(), ["conv", "last_role"]].set_index(
+            "conv"
+        )["last_role"]
+        pairs = pd.DataFrame({"first_role": fi, "last_role": la})
+        out = (
+            pairs.groupby(["first_role", "last_role"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    fold = enum_group_sum(
+        hash_partitioned(
+            ray.data.read_parquet(
+                transcripts_for_sf(sf_dir),
+                columns=["conv_id", "turn_idx", "role"],
+            ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "conv",
+            per_conv,
+        ),
+        ["first_role", "last_role"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    total = int(fold["n"].sum())
+    fold = fold.sort_values(["first_role", "last_role"])
+    return pd.DataFrame(
+        {
+            "first_role": fold["first_role"].astype(str),
+            "last_role": fold["last_role"].astype(str),
+            "n_convs": fold["n"].astype("int64"),
+            "share_e6": [
+                int(math.floor(float(int(n)) / float(total) * 1e6 + 0.5))
+                for n in fold["n"]
+            ],
+        }
+    ).reset_index(drop=True)
+
+
+def _structure_audit_sql() -> str:
+    from .queryset import transcripts_path_for_sf
+
+    path = transcripts_path_for_sf("/root/testdata/sf0.01")
+    return f"""
+WITH r AS (
+  SELECT conv_id,
+         first(role ORDER BY turn_idx) AS first_role,
+         last(role ORDER BY turn_idx) AS last_role
+  FROM read_parquet('{path}')
+  GROUP BY conv_id
+),
+g AS (
+  SELECT first_role, last_role, count(*) AS n FROM r GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS t FROM g)
+SELECT first_role, last_role,
+       CAST(n AS BIGINT) AS n_convs,
+       CAST(floor(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS share_e6
+FROM g CROSS JOIN tot
+"""
+
+
+register(
+    "conversation_structure_audit", conversation_structure_audit,
+    sql=_structure_audit_sql(),
+)

@@ -9928,3 +9928,79 @@ class TestExtractSpansPerTurn:
         sql = queryset.oracle_sql_for(sf)["extract_spans_per_turn"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestTaxRatePeriods:
+    """X199: exact rate/day ranges; pure-integer contract; parity."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            tax_rate_periods,
+        )
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        d0 = dt.datetime(2020, 1, 1)
+        epoch0 = (d0 - dt.datetime(1970, 1, 1)).days
+        pq.write_table(
+            pa.table(
+                {
+                    "l_tax": pa.array([0.05, 0.05, 0.08], pa.float64()),
+                    "l_shipdate": pa.array(
+                        [d0, d0 + dt.timedelta(days=10), d0 + dt.timedelta(days=3)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = tax_rate_periods(str(tmp_path)).set_index("tax_e2")
+        assert int(out.loc[5, "n_lines"]) == 2
+        assert int(out.loc[5, "first_day"]) == epoch0
+        assert int(out.loc[5, "span_days"]) == 10
+        assert int(out.loc[8, "span_days"]) == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        gold = con.execute(ORACLE_SQL["tax_rate_periods"]).df()
+        assert _value_hash(out.reset_index()) == _value_hash(gold)
+
+
+class TestConversationStructureAudit:
+    """X200: first/last roles from exact turn_idx endpoints over the
+    known corpus, shares sum to ~1e6; parity at sf0.001."""
+
+    def test_invariants_and_parity(self, ray_session):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines import queryset
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            conversation_structure_audit,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = conversation_structure_audit(sf)
+        assert len(out) > 0
+        src = pq.read_table(
+            queryset.transcripts_for_sf(sf),
+            columns=["conv_id", "turn_idx", "role"],
+        ).to_pandas()
+        assert int(out["n_convs"].sum()) == src["conv_id"].nunique()
+        # pin one conversation's endpoints independently
+        conv = src["conv_id"].iloc[0]
+        sub = src[src["conv_id"] == conv].sort_values("turn_idx")
+        fr, lr = sub["role"].iloc[0], sub["role"].iloc[-1]
+        row = out[(out["first_role"] == fr) & (out["last_role"] == lr)]
+        assert len(row) == 1 and int(row["n_convs"].iloc[0]) >= 1
+        assert abs(int(out["share_e6"].sum()) - 1_000_000) <= len(out)
+        sql = queryset.oracle_sql_for(sf)["conversation_structure_audit"]
+        gold = duckdb.connect().execute(sql).df()
+        assert _value_hash(out) == _value_hash(gold)
