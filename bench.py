@@ -1209,6 +1209,7 @@ for _key, _name in [
     ("spans_hist", "extract_spans_per_turn"),
     ("tax_periods", "tax_rate_periods"),
     ("structure_audit", "conversation_structure_audit"),
+    ("segment_chi2", "customer_segment_nation_chi2"),
 ]:
     BENCH_QUERIES[_key] = _q_registered(_name)
 

@@ -3813,3 +3813,149 @@ register(
     "conversation_structure_audit", conversation_structure_audit,
     sql=_structure_audit_sql(),
 )
+
+
+def customer_segment_nation_chi2(sf_dir: str) -> pd.DataFrame:
+    """(n_obs, dof, chi2_e6, cramers_v_e6): Pearson independence test of
+    customer market segment × nation with Cramér's V effect size — the
+    demographic-balance audit (is the corpus's segment mix uniform
+    across geographies, or does training data over-represent one
+    market's behavior?). The customer-dimension sibling of the
+    type×hour chi² (X103), with the same fixed-point contract.
+
+    Exactness contract: observed counts fold over the bounded
+    #segments × #nations enum; each cell term (obs − e)²/e (e =
+    row·col/N in float64) is quantized to 1e-6 BEFORE the sum, so the
+    total is an order-free integer sum, bit-equal to the twin;
+    Cramér's V = sqrt(chi2/(N·min(r−1, c−1))) is one IEEE sqrt chain
+    from the already-quantized chi2. Zero cells on the observed-
+    marginals grid included; NULL segment/nation rows excluded;
+    degenerate grids (r < 2 or c < 2) return empty.
+
+    Scale shape: one column-pruned scan with the nation-name broadcast
+    (dimension-sized), bounded enum fold, driver cell math. No shuffle.
+    """
+    import pyarrow.parquet as _pq
+
+    cols = {
+        "n_obs": "int64", "dof": "int64",
+        "chi2_e6": "int64", "cramers_v_e6": "int64",
+    }
+    nation = _pq.read_table(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["c_mktsegment"]), pc.is_valid(batch["c_nationkey"])
+        )
+        t = batch.filter(keep)
+        g = (
+            pa.table(
+                {
+                    "s": t["c_mktsegment"],
+                    "nk": pc.cast(t["c_nationkey"], pa.int64()),
+                }
+            )
+            .group_by(["s", "nk"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["s", "nk", "n"])
+
+    fold = enum_group_sum(
+        ray.data.read_parquet(
+            table_path(sf_dir, "customer"),
+            columns=["c_mktsegment", "c_nationkey"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["s", "nk"],
+        ["n"],
+    )
+    if len(fold) == 0:
+        return _empty(cols)
+    # unknown nation keys keep their own column under a sentinel name
+    fold = fold.assign(
+        nation=[nmap.get(int(k), "(unmatched)") for k in fold["nk"]]
+    )
+    obs = fold.groupby(["s", "nation"])["n"].sum()
+    segs = sorted({s for s, _ in obs.index})
+    nats = sorted({n for _, n in obs.index})
+    if len(segs) < 2 or len(nats) < 2:
+        return _empty(cols)
+    row_tot = {s: 0 for s in segs}
+    col_tot = {n: 0 for n in nats}
+    for (s, n), v in obs.items():
+        row_tot[s] += int(v)
+        col_tot[n] += int(v)
+    N = sum(row_tot.values())
+    chi2_e6 = 0
+    for s in segs:
+        for n in nats:
+            o = int(obs.get((s, n), 0))
+            e = float(row_tot[s]) * float(col_tot[n]) / float(N)
+            term = (float(o) - e) * (float(o) - e) / e
+            chi2_e6 += int(math.floor(term * 1e6 + 0.5))
+    dof = (len(segs) - 1) * (len(nats) - 1)
+    m = min(len(segs) - 1, len(nats) - 1)
+    v = math.sqrt((chi2_e6 / 1e6) / (float(N) * float(m)))
+    return pd.DataFrame(
+        [
+            {
+                "n_obs": N, "dof": dof, "chi2_e6": chi2_e6,
+                "cramers_v_e6": int(math.floor(v * 1e6 + 0.5)),
+            }
+        ]
+    ).astype(cols)
+
+
+CUSTOMER_CHI2_SQL = """
+WITH f AS (
+  SELECT c.c_mktsegment AS s, coalesce(n.n_name, '(unmatched)') AS nation
+  FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE c.c_mktsegment IS NOT NULL AND c.c_nationkey IS NOT NULL
+),
+o AS (SELECT s, nation, count(*) AS n FROM f GROUP BY 1, 2),
+grid AS (
+  SELECT a.s, b.nation FROM (SELECT DISTINCT s FROM o) a,
+       (SELECT DISTINCT nation FROM o) b
+),
+cells AS (
+  SELECT grid.s, grid.nation, coalesce(o.n, 0) AS n
+  FROM grid LEFT JOIN o ON o.s = grid.s AND o.nation = grid.nation
+),
+rt AS (SELECT s, sum(n) AS r FROM cells GROUP BY s),
+ct AS (SELECT nation, sum(n) AS c FROM cells GROUP BY nation),
+tot AS (SELECT sum(n) AS nn, count(DISTINCT s) AS nr,
+               count(DISTINCT nation) AS nc FROM cells),
+terms AS (
+  SELECT CAST(floor(
+           (CAST(cells.n AS DOUBLE)
+            - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+              / CAST(tot.nn AS DOUBLE))
+           * (CAST(cells.n AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                / CAST(tot.nn AS DOUBLE))
+           / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+              / CAST(tot.nn AS DOUBLE))
+           * 1e6 + 0.5) AS BIGINT) AS t_e6
+  FROM cells
+  JOIN rt ON rt.s = cells.s
+  JOIN ct ON ct.nation = cells.nation
+  CROSS JOIN tot
+)
+SELECT CAST(tot.nn AS BIGINT) AS n_obs,
+       CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
+       CAST((SELECT sum(t_e6) FROM terms) AS BIGINT) AS chi2_e6,
+       CAST(floor(sqrt((CAST((SELECT sum(t_e6) FROM terms) AS DOUBLE) / 1e6)
+            / (CAST(tot.nn AS DOUBLE)
+               * CAST(least(tot.nr - 1, tot.nc - 1) AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS cramers_v_e6
+FROM tot WHERE tot.nr >= 2 AND tot.nc >= 2
+"""
+
+register(
+    "customer_segment_nation_chi2", customer_segment_nation_chi2,
+    sql=CUSTOMER_CHI2_SQL,
+)

@@ -10004,3 +10004,73 @@ class TestConversationStructureAudit:
         sql = queryset.oracle_sql_for(sf)["conversation_structure_audit"]
         gold = duckdb.connect().execute(sql).df()
         assert _value_hash(out) == _value_hash(gold)
+
+
+class TestCustomerSegmentNationChi2:
+    """X201: independent grid reads chi2 0 / V 0; perfectly associated
+    grid reads V exactly 1e6; DuckDB parity on both."""
+
+    @staticmethod
+    def _tables(segs, keys, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "c_nationkey": pa.array(keys, pa.int32()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int32()),
+                    "n_name": pa.array(["X", "Y"], pa.string()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+
+    def _gold(self, tmp_path):
+        import duckdb
+
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.queryset import ORACLE_SQL
+
+        con = duckdb.connect()
+        for t in ("customer", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        return con.execute(ORACLE_SQL["customer_segment_nation_chi2"]).df()
+
+    def test_independent(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            customer_segment_nation_chi2,
+        )
+
+        segs = ["A"] * 4 + ["B"] * 4
+        keys = [0, 0, 1, 1] * 2
+        self._tables(segs, keys, tmp_path)
+        out = customer_segment_nation_chi2(str(tmp_path))
+        assert int(out["chi2_e6"].iloc[0]) == 0
+        assert int(out["cramers_v_e6"].iloc[0]) == 0
+        assert int(out["dof"].iloc[0]) == 1
+        assert _value_hash(out) == _value_hash(self._gold(tmp_path))
+
+    def test_perfect_association(self, ray_session, tmp_path):
+        from pdf_ocr_batch_ndrocr_lite_ray.pipelines.diagnostics import (
+            customer_segment_nation_chi2,
+        )
+
+        segs = ["A"] * 3 + ["B"] * 3
+        keys = [0, 0, 0, 1, 1, 1]
+        self._tables(segs, keys, tmp_path)
+        out = customer_segment_nation_chi2(str(tmp_path))
+        assert int(out["n_obs"].iloc[0]) == 6
+        assert int(out["chi2_e6"].iloc[0]) == 6_000_000  # chi2 = N
+        assert int(out["cramers_v_e6"].iloc[0]) == 1_000_000
+        assert _value_hash(out) == _value_hash(self._gold(tmp_path))
